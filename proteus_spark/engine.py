@@ -1,0 +1,118 @@
+"""Engine facade — the ad-hoc query plane.
+
+Reference parity: the client-facing surface of a Proteus deployment is
+``QueryUnary(sqlString) -> QueryResp{respRecord[]}`` answered over the
+current materialized state (reference: api/protobuf-spec/qpuapi.proto:12-17,
+internal/rpc_server/rpcserver.go:167-199,
+internal/apiprocessor/apiprocessor.go:218-245). The reference has no
+planner — parse output is the executable plan. Here the same surface is a
+thin facade over ``spark.sql``: Catalyst does analysis/optimization, and
+"state tables" are just registered views, so the reference's per-operator
+class dispatch (apiprocessor.go:314-333) disappears.
+
+The reference parser accepts only single-table SELECT with projection,
+AND-ed EQ/RANGE/ISNULL predicates, ORDER BY, LIMIT
+(internal/sqlparser/sqlparse.go:102-124,340-353). We accept full Spark SQL —
+a strict superset — and additionally validate the reference subset in
+``operators.filters`` so its semantics quirks are explicit.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+from proteus_spark import TABLES
+from proteus_spark.schema import TESTDATA_SCHEMAS
+
+
+@dataclass
+class QueryStats:
+    """Per-query latency log, mirroring the reference's evaluation hooks
+    (reference: internal/metrics/metrics.go:78-101)."""
+
+    latencies_ms: list[float] = field(default_factory=list)
+
+    def record(self, ms: float) -> None:
+        self.latencies_ms.append(ms)
+
+    def percentiles(self) -> dict[str, float]:
+        if not self.latencies_ms:
+            return {}
+        xs = sorted(self.latencies_ms)
+
+        def pct(p: float) -> float:
+            i = min(len(xs) - 1, int(round(p / 100.0 * (len(xs) - 1))))
+            return xs[i]
+
+        return {"p50": pct(50), "p90": pct(90), "p95": pct(95), "p99": pct(99)}
+
+
+class Engine:
+    """Session + catalog + query facade.
+
+    >>> eng = Engine(spark, "/root/testdata/sf0.001")
+    >>> eng.query("SELECT * FROM events WHERE event_id = 42")
+    """
+
+    def __init__(self, spark: SparkSession, data_dir: str | None = None):
+        self.spark = spark
+        self.stats = QueryStats()
+        self._registered: dict[str, str] = {}
+        if data_dir:
+            self.register_dir(data_dir)
+
+    # -- catalog ----------------------------------------------------------
+    def register_parquet(self, name: str, path: str, schema=None) -> DataFrame:
+        """Register a parquet table as a named view (explicit schema
+        contract; reference declares schemas in TOML — config.go:25-35)."""
+        df = self.spark.read.parquet(path)
+        if schema is not None:
+            declared = {f.name: f.dataType for f in schema.fields}
+            actual = {f.name: f.dataType for f in df.schema.fields}
+            if declared != actual:
+                raise ValueError(
+                    f"schema drift for {name}: declared {declared} != parquet {actual}"
+                )
+        df.createOrReplaceTempView(name)
+        self._registered[name] = path
+        return df
+
+    def register_dir(self, data_dir: str, tables=TABLES) -> None:
+        """Register every known testdata table under ``data_dir``."""
+        for t in tables:
+            p = os.path.join(data_dir, f"{t}.parquet")
+            if os.path.exists(p):
+                self.register_parquet(t, p, TESTDATA_SCHEMAS.get(t))
+
+    def register_view(self, name: str, df: DataFrame) -> None:
+        """Expose a derived/materialized view as a queryable table — the
+        Spark analogue of a stateful QPU's output table (e.g. ``stories_sum``;
+        reference: internal/qpu_classes/sum/sum.go:108-121)."""
+        df.createOrReplaceTempView(name)
+
+    def tables(self) -> list[str]:
+        """= GetConfig schema advertisement (qpuapi.proto:128-144)."""
+        return sorted(self._registered)
+
+    # -- query plane ------------------------------------------------------
+    def query(self, sql: str) -> DataFrame:
+        """QueryUnary parity: SQL in, result out (lazy DataFrame)."""
+        t0 = time.perf_counter()
+        df = self.spark.sql(sql)
+        self.stats.record((time.perf_counter() - t0) * 1000.0)
+        return df
+
+    def query_unary(self, sql: str) -> list[dict[str, str]]:
+        """Eager variant returning stringified attribute maps, matching the
+        reference response encoding ``QueryRespRecord{attributes:
+        map<string,string>}`` (qpuextapi.proto:33-38,
+        internal/qpu_classes/datastore_driver/datastoredriver.go:187-200)."""
+        rows = self.query(sql).collect()
+        return [
+            {k: ("" if v is None else str(v)) for k, v in row.asDict().items()}
+            for row in rows
+        ]

@@ -1,0 +1,110 @@
+"""Query registry — single source of truth for the correctness gate.
+
+Every implemented operator from SURVEY §2 registers here as a named query:
+a Spark callable ``(spark, sf_dir) -> DataFrame`` plus (where expressible)
+an equivalent ANSI-SQL oracle string that DuckDB runs over the same parquet
+tables. ``__spark_entry__.py`` re-exports this registry to the driver.
+
+Conventions that keep the Spark result and the DuckDB oracle hash-identical:
+
+- every computed column is aliased to the SAME name on both sides;
+- computed floating-point aggregates are rounded identically on both sides
+  (sums of money-scale values -> 2 decimals; ratios/averages -> 6), because
+  double summation order differs between engines;
+- integer aggregates are cast to BIGINT in the oracle (DuckDB widens
+  SUM(BIGINT) to HUGEINT otherwise);
+- no raw TIMESTAMP columns in outputs (session-TZ vs naive mismatch);
+  format to strings or extract date parts instead;
+- unordered outputs are fine (the driver's hash is order-insensitive), but
+  every LIMIT/top-k query carries explicit deterministic tie-breaks.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass
+class QuerySpec:
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | Callable[[], str] | None
+    tags: tuple[str, ...] = field(default_factory=tuple)
+    doc: str = ""
+
+    def resolve_oracle(self) -> str | None:
+        if callable(self.oracle):
+            return self.oracle()
+        return self.oracle
+
+
+QUERIES: dict[str, QuerySpec] = {}
+
+
+def register(name: str, oracle=None, tags: tuple[str, ...] = (), doc: str = ""):
+    """Decorator: register a query under ``name`` with its DuckDB oracle."""
+
+    def deco(fn):
+        if name in QUERIES:
+            raise ValueError(f"duplicate query name: {name}")
+        QUERIES[name] = QuerySpec(fn=fn, oracle=oracle, tags=tags, doc=doc or fn.__doc__ or "")
+        return fn
+
+    return deco
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one testdata table (driver contract: parquet per table).
+
+    ``events.parquet`` stores TIMESTAMP(NANOS), which Spark only reads with
+    the nanosAsLong legacy conf — set it defensively on whatever session the
+    driver hands us. The ``ts`` column then arrives as LongType epoch-nanos;
+    use ``events_with_ts`` for a proper timestamp column.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def events_with_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events with ``ts`` converted to TimestampNTZ (microsecond) and the
+    raw nanos kept as ``ts_ns`` — the queryable-time view of the stream
+    table. DuckDB equivalent of ``ts``: ``CAST(ts AS TIMESTAMP)`` (its
+    reader yields TIMESTAMP_NS natively)."""
+    from pyspark.sql import functions as F
+
+    ev = load(spark, sf_dir, "events")
+    return ev.withColumn("ts_ns", F.col("ts")).withColumn(
+        "ts",
+        F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long")).cast(
+            "timestamp_ntz"
+        ),
+    )
+
+
+def _import_all() -> None:
+    """Import every query module so decorators run (idempotent)."""
+    from proteus_spark.queries import core  # noqa: F401
+
+    for mod in ("sqlsurface", "llm", "streaming"):
+        try:
+            __import__(f"proteus_spark.queries.{mod}")
+        except ImportError:
+            pass
+
+
+def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    _import_all()
+    return {name: spec.fn for name, spec in QUERIES.items()}
+
+
+def all_oracles() -> dict[str, str]:
+    _import_all()
+    out = {}
+    for name, spec in QUERIES.items():
+        sql = spec.resolve_oracle()
+        if sql is not None:
+            out[name] = sql
+    return out
