@@ -1,0 +1,525 @@
+"""Extended ad-hoc SQL surface — SURVEY §2.2-2.7 "Spark gives it free" set.
+
+The reference's parser accepts only single-table SELECT + AND-ed predicates
++ ORDER BY + LIMIT (internal/sqlparser/sqlparse.go:102-124; GROUP BY is a
+silent no-op at sqlparse.go:216-221, JOIN syntax rejected at
+sqlparse.go:188-197). SURVEY §2 directs the new engine to expose the full
+Spark SQL surface since it is free; these queries pin that surface down
+with oracle checks: aggregates, grouping sets, windows, set ops, pivot,
+semi/anti joins, scalar functions, JSON access, sessionization, as-of join.
+
+Most entries are dialect-shared SQL (see registry.register_sql): the same
+text runs on Spark and DuckDB, with money math in DECIMAL so both engines
+agree bit-for-bit. DataFrame-API showcases (window/pivot/setops/asof) keep
+separate Spark implementations with a matching oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from proteus_spark.registry import events_with_ts, load, register, register_sql
+
+# Shared DECIMAL fragments (validated bit-exact across engines).
+DISC_PRICE = "CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))"
+CHARGE = f"{DISC_PRICE} * (1 + CAST(l_tax AS DECIMAL(18,2)))"
+
+# DuckDB-side derivation of the nanos-timestamp events view; the Spark side
+# registers the same view from registry.events_with_ts (see register_sql).
+EVENTS_NS_ORACLE = (
+    "WITH events_ns AS (SELECT event_id, user_id, event_type, value, props, "
+    "epoch_ns(ts) AS ts_ns, CAST(ts AS TIMESTAMP) AS ts FROM events)\n"
+)
+
+
+def _events_ns(spark, sf_dir):
+    return events_with_ts(spark, sf_dir)
+
+
+EVENTS_PRELUDE = {"events_ns": _events_ns}
+
+
+# ---------------------------------------------------------------------------
+# Aggregation surface (SURVEY §2.4 — beyond the reference's sum-only enum)
+# ---------------------------------------------------------------------------
+
+register_sql(
+    "agg_full",
+    f"""
+    SELECT l_returnflag,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
+           CAST(min(l_extendedprice) AS DOUBLE) AS min_price,
+           CAST(max(l_extendedprice) AS DOUBLE) AS max_price,
+           CAST(avg(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,6)) AS avg_qty
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("aggregate",),
+    doc="COUNT/COUNT DISTINCT/SUM/MIN/MAX/AVG — the aggregate surface the "
+    "reference lacks (only Sum exists in its enum, types.go:188-194).",
+)
+
+register_sql(
+    "tpch_q1",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price,
+           CAST(sum({DISC_PRICE}) AS DECIMAL(38,4)) AS sum_disc_price,
+           CAST(sum({CHARGE}) AS DECIMAL(38,6)) AS sum_charge,
+           CAST(avg(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,6)) AS avg_qty,
+           CAST(avg(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,6)) AS avg_price,
+           CAST(avg(CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(38,6)) AS avg_disc,
+           CAST(count(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= DATE '2001-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    tags=("aggregate", "tpch", "bench"),
+    doc="TPC-H Q1 pricing summary over the driver testdata: scan + "
+    "filter + 8-aggregate groupBy; partial aggregation collapses rows "
+    "map-side so the exchange carries only #groups x #tasks rows.",
+)
+
+register_sql(
+    "tpch_q6",
+    f"""
+    SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+      AND l_discount >= 0.03 AND l_discount <= 0.07 AND l_quantity < 24
+    """,
+    tags=("aggregate", "tpch", "bench"),
+    doc="TPC-H Q6 forecast-revenue: pure scan+filter+sum; every predicate "
+    "reaches the parquet scan (PushedFilters) so row groups skip.",
+)
+
+register_sql(
+    "groupby_having",
+    f"""
+    SELECT l_orderkey, CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_qty
+    FROM lineitem
+    GROUP BY l_orderkey
+    HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 150
+    """,
+    tags=("aggregate",),
+    doc="HAVING over a grouped sum (TPC-H Q18 inner shape).",
+)
+
+register_sql(
+    "rollup_flag_status",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
+           CAST(count(*) AS BIGINT) AS n
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    tags=("aggregate",),
+    doc="ROLLUP grouping sets (SURVEY §2.4: free in Spark, absent in the "
+    "reference).",
+)
+
+register_sql(
+    "cube_flag_status",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    tags=("aggregate",),
+    doc="CUBE grouping sets.",
+)
+
+
+# ---------------------------------------------------------------------------
+# Join surface (SURVEY §2.3 — beyond the reference's single keyed merge)
+# ---------------------------------------------------------------------------
+
+register_sql(
+    "tpch_q3",
+    f"""
+    SELECT l_orderkey,
+           CAST(sum({DISC_PRICE}) AS DECIMAL(38,4)) AS revenue,
+           CAST(o_orderdate AS DATE) AS orderdate,
+           o_orderpriority
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < DATE '1998-03-15' AND l_shipdate > DATE '1998-03-15'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey LIMIT 10
+    """,
+    tags=("join", "tpch", "bench"),
+    doc="TPC-H Q3 shipping-priority: 3-way join + agg + top-10. customer "
+    "is dim-sized -> Catalyst broadcasts it; the orders-lineitem join "
+    "shuffles on the order key.",
+)
+
+register_sql(
+    "tpch_q5",
+    f"""
+    SELECT n_name,
+           CAST(sum({DISC_PRICE}) AS DECIMAL(38,4)) AS revenue
+    FROM customer
+      JOIN orders   ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      JOIN nation   ON c_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1997-01-01'
+    GROUP BY n_name
+    """,
+    tags=("join", "tpch", "bench"),
+    doc="TPC-H Q5 local-supplier revenue: 6-way join chain; all dims "
+    "broadcast, fact tables shuffle once on the order key.",
+)
+
+register_sql(
+    "semi_join_exists",
+    """
+    SELECT c_custkey, c_name FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+    """,
+    tags=("join",),
+    doc="EXISTS -> left-semi join (SURVEY §2.3: absent in reference; "
+    "Spark plans a broadcast/shuffled semi join, never a full materialize).",
+)
+
+register_sql(
+    "anti_join_not_exists",
+    """
+    SELECT c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+    tags=("join",),
+    doc="NOT EXISTS -> left-anti join.",
+)
+
+
+# ---------------------------------------------------------------------------
+# Set operations (SURVEY §2.7)
+# ---------------------------------------------------------------------------
+
+register_sql(
+    "setops_intersect",
+    """
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+    tags=("setops",),
+    doc="INTERSECT (free in Spark; reference has only the router's bag "
+    "UNION ALL — router.go:43-78).",
+)
+
+register_sql(
+    "setops_except",
+    """
+    SELECT c_nationkey AS nationkey FROM customer
+    EXCEPT
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+    tags=("setops",),
+    doc="EXCEPT.",
+)
+
+register_sql(
+    "distinct_segments",
+    "SELECT DISTINCT c_mktsegment, c_nationkey FROM customer",
+    tags=("setops",),
+    doc="DISTINCT (hash aggregate, map-side partial distinct).",
+)
+
+
+# ---------------------------------------------------------------------------
+# Window functions (SURVEY §2.6: none in reference; pyspark.sql.Window)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "window_topk_per_group",
+    oracle="""
+    SELECT p_brand, p_partkey, p_retailprice, CAST(rn AS BIGINT) AS rn
+    FROM (SELECT p_brand, p_partkey, p_retailprice,
+                 row_number() OVER (PARTITION BY p_brand
+                                    ORDER BY p_retailprice DESC, p_partkey) AS rn
+          FROM part)
+    WHERE rn <= 3
+    """,
+    tags=("window",),
+)
+def window_topk_per_group(spark, sf_dir):
+    """Top-k per group via ranking window — the per-group generalization of
+    the reference's global ORDER BY+LIMIT top-k (sqlparser_test.go:42-56).
+    Plans as a single shuffle on the partition key with running-window
+    ranking; no self-join."""
+    part = load(spark, sf_dir, "part")
+    w = W.partitionBy("p_brand").orderBy(F.desc("p_retailprice"), F.asc("p_partkey"))
+    return (
+        part.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("p_brand", "p_partkey", "p_retailprice", F.col("rn").cast("long").alias("rn"))
+    )
+
+
+@register(
+    "window_running_sum",
+    oracle="""
+    SELECT l_suppkey, l_orderkey, l_linenumber,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2)))
+                OVER (PARTITION BY l_suppkey
+                      ORDER BY l_shipdate, l_orderkey, l_linenumber
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DECIMAL(38,2)) AS running_qty
+    FROM lineitem
+    """,
+    tags=("window",),
+)
+def window_running_sum(spark, sf_dir):
+    """Running total per supplier (analytic frame). DECIMAL accumulator so
+    the cumulative sum is exact on both engines; the ORDER BY is a total
+    order (shipdate, orderkey, linenumber) for determinism."""
+    li = load(spark, sf_dir, "lineitem")
+    w = (
+        W.partitionBy("l_suppkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return li.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+        .over(w)
+        .cast("decimal(38,2)")
+        .alias("running_qty"),
+    )
+
+
+@register(
+    "window_lag_delta",
+    oracle=EVENTS_NS_ORACLE
+    + """
+    SELECT event_id, user_id, value,
+           value - lag(value) OVER (PARTITION BY user_id
+                                    ORDER BY ts_ns, event_id) AS delta
+    FROM events_ns
+    """,
+    tags=("window",),
+)
+def window_lag_delta(spark, sf_dir):
+    """lag()-based per-user delta over event time. Subtraction of identical
+    doubles is deterministic — no rounding needed."""
+    ev = events_with_ts(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        "value",
+        (F.col("value") - F.lag("value").over(w)).alias("delta"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pivot
+# ---------------------------------------------------------------------------
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@register(
+    "pivot_event_counts",
+    oracle="""
+    SELECT user_id,
+           CAST(sum(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END) AS BIGINT) AS click,
+           CAST(sum(CASE WHEN event_type = 'error'    THEN 1 ELSE 0 END) AS BIGINT) AS error,
+           CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+           CAST(sum(CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+           CAST(sum(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END) AS BIGINT) AS view
+    FROM events GROUP BY user_id
+    """,
+    tags=("pivot",),
+)
+def pivot_event_counts(spark, sf_dir):
+    """groupBy().pivot() with an explicit value list (explicit values keep
+    the plan a single pass — no extra distinct-scan job — and make the
+    output schema deterministic)."""
+    ev = load(spark, sf_dir, "events")
+    out = ev.groupBy("user_id").pivot("event_type", _EVENT_TYPES).count()
+    cols = [F.col("user_id")] + [
+        F.coalesce(F.col(t), F.lit(0)).cast("long").alias(t) for t in _EVENT_TYPES
+    ]
+    return out.select(*cols)
+
+
+# ---------------------------------------------------------------------------
+# Scalar functions / JSON (SURVEY §2.10: reference has none)
+# ---------------------------------------------------------------------------
+
+register_sql(
+    "scalar_functions",
+    """
+    SELECT p_partkey,
+           upper(p_brand) AS brand_upper,
+           length(p_name) AS name_len,
+           substr(p_type, 1, 5) AS type_prefix,
+           abs(p_size - 25) AS size_dist,
+           CAST(round(p_retailprice / 10, 1) * 10 AS DOUBLE) AS price_bucket
+    FROM part
+    """,
+    tags=("scalar",),
+    doc="Scalar string/math pass-through (SURVEY §2.10: the reference "
+    "query language has zero scalar functions; the full "
+    "pyspark.sql.functions namespace comes free).",
+)
+
+
+@register(
+    "json_extract_props",
+    oracle="""
+    SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k
+    FROM events
+    """,
+    tags=("scalar",),
+)
+def json_extract_props(spark, sf_dir):
+    """JSON attribute access on the semi-structured props column — the
+    uninterpreted-payload part of the reference object model
+    (Documentation.md:23-33) made queryable."""
+    ev = load(spark, sf_dir, "events")
+    return ev.select(
+        "event_id", F.get_json_object("props", "$.k").cast("long").alias("k")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Event-time queries: tumbling window, sessionization, as-of join
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_tumbling_hourly",
+    oracle=EVENTS_NS_ORACLE
+    + """
+    SELECT CAST(date_trunc('hour', ts) AS DATE) AS day,
+           EXTRACT(hour FROM date_trunc('hour', ts)) AS hour,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS value_sum
+    FROM events_ns
+    GROUP BY 1, 2, 3
+    """,
+    tags=("event-time",),
+)
+def events_tumbling_hourly(spark, sf_dir):
+    """Tumbling-window aggregate (batch semantics of the streaming windowed
+    agg; SURVEY §2.9 notes the reference has no event-time windows at all —
+    this is the Spark-native upgrade)."""
+    ev = events_with_ts(spark, sf_dir)
+    bucket = F.date_trunc("hour", F.col("ts"))
+    return ev.groupBy(
+        bucket.cast("date").alias("day"),
+        F.hour(bucket).cast("int").alias("hour"),
+        "event_type",
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("decimal(38,6)").alias("value_sum"),
+    )
+
+
+@register(
+    "events_sessionization",
+    oracle=EVENTS_NS_ORACLE
+    + """
+    SELECT user_id, CAST(count(DISTINCT session_id) AS BIGINT) AS n_sessions,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM (
+      SELECT user_id,
+             sum(is_new) OVER (PARTITION BY user_id
+                               ORDER BY ts_ns, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM (
+        SELECT user_id, ts_ns, event_id,
+               CASE WHEN ts_ns - lag(ts_ns) OVER (PARTITION BY user_id
+                                                  ORDER BY ts_ns, event_id)
+                         > 1800000000000 OR
+                         lag(ts_ns) OVER (PARTITION BY user_id
+                                          ORDER BY ts_ns, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events_ns))
+    GROUP BY user_id
+    """,
+    tags=("event-time",),
+)
+def events_sessionization(spark, sf_dir):
+    """Sessionization: 30-minute inactivity gap -> new session, counted per
+    user. lag + cumulative-sum window composition; one shuffle on user_id
+    shared by both windows."""
+    ev = events_with_ts(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts_ns", "event_id")
+    gap_ns = 30 * 60 * 1_000_000_000
+    prev = F.lag("ts_ns").over(w)
+    is_new = F.when(prev.isNull() | ((F.col("ts_ns") - prev) > gap_ns), 1).otherwise(0)
+    sess = ev.withColumn("is_new", is_new).withColumn(
+        "session_id",
+        F.sum("is_new").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
+    )
+    return sess.groupBy("user_id").agg(
+        F.countDistinct("session_id").alias("n_sessions"),
+        F.count("*").alias("n_events"),
+    )
+
+
+@register(
+    "asof_join_latest_order",
+    oracle=EVENTS_NS_ORACLE
+    + """
+    SELECT event_id, user_id, o_orderkey, CAST(o_orderdate AS DATE) AS orderdate
+    FROM (
+      SELECT e.event_id, e.user_id, o.o_orderkey, o.o_orderdate,
+             row_number() OVER (PARTITION BY e.event_id
+                                ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+      FROM (SELECT event_id, user_id, ts FROM events_ns
+            WHERE event_type = 'purchase') e
+      JOIN orders o ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts)
+    WHERE rn = 1
+    """,
+    tags=("event-time", "join", "bench"),
+)
+def asof_join_latest_order(spark, sf_dir):
+    """As-of join (SURVEY §2.3: no as-of join exists in the reference OR in
+    stock Spark): for each purchase event, the latest order of the same
+    customer at event time. Implemented as equi-join on the entity key +
+    time filter + argmax window — fully declarative, so Catalyst broadcasts
+    the small side and prunes columns. Per-key order cardinality is bounded
+    (orders/customer), so the intermediate stays linear; for unbounded
+    histories the operators.asof merge-asof path applies."""
+    ev = (
+        events_with_ts(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "ts")
+    )
+    o = load(spark, sf_dir, "orders")
+    joined = ev.join(
+        o,
+        (o.o_custkey == ev.user_id) & (o.o_orderdate <= ev.ts),
+        "inner",
+    )
+    w = W.partitionBy("event_id").orderBy(
+        F.desc("o_orderdate"), F.desc("o_orderkey")
+    )
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_id",
+            "user_id",
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("orderdate"),
+        )
+    )

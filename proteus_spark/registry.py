@@ -84,6 +84,49 @@ def events_with_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def register_sql(
+    name: str,
+    sql: str,
+    tags: tuple[str, ...] = (),
+    doc: str = "",
+    spark_prelude: dict[str, Callable[[SparkSession, str], DataFrame]] | None = None,
+    oracle_prelude: str = "",
+):
+    """Register a dialect-shared SQL query: the SAME SQL text runs through
+    ``spark.sql`` (over temp views of the testdata tables) and through DuckDB
+    as the oracle. Valid because the query sticks to the common dialect
+    (ANSI joins/aggregates/windows, DECIMAL casts, DATE casts).
+
+    ``spark_prelude`` registers extra derived temp views on the Spark side;
+    ``oracle_prelude`` prepends CTE text on the DuckDB side (used when a
+    derived view needs per-engine construction, e.g. nanos timestamps).
+
+    DECIMAL convention: money aggregates are computed in DECIMAL, not
+    DOUBLE — both engines then produce bit-identical results regardless of
+    summation order (validated: TPC-H Q1 sums match to the last digit).
+    """
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        import re
+
+        referenced = set(re.findall(r"[a-z_]+", sql))
+        from proteus_spark import TABLES
+
+        for t in TABLES:
+            if t in referenced:
+                load(spark, sf_dir, t).createOrReplaceTempView(t)
+        for vname, builder in (spark_prelude or {}).items():
+            builder(spark, sf_dir).createOrReplaceTempView(vname)
+        return spark.sql(sql)
+
+    fn.__name__ = name
+    fn.__doc__ = doc
+    QUERIES[name] = QuerySpec(
+        fn=fn, oracle=oracle_prelude + sql, tags=tags + ("shared-sql",), doc=doc
+    )
+    return fn
+
+
 def _import_all() -> None:
     """Import every query module so decorators run (idempotent)."""
     from proteus_spark.queries import core  # noqa: F401
