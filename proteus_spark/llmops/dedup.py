@@ -1,0 +1,268 @@
+"""Document deduplication operators: exact, n-gram Jaccard, MinHash+LSH,
+SimHash.
+
+Scale design (the part that matters at 100 TB):
+
+- Exact dedup is a hash-groupBy — one shuffle on the digest, map-side
+  partial aggregation.
+- Near-dup NEVER compares all pairs. MinHash-LSH generates candidates by
+  equi-joining on band buckets (shuffle on band value); only candidates get
+  exact Jaccard verification via a shingle equi-join. SimHash uses the
+  pigeonhole multi-index (split the signature into ``chunks`` blocks; any
+  pair within ``hamming_max <= chunks - 1`` shares at least one intact
+  block) so candidates come from an equi-join on (block index, block
+  value).
+- The raw shingle self-join (``jaccard_pairs`` without candidates) is the
+  exact baseline used by small-corpus queries and oracles; ``max_doc_freq``
+  caps hot shingles to keep the join linear when used at scale.
+- All hashing is the portable md5-derived 48-bit family
+  (functions.texthash), evaluated as Catalyst expressions inside codegen —
+  no UDFs — and reproducible bit-for-bit by the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from proteus_spark.functions.texthash import hex_to_long_sql, md5_seeded_sql
+
+SHINGLE_N = 3
+MINHASH_K = 12
+LSH_BANDS = 4
+LSH_ROWS = 3  # MINHASH_K == LSH_BANDS * LSH_ROWS
+SIMHASH_BITS = 16
+SIMHASH_CHUNKS = 4
+HAMMING_MAX = 3  # pigeonhole-safe: HAMMING_MAX <= SIMHASH_CHUNKS - 1
+
+
+def tokens_col(text_col: str = "text"):
+    """Whitespace tokens (testdata is single-space normalized; a general
+    corpus would lowercase + regex-normalize first)."""
+    return F.split(F.col(text_col), " ")
+
+
+def shingles(docs: DataFrame, n: int = SHINGLE_N, id_col: str = "doc_id") -> DataFrame:
+    """Distinct word n-gram shingles per document: (id, s).
+
+    Built with array ``transform`` over a per-row sequence — embarrassingly
+    parallel, zero shuffle, stays in codegen (no posexplode+window pass).
+    """
+    t = tokens_col()
+    size = F.size(t)
+    idx = F.sequence(F.lit(0), size - n)  # 0-based start positions
+    grams = F.transform(
+        idx, lambda i: F.concat_ws(" ", *[F.get(t, i + j) for j in range(n)])
+    )
+    arr = F.when(size >= n, grams).otherwise(F.array().cast("array<string>"))
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), F.explode(arr).alias("s"))
+        .distinct()
+    )
+
+
+def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Exact duplicate groups by content digest: (text_hash, n_docs,
+    keep_doc_id) — ``keep_doc_id`` is the canonical survivor (min id)."""
+    return (
+        docs.select(F.md5(F.col(text_col)).alias("text_hash"), "doc_id")
+        .groupBy("text_hash")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keep_doc_id"))
+    )
+
+
+def jaccard_pairs(
+    sh: DataFrame,
+    min_jaccard: float,
+    candidates: DataFrame | None = None,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard over pairs: (ida, idb, jaccard), ida < idb.
+
+    Without ``candidates``: pairs sharing >=1 shingle (equi-join on the
+    shingle — the exact baseline). With ``candidates`` (ida, idb): only
+    those pairs are verified (the LSH path). ``max_doc_freq`` drops
+    shingles present in more than that many docs before pairing (standard
+    hot-key guard; changes results, so oracle queries leave it None).
+    """
+    if max_doc_freq is not None:
+        rare = sh.groupBy("s").count().filter(F.col("count") <= max_doc_freq).select("s")
+        sh = sh.join(rare, "s")
+    counts = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("ida"), F.col("b.doc_id").alias("idb")
+        )
+        .agg(F.count("*").alias("ni"))
+    )
+    if candidates is not None:
+        inter = inter.join(candidates, ["ida", "idb"], "left_semi")
+    ca = counts.select(F.col("doc_id").alias("ida"), F.col("n").alias("na"))
+    cb = counts.select(F.col("doc_id").alias("idb"), F.col("n").alias("nb"))
+    return (
+        inter.join(ca, "ida")
+        .join(cb, "idb")
+        .select(
+            "ida",
+            "idb",
+            (
+                F.col("ni").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("ni"))
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= min_jaccard)
+    )
+
+
+def minhash_signatures(sh: DataFrame, k: int = MINHASH_K) -> DataFrame:
+    """MinHash signature per doc: (doc_id, m0..m{k-1}).
+
+    One md5 per (shingle, seed) projected as a column, then k min-aggregates
+    in a single groupBy pass — the shuffle carries k longs per doc.
+    """
+    hx = sh.select(
+        "doc_id", *[F.expr(md5_seeded_sql("s", i)).alias(f"x{i}") for i in range(k)]
+    )
+    hl = hx.select(
+        "doc_id", *[F.expr(hex_to_long_sql(f"x{i}")).alias(f"h{i}") for i in range(k)]
+    )
+    return hl.groupBy("doc_id").agg(
+        *[F.min(f"h{i}").alias(f"m{i}") for i in range(k)]
+    )
+
+
+def lsh_candidates(
+    sig: DataFrame, bands: int = LSH_BANDS, rows: int = LSH_ROWS
+) -> DataFrame:
+    """LSH banding: docs sharing any band bucket become (ida, idb)
+    candidates. Equi-join on (band, band_value) — never all-pairs."""
+    band_vals = [
+        F.concat_ws(
+            ",", *[F.col(f"m{b * rows + r}").cast("string") for r in range(rows)]
+        )
+        for b in range(bands)
+    ]
+    exploded = sig.select(
+        "doc_id", F.posexplode(F.array(*band_vals)).alias("band", "bv")
+    )
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("ida"), F.col("b.doc_id").alias("idb"))
+        .distinct()
+    )
+
+
+def minhash_lsh_dedup(docs: DataFrame, min_jaccard: float = 0.8) -> DataFrame:
+    """Full near-dup pipeline: shingle -> minhash -> LSH bands -> candidate
+    pairs -> exact-Jaccard verification: (ida, idb, jaccard)."""
+    sh = shingles(docs)
+    cand = lsh_candidates(minhash_signatures(sh))
+    return jaccard_pairs(sh, min_jaccard, candidates=cand)
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def _bit_sql(col: str, b: int) -> str:
+    """Shared-dialect bit extraction: values are < 2^48 so the double
+    division is exact."""
+    return f"(CAST(floor({col} / {2 ** b}) AS BIGINT) % 2)"
+
+
+def simhash_signatures(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
+    """SimHash per doc over distinct tokens: (doc_id, simhash).
+
+    bit b of the signature = majority vote of bit b across token hashes.
+    Computed as ``bits`` conditional sums in ONE aggregation pass.
+    """
+    tok = (
+        docs.select("doc_id", F.explode(tokens_col()).alias("w")).distinct()
+    )
+    h = tok.select(
+        "doc_id", F.expr(md5_seeded_sql("w", "sim")).alias("xh")
+    ).select("doc_id", F.expr(hex_to_long_sql("xh")).alias("h"))
+    sums = h.groupBy("doc_id").agg(
+        *[
+            F.sum(F.expr(f"CASE WHEN {_bit_sql('h', b)} = 1 THEN 1 ELSE -1 END")).alias(
+                f"s{b}"
+            )
+            for b in range(bits)
+        ]
+    )
+    sim = sums.select(
+        "doc_id",
+        sum(
+            [
+                F.when(F.col(f"s{b}") > 0, F.lit(2 ** b)).otherwise(F.lit(0))
+                for b in range(bits)
+            ]
+        ).cast("long").alias("simhash"),
+    )
+    return sim
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    hamming_max: int = HAMMING_MAX,
+    bits: int = SIMHASH_BITS,
+    chunks: int = SIMHASH_CHUNKS,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: (ida, idb, hamming <= hamming_max).
+
+    Pigeonhole multi-index: split the signature into ``chunks`` blocks; any
+    pair with <= chunks-1 differing bits shares an intact block, so
+    candidates come from an equi-join on (block, block_value) — never a
+    cross join.
+    """
+    assert hamming_max <= chunks - 1, "pigeonhole bound violated"
+    sig = simhash_signatures(docs, bits)
+    width = bits // chunks
+    blocks = sig.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.expr(
+                        f"CAST(floor(simhash / {2 ** (c * width)}) AS BIGINT) % {2 ** width}"
+                    )
+                    for c in range(chunks)
+                ]
+            )
+        ).alias("blk", "bval"),
+    )
+    a = blocks.alias("a")
+    b = blocks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.bval") == F.col("b.bval"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("ida"),
+            F.col("b.doc_id").alias("idb"),
+            F.col("a.simhash").alias("sa"),
+            F.col("b.simhash").alias("sb"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.expr("bit_count(sa ^ sb)").cast("long"))
+        .filter(F.col("hamming") <= hamming_max)
+        .select("ida", "idb", "hamming")
+    )

@@ -1,0 +1,134 @@
+"""Similarity search over embedding columns (array<float>).
+
+Baseline: brute-force cosine top-k — a broadcast of the (small) query set
+against the full corpus, fully JVM-side via array expressions
+(``zip_with`` + ``aggregate`` folds — no Python, no shuffle beyond the
+top-k). The scale path is IVF bucketing: assign every vector to its nearest
+centroid once (one pass), then search only the query's bucket — candidate
+count drops by ~#centroids, and the bucket assignment equi-join replaces
+the cross product.
+
+All float math is folded left-to-right in DOUBLE on both engines (Spark
+``aggregate`` / DuckDB ``list_reduce``), so oracle results match bitwise;
+final similarities are rounded to 6 decimals before ranking for belt and
+braces.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+
+def dot(a, b) -> Column:
+    """Σ a_i * b_i in double, sequential fold (matches DuckDB list_reduce)."""
+    prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, v: acc + v)
+
+
+def norm(a) -> Column:
+    sq = F.transform(a, lambda x: x.cast("double") * x.cast("double"))
+    return F.sqrt(F.aggregate(sq, F.lit(0.0), lambda acc, v: acc + v))
+
+
+def cosine(a, b) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k neighbors per query: (qid, nid, sim, rank).
+
+    ``queries`` is broadcast (it is the small side by construction); each
+    corpus partition scores its rows against every query independently —
+    the only shuffle is the final per-query top-k, which
+    TakeOrdered-style window ranking keeps at O(k) per partition.
+    """
+    q = queries.select(
+        F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec")
+    )
+    v = vectors.select(
+        F.col(id_col).alias("nid"), F.col(vec_col).alias("nvec")
+    )
+    scored = (
+        v.join(F.broadcast(q), F.col("nid") != F.col("qid"))
+        .withColumn("sim", F.round(cosine(F.col("qvec"), F.col("nvec")), 6))
+    )
+    w = W.partitionBy("qid").orderBy(F.desc("sim"), F.asc("nid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("qid", "nid", "sim", "rank")
+    )
+
+
+def ivf_assign(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign each vector to its nearest centroid by cosine (tie -> lowest
+    centroid id): (vec_id, embedding, bucket).
+
+    Centroids broadcast; assignment is one codegen pass over the corpus —
+    this is the 'coarse quantizer' of an IVF index, materialized as a
+    column you can partition/bucket the table by at scale.
+    """
+    c = centroids.select(
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec")
+    )
+    scored = vectors.select(
+        F.col(id_col).alias("vid"), F.col(vec_col).alias("vec")
+    ).join(F.broadcast(c))
+    scored = scored.withColumn("csim", F.round(cosine(F.col("vec"), F.col("cvec")), 6))
+    w = W.partitionBy("vid").orderBy(F.desc("csim"), F.asc("cid"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("vid").alias("vec_id"),
+            F.col("vec").alias("embedding"),
+            F.col("cid").alias("bucket"),
+        )
+    )
+
+
+def ivf_topk(
+    vectors: DataFrame,
+    centroids: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: search only the query's IVF bucket
+    (nprobe=1): (qid, nid, sim, rank). Recall < 1 by design; the
+    candidate set shrinks by ~#centroids, and the bucket equi-join
+    replaces the brute-force cross product."""
+    assigned = ivf_assign(vectors, centroids, id_col, vec_col)
+    q = assigned.join(
+        queries.select(F.col(id_col).alias("qid")),
+        assigned.vec_id == F.col("qid"),
+    ).select("qid", F.col("embedding").alias("qvec"), F.col("bucket").alias("qbucket"))
+    cand = assigned.select(
+        F.col("vec_id").alias("nid"),
+        F.col("embedding").alias("nvec"),
+        F.col("bucket").alias("nbucket"),
+    )
+    scored = cand.join(
+        F.broadcast(q),
+        (F.col("nbucket") == F.col("qbucket")) & (F.col("nid") != F.col("qid")),
+    ).withColumn("sim", F.round(cosine(F.col("qvec"), F.col("nvec")), 6))
+    w = W.partitionBy("qid").orderBy(F.desc("sim"), F.asc("nid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("qid", "nid", "sim", "rank")
+    )

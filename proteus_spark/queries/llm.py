@@ -1,0 +1,407 @@
+"""LLM-data-pipeline queries: dedup, similarity search, text analysis,
+multimodal plumbing — each with a DuckDB oracle that executes the SAME
+algorithm (hash constants and formula text generated from one place,
+functions/texthash.py + the constants in llmops/dedup.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from proteus_spark.functions.texthash import hex_to_long_sql, md5_seeded_sql
+from proteus_spark.llmops import dedup as D
+from proteus_spark.llmops import multimodal as M
+from proteus_spark.llmops import similarity as S
+from proteus_spark.llmops import text as TXT
+from proteus_spark.registry import load, register
+
+# ---------------------------------------------------------------------------
+# Shared DuckDB CTE fragments (mirror llmops.dedup.shingles / tokens)
+# ---------------------------------------------------------------------------
+
+_SHINGLE_CTE = """
+toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+sh AS (
+  SELECT DISTINCT doc_id, s FROM (
+    SELECT doc_id,
+           unnest([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                   FOR i IN generate_series(1, greatest(len(t)-2, 0))]) AS s
+    FROM toks))
+"""
+
+_JACCARD_TAIL = """
+cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS ni
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  {cand_filter}
+  GROUP BY 1, 2)
+SELECT ida, idb, CAST(ni AS DOUBLE) / (ca.n + cb.n - ni) AS jaccard
+FROM inter JOIN cnt ca ON ca.doc_id = ida JOIN cnt cb ON cb.doc_id = idb
+WHERE CAST(ni AS DOUBLE) / (ca.n + cb.n - ni) >= {thr}
+"""
+
+
+def _dot_sql(a: str, b: str) -> str:
+    """Sequential double fold — mirrors llmops.similarity.dot bit-for-bit
+    (DuckDB list_reduce folds left-to-right; +0.0 seed is a no-op)."""
+    return (
+        f"list_reduce([CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE) "
+        f"FOR i IN generate_series(1, len({a}))], (x, y) -> x + y)"
+    )
+
+
+def _cos_sql(a: str, b: str) -> str:
+    return f"({_dot_sql(a, b)} / (sqrt({_dot_sql(a, a)}) * sqrt({_dot_sql(b, b)})))"
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "llm_token_stats",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_unique,
+           CAST(len(regexp_extract_all(text, '{TXT.BPE_REGEX}')) AS BIGINT) AS n_bpe
+    FROM documents
+    """,
+    tags=("llm", "text"),
+)
+def llm_token_stats(spark, sf_dir):
+    """Token counting: whitespace + BPE-ish regex (SURVEY build plan §7.1
+    llmops; pure codegen expressions, one parquet column read)."""
+    return TXT.token_stats(load(spark, sf_dir, "documents"))
+
+
+def _quality_oracle() -> str:
+    all_stop = sorted({w for ws in TXT.STOPWORDS.values() for w in ws})
+    stop_list = ", ".join(f"'{w}'" for w in all_stop)
+    return f"""
+    SELECT doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           round(n_stop / CAST(n_tokens AS DOUBLE), 6) AS stop_ratio,
+           round(n_punct / CAST(n_chars AS DOUBLE), 6) AS punct_ratio,
+           round(least(1.0, CAST(n_tokens AS DOUBLE) / 100.0)
+                 * (1.0 - n_punct / CAST(n_chars AS DOUBLE))
+                 * (0.5 + n_stop / CAST(n_tokens AS DOUBLE)), 6) AS quality
+    FROM (
+      SELECT doc_id,
+             len(string_split(text, ' ')) AS n_tokens,
+             len(list_filter(string_split(text, ' '), x -> x IN ({stop_list}))) AS n_stop,
+             length(text) AS n_chars,
+             length(text) - length(regexp_replace(text, '[^\\w ]', '', 'g')) AS n_punct
+      FROM documents)
+    """
+
+
+@register("llm_quality_score", oracle=_quality_oracle, tags=("llm", "text"))
+def llm_quality_score(spark, sf_dir):
+    """Quality scoring: length/punctuation/stopword ratios + composite."""
+    return TXT.quality_score(load(spark, sf_dir, "documents"))
+
+
+def _langid_oracle() -> str:
+    hits = ",\n             ".join(
+        f"len(list_filter(string_split(text, ' '), x -> x IN "
+        f"({', '.join(repr(w) for w in TXT.STOPWORDS[lang])}))) AS hits_{lang}"
+        for lang in TXT.LANG_PRIORITY
+    )
+    best = "greatest(" + ", ".join(f"hits_{lang}" for lang in TXT.LANG_PRIORITY) + ")"
+    cases = "\n           ".join(
+        f"WHEN hits_{lang} = {best} AND {best} > 0 THEN '{lang}'"
+        for lang in TXT.LANG_PRIORITY
+    )
+    hit_cols = ", ".join(
+        f"CAST(hits_{lang} AS BIGINT) AS hits_{lang}" for lang in TXT.LANG_PRIORITY
+    )
+    return f"""
+    SELECT doc_id, lang, {hit_cols},
+           CASE {cases} ELSE 'und' END AS lang_guess,
+           CAST(CASE {cases} ELSE 'und' END = lang AS INTEGER) AS agrees
+    FROM (
+      SELECT doc_id, lang,
+             {hits}
+      FROM documents)
+    """
+
+
+@register("llm_lang_id", oracle=_langid_oracle, tags=("llm", "text"))
+def llm_lang_id(spark, sf_dir):
+    """n-gram/stopword-profile language ID (deterministic heuristic; the
+    synthetic corpus shares one vocabulary across lang labels, so this
+    validates plumbing + determinism, not model accuracy)."""
+    return TXT.lang_id(load(spark, sf_dir, "documents"))
+
+
+def _fingerprint_oracle() -> str:
+    return f"""
+    WITH {_SHINGLE_CTE},
+    xf AS (SELECT doc_id, {md5_seeded_sql('text', 'fp')} AS xf FROM documents),
+    fp AS (SELECT doc_id, {hex_to_long_sql('xf')} AS fp_full FROM xf),
+    hs AS (SELECT doc_id, {md5_seeded_sql('s', 'fpmin')} AS xs FROM sh),
+    hl AS (SELECT doc_id, {hex_to_long_sql('xs')} AS hs FROM hs),
+    mins AS (SELECT doc_id, min(hs) AS fp_min FROM hl GROUP BY doc_id)
+    SELECT f.doc_id AS doc_id, fp_full, fp_min
+    FROM fp f LEFT JOIN mins m ON f.doc_id = m.doc_id
+    """
+
+
+@register("llm_fingerprint", oracle=_fingerprint_oracle, tags=("llm", "text"))
+def llm_fingerprint(spark, sf_dir):
+    """Document fingerprinting: whole-text digest + min-shingle-hash."""
+    return TXT.fingerprints(load(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "llm_dedup_exact",
+    oracle="""
+    SELECT md5(text) AS text_hash,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           min(doc_id) AS keep_doc_id
+    FROM documents GROUP BY md5(text)
+    """,
+    tags=("llm", "dedup"),
+)
+def llm_dedup_exact(spark, sf_dir):
+    """Exact dedup: hash-groupBy on content digest (one shuffle, map-side
+    partial agg — the 100 TB shape)."""
+    return D.exact_dedup(load(spark, sf_dir, "documents"))
+
+
+def _ngram_oracle() -> str:
+    return (
+        "WITH "
+        + _SHINGLE_CTE
+        + ","
+        + _JACCARD_TAIL.format(cand_filter="", thr="0.8")
+    )
+
+
+@register("llm_dedup_ngram_jaccard", oracle=_ngram_oracle, tags=("llm", "dedup"))
+def llm_dedup_ngram_jaccard(spark, sf_dir):
+    """Exact word-3-gram Jaccard near-dup pairs (>= 0.8): shingle equi-join,
+    never a cross product. At corpus scale the LSH variant prunes
+    candidates first; this exact form is the baseline/oracle anchor."""
+    sh = D.shingles(load(spark, sf_dir, "documents"))
+    return D.jaccard_pairs(sh, 0.8)
+
+
+def _minhash_oracle() -> str:
+    k, bands, rows = D.MINHASH_K, D.LSH_BANDS, D.LSH_ROWS
+    hx_cols = ",\n       ".join(
+        f"{md5_seeded_sql('s', i)} AS x{i}" for i in range(k)
+    )
+    hl_cols = ",\n       ".join(
+        f"{hex_to_long_sql(f'x{i}')} AS h{i}" for i in range(k)
+    )
+    sig_cols = ", ".join(f"min(h{i}) AS m{i}" for i in range(k))
+    band_rows = "\n      UNION ALL\n      ".join(
+        f"SELECT doc_id, {b} AS band, "
+        + " || ',' || ".join(
+            f"CAST(m{b * rows + r} AS VARCHAR)" for r in range(rows)
+        )
+        + " AS bv FROM sig"
+        for b in range(bands)
+    )
+    return (
+        "WITH "
+        + _SHINGLE_CTE
+        + f""",
+    hx AS (SELECT doc_id, {hx_cols} FROM sh),
+    hl AS (SELECT doc_id, {hl_cols} FROM hx),
+    sig AS (SELECT doc_id, {sig_cols} FROM hl GROUP BY doc_id),
+    bands AS (
+      {band_rows}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id),
+    """
+        + _JACCARD_TAIL.format(
+            cand_filter="JOIN cand c ON c.ida = a.doc_id AND c.idb = b.doc_id",
+            thr="0.8",
+        )
+    )
+
+
+@register("llm_dedup_minhash_lsh", oracle=_minhash_oracle, tags=("llm", "dedup", "bench"))
+def llm_dedup_minhash_lsh(spark, sf_dir):
+    """MinHash+LSH near-dup: shingle -> 12 portable min-hashes -> 4x3 band
+    buckets -> candidate equi-join -> exact-Jaccard verify (>= 0.8). The
+    oracle runs the identical algorithm, so LSH false negatives match too."""
+    return D.minhash_lsh_dedup(load(spark, sf_dir, "documents"), 0.8)
+
+
+def _simhash_core() -> str:
+    bits = D.SIMHASH_BITS
+    sum_cols = ",\n       ".join(
+        f"sum(CASE WHEN {D._bit_sql('h', b)} = 1 THEN 1 ELSE -1 END) AS s{b}"
+        for b in range(bits)
+    )
+    sim_expr = " + ".join(
+        f"(CASE WHEN s{b} > 0 THEN {2 ** b} ELSE 0 END)" for b in range(bits)
+    )
+    return f"""
+    tok AS (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+    hx AS (SELECT doc_id, {md5_seeded_sql('w', 'sim')} AS xh FROM tok),
+    hl AS (SELECT doc_id, {hex_to_long_sql('xh')} AS h FROM hx),
+    sums AS (SELECT doc_id, {sum_cols} FROM hl GROUP BY doc_id),
+    sig AS (SELECT doc_id, CAST({sim_expr} AS BIGINT) AS simhash FROM sums)
+    """
+
+
+def _simhash_oracle() -> str:
+    return "WITH " + _simhash_core() + "SELECT doc_id, simhash FROM sig"
+
+
+@register("llm_dedup_simhash", oracle=_simhash_oracle, tags=("llm", "dedup"))
+def llm_dedup_simhash(spark, sf_dir):
+    """SimHash signatures (16-bit majority over portable token hashes)."""
+    return D.simhash_signatures(load(spark, sf_dir, "documents"))
+
+
+def _simhash_pairs_oracle() -> str:
+    chunks, width = D.SIMHASH_CHUNKS, D.SIMHASH_BITS // D.SIMHASH_CHUNKS
+    block_rows = "\n      UNION ALL\n      ".join(
+        f"SELECT doc_id, simhash, {c} AS blk, "
+        f"CAST(floor(simhash / {2 ** (c * width)}) AS BIGINT) % {2 ** width} AS bval FROM sig"
+        for c in range(chunks)
+    )
+    return (
+        "WITH "
+        + _simhash_core()
+        + f""",
+    blocks AS (
+      {block_rows}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb,
+             a.simhash AS sa, b.simhash AS sb
+      FROM blocks a JOIN blocks b
+        ON a.blk = b.blk AND a.bval = b.bval AND a.doc_id < b.doc_id)
+    SELECT ida, idb, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+    FROM cand WHERE bit_count(xor(sa, sb)) <= {D.HAMMING_MAX}
+    """
+    )
+
+
+@register("llm_dedup_simhash_pairs", oracle=_simhash_pairs_oracle, tags=("llm", "dedup"))
+def llm_dedup_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup pairs via the pigeonhole multi-index (hamming <= 3
+    over 4 blocks — candidates from an equi-join, never a cross join)."""
+    return D.simhash_pairs(load(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+
+def _bruteforce_oracle() -> str:
+    return f"""
+    WITH q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 10),
+    scored AS (
+      SELECT qid, v.vec_id AS nid,
+             round({_cos_sql('qvec', 'embedding')}, 6) AS sim
+      FROM embeddings v JOIN q ON v.vec_id != qid)
+    SELECT qid, nid, sim, CAST(rn AS BIGINT) AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn
+          FROM scored)
+    WHERE rn <= 5
+    """
+
+
+@register("llm_sim_bruteforce", oracle=_bruteforce_oracle, tags=("llm", "similarity", "bench"))
+def llm_sim_bruteforce(spark, sf_dir):
+    """Brute-force cosine top-5 for query vectors (vec_id < 10): broadcast
+    queries x corpus scan, JVM-side array folds, per-query window top-k."""
+    emb = load(spark, sf_dir, "embeddings")
+    return S.brute_force_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+def _ivf_oracle() -> str:
+    cos_vc = _cos_sql("vec", "cvec")
+    cos_qn = _cos_sql("qvec", "nvec")
+    return f"""
+    WITH c AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 10),
+    v AS (SELECT vec_id, embedding AS vec FROM embeddings),
+    assigned AS (
+      SELECT vec_id, vec AS embedding, cid AS bucket FROM (
+        SELECT v.vec_id, v.vec, c.cid,
+               row_number() OVER (PARTITION BY v.vec_id
+                                  ORDER BY round({cos_vc}, 6) DESC, c.cid) AS rn
+        FROM v CROSS JOIN c)
+      WHERE rn = 1),
+    q AS (SELECT vec_id AS qid, embedding AS qvec, bucket AS qbucket
+          FROM assigned WHERE vec_id >= 10 AND vec_id < 20),
+    scored AS (
+      SELECT qid, n.vec_id AS nid,
+             round({cos_qn}, 6) AS sim
+      FROM (SELECT vec_id, embedding AS nvec, bucket AS nbucket FROM assigned) n
+      JOIN q ON n.nbucket = qbucket AND n.vec_id != qid)
+    SELECT qid, nid, sim, CAST(rn AS BIGINT) AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn
+          FROM scored)
+    WHERE rn <= 3
+    """
+
+
+@register("llm_sim_ivf", oracle=_ivf_oracle, tags=("llm", "similarity"))
+def llm_sim_ivf(spark, sf_dir):
+    """IVF-bucketed ANN (nprobe=1): centroid assignment once, then search
+    the query's bucket only — the equi-join replaces the cross product;
+    recall < 1 by design and the oracle reproduces it exactly."""
+    emb = load(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < 10)
+    queries = emb.filter((F.col("vec_id") >= 10) & (F.col("vec_id") < 20))
+    return S.ivf_topk(emb, centroids, queries, k=3)
+
+
+@register(
+    "llm_embed_norms",
+    oracle=f"""
+    SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim,
+           round(sqrt({_dot_sql('embedding', 'embedding')}), 6) AS l2_norm
+    FROM embeddings
+    """,
+    tags=("llm", "similarity"),
+)
+def llm_embed_norms(spark, sf_dir):
+    """Vector column basics: dimension + L2 norm via sequential double fold."""
+    emb = load(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        F.size("embedding").cast("long").alias("dim"),
+        F.round(S.norm(F.col("embedding")), 6).alias("l2_norm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "llm_multimodal_extract",
+    oracle="""
+    SELECT doc_id, 'text' AS modality,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           substr(text, 1, 4) AS magic
+    FROM documents
+    """,
+    tags=("llm", "multimodal"),
+)
+def llm_multimodal_extract(spark, sf_dir):
+    """Binary-payload pipeline: documents wrapped as (payload binary, meta
+    struct) assets, then Arrow-batched mapInPandas feature extraction —
+    real multimodal plumbing with the codec stubbed (SURVEY §7.1)."""
+    assets = M.to_binary_assets(load(spark, sf_dir, "documents"))
+    return M.extract_features(assets)
