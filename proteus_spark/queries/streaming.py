@@ -1,0 +1,158 @@
+"""Streaming view-maintenance queries — oracle-checked end states.
+
+Each query actually RUNS a Structured-Streaming pipeline (the input staged
+as multiple micro-batches), waits for catch-up, and returns the final
+materialized view — which a plain batch SQL oracle can verify. This is the
+strongest possible check of the incremental plane: arbitrary interleaving
+of micro-batches must converge to the batch answer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from proteus_spark.operators import keyed_merge_join, topk
+from proteus_spark.registry import load, register
+from proteus_spark.sources import cdc
+from proteus_spark.streaming.views import SumView
+
+
+@register(
+    "stream_sum_view",
+    oracle="""
+    SELECT user_id, round(sum(value), 4) AS value_sum
+    FROM events GROUP BY user_id
+    """,
+    tags=("streaming",),
+)
+def stream_sum_view(spark, sf_dir):
+    """SumQPU end-to-end: events replayed as 4 micro-batches through a
+    streaming update-mode aggregation; state merged per batch into the
+    versioned view; final snapshot == batch GROUP BY (sum.go:90-103
+    catch-up + 250-285 incremental apply)."""
+    ev = load(spark, sf_dir, "events").select("user_id", "value")
+    src = cdc.stage_stream(spark, ev, chunks=4)
+    view = SumView(
+        spark, src.subscribe(), group_by="user_id", agg_attr="value",
+        name="stream_sum_view", mode="append",
+    ).start()
+    try:
+        view.await_catch_up()
+        snap = view.snapshot()
+        out = snap.select(
+            "user_id", F.round("value_sum", 4).alias("value_sum")
+        )
+        out = spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        view.stop()
+        cdc.cleanup(src)
+    return out
+
+
+@register(
+    "stream_sum_view_cdc",
+    oracle="""
+    SELECT user_id,
+           round(sum(CASE WHEN event_id % 5 = 0 THEN value * 1.5 - value
+                          ELSE value END), 4) AS new_value_sum
+    FROM events GROUP BY user_id
+    """,
+    tags=("streaming",),
+)
+def stream_sum_view_cdc(spark, sf_dir):
+    """Delta-application parity (sum.go:250-285): every 5th event arrives
+    as an UPDATEDELTA{old, new} record; the view adds new-minus-old, the
+    rest as inserts. Final state == the batch contribution sum."""
+    ev = load(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    src = cdc.stage_stream(spark, ev, chunks=4)
+    deltas = cdc.as_update_deltas(
+        src.subscribe(),
+        key_cols=["user_id"],
+        value_col="value",
+        update_when=F.col("event_id") % 5 == 0,
+        update_factor=1.5,
+    )
+    view = SumView(
+        spark, deltas, group_by="user_id", agg_attr="new_value",
+        name="stream_sum_view_cdc", mode="cdc",
+    ).start()
+    try:
+        view.await_catch_up()
+        snap = view.snapshot()
+        out = snap.select(
+            "user_id", F.round("new_value_sum", 4).alias("new_value_sum")
+        )
+        out = spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        view.stop()
+        cdc.cleanup(src)
+    return out
+
+
+@register(
+    "stream_lobsters_pipeline",
+    oracle="""
+    WITH rev AS (
+      SELECT l_orderkey AS o_orderkey,
+             round(sum(l_extendedprice * (1 - l_discount)), 4) AS vote_sum
+      FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT o.o_orderkey AS story_id, o.o_orderpriority AS title,
+           COALESCE(r.vote_sum, 0.0) AS vote_sum
+    FROM orders o LEFT JOIN rev r USING (o_orderkey)
+    ORDER BY COALESCE(r.vote_sum, 0.0) DESC, o.o_orderkey LIMIT 5
+    """,
+    tags=("streaming", "pipeline"),
+)
+def stream_lobsters_pipeline(spark, sf_dir):
+    """The reference's flagship DAG, live: votes(lineitem) stream -> sum
+    view -> keyed-merge join with stories(orders) -> top-5 by vote_sum —
+    the derived views recompute per micro-batch exactly as the chained
+    Join/Sum QPUs do (sum-stories.toml topology; join.go:111-143 feeds from
+    the sum QPU). Returns the final top-k state."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("vote"),
+    )
+    orders = (
+        load(spark, sf_dir, "orders")
+        .select(
+            F.col("o_orderkey"),
+            F.col("o_orderpriority").alias("title"),
+        )
+    )
+
+    def join_topk(sum_state):
+        rev = sum_state.select(
+            F.col("l_orderkey").alias("o_orderkey"),
+            F.round("vote_sum", 4).alias("vote_sum"),
+        )
+        merged = keyed_merge_join(
+            orders, rev, key="o_orderkey", defaults={"vote_sum": 0.0}
+        ).filter(F.col("title").isNotNull())
+        return topk(
+            merged, by="vote_sum", k=5, descending=True, tiebreak=["o_orderkey"]
+        ).select(
+            F.col("o_orderkey").alias("story_id"), "title", "vote_sum"
+        )
+
+    src = cdc.stage_stream(spark, li, chunks=4)
+    view = SumView(
+        spark,
+        src.subscribe().withColumnRenamed("vote", "vote_raw").select(
+            "l_orderkey", F.col("vote_raw").alias("vote")
+        ),
+        group_by="l_orderkey",
+        agg_attr="vote",
+        name="stream_lobsters",
+        mode="append",
+        derived={"join_topk": join_topk},
+    ).start()
+    try:
+        view.await_catch_up()
+        out_df = view.snapshot_derived("join_topk")
+        out = spark.createDataFrame(out_df.collect(), out_df.schema)
+    finally:
+        view.stop()
+        cdc.cleanup(src)
+    return out

@@ -1,0 +1,81 @@
+"""View-maintenance plane unit tests: subscriptions, versioning, catch-up,
+freshness metrics, mock source parity."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from proteus_spark.sources import cdc
+from proteus_spark.sources.mock import mock_table, mock_table_oracle_sql
+from proteus_spark.streaming.metrics import FreshnessListener, percentiles
+from proteus_spark.streaming.views import SumView
+from tests.oracle_utils import duckdb_conn
+
+
+def test_sum_view_subscriptions_and_versions(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select("user_id", "value")
+    src = cdc.stage_stream(spark, ev, chunks=3)
+    listener = FreshnessListener()
+    spark.streams.addListener(listener)
+    seen: list[int] = []
+    view = SumView(
+        spark, src.subscribe(), group_by="user_id", agg_attr="value",
+        name="t_sum_sub", mode="append",
+    )
+    view.subscribe(lambda delta, epoch: seen.append(epoch))
+    view.start()
+    try:
+        view.await_catch_up()
+        # 3 staged files, maxFilesPerTrigger=1 -> >= 3 micro-batches
+        assert view.version() >= 2
+        assert len(seen) == view.version() + 1
+        snap = view.snapshot()
+        batch = ev.groupBy("user_id").agg(F.sum("value").alias("value_sum"))
+        a = {r["user_id"]: round(r["value_sum"], 4) for r in snap.collect()}
+        b = {r["user_id"]: round(r["value_sum"], 4) for r in batch.collect()}
+        assert a == b
+        rep = listener.report()
+        key = next((k for k in rep if "t_sum_sub" in k), None)
+        assert key is not None and rep[key]["batches"] >= 3
+        assert "p50" in rep[key]["latency_ms"]
+    finally:
+        view.stop()
+        cdc.cleanup(src)
+        spark.streams.removeListener(listener)
+
+
+def test_subscriber_error_does_not_kill_view(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select("user_id", "value")
+    src = cdc.stage_stream(spark, ev, chunks=2)
+    view = SumView(
+        spark, src.subscribe(), group_by="user_id", agg_attr="value",
+        name="t_sum_err", mode="append",
+    )
+    view.subscribe(lambda *_: 1 / 0)
+    view.start()
+    try:
+        view.await_catch_up()
+        assert view.snapshot().count() > 0
+    finally:
+        view.stop()
+        cdc.cleanup(src)
+
+
+def test_mock_source_matches_reference_shape_and_oracle(spark, sf_dir):
+    """1000 rows, attribute0 in [0,100) (mock/store.go:36-55), regenerable
+    bit-identically by the DuckDB oracle."""
+    m = mock_table(spark, 1000)
+    rows = m.collect()
+    assert len(rows) == 1000
+    assert all(0 <= r["attribute0"] < 100 for r in rows)
+    con = duckdb_conn(sf_dir)
+    duck = con.execute(
+        "WITH " + mock_table_oracle_sql(1000) + "SELECT * FROM mock"
+    ).fetchall()
+    assert sorted((r["object_id"], r["attribute0"]) for r in rows) == sorted(duck)
+
+
+def test_percentiles_shape():
+    assert percentiles([]) == {}
+    p = percentiles([1.0, 2.0, 3.0, 4.0])
+    assert p["p50"] <= p["p99"]
