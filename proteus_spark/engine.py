@@ -69,6 +69,9 @@ class Engine:
     def register_parquet(self, name: str, path: str, schema=None) -> DataFrame:
         """Register a parquet table as a named view (explicit schema
         contract; reference declares schemas in TOML — config.go:25-35)."""
+        # events.parquet is TIMESTAMP(NANOS); unreadable without this conf
+        # on a plain (driver-provided) session.
+        self.spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = self.spark.read.parquet(path)
         if schema is not None:
             declared = {f.name: f.dataType for f in schema.fields}

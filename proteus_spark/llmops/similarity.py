@@ -68,6 +68,84 @@ def brute_force_topk(
     )
 
 
+def srp_bands(
+    vec_col,
+    bits: int = 8,
+    bands: int = 4,
+):
+    """Sign-random-projection LSH bands over an embedding column.
+
+    Signature bit i = sign(v[i] >= 0) — axis-aligned hyperplanes, which are
+    deterministic and oracle-reproducible (a production deployment would
+    use a seeded random rotation first; the band/bucket algebra is
+    identical). ``bits`` bits split into ``bands`` bands of ``bits//bands``
+    rows each; two vectors are candidates iff some band matches exactly —
+    the standard banding amplification, evaluated entirely in codegen.
+
+    Returns a list of (band_index, band_value Column) pairs.
+    """
+    if bits % bands:
+        raise ValueError("bits must divide evenly into bands")
+    r = bits // bands
+    out = []
+    for j in range(bands):
+        val = F.lit(0)
+        for m in range(r):
+            bit = (F.get(vec_col, j * r + m) >= 0).cast("int")
+            val = val + bit * F.lit(1 << m)
+        out.append((j, val))
+    return out
+
+
+def embedding_near_dup_pairs(
+    vectors: DataFrame,
+    threshold: float = 0.4,
+    bits: int = 8,
+    bands: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (a_id, b_id, sim).
+
+    Scale shape: NEVER all-pairs. Candidates come from an equi-join on
+    (band_index, band_value) — one shuffle on the band key, candidate count
+    ~ corpus / 2^(bits/bands) per band — then only candidates pay the
+    exact cosine verification. Recall < 1 by design (banding misses some
+    pairs); the DuckDB oracle reproduces the identical candidate set, so
+    the approximation itself is oracle-checked.
+    """
+    bandvals = srp_bands(F.col(vec_col), bits=bits, bands=bands)
+    banded = vectors.select(
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("vec"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(j).alias("band"), v.alias("bval"))
+                    for j, v in bandvals
+                ]
+            )
+        ).alias("bb"),
+    ).select("vid", "vec", F.col("bb.band").alias("band"), F.col("bb.bval").alias("bval"))
+    a = banded.select(
+        F.col("vid").alias("a_id"), F.col("vec").alias("avec"), "band", "bval"
+    )
+    b = banded.select(
+        F.col("vid").alias("b_id"), F.col("vec").alias("bvec"), "band", "bval"
+    )
+    cand = (
+        a.join(b, ["band", "bval"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", "avec", "bvec")
+        .distinct()  # a pair may collide in several bands
+    )
+    return (
+        cand.withColumn("sim", F.round(cosine(F.col("avec"), F.col("bvec")), 6))
+        .filter(F.col("sim") >= threshold)
+        .select("a_id", "b_id", "sim")
+    )
+
+
 def ivf_assign(
     vectors: DataFrame,
     centroids: DataFrame,

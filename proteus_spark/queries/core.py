@@ -324,3 +324,39 @@ def ref_index_point(spark, sf_dir):
     part = load(spark, sf_dir, "part").select("p_partkey", "p_size")
     idx = RangeIndex(part, attribute="p_size", key="p_partkey", lbound=0, ubound=50)
     return idx.lookup_eq(42)
+
+
+# ---------------------------------------------------------------------------
+# Result cache (SURVEY §2.8)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ref_cache_topk",
+    oracle="""
+    SELECT o_custkey, sum(o_totalprice) AS spend
+    FROM orders GROUP BY o_custkey
+    ORDER BY spend DESC, o_custkey LIMIT 5
+    """,
+    tags=("parity", "cache"),
+)
+def ref_cache_topk(spark, sf_dir):
+    """CacheQPU parity (cache/cache.go:81-153): first call misses and
+    materializes; the returned result is served FROM the cache (second
+    lookup), so the oracle hash-match proves cached results are
+    byte-identical to recomputation. Invalidation is version-based
+    (proteus_spark/cache.py) instead of the reference's race-prone
+    first-notification evict (lruCache.go:69-103)."""
+    from proteus_spark.cache import CachedEngine
+    from proteus_spark.engine import Engine
+
+    sql = """
+        SELECT o_custkey, sum(o_totalprice) AS spend
+        FROM orders GROUP BY o_custkey
+        ORDER BY spend DESC, o_custkey LIMIT 5
+    """
+    ce = CachedEngine(Engine(spark, sf_dir))
+    ce.query(sql).collect()  # miss -> materialize + store
+    out = ce.query(sql)  # hit -> rebuilt from cached rows
+    assert ce.cache.stats.hits == 1, "second lookup must be a cache hit"
+    return out

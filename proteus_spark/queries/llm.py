@@ -300,6 +300,43 @@ def llm_dedup_simhash_pairs(spark, sf_dir):
     return D.simhash_pairs(load(spark, sf_dir, "documents"))
 
 
+def _embed_neardup_oracle() -> str:
+    bits, bands, thr = 8, 4, 0.4
+    r = bits // bands
+    selects = []
+    for j in range(bands):
+        bval = " + ".join(
+            f"(CASE WHEN embedding[{j * r + m + 1}] >= 0 THEN 1 ELSE 0 END) * {1 << m}"
+            for m in range(r)
+        )
+        selects.append(
+            f"SELECT vec_id AS vid, embedding AS vec, {j} AS band, {bval} AS bval"
+            " FROM embeddings"
+        )
+    banded = " UNION ALL ".join(selects)
+    return f"""
+    WITH banded AS ({banded}),
+    cand AS (
+      SELECT DISTINCT a.vid AS a_id, b.vid AS b_id, a.vec AS avec, b.vec AS bvec
+      FROM banded a JOIN banded b ON a.band = b.band AND a.bval = b.bval
+      WHERE a.vid < b.vid)
+    SELECT a_id, b_id, round({_cos_sql('avec', 'bvec')}, 6) AS sim
+    FROM cand WHERE round({_cos_sql('avec', 'bvec')}, 6) >= {thr}
+    """
+
+
+@register("llm_dedup_embedding", oracle=_embed_neardup_oracle, tags=("llm", "dedup"))
+def llm_dedup_embedding(spark, sf_dir):
+    """Embedding-cosine near-dup pairs via sign-projection LSH banding:
+    candidates from a (band, band_value) equi-join — never all-pairs —
+    then exact cosine verification on candidates only (SURVEY §7.1's
+    embedding-cosine near-dup; recall < 1 by design, reproduced by the
+    oracle)."""
+    return S.embedding_near_dup_pairs(
+        load(spark, sf_dir, "embeddings"), threshold=0.4, bits=8, bands=4
+    )
+
+
 # ---------------------------------------------------------------------------
 # Similarity search
 # ---------------------------------------------------------------------------
