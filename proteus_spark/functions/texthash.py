@@ -44,6 +44,15 @@ def hex_to_long_sql(hexcol: str, n: int = HEX_PREFIX_LEN) -> str:
     return "CAST(" + " + ".join(terms) + " AS BIGINT)"
 
 
+def hex_to_long_spark_sql(hexcol: str, n: int = HEX_PREFIX_LEN) -> str:
+    """Spark-only fast path: ``conv`` collapses the 12-digit positional
+    expansion (24 substr/ascii calls) into one builtin — ~25× fewer string
+    ops in the codegen hot loop. DuckDB has no ``conv``, so oracles keep
+    ``hex_to_long_sql``; results are bit-identical (both compute the
+    base-16 value of the first ``n`` lowercase hex chars)."""
+    return f"CAST(conv(substr({hexcol}, 1, {n}), 16, 10) AS BIGINT)"
+
+
 def md5_seeded_sql(expr: str, seed: int | str) -> str:
     """Seeded md5 hex digest of a string expression."""
     return f"md5('{seed}|' || {expr})"

@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from proteus_spark.functions.texthash import hex_to_long_sql, md5_seeded_sql
+from proteus_spark.functions.texthash import hex_to_long_spark_sql, md5_seeded_sql
 
 SHINGLE_N = 3
 MINHASH_K = 12
@@ -47,18 +47,19 @@ def shingles(docs: DataFrame, n: int = SHINGLE_N, id_col: str = "doc_id") -> Dat
 
     Built with array ``transform`` over a per-row sequence — embarrassingly
     parallel, zero shuffle, stays in codegen (no posexplode+window pass).
+    The token array is materialized in its own projection first: inlining
+    ``split(text)`` into the lambda makes Catalyst re-split the text for
+    every term of every shingle (~3n× per row — measured ~3× slower).
     """
-    t = tokens_col()
+    toks = docs.select(F.col(id_col).alias("doc_id"), tokens_col().alias("_t"))
+    t = F.col("_t")
     size = F.size(t)
     idx = F.sequence(F.lit(0), size - n)  # 0-based start positions
     grams = F.transform(
         idx, lambda i: F.concat_ws(" ", *[F.get(t, i + j) for j in range(n)])
     )
     arr = F.when(size >= n, grams).otherwise(F.array().cast("array<string>"))
-    return (
-        docs.select(F.col(id_col).alias("doc_id"), F.explode(arr).alias("s"))
-        .distinct()
-    )
+    return toks.select("doc_id", F.explode(arr).alias("s")).distinct()
 
 
 def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -90,8 +91,21 @@ def jaccard_pairs(
         sh = sh.join(rare, "s")
     counts = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
 
-    a = sh.alias("a")
-    b = sh.alias("b")
+    if candidates is not None:
+        # Verification cost must scale with |candidates|, not with the
+        # co-shingle pair count: restrict the self-join to docs that appear
+        # in some candidate pair FIRST, then keep candidate pairs only.
+        cand_docs = (
+            candidates.select(F.col("ida").alias("doc_id"))
+            .union(candidates.select(F.col("idb").alias("doc_id")))
+            .distinct()
+        )
+        sh_pair = sh.join(cand_docs, "doc_id", "left_semi")
+    else:
+        sh_pair = sh
+
+    a = sh_pair.alias("a")
+    b = sh_pair.alias("b")
     inter = (
         a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(
@@ -128,7 +142,7 @@ def minhash_signatures(sh: DataFrame, k: int = MINHASH_K) -> DataFrame:
         "doc_id", *[F.expr(md5_seeded_sql("s", i)).alias(f"x{i}") for i in range(k)]
     )
     hl = hx.select(
-        "doc_id", *[F.expr(hex_to_long_sql(f"x{i}")).alias(f"h{i}") for i in range(k)]
+        "doc_id", *[F.expr(hex_to_long_spark_sql(f"x{i}")).alias(f"h{i}") for i in range(k)]
     )
     return hl.groupBy("doc_id").agg(
         *[F.min(f"h{i}").alias(f"m{i}") for i in range(k)]
@@ -165,9 +179,19 @@ def lsh_candidates(
 
 def minhash_lsh_dedup(docs: DataFrame, min_jaccard: float = 0.8) -> DataFrame:
     """Full near-dup pipeline: shingle -> minhash -> LSH bands -> candidate
-    pairs -> exact-Jaccard verification: (ida, idb, jaccard)."""
+    pairs -> exact-Jaccard verification: (ida, idb, jaccard).
+
+    Deliberately NOT caching the shingle set: it is referenced by several
+    branches, but each branch prunes it differently (signatures need
+    (doc_id, s); counts need doc_id only) and the explode stays inside
+    whole-stage codegen — an InMemory cache materializes all columns and
+    scans slower than recomputing the explode (measured 3× slower at
+    sf0.1).
+    """
     sh = shingles(docs)
-    cand = lsh_candidates(minhash_signatures(sh))
+    # candidates feed two branches of the verification (doc restriction +
+    # pair filter); cache the small pair set so the minhash subtree runs once
+    cand = lsh_candidates(minhash_signatures(sh)).cache()
     return jaccard_pairs(sh, min_jaccard, candidates=cand)
 
 
@@ -193,7 +217,7 @@ def simhash_signatures(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
     )
     h = tok.select(
         "doc_id", F.expr(md5_seeded_sql("w", "sim")).alias("xh")
-    ).select("doc_id", F.expr(hex_to_long_sql("xh")).alias("h"))
+    ).select("doc_id", F.expr(hex_to_long_spark_sql("xh")).alias("h"))
     sums = h.groupBy("doc_id").agg(
         *[
             F.sum(F.expr(f"CASE WHEN {_bit_sql('h', b)} = 1 THEN 1 ELSE -1 END")).alias(

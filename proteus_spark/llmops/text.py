@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from proteus_spark.functions.texthash import hex_to_long_sql, md5_seeded_sql
+from proteus_spark.functions.texthash import hex_to_long_spark_sql, md5_seeded_sql
 from proteus_spark.llmops.dedup import shingles, tokens_col
 
 # BPE-ish tokenizer regex: alpha runs, digit runs, or any single non-space
@@ -105,11 +105,11 @@ def fingerprints(docs: DataFrame) -> DataFrame:
     the winnowing idea with window = whole doc)."""
     full = docs.select(
         "doc_id", F.expr(md5_seeded_sql("text", "fp")).alias("xf")
-    ).select("doc_id", F.expr(hex_to_long_sql("xf")).alias("fp_full"))
+    ).select("doc_id", F.expr(hex_to_long_spark_sql("xf")).alias("fp_full"))
     sh = shingles(docs)
     mins = (
         sh.select("doc_id", F.expr(md5_seeded_sql("s", "fpmin")).alias("xs"))
-        .select("doc_id", F.expr(hex_to_long_sql("xs")).alias("hs"))
+        .select("doc_id", F.expr(hex_to_long_spark_sql("xs")).alias("hs"))
         .groupBy("doc_id")
         .agg(F.min("hs").alias("fp_min"))
     )
