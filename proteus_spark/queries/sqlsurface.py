@@ -523,3 +523,122 @@ def asof_join_latest_order(spark, sf_dir):
             F.col("o_orderdate").cast("date").alias("orderdate"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H extension pack (adapted to the driver schema: no shipmode /
+# commitdate / receiptdate / partsupp columns — each adaptation keeps the
+# original query's PLAN SHAPE, which is what the scale argument is about)
+# ---------------------------------------------------------------------------
+
+register_sql(
+    "tpch_q4",
+    """
+    SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+    FROM orders o
+    WHERE o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1996-04-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey AND l.l_discount > 0.05)
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+    tags=("tpch", "join"),
+    doc="TPC-H Q4 shape (EXISTS decorrelated to a left-semi join; the "
+    "commitdate<receiptdate predicate becomes a discount predicate on the "
+    "driver schema). Catalyst plans semi-join + partial agg — no "
+    "per-order subquery execution.",
+)
+
+register_sql(
+    "tpch_q10",
+    f"""
+    SELECT c.c_custkey, c.c_name,
+           CAST(sum({DISC_PRICE}) AS DECIMAL(38,4)) AS revenue,
+           c.c_acctbal, n.n_name
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderdate >= DATE '1996-01-01' AND o.o_orderdate < DATE '1996-07-01'
+      AND l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+    ORDER BY revenue DESC, c_custkey LIMIT 20
+    """,
+    tags=("tpch", "join", "bench"),
+    doc="TPC-H Q10 returned-item revenue: 3-way join with two broadcast "
+    "sides (customer filtered late, nation tiny), agg on custkey, top-20 "
+    "via TakeOrderedAndProject.",
+)
+
+register_sql(
+    "tpch_q12",
+    """
+    SELECT l_returnflag,
+           CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    tags=("tpch", "join"),
+    doc="TPC-H Q12 shape (shipmode group becomes returnflag on the driver "
+    "schema): join + conditional-sum pivoting priorities into columns.",
+)
+
+register_sql(
+    "tpch_q14",
+    f"""
+    SELECT round(
+      100.0 * CAST(CAST(sum(CASE WHEN p_type = 'PROMO' THEN {DISC_PRICE}
+                               ELSE CAST(0 AS DECIMAL(18,2)) END) AS DECIMAL(38,4)) AS DOUBLE)
+            / CAST(CAST(sum({DISC_PRICE}) AS DECIMAL(38,4)) AS DOUBLE), 6) AS promo_revenue_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-02-01'
+    """,
+    tags=("tpch", "join"),
+    doc="TPC-H Q14 promo revenue percentage: broadcast join to part, "
+    "conditional DECIMAL sums, final scalar division in DOUBLE (decimal "
+    "division scale rules differ across engines; the sums stay exact).",
+)
+
+register_sql(
+    "tpch_q18",
+    """
+    SELECT c.c_name, o.o_orderkey, CAST(o.o_totalprice AS DOUBLE) AS o_totalprice,
+           CAST(t.total_qty AS DECIMAL(38,2)) AS total_qty
+    FROM (
+      SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(18,2))) AS total_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 150
+    ) t
+    JOIN orders o ON o.o_orderkey = t.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    ORDER BY o.o_totalprice DESC, o.o_orderkey LIMIT 100
+    """,
+    tags=("tpch", "join"),
+    doc="TPC-H Q18 large-volume orders: HAVING-filtered agg drives the "
+    "join (small build side after filter), top-100 by order value.",
+)
+
+register_sql(
+    "tpch_q19",
+    f"""
+    SELECT CAST(sum({DISC_PRICE}) AS DECIMAL(38,4)) AS revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+           AND l_quantity >= 1 AND l_quantity <= 30)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
+           AND l_quantity >= 10 AND l_quantity <= 40)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+           AND l_quantity >= 20 AND l_quantity <= 50)
+    """,
+    tags=("tpch", "join"),
+    doc="TPC-H Q19 disjunctive-predicate revenue (container terms dropped "
+    "for the driver schema): the OR-of-conjunctions stays a single "
+    "broadcast-join pass; the l_quantity disjuncts can't prune the scan "
+    "but the p_brand IN-set implied by the OR does reach the part side.",
+)
