@@ -156,3 +156,61 @@ def stream_lobsters_pipeline(spark, sf_dir):
         view.stop()
         cdc.cleanup(src)
     return out
+
+
+@register(
+    "stream_join_view",
+    oracle="""
+    WITH rev AS (
+      SELECT l_orderkey AS o_orderkey,
+             round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+      FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT COALESCE(o.o_orderkey, r.o_orderkey) AS o_orderkey,
+           COALESCE(o.o_totalprice, 0.0) AS o_totalprice,
+           COALESCE(r.revenue, 0.0) AS revenue
+    FROM orders o FULL OUTER JOIN rev r USING (o_orderkey)
+    """,
+    tags=("streaming", "join"),
+)
+def stream_join_view(spark, sf_dir):
+    """JoinQPU live: TWO input streams (stories=orders, votes=aggregated
+    lineitem revenue) interleaved across micro-batches into one JoinView;
+    every key from either side gets a merged row, missing side at its
+    0-default (join.go:352-379,414-423). Final state == batch full-outer
+    keyed merge."""
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    rev = (
+        load(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_orderkey").alias("o_orderkey"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+    )
+    from proteus_spark.streaming.views import JoinView
+
+    src_l = cdc.stage_stream(spark, orders, chunks=3)
+    src_r = cdc.stage_stream(spark, rev, chunks=3)
+    view = JoinView(
+        spark,
+        src_l.subscribe(),
+        src_r.subscribe(),
+        key="o_orderkey",
+        name="stream_join_view",
+        defaults={"o_totalprice": 0.0, "revenue": 0.0},
+    ).start()
+    try:
+        view.await_catch_up()
+        snap = view.snapshot().select(
+            "o_orderkey",
+            "o_totalprice",
+            F.round("revenue", 4).alias("revenue"),
+        )
+        out = spark.createDataFrame(snap.collect(), snap.schema)
+    finally:
+        view.stop()
+        cdc.cleanup(src_l)
+        cdc.cleanup(src_r)
+    return out

@@ -195,3 +195,126 @@ class SumView:
     def version(self) -> int:
         """Freshness-in-versions handle (metrics.go:103-214)."""
         return self._version
+
+
+class JoinView:
+    """Streaming keyed-merge JOIN view (JoinQPU parity, SURVEY §2.3).
+
+    Reference semantics (join.go:302-350,352-379,393-456): exactly two
+    input streams; one merged row per join-key value; arriving attributes
+    OVERWRITE that key's row (last-writer-wins, no ordering guarantee);
+    attributes the other side hasn't supplied yet sit at their default
+    (0 for numerics — join.go:414-423). This is a keyed coalesce, not a
+    relational join — a key present on either side produces a row.
+
+    Spark shape: the two streams are tagged and unioned by name (missing
+    columns -> NULL), so ONE streaming query maintains the state — no
+    cross-stream race, strictly stronger than the reference's
+    goroutine-per-record apply. Each micro-batch collapses to one row per
+    key (last non-null value per column), then MERGEs into the versioned
+    state table with per-column coalesce(batch, state, default).
+
+    At scale the state table is a Delta/Iceberg MERGE INTO target
+    partitioned by key range; here it is versioned parquet like SumView.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        left: DataFrame,
+        right: DataFrame,
+        key: str,
+        name: str = "join_view",
+        defaults: dict[str, float] | None = None,
+    ):
+        self.spark = spark
+        self.name = name
+        self.key = key
+        self.defaults = defaults or {}
+        self._stream = left.unionByName(right, allowMissingColumns=True)
+        self._root = tempfile.mkdtemp(prefix=f"proteus_view_{name}_")
+        self._ckpt = os.path.join(self._root, "_checkpoint")
+        self._version = -1
+        self._subscribers: list[Callable[[DataFrame, int], None]] = []
+        self._query = None
+
+    def start(self) -> "JoinView":
+        self._query = (
+            self._stream.writeStream.outputMode("append")
+            .foreachBatch(self._on_batch)
+            .option("checkpointLocation", self._ckpt)
+            .queryName(self.name)
+            .start()
+        )
+        return self
+
+    def await_catch_up(self) -> "JoinView":
+        """Serve-gate parity (qpu.go:72-75)."""
+        self._query.processAllAvailable()
+        return self
+
+    def stop(self, cleanup: bool = True) -> None:
+        if self._query is not None:
+            self._query.stop()
+        if cleanup:
+            shutil.rmtree(self._root, ignore_errors=True)
+
+    # -- state maintenance -------------------------------------------------
+    def _state_path(self, v: int) -> str:
+        return os.path.join(self._root, f"state_v{v}")
+
+    def _on_batch(self, batch: DataFrame, epoch: int) -> None:
+        cols = [c for c in batch.columns if c != self.key]
+        # collapse the batch: one row per key, last non-null per attribute
+        # (arrival order within a batch is arbitrary — matching the
+        # reference's unordered apply, join.go:352-379)
+        delta = batch.groupBy(self.key).agg(
+            *[F.last(c, ignorenulls=True).alias(c) for c in cols]
+        )
+        prev = self.snapshot()
+        if prev is None:
+            merged = delta.select(
+                self.key,
+                *[
+                    F.coalesce(F.col(c), F.lit(self.defaults.get(c))).alias(c)
+                    if c in self.defaults
+                    else F.col(c)
+                    for c in cols
+                ],
+            )
+        else:
+            d = delta.select(
+                F.col(self.key),
+                *[F.col(c).alias(f"_d_{c}") for c in cols],
+            )
+            merged = prev.join(d, self.key, "full_outer").select(
+                self.key,
+                *[
+                    F.coalesce(
+                        F.col(f"_d_{c}"),
+                        F.col(c),
+                        F.lit(self.defaults.get(c)),
+                    ).alias(c)
+                    for c in cols
+                ],
+            )
+        v = self._version + 1
+        merged.write.mode("overwrite").parquet(self._state_path(v))
+        self._version = v
+        for cb in list(self._subscribers):
+            try:
+                cb(delta, epoch)
+            except Exception:  # subscriber errors must not kill the view
+                pass
+
+    # -- query surface -----------------------------------------------------
+    def snapshot(self) -> DataFrame | None:
+        if self._version < 0:
+            return None
+        return self.spark.read.parquet(self._state_path(self._version))
+
+    def subscribe(self, cb: Callable[[DataFrame, int], None]) -> None:
+        self._subscribers.append(cb)
+
+    def version(self) -> int:
+        return self._version

@@ -1,0 +1,106 @@
+"""Physical-plan regression tests — the scale contract.
+
+Correctness says WHAT each operator computes; these tests pin HOW Spark
+executes it: filters reach the parquet scan, projections prune the read
+schema, small sides broadcast, aggregations combine map-side, top-k plans
+as TakeOrderedAndProject, and the hot path stays inside whole-stage
+codegen. At 100 TB each of these properties is the difference between one
+pass and a cluster-wide shuffle — a regression here should fail CI even
+though results stay correct.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from proteus_spark.registry import all_queries
+
+QS = all_queries()
+
+
+def plan(df) -> str:
+    """Initial physical plan (pre-AQE) with scan metadata — same string
+    ``df.explain('formatted')`` prints."""
+    jvm = df.sparkSession._jvm
+    return jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+
+
+@pytest.fixture(scope="module")
+def q(spark, sf_dir):
+    def run(name):
+        return plan(QS[name](spark, sf_dir))
+
+    return run
+
+
+def test_projection_prunes_read_schema(q):
+    p = q("ref_projection")
+    assert "ReadSchema: struct<c_name:string,c_acctbal:double>" in p
+
+
+def test_range_filter_pushed_to_scan(q):
+    p = q("ref_range_filter")
+    assert "GreaterThanOrEqual(l_quantity,10" in p
+    assert "LessThan(l_quantity,20" in p
+
+
+def test_q6_all_predicates_pushed(q):
+    p = q("tpch_q6")
+    for f in ("l_shipdate", "l_discount", "l_quantity"):
+        assert f"IsNotNull({f})" in p or f in p.split("PushedFilters")[1].split("\n")[0]
+    assert "GreaterThanOrEqual(l_shipdate" in p
+
+
+def test_lobsters_pipeline_plan_shape(q):
+    p = q("ref_lobsters_topk")
+    assert "TakeOrderedAndProject" in p  # top-k never global-sorts
+    assert "BroadcastHashJoin" in p  # orders side broadcasts
+    assert "partial_sum" in p  # map-side combine before the exchange
+    assert "SortMergeJoin" not in p
+
+
+def test_sum_view_partial_aggregation(q):
+    import re
+
+    p = q("ref_sum_view")
+    assert "partial_sum" in p
+    # exactly one shuffle: by group key
+    assert len(re.findall(r"\(\d+\) Exchange", p)) == 1
+
+
+def test_broadcast_small_dims_in_tpch_q5(q):
+    p = q("tpch_q5")
+    # region/nation/supplier/customer are all small at any SF that keeps
+    # them dimension-shaped; none may trigger a sort-merge join here
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_similarity_broadcasts_queries(q):
+    p = q("llm_sim_bruteforce")
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+
+
+def test_whole_stage_codegen_on_hot_paths(spark, sf_dir):
+    # the *(n) codegen markers only exist on the AQE-final executed plan
+    for name in ("ref_sum_view", "tpch_q1", "ref_range_filter"):
+        df = QS[name](spark, sf_dir)
+        df.collect()
+        final = df._jdf.queryExecution().executedPlan().toString()
+        assert "*(" in final, f"{name} fell out of whole-stage codegen"
+
+
+def test_minhash_no_cartesian(q):
+    p = q("llm_dedup_minhash_lsh")
+    assert "CartesianProduct" not in p  # candidates come from equi-joins
+
+
+def test_index_lookup_prunes(q):
+    p = q("ref_index_range")
+    # the index's configured value bounds [0,50) reach the base scan, and
+    # the lookup range [10,20) filters the sorted in-memory structure —
+    # the B-tree-parity split (build bounds vs AscendRange bounds)
+    assert "GreaterThanOrEqual(p_size,0)" in p
+    assert "LessThan(p_size,50)" in p
+    assert "InMemoryTableScan" in p and "(p_size#" in p
+    assert "TakeOrderedAndProject" in p  # capped lookup, no full sort

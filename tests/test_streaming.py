@@ -82,3 +82,32 @@ def test_percentiles_shape():
     assert percentiles([]) == {}
     p = percentiles([1.0, 2.0, 3.0, 4.0])
     assert p["p50"] <= p["p99"]
+
+
+def test_join_view_keyed_merge_semantics(spark):
+    """Reference join semantics on a hand-built interleaving: attributes
+    overwrite per key; a key on one side only gets the other side's
+    default (join.go:352-379,414-423)."""
+    from proteus_spark.streaming.views import JoinView
+
+    left = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0)], "k bigint, price double"
+    )
+    right = spark.createDataFrame(
+        [(2, 200.0), (3, 300.0)], "k bigint, votes double"
+    )
+    src_l = cdc.stage_stream(spark, left, chunks=2)
+    src_r = cdc.stage_stream(spark, right, chunks=2)
+    view = JoinView(
+        spark, src_l.subscribe(), src_r.subscribe(), key="k",
+        name="t_join_view", defaults={"price": 0.0, "votes": 0.0},
+    ).start()
+    try:
+        view.await_catch_up()
+        got = {r["k"]: (r["price"], r["votes"]) for r in view.snapshot().collect()}
+        assert got == {1: (10.0, 0.0), 2: (20.0, 200.0), 3: (0.0, 300.0)}
+        assert view.version() >= 0
+    finally:
+        view.stop()
+        cdc.cleanup(src_l)
+        cdc.cleanup(src_r)
