@@ -109,6 +109,27 @@ class Engine:
         self.stats.record((time.perf_counter() - t0) * 1000.0)
         return df
 
+    def query_subscribe(self, sql: str, table: str, view, callback) -> None:
+        """QuerySubscribe parity (qpuapi.proto:19, apiprocessor.go:248-305):
+        register a continuous query against a materialized view — on every
+        view update the SQL is re-evaluated over the fresh state and the
+        result pushed to ``callback(rows, epoch)``.
+
+        ``view`` is any streaming view exposing ``subscribe(cb)`` +
+        ``snapshot()`` (SumView/JoinView); ``table`` is the name the SQL
+        refers to it by. Per-epoch evaluation gives strictly stronger
+        ordering than the reference's goroutine-per-record push
+        (responseStream.go:51-64)."""
+
+        def _on_update(_delta, epoch: int) -> None:
+            snap = view.snapshot()
+            if snap is None:
+                return
+            snap.createOrReplaceTempView(table)
+            callback(self.query(sql).collect(), epoch)
+
+        view.subscribe(_on_update)
+
     def query_unary(self, sql: str) -> list[dict[str, str]]:
         """Eager variant returning stringified attribute maps, matching the
         reference response encoding ``QueryRespRecord{attributes:

@@ -78,3 +78,94 @@ def extract_features(assets: DataFrame) -> DataFrame:
             )
 
     return assets.mapInPandas(_extract_batch, schema=EXTRACT_SCHEMA)
+
+
+RESIZE_SCHEMA = "doc_id long, modality string, width int, height int, thumb binary"
+FRAMES_SCHEMA = "doc_id long, frame_idx long, n_bytes long, head string"
+
+
+def resize_assets(assets: DataFrame, side: int = 4) -> DataFrame:
+    """Thumbnail pass: decode -> downsample -> re-encode, Arrow-batched.
+
+    Real image decode (PIL/cv2) is not in this environment, so the decode
+    step is a DETERMINISTIC FAKE for modality 'fake_image' (payload bytes
+    = a square grayscale image, side = floor(sqrt(len))), average-pooled
+    to ``side`` x ``side``; any real image modality raises
+    NotImplementedError where the codec would plug in. The Spark-side
+    contract — binary in, fixed-shape binary out, one pass per partition,
+    no driver involvement — is exactly what a real resizer runs under.
+    """
+
+    def _resize_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import math
+
+        import numpy as _np
+        import pandas as _pd
+
+        def _one(payload: bytes, modality: str) -> bytes:
+            if modality != "fake_image":
+                raise NotImplementedError(
+                    f"image codec for modality {modality!r} is stubbed"
+                )
+            n = int(math.isqrt(len(payload)))
+            img = _np.frombuffer(bytes(payload[: n * n]), dtype=_np.uint8)
+            img = img.reshape(n, n)
+            # average-pool to side x side (nearest-block)
+            ys = (_np.arange(side) * n) // side
+            xs = (_np.arange(side) * n) // side
+            ye = _np.append(ys[1:], n)
+            xe = _np.append(xs[1:], n)
+            out = _np.empty((side, side), dtype=_np.uint8)
+            for i in range(side):
+                for j in range(side):
+                    out[i, j] = int(img[ys[i]:ye[i], xs[j]:xe[j]].mean())
+            return out.tobytes()
+
+        for pdf in batches:
+            yield _pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "modality": pdf["modality"],
+                    "width": side,
+                    "height": side,
+                    "thumb": [
+                        _one(p, m) for p, m in zip(pdf["payload"], pdf["modality"])
+                    ],
+                }
+            )
+
+    return assets.mapInPandas(_resize_batch, schema=RESIZE_SCHEMA)
+
+
+def sample_frames(
+    assets: DataFrame, frame_size: int = 64, every_n: int = 4
+) -> DataFrame:
+    """Frame sampling: one asset row fans out to every ``every_n``-th
+    fixed-size chunk of the payload — the one-to-many mapInPandas shape a
+    video sampler uses (ffmpeg keyframe extraction plugs into ``_chunks``).
+    Deterministic here: frames are literal byte slices, so the result is
+    oracle-checkable with substring arithmetic.
+    """
+
+    def _frames_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        def _chunks(payload: bytes):
+            b = bytes(payload)
+            for idx, start in enumerate(range(0, len(b), frame_size)):
+                if idx % every_n == 0:
+                    yield idx, b[start : start + frame_size]
+
+        for pdf in batches:
+            ids, idxs, sizes, heads = [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                for idx, frame in _chunks(payload):
+                    ids.append(doc_id)
+                    idxs.append(idx)
+                    sizes.append(len(frame))
+                    heads.append(frame[:4].decode("utf-8", errors="replace"))
+            yield _pd.DataFrame(
+                {"doc_id": ids, "frame_idx": idxs, "n_bytes": sizes, "head": heads}
+            )
+
+    return assets.mapInPandas(_frames_batch, schema=FRAMES_SCHEMA)

@@ -15,7 +15,11 @@ from proteus_spark.operators.filters import (  # noqa: F401
     and_all,
     apply_predicates,
 )
-from proteus_spark.operators.aggregate import sum_view, agg_view  # noqa: F401
+from proteus_spark.operators.aggregate import (  # noqa: F401
+    agg_view,
+    salted_sum_view,
+    sum_view,
+)
 from proteus_spark.operators.join import keyed_merge_join  # noqa: F401
 from proteus_spark.operators.topk import topk  # noqa: F401
 from proteus_spark.operators.router import union_router  # noqa: F401

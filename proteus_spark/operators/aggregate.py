@@ -64,3 +64,34 @@ def agg_view(
     }
     aggs = [fns[fn](col).alias(name) for name, (fn, col) in specs.items()]
     return df.groupBy(*group_by).agg(*aggs)
+
+
+def salted_sum_view(
+    df: DataFrame,
+    group_by: str,
+    agg_attr: str,
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Two-phase salted SUM for skewed group keys.
+
+    At 100 TB a handful of hot keys can pin a shuffle partition to one
+    reducer; AQE's skew handling splits skewed JOIN partitions but a
+    skewed AGGREGATION key still lands on one task after the exchange.
+    Classic fix: shuffle on (key, salt) first — hot keys fan out over
+    ``salt_buckets`` reducers — then combine the per-salt partials with a
+    second (now uniform, #keys x buckets rows) aggregation.
+
+    Results are identical to ``sum_view`` (sums re-associate); the oracle
+    for any query using this is the plain GROUP BY. Worth it only when the
+    key distribution is actually skewed — two exchanges beat one saturated
+    straggler, not one healthy exchange.
+    """
+    salted = df.withColumn(
+        "_salt", (F.rand(seed=42) * salt_buckets).cast("int")
+    )
+    partial = salted.groupBy(group_by, "_salt").agg(
+        F.sum(agg_attr).alias("_partial")
+    )
+    return partial.groupBy(group_by).agg(
+        F.sum("_partial").alias(f"{agg_attr}_sum")
+    )

@@ -442,3 +442,29 @@ def llm_multimodal_extract(spark, sf_dir):
     real multimodal plumbing with the codec stubbed (SURVEY §7.1)."""
     assets = M.to_binary_assets(load(spark, sf_dir, "documents"))
     return M.extract_features(assets)
+
+
+@register(
+    "llm_multimodal_frames",
+    oracle="""
+    WITH frames AS (
+      SELECT doc_id, text, octet_length(encode(text)) AS total,
+             unnest([4 * (i - 1) FOR i IN generate_series(
+               1, 1 + CAST(floor((octet_length(encode(text)) - 1) / 256.0) AS BIGINT))]) AS frame_idx
+      FROM documents)
+    SELECT doc_id, frame_idx,
+           CAST(least(64, total - frame_idx * 64) AS BIGINT) AS n_bytes,
+           substr(text, CAST(frame_idx * 64 + 1 AS INTEGER), 4) AS head
+    FROM frames
+    WHERE frame_idx * 64 < total
+    """,
+    tags=("llm", "multimodal"),
+)
+def llm_multimodal_frames(spark, sf_dir):
+    """Frame-sampling plumbing: each binary asset fans out to every 4th
+    64-byte frame via one-to-many mapInPandas (the video keyframe shape).
+    Frames are literal byte slices of the payload, so DuckDB reproduces
+    them with substring arithmetic (documents text is ASCII: byte offsets
+    == char offsets)."""
+    assets = M.to_binary_assets(load(spark, sf_dir, "documents"))
+    return M.sample_frames(assets, frame_size=64, every_n=4)
