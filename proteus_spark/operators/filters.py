@@ -49,7 +49,11 @@ def range_pred(col: str, lbound=None, ubound=None) -> Column:
     if ubound is not None:
         conds.append(F.col(col) < F.lit(ubound))
     if not conds:
-        return F.lit(True)
+        # an unbounded RANGE still requires the attribute to be PRESENT:
+        # the reference looks the attribute up before comparing and an
+        # absent attribute fails every non-ISNULL predicate
+        # (queries.go:167-209) — lit(True) would wrongly pass NULL rows
+        return F.col(col).isNotNull()
     out = conds[0]
     for c in conds[1:]:
         out = out & c

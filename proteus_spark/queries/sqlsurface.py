@@ -642,3 +642,29 @@ register_sql(
     "broadcast-join pass; the l_quantity disjuncts can't prune the scan "
     "but the p_brand IN-set implied by the OR does reach the part side.",
 )
+
+
+@register(
+    "agg_approx_distinct",
+    oracle=None,  # HLL implementations differ across engines -> rows-only
+    tags=("aggregate", "approx"),
+)
+def agg_approx_distinct(spark, sf_dir):
+    """Sketch aggregates: approx_count_distinct (HyperLogLog++). At 100 TB
+    the exact COUNT DISTINCT shuffles every distinct value; the sketch
+    shuffles a fixed ~KB register set per group. No value oracle is
+    possible (DuckDB's HLL differs), so the driver records a rows-only
+    check; the companion sanity bound against the exact count is asserted
+    here instead."""
+    li = load(spark, sf_dir, "lineitem")
+    out = li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
+        F.count_distinct("l_orderkey").alias("exact_orders"),
+    )
+    # sketch must land within 3*rsd of exact for every group
+    bad = out.filter(
+        (F.abs(F.col("approx_orders") - F.col("exact_orders"))
+         / F.col("exact_orders")) > 0.06
+    ).count()
+    assert bad == 0, "approx_count_distinct outside error bound"
+    return out.select("l_returnflag", "approx_orders", "exact_orders")

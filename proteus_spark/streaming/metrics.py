@@ -28,6 +28,25 @@ def percentiles(xs: list[float]) -> dict[str, float]:
     return {"p50": pct(50), "p90": pct(90), "p95": pct(95), "p99": pct(99)}
 
 
+def staleness_report(samples: list[tuple[int, int]]) -> dict:
+    """Staleness-in-versions distribution (metrics.go:103-214 parity).
+
+    ``samples`` are (latest_write_version, version_observed_by_read) pairs
+    collected by readers sampling ``view.version()`` against the version
+    their snapshot was taken at; staleness = write - observed (0 =
+    read-your-writes). The reference reconstructs the same distribution
+    post-mortem from write/query/cache timestamp logs.
+    """
+    lags = [float(w - o) for w, o in samples]
+    return {
+        "samples": len(lags),
+        "fresh_fraction": (
+            sum(1 for x in lags if x == 0) / len(lags) if lags else None
+        ),
+        "staleness_versions": percentiles(lags),
+    }
+
+
 class FreshnessListener(StreamingQueryListener):
     """Collects per-batch trigger latency and input rows per view name."""
 

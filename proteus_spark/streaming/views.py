@@ -196,6 +196,17 @@ class SumView:
         """Freshness-in-versions handle (metrics.go:103-214)."""
         return self._version
 
+    def snapshot_at(self, version: int) -> DataFrame:
+        """Time-travel read of an earlier state version — the VECTORCLOCK
+        tsPredicate bound the reference declares but never implemented
+        (qpu.proto:74-95; SURVEY §2.9 maps it to table time travel). All
+        committed versions remain readable until stop(cleanup=True)."""
+        if not 0 <= version <= self._version:
+            raise ValueError(
+                f"version {version} out of range [0, {self._version}]"
+            )
+        return self.spark.read.parquet(self._state_path(version))
+
 
 class JoinView:
     """Streaming keyed-merge JOIN view (JoinQPU parity, SURVEY §2.3).
@@ -318,3 +329,11 @@ class JoinView:
 
     def version(self) -> int:
         return self._version
+
+    def snapshot_at(self, version: int) -> DataFrame:
+        """Time-travel read (see SumView.snapshot_at)."""
+        if not 0 <= version <= self._version:
+            raise ValueError(
+                f"version {version} out of range [0, {self._version}]"
+            )
+        return self.spark.read.parquet(self._state_path(version))

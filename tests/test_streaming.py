@@ -111,3 +111,40 @@ def test_join_view_keyed_merge_semantics(spark):
         view.stop()
         cdc.cleanup(src_l)
         cdc.cleanup(src_r)
+
+
+def test_snapshot_time_travel_and_staleness(spark, sf_dir):
+    """VECTORCLOCK-bound parity: earlier versions stay readable; staleness
+    report over sampled (write, observed) version pairs."""
+    from proteus_spark.streaming.metrics import staleness_report
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select("user_id", "value")
+    src = cdc.stage_stream(spark, ev, chunks=3)
+    samples: list[tuple[int, int]] = []
+    view = SumView(
+        spark, src.subscribe(), group_by="user_id", agg_attr="value",
+        name="t_sum_tt", mode="append",
+    )
+    view.subscribe(lambda delta, epoch: samples.append((view.version(), view.version())))
+    view.start()
+    try:
+        view.await_catch_up()
+        view._query.stop()
+        v = view.version()
+        assert v >= 2
+        # time travel: earlier versions readable, row counts monotone
+        # (append stream only ever adds/updates groups)
+        counts = [view.snapshot_at(i).count() for i in range(v + 1)]
+        assert counts[-1] == view.snapshot().count()
+        assert all(a <= b for a, b in zip(counts, counts[1:]))
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="out of range"):
+            view.snapshot_at(v + 1)
+        rep = staleness_report(samples)
+        assert rep["samples"] == v + 1
+        assert rep["fresh_fraction"] == 1.0  # subscriber reads its own write
+        assert rep["staleness_versions"]["p99"] == 0.0
+    finally:
+        view.stop()
+        cdc.cleanup(src)
