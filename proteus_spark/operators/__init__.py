@@ -24,3 +24,7 @@ from proteus_spark.operators.join import keyed_merge_join  # noqa: F401
 from proteus_spark.operators.topk import topk  # noqa: F401
 from proteus_spark.operators.router import union_router  # noqa: F401
 from proteus_spark.operators.index import RangeIndex  # noqa: F401
+from proteus_spark.operators.bucketing import (  # noqa: F401
+    drop_bucketed,
+    materialize_bucketed,
+)

@@ -668,3 +668,35 @@ def agg_approx_distinct(spark, sf_dir):
     ).count()
     assert bad == 0, "approx_count_distinct outside error bound"
     return out.select("l_returnflag", "approx_orders", "exact_orders")
+
+
+@register(
+    "events_sliding_2h",
+    oracle=EVENTS_NS_ORACLE
+    + """
+    , slid AS (
+      SELECT unnest([date_trunc('hour', ts) - INTERVAL 1 HOUR,
+                     date_trunc('hour', ts)]) AS w_start,
+             event_type, value
+      FROM events_ns)
+    SELECT CAST(w_start AS TIMESTAMP) AS window_start, event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS value_sum
+    FROM slid
+    GROUP BY 1, 2
+    """,
+    tags=("event-time",),
+)
+def events_sliding_2h(spark, sf_dir):
+    """Sliding-window aggregate (2h window, 1h slide): each event lands in
+    two overlapping windows via F.window's generator — the batch semantics
+    of the streaming sliding-window agg. Oracle reproduces the window
+    assignment with explicit window-start arithmetic."""
+    ev = events_with_ts(spark, sf_dir)
+    win = F.window(F.col("ts"), "2 hours", "1 hour")
+    return ev.groupBy(
+        win.start.alias("window_start"), "event_type"
+    ).agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("decimal(38,6)").alias("value_sum"),
+    )

@@ -104,3 +104,40 @@ def test_index_lookup_prunes(q):
     assert "LessThan(p_size,50)" in p
     assert "InMemoryTableScan" in p and "(p_size#" in p
     assert "TakeOrderedAndProject" in p  # capped lookup, no full sort
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir):
+    """Co-located join: both sides bucketed+sorted on the join key ->
+    the equi-join plans with ZERO Exchange (no shuffle) — the write-time
+    shuffle is amortized over every downstream join on that key."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from proteus_spark.operators.bucketing import drop_bucketed, materialize_bucketed
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_totalprice"
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_quantity"
+    )
+    try:
+        bo = materialize_bucketed(orders, "b_orders", "o_orderkey", buckets=8)
+        bl = materialize_bucketed(
+            li.withColumnRenamed("l_orderkey", "o_orderkey"),
+            "b_lineitem",
+            "o_orderkey",
+            buckets=8,
+        )
+        joined = bo.hint("merge").join(bl, "o_orderkey")
+        p = plan(joined)
+        assert len(re.findall(r"\(\d+\) Exchange", p)) == 0, p
+        # and the result is still correct
+        n = joined.count()
+        want = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey).count()
+        )
+        assert n == want
+    finally:
+        drop_bucketed(spark, "b_orders", "b_lineitem")
