@@ -109,6 +109,14 @@ class Engine:
         self.stats.record((time.perf_counter() - t0) * 1000.0)
         return df
 
+    def explain(self, sql: str, mode: str = "formatted") -> str:
+        """Physical plan for a SQL query — the introspection surface the
+        reference lacks entirely (its plan IS the deployed topology)."""
+        df = self.spark.sql(sql)
+        return self.spark._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), mode
+        )
+
     def query_subscribe(self, sql: str, table: str, view, callback) -> None:
         """QuerySubscribe parity (qpuapi.proto:19, apiprocessor.go:248-305):
         register a continuous query against a materialized view — on every

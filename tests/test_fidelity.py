@@ -117,3 +117,23 @@ def test_engine_query_subscribe(spark, sf_dir):
     finally:
         view.stop()
         cdc.cleanup(src)
+
+
+def test_engine_error_paths(spark):
+    """Guardrails: unknown table and malformed SQL surface as analysis /
+    parse errors through the facade (the reference returns gRPC errors;
+    same contract, better diagnostics)."""
+    import pytest as _pytest
+    from pyspark.errors import AnalysisException, ParseException
+
+    eng = Engine(spark)
+    with _pytest.raises(AnalysisException):
+        eng.query("SELECT * FROM table_that_does_not_exist_xyz").collect()
+    with _pytest.raises(ParseException):
+        eng.query("SELEKT frobnicate")
+
+
+def test_engine_explain_surfaces_plan(spark, sf_dir):
+    eng = Engine(spark, sf_dir)
+    p = eng.explain("SELECT o_orderkey FROM orders WHERE o_orderkey = 7")
+    assert "Scan parquet" in p and "PushedFilters" in p

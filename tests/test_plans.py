@@ -141,3 +141,19 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir):
         assert n == want
     finally:
         drop_bucketed(spark, "b_orders", "b_lineitem")
+
+
+def test_partitioned_table_prunes_partitions(spark, sf_dir, tmp_path):
+    """Hive-style partitioned layout + predicate on the partition column ->
+    PartitionFilters prune at planning time; non-matching partitions are
+    never listed, let alone read. The deployment-scale equivalent of the
+    reference's config-time index sharding, chosen per-query by Catalyst."""
+    out = str(tmp_path / "orders_by_status")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    orders.write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
+    df = spark.read.parquet(out).filter("o_orderstatus = 'F'").select("o_orderkey")
+    p = plan(df)
+    assert "PartitionFilters" in p
+    assert "o_orderstatus" in p.split("PartitionFilters", 1)[1].split("]", 1)[0]
+    want = orders.filter("o_orderstatus = 'F'").count()
+    assert df.count() == want
