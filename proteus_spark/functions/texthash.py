@@ -44,6 +44,24 @@ def hex_to_long_sql(hexcol: str, n: int = HEX_PREFIX_LEN) -> str:
     return "CAST(" + " + ".join(terms) + " AS BIGINT)"
 
 
+def hex_slice_to_long_sql(hexcol: str, start: int, n: int = HEX_PREFIX_LEN) -> str:
+    """Portable BIGINT from ``n`` hex chars of ``hexcol`` starting at
+    1-based ``start``. A 32-hex md5 digest yields two independent 48-bit
+    hashes (starts 1 and 13) — half the md5 calls for a k-function family."""
+    terms = [
+        f"{_hexdigit_sql(f'substr({hexcol}, {start + i}, 1)')} * {16 ** (n - 1 - i)}"
+        for i in range(n)
+    ]
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+def hex_slice_to_long_spark_sql(
+    hexcol: str, start: int, n: int = HEX_PREFIX_LEN
+) -> str:
+    """Spark fast path of hex_slice_to_long_sql (see hex_to_long_spark_sql)."""
+    return f"CAST(conv(substr({hexcol}, {start}, {n}), 16, 10) AS BIGINT)"
+
+
 def hex_to_long_spark_sql(hexcol: str, n: int = HEX_PREFIX_LEN) -> str:
     """Spark-only fast path: ``conv`` collapses the 12-digit positional
     expansion (24 substr/ascii calls) into one builtin — ~25× fewer string

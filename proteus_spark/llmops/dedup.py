@@ -25,7 +25,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from proteus_spark.functions.texthash import hex_to_long_spark_sql, md5_seeded_sql
+from proteus_spark.functions.texthash import (
+    hex_slice_to_long_spark_sql,
+    hex_to_long_spark_sql,
+    md5_seeded_sql,
+)
 
 SHINGLE_N = 3
 MINHASH_K = 12
@@ -135,15 +139,23 @@ def jaccard_pairs(
 def minhash_signatures(sh: DataFrame, k: int = MINHASH_K) -> DataFrame:
     """MinHash signature per doc: (doc_id, m0..m{k-1}).
 
-    One md5 per (shingle, seed) projected as a column, then k min-aggregates
-    in a single groupBy pass — the shuffle carries k longs per doc.
+    Each 128-bit md5 digest yields TWO independent 48-bit hash functions
+    (hex slices at 1 and 13), so k functions cost k/2 md5 calls — md5 is
+    the expensive half of the hot loop. Then k min-aggregates in one
+    groupBy pass; the shuffle carries k longs per doc.
     """
+    n_digests = (k + 1) // 2
     hx = sh.select(
-        "doc_id", *[F.expr(md5_seeded_sql("s", i)).alias(f"x{i}") for i in range(k)]
+        "doc_id",
+        *[F.expr(md5_seeded_sql("s", d)).alias(f"x{d}") for d in range(n_digests)],
     )
-    hl = hx.select(
-        "doc_id", *[F.expr(hex_to_long_spark_sql(f"x{i}")).alias(f"h{i}") for i in range(k)]
-    )
+    h_cols = []
+    for i in range(k):
+        d, start = divmod(i, 2)
+        h_cols.append(
+            F.expr(hex_slice_to_long_spark_sql(f"x{d}", 1 + start * 12)).alias(f"h{i}")
+        )
+    hl = hx.select("doc_id", *h_cols)
     return hl.groupBy("doc_id").agg(
         *[F.min(f"h{i}").alias(f"m{i}") for i in range(k)]
     )

@@ -8,7 +8,11 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from proteus_spark.functions.texthash import hex_to_long_sql, md5_seeded_sql
+from proteus_spark.functions.texthash import (
+    hex_slice_to_long_sql,
+    hex_to_long_sql,
+    md5_seeded_sql,
+)
 from proteus_spark.llmops import dedup as D
 from proteus_spark.llmops import multimodal as M
 from proteus_spark.llmops import similarity as S
@@ -197,11 +201,13 @@ def llm_dedup_ngram_jaccard(spark, sf_dir):
 
 def _minhash_oracle() -> str:
     k, bands, rows = D.MINHASH_K, D.LSH_BANDS, D.LSH_ROWS
+    # mirror minhash_signatures: two 48-bit hashes per md5 digest
     hx_cols = ",\n       ".join(
-        f"{md5_seeded_sql('s', i)} AS x{i}" for i in range(k)
+        f"{md5_seeded_sql('s', d)} AS x{d}" for d in range((k + 1) // 2)
     )
     hl_cols = ",\n       ".join(
-        f"{hex_to_long_sql(f'x{i}')} AS h{i}" for i in range(k)
+        f"{hex_slice_to_long_sql(f'x{i // 2}', 1 + (i % 2) * 12)} AS h{i}"
+        for i in range(k)
     )
     sig_cols = ", ".join(f"min(h{i}) AS m{i}" for i in range(k))
     band_rows = "\n      UNION ALL\n      ".join(
