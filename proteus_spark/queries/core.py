@@ -360,3 +360,36 @@ def ref_cache_topk(spark, sf_dir):
     out = ce.query(sql)  # hit -> rebuilt from cached rows
     assert ce.cache.stats.hits == 1, "second lookup must be a cache hit"
     return out
+
+
+# ---------------------------------------------------------------------------
+# Declarative topology (the reference's deployment model, SURVEY §0/§3.3)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ref_topology_lobsters",
+    oracle="""
+    WITH rev AS (
+      SELECT l_orderkey AS o_orderkey,
+             sum(l_extendedprice * (1 - l_discount)) AS vote_sum
+      FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT COALESCE(o.o_orderkey, r.o_orderkey) AS o_orderkey,
+           round(COALESCE(r.vote_sum, 0.0), 4) AS vote_sum
+    FROM orders o FULL OUTER JOIN rev r USING (o_orderkey)
+    ORDER BY COALESCE(r.vote_sum, 0.0) DESC, 1 LIMIT 5
+    """,
+    tags=("parity", "topology"),
+)
+def ref_topology_lobsters(spark, sf_dir):
+    """The sum-stories TOML deployment, declared as a topology document and
+    built into ONE Catalyst plan (proteus_spark/topology.py; reference
+    declares the same DAG across per-process TOML configs,
+    configs/cloudserver-federation/localdev/sum-stories.toml)."""
+    from proteus_spark.topology import LOBSTERS_EXAMPLE, build_topology
+
+    nodes = build_topology(spark, sf_dir, LOBSTERS_EXAMPLE, register_views=False)
+    return nodes["stories_top"].select(
+        "o_orderkey", F.round("vote_sum", 4).alias("vote_sum")
+    )
