@@ -32,9 +32,12 @@ from proteus_spark.functions.texthash import (
 )
 
 SHINGLE_N = 3
-MINHASH_K = 12
+MINHASH_K = 8
 LSH_BANDS = 4
-LSH_ROWS = 3  # MINHASH_K == LSH_BANDS * LSH_ROWS
+LSH_ROWS = 2  # MINHASH_K == LSH_BANDS * LSH_ROWS
+# banding math at jaccard s: P[candidate] = 1-(1-s^ROWS)^BANDS;
+# r=2,b=4: s=0.8 -> 98.3% recall (vs 94% at r=3), s=0.2 -> 15% FP rate
+# handled by exact verification — fewer hashes AND better recall
 SIMHASH_BITS = 16
 SIMHASH_CHUNKS = 4
 HAMMING_MAX = 3  # pigeonhole-safe: HAMMING_MAX <= SIMHASH_CHUNKS - 1
