@@ -305,3 +305,22 @@ def simhash_pairs(
         .filter(F.col("hamming") <= hamming_max)
         .select("ida", "idb", "hamming")
     )
+
+
+def minhash_dedup_keep(docs: DataFrame, min_jaccard: float = 0.8) -> DataFrame:
+    """Apply near-dedup: the surviving document set.
+
+    Survivor rule: a doc is dropped iff it is the LARGER id in any
+    verified near-dup pair — the single-pass min-id-survivor
+    approximation of connected components (exact CC needs iteration;
+    at pipeline scale this greedy rule is the standard first pass and
+    is order-independent/deterministic). Returns (doc_id, text_hash)
+    for the kept docs — an anti-join of the pair losers against the
+    corpus, so cost is |pairs| + one corpus pass.
+    """
+    losers = minhash_lsh_dedup(docs, min_jaccard).select(
+        F.col("idb").alias("doc_id")
+    ).distinct()
+    return docs.join(losers, "doc_id", "left_anti").select(
+        "doc_id", F.md5("text").alias("text_hash")
+    )

@@ -474,3 +474,48 @@ def llm_multimodal_frames(spark, sf_dir):
     == char offsets)."""
     assets = M.to_binary_assets(load(spark, sf_dir, "documents"))
     return M.sample_frames(assets, frame_size=64, every_n=4)
+
+
+def _dedup_apply_oracle() -> str:
+    pairs = _minhash_oracle()
+    return f"""
+    WITH pairs AS ({pairs})
+    SELECT d.doc_id, md5(d.text) AS text_hash
+    FROM documents d
+    WHERE d.doc_id NOT IN (SELECT DISTINCT idb FROM pairs)
+    """
+
+
+@register("llm_dedup_apply", oracle=_dedup_apply_oracle, tags=("llm", "dedup"))
+def llm_dedup_apply(spark, sf_dir):
+    """Dedup APPLIED: the surviving corpus after near-dup removal
+    (min-id-survivor rule — drop any doc that is the larger id of a
+    verified pair). The shape a training-data pipeline actually consumes."""
+    return D.minhash_dedup_keep(load(spark, sf_dir, "documents"))
+
+
+@register(
+    "llm_corpus_stats",
+    oracle="""
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+           CAST(min(length(text)) AS BIGINT) AS min_chars,
+           CAST(max(length(text)) AS BIGINT) AS max_chars,
+           round(avg(length(text)), 6) AS avg_chars
+    FROM documents GROUP BY lang
+    """,
+    tags=("llm", "text"),
+)
+def llm_corpus_stats(spark, sf_dir):
+    """Corpus-level rollup by language: doc counts, token totals, length
+    distribution — the summary pass every training-data pipeline runs
+    before and after filtering (one shuffle, partial-agg collapsed)."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).cast("long").alias("total_tokens"),
+        F.min(F.length("text")).cast("long").alias("min_chars"),
+        F.max(F.length("text")).cast("long").alias("max_chars"),
+        F.round(F.avg(F.length("text")), 6).alias("avg_chars"),
+    )
