@@ -131,7 +131,7 @@ def _import_all() -> None:
     """Import every query module so decorators run (idempotent)."""
     from proteus_spark.queries import core  # noqa: F401
 
-    for mod in ("sqlsurface", "llm", "streaming"):
+    for mod in ("sqlsurface", "tpch_full", "llm", "streaming"):
         try:
             __import__(f"proteus_spark.queries.{mod}")
         except ImportError:
