@@ -12,8 +12,9 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from proteus_spark.operators import keyed_merge_join, topk
-from proteus_spark.registry import load, register
+from proteus_spark.registry import events_with_ts, load, register
 from proteus_spark.sources import cdc
+from proteus_spark.streaming.stateful import sessionize_stream
 from proteus_spark.streaming.views import SumView
 
 
@@ -156,6 +157,68 @@ def stream_lobsters_pipeline(spark, sf_dir):
         view.stop()
         cdc.cleanup(src)
     return out
+
+
+@register(
+    "stream_sessionize_stateful",
+    oracle="""
+    WITH events_ns AS (
+      SELECT user_id, value, epoch_ns(ts) AS ts_ns, event_id FROM events
+    )
+    SELECT user_id,
+           CAST(sum(is_new) AS BIGINT) AS n_sessions,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 4) AS value_sum
+    FROM (
+      SELECT user_id, value,
+             CASE WHEN lag(ts_ns) OVER (PARTITION BY user_id
+                                        ORDER BY ts_ns, event_id) IS NULL
+                  OR ts_ns - lag(ts_ns) OVER (PARTITION BY user_id
+                                              ORDER BY ts_ns, event_id)
+                     > 1800000000000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events_ns
+    ) GROUP BY user_id
+    """,
+    tags=("streaming", "stateful"),
+)
+def stream_sessionize_stateful(spark, sf_dir):
+    """Custom stateful operator via applyInPandasWithState: live 30-min-gap
+    sessionization. The 'new QPU class' extension point (QPUClass interface,
+    types.go:39-46) re-expressed as a user transition function over Spark's
+    partitioned state store instead of a hand-rolled in-process map
+    (sum.go:49-59). Events replayed as 4 arbitrarily-chunked micro-batches;
+    per-key interval-merge state converges to the batch lag()-window answer
+    regardless of arrival order. Emissions are update-mode (changed keys
+    only); the converged snapshot is the last emission per key."""
+    ev = events_with_ts(spark, sf_dir).select("user_id", "ts_ns", "value")
+    src = cdc.stage_stream(spark, ev, chunks=4)
+    out = sessionize_stream(src.subscribe())
+
+    final: dict = {}
+
+    def capture(batch, epoch):
+        for row in batch.collect():
+            final[row["user_id"]] = row
+
+    query = (
+        out.writeStream.outputMode("update")
+        .foreachBatch(capture)
+        .queryName("stream_sessionize_stateful")
+        .start()
+    )
+    try:
+        query.processAllAvailable()
+    finally:
+        query.stop()
+        cdc.cleanup(src)
+    rows = [
+        (r["user_id"], r["n_sessions"], r["n_events"], round(r["value_sum"], 4))
+        for r in final.values()
+    ]
+    from proteus_spark.streaming.stateful import SESSION_OUTPUT_SCHEMA
+
+    return spark.createDataFrame(rows, SESSION_OUTPUT_SCHEMA)
 
 
 @register(

@@ -1,0 +1,132 @@
+"""Custom stateful streaming operators via ``applyInPandasWithState``.
+
+The reference's extension point for new stateful operator classes is the
+compile-time Go interface ``QPUClass`` (internal/libqpu/types.go:39-46);
+each implementation hand-rolls its state in process-local maps (e.g.
+sum.go:49-59) updated record-at-a-time with no ordering guarantee
+(responseStream.go:51-64). The Spark-native equivalent of "write a new
+stateful QPU class" is a `groupBy(key).applyInPandasWithState` operator:
+Spark's state store supplies partitioned, spillable, fault-tolerant
+per-key state; the user supplies only the Arrow-batched transition
+function.
+
+Design rule for 100 TB streams: state must be BOUNDED per key and the
+transition function must be ORDER-INSENSITIVE (micro-batch arrival order
+is arbitrary across a repartitioned stream, exactly like the reference's
+unordered apply). ``sessionize_stream`` demonstrates both: per-key state
+is the set of merged session intervals (size = number of sessions, not
+number of events), and interval-union is commutative — any arrival order
+converges to the batch answer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupStateTimeout
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+SESSION_OUTPUT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_sessions", LongType()),
+        StructField("n_events", LongType()),
+        StructField("value_sum", DoubleType()),
+    ]
+)
+
+# Per-key state: parallel arrays of disjoint session intervals, each with
+# its event count and value sum. Bounded by session count per key.
+SESSION_STATE_SCHEMA = StructType(
+    [
+        StructField("starts", ArrayType(LongType())),
+        StructField("ends", ArrayType(LongType())),
+        StructField("counts", ArrayType(LongType())),
+        StructField("vsums", ArrayType(DoubleType())),
+    ]
+)
+
+
+def sessionize_stream(
+    stream: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts_ns",
+    value_col: str = "value",
+    gap_ns: int = 30 * 60 * 1_000_000_000,
+) -> DataFrame:
+    """Stateful sessionization: 30-min-inactivity sessions maintained live.
+
+    Each event is a point interval ``[ts, ts]``; intervals within
+    ``gap_ns`` of each other chain into one session. The state-store entry
+    per key is the current list of disjoint merged intervals with their
+    event counts and value sums; every micro-batch folds its events in and
+    emits the key's updated totals (update semantics — only changed keys
+    emit, like the reference's per-delta group emission, sum.go:236-245).
+
+    Interval union is commutative and associative, so the converged result
+    is independent of how the stream was chunked or reordered — strictly
+    stronger than the reference's arrival-order apply, and equal to the
+    batch lag()-window sessionization of the same data.
+    """
+
+    # Closure (not module-level) so it pickles by value: executor workers
+    # cannot import proteus_spark when the driver runs from a foreign cwd.
+    def _update(key_tuple, pdf_iter, state):
+        import pandas as pd
+
+        if state.exists:
+            starts, ends, counts, vsums = state.get
+            ivs = [
+                [s, e, c, v]
+                for s, e, c, v in zip(starts, ends, counts, vsums)
+            ]
+        else:
+            ivs = []
+
+        for pdf in pdf_iter:
+            for ts, val in zip(
+                pdf[ts_col].astype("int64"), pdf[value_col].astype("float64")
+            ):
+                ivs.append([int(ts), int(ts), 1, float(val)])
+
+        # merge: sort by start, chain intervals whose gap <= gap_ns
+        ivs.sort(key=lambda iv: (iv[0], iv[1]))
+        merged: list[list] = []
+        for iv in ivs:
+            if merged and iv[0] - merged[-1][1] <= gap_ns:
+                last = merged[-1]
+                last[1] = max(last[1], iv[1])
+                last[2] += iv[2]
+                last[3] += iv[3]
+            else:
+                merged.append(iv)
+
+        state.update(
+            (
+                [iv[0] for iv in merged],
+                [iv[1] for iv in merged],
+                [iv[2] for iv in merged],
+                [iv[3] for iv in merged],
+            )
+        )
+        yield pd.DataFrame(
+            {
+                "user_id": [key_tuple[0]],
+                "n_sessions": [len(merged)],
+                "n_events": [sum(iv[2] for iv in merged)],
+                "value_sum": [sum(iv[3] for iv in merged)],
+            }
+        )
+
+    return stream.groupBy(key).applyInPandasWithState(
+        _update,
+        outputStructType=SESSION_OUTPUT_SCHEMA,
+        stateStructType=SESSION_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

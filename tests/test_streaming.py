@@ -148,3 +148,59 @@ def test_snapshot_time_travel_and_staleness(spark, sf_dir):
     finally:
         view.stop()
         cdc.cleanup(src)
+
+
+def test_stateful_sessionize_out_of_order_convergence(spark, sf_dir):
+    """applyInPandasWithState sessionization must converge to the batch
+    lag()-window answer under ADVERSARIAL chunking: events shuffled into
+    micro-batches by a hash unrelated to time, so per-key arrival order is
+    scrambled across batches. Interval-merge state is commutative, so the
+    final emission per key still equals the batch sessionization."""
+    from pyspark.sql import Window as W
+
+    from proteus_spark.registry import events_with_ts
+    from proteus_spark.streaming.stateful import sessionize_stream
+
+    ev = events_with_ts(spark, sf_dir).select(
+        "event_id", "user_id", "ts_ns", "value"
+    )
+    # adversarial order: chunk by event_id hash, not time
+    scrambled = ev.repartition(5, F.col("event_id") % 5).drop("event_id")
+    src = cdc.stage_stream(spark, scrambled, chunks=5)
+    out = sessionize_stream(src.subscribe())
+    final: dict = {}
+
+    def capture(batch, epoch):
+        for row in batch.collect():
+            final[row["user_id"]] = (
+                row["n_sessions"], row["n_events"], round(row["value_sum"], 4)
+            )
+
+    q = (
+        out.writeStream.outputMode("update")
+        .foreachBatch(capture)
+        .queryName("t_sessionize_stateful")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        cdc.cleanup(src)
+
+    w = W.partitionBy("user_id").orderBy("ts_ns")
+    gap = 30 * 60 * 1_000_000_000
+    prev = F.lag("ts_ns").over(w)
+    is_new = F.when(prev.isNull() | ((F.col("ts_ns") - prev) > gap), 1).otherwise(0)
+    batch_ans = {
+        r["user_id"]: (r["n"], r["c"], round(r["v"], 4))
+        for r in ev.withColumn("is_new", is_new)
+        .groupBy("user_id")
+        .agg(
+            F.sum("is_new").alias("n"),
+            F.count("*").alias("c"),
+            F.sum("value").alias("v"),
+        )
+        .collect()
+    }
+    assert final == batch_ans
