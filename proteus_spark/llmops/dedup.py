@@ -49,16 +49,34 @@ def tokens_col(text_col: str = "text"):
     return F.split(F.col(text_col), " ")
 
 
-def shingles(docs: DataFrame, n: int = SHINGLE_N, id_col: str = "doc_id") -> DataFrame:
-    """Distinct word n-gram shingles per document: (id, s).
+def shingles(
+    docs: DataFrame,
+    n: int = SHINGLE_N,
+    id_col: str = "doc_id",
+    distinct: bool = True,
+    fanout: int | None = 32,
+) -> DataFrame:
+    """Word n-gram shingles per document: (id, s); ``distinct=True`` dedups
+    within-doc repeats (required for Jaccard counting; skip it for
+    min-aggregates, where repeats are idempotent and the distinct would
+    shuffle the widest intermediate in the pipeline for nothing).
 
     Built with array ``transform`` over a per-row sequence — embarrassingly
     parallel, zero shuffle, stays in codegen (no posexplode+window pass).
     The token array is materialized in its own projection first: inlining
     ``split(text)`` into the lambda makes Catalyst re-split the text for
     every term of every shingle (~3n× per row — measured ~3× slower).
+
+    ``fanout`` repartitions the doc rows BEFORE the explode: a document
+    table often arrives as few (or one) parquet files, and without the
+    repartition the md5-heavy shingle stage runs at file parallelism
+    instead of cluster parallelism (measured: 1 task on the sf0.1 single
+    file — the whole pipeline serialized). The shuffle moves only the
+    pre-explode doc rows, the cheapest point in the plan.
     """
     toks = docs.select(F.col(id_col).alias("doc_id"), tokens_col().alias("_t"))
+    if fanout:
+        toks = toks.repartition(fanout, "doc_id")
     t = F.col("_t")
     size = F.size(t)
     idx = F.sequence(F.lit(0), size - n)  # 0-based start positions
@@ -66,7 +84,8 @@ def shingles(docs: DataFrame, n: int = SHINGLE_N, id_col: str = "doc_id") -> Dat
         idx, lambda i: F.concat_ws(" ", *[F.get(t, i + j) for j in range(n)])
     )
     arr = F.when(size >= n, grams).otherwise(F.array().cast("array<string>"))
-    return toks.select("doc_id", F.explode(arr).alias("s")).distinct()
+    out = toks.select("doc_id", F.explode(arr).alias("s"))
+    return out.distinct() if distinct else out
 
 
 def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -202,12 +221,23 @@ def minhash_lsh_dedup(docs: DataFrame, min_jaccard: float = 0.8) -> DataFrame:
     whole-stage codegen — an InMemory cache materializes all columns and
     scans slower than recomputing the explode (measured 3× slower at
     sf0.1).
+
+    Scale shape: the signature pass reads NON-distinct shingles (min is
+    idempotent under repeats — skips a full-corpus shuffle of the widest
+    intermediate, and the k-min groupBy combines map-side); the exact
+    verification re-shingles ONLY the candidate docs (a semi-join-pruned
+    corpus scan — |candidates| docs, not |corpus|).
     """
-    sh = shingles(docs)
     # candidates feed two branches of the verification (doc restriction +
     # pair filter); cache the small pair set so the minhash subtree runs once
-    cand = lsh_candidates(minhash_signatures(sh)).cache()
-    return jaccard_pairs(sh, min_jaccard, candidates=cand)
+    cand = lsh_candidates(minhash_signatures(shingles(docs, distinct=False))).cache()
+    cand_docs = (
+        cand.select(F.col("ida").alias("doc_id"))
+        .union(cand.select(F.col("idb").alias("doc_id")))
+        .distinct()
+    )
+    sh_c = shingles(docs.join(cand_docs, "doc_id", "left_semi"))
+    return jaccard_pairs(sh_c, min_jaccard, candidates=cand)
 
 
 # ---------------------------------------------------------------------------

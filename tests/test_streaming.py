@@ -204,3 +204,78 @@ def test_stateful_sessionize_out_of_order_convergence(spark, sf_dir):
         .collect()
     }
     assert final == batch_ans
+
+
+def test_watermark_drops_late_events(spark, tmp_path):
+    """Watermark policy end-to-end with hand-staged micro-batches:
+    batch 1 establishes event-time; batch 2 delivers one event within the
+    watermark horizon (must be aggregated) and one beyond it (must be
+    DROPPED). Deterministic because watermark advancement happens at batch
+    completion and we control batch boundaries via sequential file writes.
+    """
+    from datetime import datetime
+
+    from pyspark.sql.types import (
+        DoubleType, StringType, StructField, StructType, TimestampType,
+    )
+
+    from proteus_spark.streaming.windows import tumbling_agg_stream
+
+    schema = StructType([
+        StructField("ts", TimestampType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+    ])
+    d = str(tmp_path / "stream_in")
+
+    def write(rows, fname):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(d)
+
+    # batch 1: two events at 10:00h and 13:00h -> watermark after the
+    # batch = 13:00 - 2h = 11:00
+    write(
+        [
+            (datetime(2024, 1, 1, 10, 5), "click", 1.0),
+            (datetime(2024, 1, 1, 13, 5), "click", 2.0),
+        ],
+        "b1",
+    )
+
+    emitted: list = []
+
+    stream = spark.readStream.schema(schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(d)
+    out = tumbling_agg_stream(stream, window="1 hour", watermark="2 hours")
+    q = (
+        out.writeStream.outputMode("update")
+        .foreachBatch(lambda b, e: emitted.extend(b.collect()))
+        .queryName("t_watermark")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2: 12:05 is AFTER the 11:00 watermark (late but allowed);
+        # 09:05 is BEFORE it (too late -> dropped)
+        write(
+            [
+                (datetime(2024, 1, 1, 12, 5), "click", 8.0),
+                (datetime(2024, 1, 1, 9, 5), "click", 64.0),
+            ],
+            "b2",
+        )
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    by_window: dict = {}
+    for r in emitted:  # later emissions refine earlier ones
+        by_window[r["window_start"].hour] = (r["n"], r["value_sum"])
+    # 10:00 window: only the on-time event — the 09:05 late event must NOT
+    # have created/updated a 09:00 window either
+    assert by_window[10] == (1, 1.0)
+    assert by_window[13] == (1, 2.0)
+    assert by_window[12] == (1, 8.0)  # within-horizon late event counted
+    assert 9 not in by_window  # beyond-horizon late event dropped
