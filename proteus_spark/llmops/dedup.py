@@ -115,7 +115,6 @@ def jaccard_pairs(
     if max_doc_freq is not None:
         rare = sh.groupBy("s").count().filter(F.col("count") <= max_doc_freq).select("s")
         sh = sh.join(rare, "s")
-    counts = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
 
     if candidates is not None:
         # Verification cost must scale with |candidates|, not with the
@@ -126,9 +125,18 @@ def jaccard_pairs(
             .union(candidates.select(F.col("idb").alias("doc_id")))
             .distinct()
         )
-        sh_pair = sh.join(cand_docs, "doc_id", "left_semi")
+        # candidate-restricted shingles are small (|candidate docs|, not
+        # |corpus|) and feed three branches (both join sides + counts):
+        # cache so the shingle explode runs once. The unrestricted baseline
+        # path below is NOT cached — at corpus scale it must stream.
+        sh_pair = sh.join(cand_docs, "doc_id", "left_semi").cache()
     else:
         sh_pair = sh
+
+    # per-doc shingle-set sizes: docs outside the pair set never reach the
+    # final join, so counting over sh_pair (cached when restricted) is both
+    # sufficient and one less pass over the full shingle relation
+    counts = sh_pair.groupBy("doc_id").agg(F.count("*").alias("n"))
 
     a = sh_pair.alias("a")
     b = sh_pair.alias("b")
@@ -194,9 +202,14 @@ def lsh_candidates(
         )
         for b in range(bands)
     ]
+    # cache the exploded band table: the self-join references it on BOTH
+    # sides, and without the cache each side re-evaluates the entire
+    # signature pipeline (shingle explode + md5) — measured 2× the
+    # signature cost. The table is bands rows per DOC (not per shingle):
+    # tiny at any corpus scale.
     exploded = sig.select(
         "doc_id", F.posexplode(F.array(*band_vals)).alias("band", "bv")
-    )
+    ).cache()
     a = exploded.alias("a")
     b = exploded.alias("b")
     return (
@@ -313,6 +326,9 @@ def simhash_pairs(
             )
         ).alias("blk", "bval"),
     )
+    # chunks rows per doc — tiny; cached so the self-join's two branches
+    # don't each re-run the token-hash majority vote (see lsh_candidates)
+    blocks = blocks.cache()
     a = blocks.alias("a")
     b = blocks.alias("b")
     cand = (
