@@ -56,16 +56,72 @@ def register(name: str, oracle=None, tags: tuple[str, ...] = (), doc: str = ""):
     return deco
 
 
-def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+# rows-per-row-group below which a source is parallel enough on its own;
+# above it (with few row groups) the file is effectively unsplittable and
+# every scan-side stage would run near-serial.
+_DENSIFY_MIN_ROWS = 50_000
+_split_cache: dict[str, int] = {}
+
+
+def _unsplittable_rows(path: str) -> int:
+    """Rows trapped in the LARGEST single parquet row group under ``path``.
+
+    Parquet splits at row-group boundaries only: a million-row single-group
+    file is one Spark task no matter what maxPartitionBytes says. Real lake
+    writers emit ~128 MB multi-group files, but defensive engines must
+    handle the degenerate shape (single-group dumps, gzip-ish unsplittable
+    inputs) — the footer read is a few KB of driver-side IO, cached."""
+    if path not in _split_cache:
+        worst = 0
+        try:
+            import pyarrow.parquet as pq
+
+            files = (
+                [os.path.join(path, f) for f in os.listdir(path) if f.endswith(".parquet")]
+                if os.path.isdir(path)
+                else [path]
+            )
+            for f in files:
+                md = pq.ParquetFile(f).metadata
+                for i in range(md.num_row_groups):
+                    worst = max(worst, md.row_group(i).num_rows)
+        except Exception:
+            worst = 0  # unreadable footer -> assume splittable, no exchange
+        _split_cache[path] = worst
+    return _split_cache[path]
+
+
+def load(
+    spark: SparkSession, sf_dir: str, name: str, densify: bool = False
+) -> DataFrame:
     """Load one testdata table (driver contract: parquet per table).
 
     ``events.parquet`` stores TIMESTAMP(NANOS), which Spark only reads with
     the nanosAsLong legacy conf — set it defensively on whatever session the
     driver hands us. The ``ts`` column then arrives as LongType epoch-nanos;
     use ``events_with_ts`` for a proper timestamp column.
+
+    ``densify``: when the largest row group holds >= _DENSIFY_MIN_ROWS rows
+    the scan is repartitioned to cluster parallelism right after decode, so
+    per-row work (partial aggregation, expression eval) spreads across
+    executors instead of running at file parallelism. Filters/pruning still
+    push THROUGH the repartition to the scan (PushDownPredicates handles
+    Repartition), so the exchange carries only filtered, pruned rows.
+
+    OFF by default — measured both ways at sf0.1: it pays only when heavy
+    per-row work sits BEFORE the plan's first natural exchange (Q1-style
+    map-side partial aggregation: -20%%; hash pipelines use their own
+    fanout). Join-heavy plans feed a hash exchange immediately, so the
+    extra roundRobin exchange is pure overhead (Q21 tripled: the three
+    lineitem self-join branches each re-shuffled the full table; headline
+    bench 14.9s -> 23.5s). Opt in per call site, don't default on.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    df = spark.read.parquet(path)
+    if densify and _unsplittable_rows(path) >= _DENSIFY_MIN_ROWS:
+        df = df.repartition(spark.sparkContext.defaultParallelism)
+    return df
 
 
 def events_with_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
