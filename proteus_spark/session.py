@@ -22,10 +22,18 @@ def build_session(
     cores: int | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
+    rocksdb_state: bool = False,
 ) -> SparkSession:
     """Build (or fetch) a SparkSession with the engine's defaults.
 
     ``cores`` defaults to ``$SPARK_GRAFT_CPUS`` or all local cores.
+
+    ``rocksdb_state``: back Structured-Streaming state (windowed aggs,
+    applyInPandasWithState operators, stream joins) with the RocksDB
+    provider instead of the default in-JVM-heap HDFS-backed map. At 100 TB
+    stream scale, keyed state outgrows executor heap; RocksDB spills to
+    local SSD with incremental-checkpoint uploads. Off locally — tiny test
+    states fit in heap and the JNI layer only adds latency.
     """
     if cores is None:
         cores = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 4
@@ -49,6 +57,15 @@ def build_session(
         # test SFs) should broadcast; AQE upgrades joins at runtime too.
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
+    if rocksdb_state:
+        builder = builder.config(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        ).config(
+            "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+            "true",
+        )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

@@ -279,3 +279,35 @@ def test_watermark_drops_late_events(spark, tmp_path):
     assert by_window[13] == (1, 2.0)
     assert by_window[12] == (1, 8.0)  # within-horizon late event counted
     assert 9 not in by_window  # beyond-horizon late event dropped
+
+
+def test_rocksdb_state_store_backs_stateful_op():
+    """RocksDB state-store provider (the 100 TB state-scale path) actually
+    backs the applyInPandasWithState operator. Runs in a subprocess: the
+    provider is fixed at session creation, and the suite's shared session
+    already exists with the default provider."""
+    import subprocess
+    import sys
+
+    code = """
+import sys; sys.path.insert(0, '/root/repo')
+from proteus_spark.session import build_session
+from proteus_spark.registry import events_with_ts
+from proteus_spark.sources import cdc
+from proteus_spark.streaming.stateful import sessionize_stream
+spark = build_session(app_name='t_rocks', cores=4, rocksdb_state=True)
+assert 'RocksDB' in spark.conf.get('spark.sql.streaming.stateStore.providerClass')
+ev = events_with_ts(spark, '/root/testdata/sf0.001').select('user_id','ts_ns','value')
+src = cdc.stage_stream(spark, ev, chunks=2)
+final = {}
+q = (sessionize_stream(src.subscribe()).writeStream.outputMode('update')
+     .foreachBatch(lambda b, e: [final.__setitem__(r['user_id'], r['n_events']) for r in b.collect()])
+     .start())
+q.processAllAvailable(); q.stop(); cdc.cleanup(src)
+assert sum(final.values()) == ev.count(), (sum(final.values()), ev.count())
+print('ROCKSDB_OK')
+"""
+    out = subprocess.run(
+        [sys.executable, "-c", code], capture_output=True, text=True, timeout=240
+    )
+    assert "ROCKSDB_OK" in out.stdout, out.stderr[-2000:]
