@@ -166,27 +166,40 @@ def jaccard_pairs(
     )
 
 
+# largest prime < 2^48 — keeps the linear family inside the 48-bit hash
+# space (scale-relevant: a 10^9+-shingle vocabulary would saturate a 32-bit
+# space and inflate banding false positives; 48-bit does not)
+MINHASH_PRIME = 281474976710597
+
+
 def minhash_signatures(sh: DataFrame, k: int = MINHASH_K) -> DataFrame:
     """MinHash signature per doc: (doc_id, m0..m{k-1}).
 
-    Each 128-bit md5 digest yields TWO independent 48-bit hash functions
-    (hex slices at 1 and 13), so k functions cost k/2 md5 calls — md5 is
-    the expensive half of the hot loop. Then k min-aggregates in one
-    groupBy pass; the shuffle carries k longs per doc.
+    ONE md5 per shingle: the 128-bit digest yields two independent 48-bit
+    values (hex slices at 1 and 13), and the k-function family is the
+    degree-1 polynomial h_i = (y0 + i*y1) mod P evaluated at i — pairwise
+    independent across functions (any (h_i, h_j), i != j, determines
+    (y0, y1) uniquely), which is the guarantee banding needs. md5 is ~all
+    of the hot-loop cost, so this is ~k/2 x cheaper than one digest per
+    two functions. Then k min-aggregates in one groupBy pass (map-side
+    partial min); the shuffle carries k longs per doc.
     """
-    n_digests = (k + 1) // 2
-    hx = sh.select(
+    hx = sh.select("doc_id", F.expr(md5_seeded_sql("s", 0)).alias("x"))
+    hl = hx.select(
         "doc_id",
-        *[F.expr(md5_seeded_sql("s", d)).alias(f"x{d}") for d in range(n_digests)],
+        F.expr(hex_slice_to_long_spark_sql("x", 1)).alias("y0"),
+        F.expr(hex_slice_to_long_spark_sql("x", 13)).alias("y1"),
     )
-    h_cols = []
-    for i in range(k):
-        d, start = divmod(i, 2)
-        h_cols.append(
-            F.expr(hex_slice_to_long_spark_sql(f"x{d}", 1 + start * 12)).alias(f"h{i}")
-        )
-    hl = hx.select("doc_id", *h_cols)
-    return hl.groupBy("doc_id").agg(
+    hh = hl.select(
+        "doc_id",
+        *[
+            ((F.col("y0") + F.lit(i) * F.col("y1")) % F.lit(MINHASH_PRIME)).alias(
+                f"h{i}"
+            )
+            for i in range(k)
+        ],
+    )
+    return hh.groupBy("doc_id").agg(
         *[F.min(f"h{i}").alias(f"m{i}") for i in range(k)]
     )
 

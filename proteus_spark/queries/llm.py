@@ -201,13 +201,15 @@ def llm_dedup_ngram_jaccard(spark, sf_dir):
 
 def _minhash_oracle() -> str:
     k, bands, rows = D.MINHASH_K, D.LSH_BANDS, D.LSH_ROWS
-    # mirror minhash_signatures: two 48-bit hashes per md5 digest
-    hx_cols = ",\n       ".join(
-        f"{md5_seeded_sql('s', d)} AS x{d}" for d in range((k + 1) // 2)
+    # mirror minhash_signatures: one md5 per shingle, two 48-bit slices,
+    # linear family h_i = (y0 + i*y1) mod P
+    hx_cols = f"{md5_seeded_sql('s', 0)} AS x"
+    hl_cols = (
+        f"{hex_slice_to_long_sql('x', 1)} AS y0,\n       "
+        f"{hex_slice_to_long_sql('x', 13)} AS y1"
     )
-    hl_cols = ",\n       ".join(
-        f"{hex_slice_to_long_sql(f'x{i // 2}', 1 + (i % 2) * 12)} AS h{i}"
-        for i in range(k)
+    hh_cols = ",\n       ".join(
+        f"(y0 + {i} * y1) % {D.MINHASH_PRIME} AS h{i}" for i in range(k)
     )
     sig_cols = ", ".join(f"min(h{i}) AS m{i}" for i in range(k))
     band_rows = "\n      UNION ALL\n      ".join(
@@ -224,7 +226,8 @@ def _minhash_oracle() -> str:
         + f""",
     hx AS (SELECT doc_id, {hx_cols} FROM sh),
     hl AS (SELECT doc_id, {hl_cols} FROM hx),
-    sig AS (SELECT doc_id, {sig_cols} FROM hl GROUP BY doc_id),
+    hh AS (SELECT doc_id, {hh_cols} FROM hl),
+    sig AS (SELECT doc_id, {sig_cols} FROM hh GROUP BY doc_id),
     bands AS (
       {band_rows}),
     cand AS (
