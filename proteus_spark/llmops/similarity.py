@@ -50,15 +50,30 @@ def brute_force_topk(
     the only shuffle is the final per-query top-k, which
     TakeOrdered-style window ranking keeps at O(k) per partition.
     """
+    # norms are projected BEFORE the join: an array fold inlined into the
+    # similarity expression is re-evaluated per (row x query) pair, so the
+    # corpus-side norm would be folded |queries| times per row. Same fold
+    # order -> bit-identical similarity values.
     q = queries.select(
-        F.col(id_col).alias("qid"), F.col(vec_col).alias("qvec")
+        F.col(id_col).alias("qid"),
+        F.col(vec_col).alias("qvec"),
+        norm(F.col(vec_col)).alias("qnorm"),
     )
     v = vectors.select(
-        F.col(id_col).alias("nid"), F.col(vec_col).alias("nvec")
+        F.col(id_col).alias("nid"),
+        F.col(vec_col).alias("nvec"),
+        norm(F.col(vec_col)).alias("nnorm"),
     )
     scored = (
         v.join(F.broadcast(q), F.col("nid") != F.col("qid"))
-        .withColumn("sim", F.round(cosine(F.col("qvec"), F.col("nvec")), 6))
+        .withColumn(
+            "sim",
+            F.round(
+                dot(F.col("qvec"), F.col("nvec"))
+                / (F.col("qnorm") * F.col("nnorm")),
+                6,
+            ),
+        )
     )
     w = W.partitionBy("qid").orderBy(F.desc("sim"), F.asc("nid"))
     return (
@@ -160,12 +175,22 @@ def ivf_assign(
     column you can partition/bucket the table by at scale.
     """
     c = centroids.select(
-        F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec")
+        F.col(id_col).alias("cid"),
+        F.col(vec_col).alias("cvec"),
+        norm(F.col(vec_col)).alias("cnorm"),
     )
     scored = vectors.select(
-        F.col(id_col).alias("vid"), F.col(vec_col).alias("vec")
+        F.col(id_col).alias("vid"),
+        F.col(vec_col).alias("vec"),
+        norm(F.col(vec_col)).alias("vnorm"),
     ).join(F.broadcast(c))
-    scored = scored.withColumn("csim", F.round(cosine(F.col("vec"), F.col("cvec")), 6))
+    scored = scored.withColumn(
+        "csim",
+        F.round(
+            dot(F.col("vec"), F.col("cvec")) / (F.col("vnorm") * F.col("cnorm")),
+            6,
+        ),
+    )
     w = W.partitionBy("vid").orderBy(F.desc("csim"), F.asc("cid"))
     return (
         scored.withColumn("rn", F.row_number().over(w))
@@ -194,16 +219,28 @@ def ivf_topk(
     q = assigned.join(
         queries.select(F.col(id_col).alias("qid")),
         assigned.vec_id == F.col("qid"),
-    ).select("qid", F.col("embedding").alias("qvec"), F.col("bucket").alias("qbucket"))
+    ).select(
+        "qid",
+        F.col("embedding").alias("qvec"),
+        F.col("bucket").alias("qbucket"),
+        norm(F.col("embedding")).alias("qnorm"),
+    )
     cand = assigned.select(
         F.col("vec_id").alias("nid"),
         F.col("embedding").alias("nvec"),
         F.col("bucket").alias("nbucket"),
+        norm(F.col("embedding")).alias("nnorm"),
     )
     scored = cand.join(
         F.broadcast(q),
         (F.col("nbucket") == F.col("qbucket")) & (F.col("nid") != F.col("qid")),
-    ).withColumn("sim", F.round(cosine(F.col("qvec"), F.col("nvec")), 6))
+    ).withColumn(
+        "sim",
+        F.round(
+            dot(F.col("qvec"), F.col("nvec")) / (F.col("qnorm") * F.col("nnorm")),
+            6,
+        ),
+    )
     w = W.partitionBy("qid").orderBy(F.desc("sim"), F.asc("nid"))
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
