@@ -222,6 +222,74 @@ def stream_sessionize_stateful(spark, sf_dir):
 
 
 @register(
+    "stream_windowed_watermark",
+    # rows-only by nature: which late events are dropped depends on
+    # micro-batch arrival order (watermark advancement is a streaming
+    # runtime property), which no batch SQL oracle can express. The unit
+    # test pins the drop/keep semantics deterministically.
+    tags=("streaming", "event-time"),
+)
+def stream_windowed_watermark(spark, sf_dir):
+    """Watermarked event-time tumbling windows, live: events replayed as
+    micro-batches through withWatermark(10 min) + 1-hour windows; the
+    state store evicts windows older than the horizon and beyond-horizon
+    stragglers are dropped by policy (the late-data story the reference
+    lacks entirely — SURVEY §2.9, qpuapi.proto:113-116). Returns the final
+    per-window per-type counts/sums."""
+    from proteus_spark.streaming.windows import tumbling_agg_stream
+
+    # watermarks require TIMESTAMP (with timezone), not NTZ
+    ev = events_with_ts(spark, sf_dir).select(
+        F.col("ts").cast("timestamp").alias("ts"), "event_type", "value"
+    )
+    src = cdc.stage_stream(spark, ev, chunks=4)
+    out = tumbling_agg_stream(
+        src.subscribe(), ts_col="ts", window="1 hour", watermark="10 minutes"
+    )
+    final: dict = {}
+
+    def capture(batch, epoch):
+        for row in batch.collect():
+            final[(row["window_start"], row["event_type"])] = row
+
+    query = (
+        out.writeStream.outputMode("update")
+        .foreachBatch(capture)
+        .queryName("stream_windowed_watermark")
+        .start()
+    )
+    try:
+        query.processAllAvailable()
+    finally:
+        query.stop()
+        cdc.cleanup(src)
+    rows = [
+        (r["window_start"], r["window_end"], r["event_type"], r["n"],
+         round(r["value_sum"], 4))
+        for r in final.values()
+    ]
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    schema = StructType(
+        [
+            StructField("window_start", TimestampType()),
+            StructField("window_end", TimestampType()),
+            StructField("event_type", StringType()),
+            StructField("n", LongType()),
+            StructField("value_sum", DoubleType()),
+        ]
+    )
+    return spark.createDataFrame(rows, schema)
+
+
+@register(
     "stream_join_view",
     oracle="""
     WITH rev AS (
