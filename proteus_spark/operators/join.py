@@ -55,3 +55,50 @@ def keyed_merge_join(
         else:
             proj.append(F.col(c))
     return out.select(*proj)
+
+
+def range_join_pairs(
+    df: DataFrame,
+    key: str,
+    ts_col: str,
+    radius: int,
+    id_col: str,
+) -> DataFrame:
+    """Self range-join: pairs of rows with the same ``key`` whose ``ts_col``
+    values differ by at most ``radius`` — (key, a_id, b_id, a_ts, b_ts)
+    with ``a_id < b_id``.
+
+    Scale shape: a naive range join is a per-key theta join (quadratic in
+    the hottest key). Bucketize time into ``radius``-wide buckets instead:
+    any qualifying pair lands in the same or adjacent buckets, so the left
+    side joins on its exact bucket while the right side explodes into
+    {b-1, b, b+1}. The join becomes an EQUI-join on (key, bucket) — one
+    hash shuffle, candidates bounded by per-bucket occupancy — and the
+    exact |Δts| <= radius predicate filters candidates. Each qualifying
+    pair matches exactly once (the right row's three exploded buckets are
+    distinct, one of them is the left row's bucket). The reference has no
+    range/interval joins at all (SURVEY §2.3).
+    """
+    bucket = (F.col(ts_col) / F.lit(radius)).cast("long")
+    a = df.select(
+        F.col(key),
+        F.col(id_col).alias("a_id"),
+        F.col(ts_col).alias("a_ts"),
+        bucket.alias("_b"),
+    )
+    b = df.select(
+        F.col(key),
+        F.col(id_col).alias("b_id"),
+        F.col(ts_col).alias("b_ts"),
+        F.explode(
+            F.array(bucket - 1, bucket, bucket + 1)
+        ).alias("_b"),
+    )
+    return (
+        a.join(b, [key, "_b"])
+        .filter(
+            (F.col("a_id") < F.col("b_id"))
+            & (F.abs(F.col("a_ts") - F.col("b_ts")) <= radius)
+        )
+        .select(key, "a_id", "b_id", "a_ts", "b_ts")
+    )

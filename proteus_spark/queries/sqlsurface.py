@@ -525,6 +525,86 @@ def asof_join_latest_order(spark, sf_dir):
     )
 
 
+@register(
+    "range_join_events",
+    oracle=EVENTS_NS_ORACLE
+    + """
+    SELECT a.user_id AS user_id, CAST(count(*) AS BIGINT) AS n_pairs
+    FROM events_ns a JOIN events_ns b
+      ON a.user_id = b.user_id AND a.event_id < b.event_id
+     AND abs(a.ts_ns - b.ts_ns) <= 600000000000
+    GROUP BY a.user_id
+    """,
+    tags=("join", "range"),
+)
+def range_join_events(spark, sf_dir):
+    """Range join (the brief's custom-operator list; absent from the
+    reference AND from stock Spark's equi-join fast paths): per-user count
+    of event pairs within 10 minutes of each other. The operator
+    bucketizes time so the theta predicate becomes an equi-join on
+    (key, bucket) with a 3-bucket explode on one side — one hash shuffle,
+    never a per-key cross product; the oracle states the same semantics
+    as a plain theta join."""
+    from proteus_spark.operators.join import range_join_pairs
+
+    ev = events_with_ts(spark, sf_dir).select("user_id", "event_id", "ts_ns")
+    pairs = range_join_pairs(
+        ev, key="user_id", ts_col="ts_ns", radius=600_000_000_000,
+        id_col="event_id",
+    )
+    return pairs.groupBy("user_id").agg(F.count("*").alias("n_pairs"))
+
+
+register_sql(
+    "events_rollup_multigrain",
+    """
+    SELECT CAST(date_trunc('month', ts) AS DATE) AS month,
+           CAST(date_trunc('day', ts) AS DATE) AS day,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS value_sum
+    FROM events_ns
+    GROUP BY GROUPING SETS (
+      (date_trunc('month', ts)),
+      (date_trunc('month', ts), date_trunc('day', ts))
+    )
+    """,
+    tags=("event-time", "rollup"),
+    spark_prelude=EVENTS_PRELUDE,
+    oracle_prelude=EVENTS_NS_ORACLE,
+    doc="Hypertable-style continuous-aggregate rollup: day and month "
+    "grains in ONE grouping-sets pass (Spark computes the finest grain "
+    "and rolls partials up — at scale this is the incremental-rollup "
+    "cascade, each coarser grain aggregating the finer one's partials, "
+    "never rescanning the base table).",
+)
+
+
+@register(
+    "agg_percentiles",
+    oracle="""
+    WITH events_ns AS (SELECT event_type, value FROM events)
+    SELECT event_type,
+           round(quantile_cont(value, 0.5), 6)  AS p50,
+           round(quantile_cont(value, 0.9), 6)  AS p90,
+           round(quantile_cont(value, 0.99), 6) AS p99
+    FROM events_ns GROUP BY event_type
+    """,
+    tags=("aggregate",),
+)
+def agg_percentiles(spark, sf_dir):
+    """Exact interpolated percentiles per group (Spark `percentile` ==
+    DuckDB `quantile_cont`: both linear-interpolate between order
+    statistics). The streaming/sketch variant is percentile_approx /
+    t-digest — exposed separately because approximations can't
+    oracle-match."""
+    ev = load(spark, sf_dir, "events").select("event_type", "value")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+        F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # TPC-H extension pack (adapted to the driver schema: no shipmode /
 # commitdate / receiptdate / partsupp columns — each adaptation keeps the
