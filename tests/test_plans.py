@@ -157,3 +157,12 @@ def test_partitioned_table_prunes_partitions(spark, sf_dir, tmp_path):
     assert "o_orderstatus" in p.split("PartitionFilters", 1)[1].split("]", 1)[0]
     want = orders.filter("o_orderstatus = 'F'").count()
     assert df.count() == want
+
+
+def test_range_join_is_equi_join(q):
+    """The bucketized range join must plan as a hash equi-join on
+    (key, bucket) — never a nested-loop/cartesian theta join."""
+    p = q("range_join_events")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "SortMergeJoin" in p or "ShuffledHashJoin" in p or "BroadcastHashJoin" in p
