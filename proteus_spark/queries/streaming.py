@@ -290,6 +290,48 @@ def stream_windowed_watermark(spark, sf_dir):
 
 
 @register(
+    "stream_dedup_ingest",
+    oracle="""
+    SELECT DISTINCT md5(text) AS text_hash FROM documents
+    """,
+    tags=("streaming", "stateful", "llm"),
+)
+def stream_dedup_ingest(spark, sf_dir):
+    """Streaming ingest-dedup (stateful first-seen filter): documents
+    replayed as micro-batches; the first record per content hash passes,
+    re-occurrences are suppressed by per-key state. The emitted SET is
+    arrival-order independent, so the converged output equals batch
+    SELECT DISTINCT md5(text) — the streaming form of the
+    training-pipeline exact-dedup operator."""
+    from proteus_spark.streaming.stateful import dedup_stream
+
+    docs = load(spark, sf_dir, "documents").select(
+        F.md5("text").alias("text_hash")
+    )
+    src = cdc.stage_stream(spark, docs, chunks=4)
+    out = dedup_stream(src.subscribe())
+    seen: list = []
+
+    def capture(batch, epoch):
+        seen.extend(r["text_hash"] for r in batch.collect())
+
+    query = (
+        out.writeStream.outputMode("append")
+        .foreachBatch(capture)
+        .queryName("stream_dedup_ingest")
+        .start()
+    )
+    try:
+        query.processAllAvailable()
+    finally:
+        query.stop()
+        cdc.cleanup(src)
+    return spark.createDataFrame(
+        [(h,) for h in sorted(set(seen))], "text_hash string"
+    )
+
+
+@register(
     "stream_join_view",
     oracle="""
     WITH rev AS (

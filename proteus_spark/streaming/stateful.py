@@ -130,3 +130,65 @@ def sessionize_stream(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def dedup_stream(
+    stream: "DataFrame",
+    key: str = "text_hash",
+    ttl_ms: int | None = None,
+) -> "DataFrame":
+    """Streaming ingest-dedup: the canonical training-data ingestion
+    operator. The first record per content hash passes; re-occurrences
+    are suppressed while the hash's state entry lives.
+
+    ``ttl_ms`` bounds state size by recency at 100 TB ingest scale via a
+    processing-time timeout — an expired hash re-admits, the standard
+    horizon-dedup trade. ``None`` keeps hashes forever (exact dedup;
+    state grows with distinct corpus size, which Spark's state store
+    shards and spills, unlike the reference's in-process maps).
+
+    Output: one row ``(key,)`` per first-seen hash. The OUTPUT SET is
+    arrival-order independent (which physical row wins is not), so the
+    converged result equals batch ``SELECT DISTINCT``.
+
+    Note: Spark 4's second-gen API (``transformWithStateInPandas`` —
+    named state vars, timers, native TTL) is the natural home for this
+    operator, but its driver worker needs the ``google.protobuf`` wheel,
+    absent in this environment; ``applyInPandasWithState`` expresses the
+    same semantics with the timeout mechanism.
+    """
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    out_schema = StructType([StructField(key, StringType())])
+    state_schema = StructType([StructField("seen", StringType())])
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if ttl_ms is not None
+        else GroupStateTimeout.NoTimeout
+    )
+
+    # Closure so it pickles by value (foreign-cwd executors cannot import
+    # proteus_spark).
+    def _update(key_tuple, pdf_iter, state):
+        import pandas as pd
+
+        if ttl_ms is not None and state.hasTimedOut:
+            state.remove()  # horizon passed: forget the hash
+            return
+        for _ in pdf_iter:
+            pass  # drain: content is irrelevant, the KEY is the content
+        first = not state.exists
+        if first:
+            state.update(("1",))
+        if ttl_ms is not None:
+            state.setTimeoutDuration(ttl_ms)  # sliding horizon
+        if first:
+            yield pd.DataFrame({key: [key_tuple[0]]})
+
+    return stream.groupBy(key).applyInPandasWithState(
+        _update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=timeout,
+    )

@@ -311,3 +311,56 @@ print('ROCKSDB_OK')
         [sys.executable, "-c", code], capture_output=True, text=True, timeout=240
     )
     assert "ROCKSDB_OK" in out.stdout, out.stderr[-2000:]
+
+
+def test_stream_dedup_ttl_readmits(spark, tmp_path):
+    """TTL horizon dedup: a hash seen once is suppressed on re-arrival
+    within the horizon, but re-admitted after its state expires.
+
+    ProcessingTimeTimeout keeps the trigger permanently active (Spark runs
+    no-data "state cleanup" batches to fire timers), so processAllAvailable
+    would never return — the test polls emissions with deadlines instead.
+    """
+    import time as _time
+
+    from proteus_spark.streaming.stateful import dedup_stream
+
+    d = str(tmp_path / "dedup_in")
+
+    def write(hashes):
+        spark.createDataFrame(
+            [(h,) for h in hashes], "text_hash string"
+        ).coalesce(1).write.mode("append").parquet(d)
+
+    def await_emitted(emitted, expect, timeout=60):
+        deadline = _time.time() + timeout
+        while _time.time() < deadline:
+            if sorted(emitted) == expect:
+                return
+            _time.sleep(0.5)
+        assert sorted(emitted) == expect
+
+    write(["A", "B", "A"])  # A duplicated in-batch
+    stream = spark.readStream.schema("text_hash string").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(d)
+    out = dedup_stream(stream, ttl_ms=10_000)
+    emitted: list = []
+    q = (
+        out.writeStream.outputMode("append")
+        .foreachBatch(lambda b, e: emitted.extend(r["text_hash"] for r in b.collect()))
+        .queryName("t_dedup_ttl")
+        .start()
+    )
+    try:
+        await_emitted(emitted, ["A", "B"])  # in-batch dedup
+        write(["A"])  # within horizon -> suppressed
+        _time.sleep(3)
+        assert sorted(emitted) == ["A", "B"]
+        # the write above re-armed A's 10s timer; wait past the horizon so
+        # the no-data cleanup batches fire the timers and drop the state
+        _time.sleep(11)
+        write(["A"])  # past horizon -> first again
+        await_emitted(emitted, ["A", "A", "B"])
+    finally:
+        q.stop()
