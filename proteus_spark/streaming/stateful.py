@@ -76,50 +76,54 @@ def sessionize_stream(
 
     # Closure (not module-level) so it pickles by value: executor workers
     # cannot import proteus_spark when the driver runs from a foreign cwd.
+    # The merge is fully vectorized (sort + cummax gap-break + groupby):
+    # the Arrow batch never degrades to a per-event Python loop.
     def _update(key_tuple, pdf_iter, state):
+        import numpy as np
         import pandas as pd
 
+        frames = [
+            pd.DataFrame(
+                {
+                    "s": pdf[ts_col].astype("int64"),
+                    "e": pdf[ts_col].astype("int64"),
+                    "c": np.ones(len(pdf), dtype="int64"),
+                    "v": pdf[value_col].astype("float64"),
+                }
+            )
+            for pdf in pdf_iter
+        ]
         if state.exists:
             starts, ends, counts, vsums = state.get
-            ivs = [
-                [s, e, c, v]
-                for s, e, c, v in zip(starts, ends, counts, vsums)
-            ]
-        else:
-            ivs = []
-
-        for pdf in pdf_iter:
-            for ts, val in zip(
-                pdf[ts_col].astype("int64"), pdf[value_col].astype("float64")
-            ):
-                ivs.append([int(ts), int(ts), 1, float(val)])
-
-        # merge: sort by start, chain intervals whose gap <= gap_ns
-        ivs.sort(key=lambda iv: (iv[0], iv[1]))
-        merged: list[list] = []
-        for iv in ivs:
-            if merged and iv[0] - merged[-1][1] <= gap_ns:
-                last = merged[-1]
-                last[1] = max(last[1], iv[1])
-                last[2] += iv[2]
-                last[3] += iv[3]
-            else:
-                merged.append(iv)
+            frames.append(
+                pd.DataFrame({"s": starts, "e": ends, "c": counts, "v": vsums})
+            )
+        iv = pd.concat(frames, ignore_index=True).sort_values(
+            ["s", "e"], ignore_index=True
+        )
+        # an interval opens a new session iff its start exceeds the running
+        # max end of everything before it by more than the gap
+        prev_end_max = iv["e"].cummax().shift(1)
+        new_sess = (iv["s"] - prev_end_max > gap_ns) | prev_end_max.isna()
+        sess_id = new_sess.cumsum()
+        merged = iv.groupby(sess_id).agg(
+            s=("s", "min"), e=("e", "max"), c=("c", "sum"), v=("v", "sum")
+        )
 
         state.update(
             (
-                [iv[0] for iv in merged],
-                [iv[1] for iv in merged],
-                [iv[2] for iv in merged],
-                [iv[3] for iv in merged],
+                merged["s"].tolist(),
+                merged["e"].tolist(),
+                merged["c"].tolist(),
+                merged["v"].tolist(),
             )
         )
         yield pd.DataFrame(
             {
                 "user_id": [key_tuple[0]],
                 "n_sessions": [len(merged)],
-                "n_events": [sum(iv[2] for iv in merged)],
-                "value_sum": [sum(iv[3] for iv in merged)],
+                "n_events": [int(merged["c"].sum())],
+                "value_sum": [float(merged["v"].sum())],
             }
         )
 
