@@ -137,6 +137,13 @@ def build_topology(
             )
         elif op == "router":
             df = union_router(ins)
+        elif op == "cache":
+            # CacheQPU as a topology node (cache.go:81-153): materialize the
+            # child once, serve repeat reads from memory. Spark's .cache()
+            # is version-consistent within a session; the reference's
+            # cross-update LRU + invalidation semantics live in
+            # proteus_spark.cache.CachedEngine (keyed on source versions).
+            df = ins[0].cache()
         else:
             raise ValueError(f"unknown operator {op!r} for node {name!r}")
         built[name] = df

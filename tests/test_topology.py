@@ -148,3 +148,32 @@ def test_topology_rejects_cycles_and_unknowns(spark, sf_dir):
             by = "x"
             """,
         )
+
+
+def test_topology_cache_node(spark, sf_dir):
+    """All 7 reference QPU classes are declarable: a cache node
+    materializes its child and serves identical results."""
+    toml_text = """
+    [nodes.votes]
+    operator = "scan"
+    table = "lineitem"
+    columns = ["l_orderkey", "l_quantity"]
+
+    [nodes.vote_sum]
+    operator = "sum"
+    input = "votes"
+    group_by = "l_orderkey"
+    agg_attr = "l_quantity"
+
+    [nodes.cached_sum]
+    operator = "cache"
+    input = "vote_sum"
+    """
+    built = build_topology(spark, sf_dir, toml_text)
+    try:
+        a = {r[0]: r[1] for r in built["vote_sum"].collect()}
+        b = {r[0]: r[1] for r in built["cached_sum"].collect()}
+        assert a == b and len(b) > 0
+        assert built["cached_sum"].storageLevel.useMemory
+    finally:
+        built["cached_sum"].unpersist()
