@@ -123,3 +123,48 @@ def test_float_tolerance_matches_reference(mk_df, rows, target):
         if y is not None and abs(y - target) < FLOAT_TOLERANCE
     }
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Range-join property: bucketized equi-join == naive theta join
+# ---------------------------------------------------------------------------
+
+RJ_ROWS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),      # key
+        st.integers(min_value=0, max_value=1000),   # ts
+    ),
+    min_size=0,
+    max_size=40,
+)
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(rows=RJ_ROWS, radius=st.integers(min_value=1, max_value=300))
+def test_range_join_matches_naive_theta(spark, rows, radius):
+    """The 3-bucket-explode equi-join must produce EXACTLY the naive
+    theta-join pair set for any key/ts distribution and radius, including
+    boundary-equal |Δts| == radius pairs and duplicate timestamps."""
+    from proteus_spark.operators.join import range_join_pairs
+
+    df = spark.createDataFrame(
+        [(k, i, t) for i, (k, t) in enumerate(rows)],
+        "key int, rid int, ts long",
+    )
+    got = {
+        (r["key"], r["a_id"], r["b_id"])
+        for r in range_join_pairs(
+            df, key="key", ts_col="ts", radius=radius, id_col="rid"
+        ).collect()
+    }
+    want = {
+        (ka, ia, ib)
+        for ia, (ka, ta) in enumerate(rows)
+        for ib, (kb, tb) in enumerate(rows)
+        if ka == kb and ia < ib and abs(ta - tb) <= radius
+    }
+    assert got == want
