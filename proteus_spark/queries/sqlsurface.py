@@ -80,7 +80,12 @@ register_sql(
     tags=("aggregate", "tpch", "bench"),
     doc="TPC-H Q1 pricing summary over the driver testdata: scan + "
     "filter + 8-aggregate groupBy; partial aggregation collapses rows "
-    "map-side so the exchange carries only #groups x #tasks rows.",
+    "map-side so the exchange carries only #groups x #tasks rows. "
+    "lineitem is densified (single-row-group file -> serial scan): the "
+    "DECIMAL partial aggregation is the heavy pre-exchange work, and "
+    "spreading it measured -18%; join-shaped queries skip densify (their "
+    "next operator is an exchange anyway, measured regression).",
+    densify_tables=("lineitem",),
 )
 
 register_sql(

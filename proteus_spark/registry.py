@@ -147,6 +147,7 @@ def register_sql(
     doc: str = "",
     spark_prelude: dict[str, Callable[[SparkSession, str], DataFrame]] | None = None,
     oracle_prelude: str = "",
+    densify_tables: tuple[str, ...] = (),
 ):
     """Register a dialect-shared SQL query: the SAME SQL text runs through
     ``spark.sql`` (over temp views of the testdata tables) and through DuckDB
@@ -170,7 +171,9 @@ def register_sql(
 
         for t in TABLES:
             if t in referenced:
-                load(spark, sf_dir, t).createOrReplaceTempView(t)
+                load(
+                    spark, sf_dir, t, densify=t in densify_tables
+                ).createOrReplaceTempView(t)
         for vname, builder in (spark_prelude or {}).items():
             builder(spark, sf_dir).createOrReplaceTempView(vname)
         return spark.sql(sql)
