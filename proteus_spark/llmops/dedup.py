@@ -74,9 +74,12 @@ def shingles(
     file — the whole pipeline serialized). The shuffle moves only the
     pre-explode doc rows, the cheapest point in the plan.
     """
-    toks = docs.select(F.col(id_col).alias("doc_id"), tokens_col().alias("_t"))
+    # repartition the RAW doc rows, then split: the exchange ships compact
+    # text (not token arrays), and tokenize+explode+hash all run at
+    # cluster parallelism (projections don't migrate through exchanges)
     if fanout:
-        toks = toks.repartition(fanout, "doc_id")
+        docs = docs.repartition(fanout, id_col)
+    toks = docs.select(F.col(id_col).alias("doc_id"), tokens_col().alias("_t"))
     t = F.col("_t")
     size = F.size(t)
     idx = F.sequence(F.lit(0), size - n)  # 0-based start positions
