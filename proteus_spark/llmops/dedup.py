@@ -286,8 +286,12 @@ def simhash_signatures(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
     bit b of the signature = majority vote of bit b across token hashes.
     Computed as ``bits`` conditional sums in ONE aggregation pass.
     """
+    # raw-docs repartition for the same reason as shingles(): single-file
+    # sources otherwise tokenize serially
     tok = (
-        docs.select("doc_id", F.explode(tokens_col()).alias("w")).distinct()
+        docs.repartition(32, "doc_id")
+        .select("doc_id", F.explode(tokens_col()).alias("w"))
+        .distinct()
     )
     h = tok.select(
         "doc_id", F.expr(md5_seeded_sql("w", "sim")).alias("xh")
