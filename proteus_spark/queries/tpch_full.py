@@ -73,7 +73,7 @@ register_sql(
     "tpch_q7",
     f"""
     SELECT supp_nation, cust_nation, l_year,
-           CAST(sum(volume) AS DECIMAL(38,4)) AS revenue
+           CAST(CAST(sum(volume) AS DECIMAL(38,4)) AS DOUBLE) AS revenue
     FROM (
       SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
              CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
@@ -130,7 +130,7 @@ register_sql(
 register_sql(
     "tpch_q9",
     f"""
-    SELECT nation, o_year, CAST(sum(amount) AS DECIMAL(38,4)) AS sum_profit
+    SELECT nation, o_year, CAST(CAST(sum(amount) AS DECIMAL(38,4)) AS DOUBLE) AS sum_profit
     FROM (
       SELECT n_name AS nation,
              CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
@@ -166,7 +166,7 @@ register_sql(
         JOIN nation ON s_nationkey = n_nationkey
       WHERE n_name = 'NATION_3'
       GROUP BY l_partkey)
-    SELECT partkey, CAST(part_value AS DECIMAL(38,4)) AS part_value
+    SELECT partkey, CAST(CAST(part_value AS DECIMAL(38,4)) AS DOUBLE) AS part_value
     FROM partvalue
     WHERE CAST(part_value AS DOUBLE) >
           (SELECT CAST(sum(part_value) AS DOUBLE) * 0.001 FROM partvalue)
@@ -206,7 +206,7 @@ register_sql(
     f"""
     WITH revenue AS (
       SELECT l_suppkey AS supplier_no,
-             CAST(sum({DISC_PRICE}) AS DECIMAL(38,4)) AS total_revenue
+             CAST(CAST(sum({DISC_PRICE}) AS DECIMAL(38,4)) AS DOUBLE) AS total_revenue
       FROM lineitem
       WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-04-01'
       GROUP BY l_suppkey)
@@ -247,7 +247,7 @@ register_sql(
     """
     WITH perpart AS (
       SELECT l_partkey AS pk,
-             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
+             CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_qty,
              CAST(count(*) AS BIGINT) AS cnt
       FROM lineitem GROUP BY l_partkey)
     SELECT round(CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
@@ -324,12 +324,12 @@ register_sql(
     "tpch_q22",
     """
     WITH pos AS (
-      SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS s,
+      SELECT CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS s,
              CAST(count(*) AS BIGINT) AS n
       FROM customer
       WHERE c_acctbal > 0.0 AND c_nationkey % 10 IN (1, 3, 5, 7, 9))
     SELECT cntrycode, CAST(count(*) AS BIGINT) AS numcust,
-           CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS totacctbal
+           CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS totacctbal
     FROM (
       SELECT CAST(c_nationkey % 10 AS BIGINT) AS cntrycode, c_acctbal
       FROM customer CROSS JOIN pos

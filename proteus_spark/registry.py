@@ -125,19 +125,29 @@ def load(
 
 
 def events_with_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events with ``ts`` converted to TimestampNTZ (microsecond) and the
-    raw nanos kept as ``ts_ns`` — the queryable-time view of the stream
-    table. DuckDB equivalent of ``ts``: ``CAST(ts AS TIMESTAMP)`` (its
-    reader yields TIMESTAMP_NS natively)."""
+    """events with ``ts`` as TimestampNTZ plus ``ts_ns`` epoch-nanos long —
+    the queryable-time view of the stream table. Handles both testdata
+    vintages: TIMESTAMP(MICROS) parquet (reads as TimestampNTZ) and
+    TIMESTAMP(NANOS) parquet (reads as epoch-nanos LongType under the
+    nanosAsLong conf). DuckDB equivalents: ``CAST(ts AS TIMESTAMP)`` /
+    ``epoch_ns(ts)`` — verified bit-identical under the UTC session TZ."""
     from pyspark.sql import functions as F
+    from pyspark.sql import types as T
 
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     ev = load(spark, sf_dir, "events")
-    return ev.withColumn("ts_ns", F.col("ts")).withColumn(
-        "ts",
-        F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long")).cast(
-            "timestamp_ntz"
-        ),
-    )
+    ts_type = ev.schema["ts"].dataType
+    if isinstance(ts_type, T.LongType):
+        # legacy nanos-as-long layout
+        return ev.withColumn("ts_ns", F.col("ts")).withColumn(
+            "ts",
+            F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long")).cast(
+                "timestamp_ntz"
+            ),
+        )
+    return ev.withColumn(
+        "ts_ns", F.unix_micros(F.col("ts").cast("timestamp")) * F.lit(1000)
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
 
 
 def register_sql(

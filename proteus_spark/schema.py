@@ -88,13 +88,13 @@ TESTDATA_SCHEMAS: dict[str, T.StructType] = {
             T.StructField("l_shipdate", T.TimestampNTZType()),
         ]
     ),
-    # events.parquet stores TIMESTAMP(NANOS,false); with
-    # spark.sql.legacy.parquet.nanosAsLong=true it reads as epoch-nanos
-    # LongType (registry.events_with_ts derives a TimestampNTZ view).
+    # events.parquet stores TIMESTAMP(MICROS) without UTC adjustment, which
+    # Spark reads as TimestampNTZ (registry.events_with_ts adds an
+    # epoch-nanos ``ts_ns`` long for gap/radius arithmetic).
     "events": T.StructType(
         [
             T.StructField("event_id", T.LongType()),
-            T.StructField("ts", T.LongType()),
+            T.StructField("ts", T.TimestampNTZType()),
             T.StructField("user_id", T.LongType()),
             T.StructField("event_type", T.StringType()),
             T.StructField("value", T.DoubleType()),
