@@ -207,15 +207,59 @@ def _import_all() -> None:
             pass
 
 
-def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+# Verification-priority order. External harnesses that budget their checks
+# walk queries() in dict order, so breadth of operator coverage must come
+# before depth: reference-parity queries first, then every operator family
+# (aggregate/window/event-time/join/llm-pipeline/streaming) before the
+# long tail of same-family variants. Queries not listed keep registration
+# order after these.
+PRIORITY: tuple[str, ...] = (
+    # reference parity (the reference's own test-query surface)
+    "ref_point_eq", "ref_projection", "ref_range_filter", "ref_isnull",
+    "ref_isnotnull", "ref_conjunction", "ref_topk_orders", "ref_sum_view",
+    "ref_join_merge", "ref_lobsters_topk", "ref_router_union",
+    "ref_index_range", "ref_index_point", "ref_cache_topk",
+    "ref_topology_lobsters",
+    # aggregate / grouping-set / window families
+    "agg_full", "tpch_q1", "groupby_having", "rollup_flag_status",
+    "cube_flag_status", "window_running_sum", "window_lag_delta",
+    # event-time operators over the events stream table
+    "events_tumbling_hourly", "events_sessionization",
+    "asof_join_latest_order", "range_join_events",
+    "events_rollup_multigrain", "events_sliding_2h",
+    # join-heavy TPC-H representatives
+    "tpch_q10", "tpch_q18", "tpch_q19",
+    # training-data pipeline (dedup / similarity / text analysis)
+    "llm_token_stats", "llm_quality_score", "llm_lang_id",
+    "llm_fingerprint", "llm_dedup_exact", "llm_dedup_ngram_jaccard",
+    "llm_dedup_minhash_lsh", "llm_dedup_simhash", "llm_dedup_simhash_pairs",
+    "llm_dedup_embedding", "llm_sim_bruteforce", "llm_sim_ivf",
+    "llm_embed_norms", "llm_dedup_apply", "llm_corpus_stats",
+    # streaming operators (materialized-view maintenance surface)
+    "stream_sum_view", "stream_sessionize_stateful",
+    "stream_windowed_watermark", "stream_dedup_ingest",
+)
+
+
+def _ordered() -> dict[str, QuerySpec]:
     _import_all()
-    return {name: spec.fn for name, spec in QUERIES.items()}
+    out: dict[str, QuerySpec] = {}
+    for name in PRIORITY:
+        if name in QUERIES:
+            out[name] = QUERIES[name]
+    for name, spec in QUERIES.items():
+        if name not in out:
+            out[name] = spec
+    return out
+
+
+def all_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: spec.fn for name, spec in _ordered().items()}
 
 
 def all_oracles() -> dict[str, str]:
-    _import_all()
     out = {}
-    for name, spec in QUERIES.items():
+    for name, spec in _ordered().items():
         sql = spec.resolve_oracle()
         if sql is not None:
             out[name] = sql
