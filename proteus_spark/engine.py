@@ -69,9 +69,9 @@ class Engine:
     def register_parquet(self, name: str, path: str, schema=None) -> DataFrame:
         """Register a parquet table as a named view (explicit schema
         contract; reference declares schemas in TOML — config.go:25-35)."""
-        # legacy testdata vintage stored events.ts as TIMESTAMP(NANOS);
-        # harmless for MICROS data, required to read the old layout.
-        self.spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        from proteus_spark.registry import _tune_session
+
+        _tune_session(self.spark)
         df = self.spark.read.parquet(path)
         if schema is not None:
             declared = {f.name: f.dataType for f in schema.fields}

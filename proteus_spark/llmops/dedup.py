@@ -390,3 +390,64 @@ def minhash_dedup_keep(docs: DataFrame, min_jaccard: float = 0.8) -> DataFrame:
     return docs.join(losers, "doc_id", "left_anti").select(
         "doc_id", F.md5("text").alias("text_hash")
     )
+
+
+# ---------------------------------------------------------------------------
+# Duplicate clusters (connected components)
+# ---------------------------------------------------------------------------
+
+
+def dup_components(pairs: DataFrame, max_iters: int = 25) -> DataFrame:
+    """Connected components over near-dup pairs: (doc_id, component) for
+    every doc that appears in >= 1 pair, with ``component`` = the minimum
+    doc_id reachable through the pair graph (deterministic canonical label).
+
+    ``minhash_dedup_keep`` applies the greedy single-pass survivor rule;
+    this is the exact transitive closure a curation pipeline needs when
+    near-dup clusters chain (A~B, B~C but not A~C).
+
+    Algorithm: iterative min-label propagation as DataFrame joins —
+    label(v) <- min(label(v), min over neighbors' labels) to fixpoint.
+    Scale shape:
+
+    - each round is ONE equi-join (edges x labels, shuffle on the edge
+      endpoint) + ONE groupBy-min (map-side partial min) — no driver-side
+      graph state, no per-vertex loops;
+    - rounds needed = graph diameter; near-dup clusters are shallow
+      (dozens of docs, diameter ~2-4), so the loop runs 3-5 rounds even at
+      corpus scale. (A web-scale general graph would want the
+      large-star/small-star contraction [Kiveris et al., "Connected
+      Components in MapReduce and Beyond"], which converges in
+      O(log^2 n) rounds; for dedup clusters plain propagation is both
+      simpler and faster.)
+    - ``localCheckpoint`` truncates lineage each round — without it the
+      plan doubles per iteration and Catalyst analysis time explodes;
+    - convergence probe: labels only ever decrease, so the label-sum is a
+      strictly decreasing monotone — one scalar ``agg(sum)`` per round
+      (never a full-result collect).
+    """
+    fwd = pairs.select(F.col("ida").alias("a"), F.col("idb").alias("b"))
+    rev = pairs.select(F.col("idb").alias("a"), F.col("ida").alias("b"))
+    edges = fwd.union(rev).distinct().localCheckpoint(eager=False)
+
+    labels = (
+        edges.select(F.col("a").alias("v"))
+        .distinct()
+        .select("v", F.col("v").alias("label"))
+    )
+    prev_sum = None
+    for _ in range(max_iters):
+        msgs = edges.join(labels, edges["a"] == labels["v"]).select(
+            F.col("b").alias("v"), F.col("label")
+        )
+        labels = (
+            msgs.union(labels)
+            .groupBy("v")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels.select(F.col("v").alias("doc_id"), F.col("label").alias("component"))

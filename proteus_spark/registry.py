@@ -91,6 +91,35 @@ def _unsplittable_rows(path: str) -> int:
     return _split_cache[path]
 
 
+def _tune_session(spark: SparkSession) -> None:
+    """Apply the engine's runtime-settable tuning to WHATEVER session the
+    caller hands us (an external harness passes its own plain session —
+    builder-time configs in session.py never reach it).
+
+    - shuffle partitions sized to actual parallelism: a plain session's
+      default of 200 runs 200-way exchanges AND 200 state-store partitions
+      per streaming micro-batch (stateful ops don't benefit from AQE
+      coalescing — state partitioning is fixed at first batch). On a real
+      cluster defaultParallelism scales with executors, so this holds at
+      100 TB too.
+    - UTC session TZ: timestamp results must not depend on host TZ.
+    - Arrow: Pandas-UDF paths batch-transfer instead of pickling rows.
+    - legacy nanosAsLong: lets the old TIMESTAMP(NANOS) events layout read
+      as epoch-nanos longs (no-op for the current MICROS layout).
+    """
+    for k, v in (
+        ("spark.sql.shuffle.partitions", str(spark.sparkContext.defaultParallelism)),
+        ("spark.sql.session.timeZone", "UTC"),
+        ("spark.sql.execution.arrow.pyspark.enabled", "true"),
+        ("spark.sql.adaptive.enabled", "true"),
+        ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+    ):
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass  # conf not settable on this runtime -> keep its default
+
+
 def load(
     spark: SparkSession, sf_dir: str, name: str, densify: bool = False
 ) -> DataFrame:
@@ -116,7 +145,7 @@ def load(
     lineitem self-join branches each re-shuffled the full table; headline
     bench 14.9s -> 23.5s). Opt in per call site, don't default on.
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    _tune_session(spark)
     path = os.path.join(sf_dir, f"{name}.parquet")
     df = spark.read.parquet(path)
     if densify and _unsplittable_rows(path) >= _DENSIFY_MIN_ROWS:
