@@ -199,6 +199,50 @@ def llm_dedup_ngram_jaccard(spark, sf_dir):
     return D.jaccard_pairs(sh, 0.8)
 
 
+def _components_oracle() -> str:
+    # same shingle/Jaccard pipeline as _ngram_oracle, then transitive
+    # closure via a recursive CTE: reach(v, r) = r reaches v; component =
+    # min reachable id (edges are symmetric, so that's the cluster min).
+    return (
+        "WITH RECURSIVE "
+        + _SHINGLE_CTE
+        + """,
+cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS ni
+  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+pairs AS (
+  SELECT ida, idb
+  FROM inter JOIN cnt ca ON ca.doc_id = ida JOIN cnt cb ON cb.doc_id = idb
+  WHERE CAST(ni AS DOUBLE) / (ca.n + cb.n - ni) >= 0.8),
+edges AS (SELECT ida AS a, idb AS b FROM pairs
+          UNION SELECT idb, ida FROM pairs),
+reach AS (
+  SELECT a AS v, a AS r FROM edges
+  UNION
+  SELECT e.b AS v, r.r AS r FROM reach r JOIN edges e ON e.a = r.v
+)
+SELECT CAST(v AS BIGINT) AS doc_id, CAST(min(r) AS BIGINT) AS component
+FROM reach GROUP BY v
+"""
+    )
+
+
+@register("llm_dedup_components", oracle=_components_oracle, tags=("llm", "dedup"))
+def llm_dedup_components(spark, sf_dir):
+    """Duplicate clusters: exact connected components over the verified
+    near-dup pair graph (transitive closure — catches A~B~C chains the
+    greedy survivor rule in ``llm_dedup_apply`` treats pairwise).
+    Iterative min-label propagation: one equi-join + one map-side-combined
+    min per round, rounds = cluster diameter (~2-4 for dedup graphs),
+    lineage checkpoint-truncated per round. See llmops.dedup.dup_components
+    for the 100 TB scale notes."""
+    docs = load(spark, sf_dir, "documents")
+    pairs = D.jaccard_pairs(D.shingles(docs), 0.8)
+    return D.dup_components(pairs)
+
+
 def _minhash_oracle() -> str:
     k, bands, rows = D.MINHASH_K, D.LSH_BANDS, D.LSH_ROWS
     # mirror minhash_signatures: one md5 per shingle, two 48-bit slices,

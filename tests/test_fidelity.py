@@ -137,3 +137,37 @@ def test_engine_explain_surfaces_plan(spark, sf_dir):
     eng = Engine(spark, sf_dir)
     p = eng.explain("SELECT o_orderkey FROM orders WHERE o_orderkey = 7")
     assert "Scan parquet" in p and "PushedFilters" in p
+
+
+def test_dup_components_matches_union_find(spark):
+    """dup_components == classic union-find on a chain+clique+singleton-pair
+    graph (chains force multi-round propagation)."""
+    import random
+
+    from proteus_spark.llmops.dedup import dup_components
+
+    rng = random.Random(42)
+    nodes = list(range(100))
+    pairs = [(i, i + 1) for i in range(0, 20)]          # chain: diameter 20
+    pairs += [(30 + a, 30 + b) for a in range(5) for b in range(a + 1, 5)]
+    pairs += [(rng.randrange(50, 100), rng.randrange(50, 100)) for _ in range(30)]
+    pairs = [(min(a, b), max(a, b)) for a, b in pairs if a != b]
+
+    parent = {v: v for v in nodes}
+
+    def find(v):
+        while parent[v] != v:
+            parent[v] = parent[parent[v]]
+            v = parent[v]
+        return v
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    in_graph = {v for p in pairs for v in p}
+    expected = {v: find(v) for v in in_graph}
+
+    df = spark.createDataFrame(pairs, "ida long, idb long")
+    got = {r["doc_id"]: r["component"] for r in dup_components(df).collect()}
+    assert got == expected
