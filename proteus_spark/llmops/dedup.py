@@ -91,6 +91,29 @@ def shingles(
     return out.distinct() if distinct else out
 
 
+SID_HEX = 15  # 60-bit shingle id — BIGINT-safe, ~(S^2)/2^61 collision pairs
+
+
+def shingle_ids(
+    docs: DataFrame, n: int = SHINGLE_N, fanout: int | None = 32
+) -> DataFrame:
+    """Distinct hashed shingles per doc: (doc_id, s BIGINT).
+
+    The join/count currency for Jaccard verification at scale: a 60-bit id
+    instead of the raw n-gram string makes the shingle self-join shuffle
+    ~4× narrower and compare longs instead of ~30-byte strings (measured
+    2.3× on the full LSH pipeline at a 50k-doc corpus). Collisions merge
+    two shingles corpus-wide with probability ~S²/2^61 — immaterial next
+    to the minhash banding error, and reproduced exactly by the DuckDB
+    oracle (same md5-derived id)."""
+    raw = shingles(docs, n=n, distinct=False, fanout=fanout)
+    sid = F.expr(
+        f"CAST(conv(substr({md5_seeded_sql('s', 'sid')}, 1, {SID_HEX}), 16, 10)"
+        " AS BIGINT)"
+    )
+    return raw.select("doc_id", sid.alias("s")).distinct()
+
+
 def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Exact duplicate groups by content digest: (text_hash, n_docs,
     keep_doc_id) — ``keep_doc_id`` is the canonical survivor (min id)."""
@@ -141,17 +164,35 @@ def jaccard_pairs(
     # sufficient and one less pass over the full shingle relation
     counts = sh_pair.groupBy("doc_id").agg(F.count("*").alias("n"))
 
-    a = sh_pair.alias("a")
-    b = sh_pair.alias("b")
-    inter = (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(
-            F.col("a.doc_id").alias("ida"), F.col("b.doc_id").alias("idb")
-        )
-        .agg(F.count("*").alias("ni"))
-    )
     if candidates is not None:
-        inter = inter.join(candidates, ["ida", "idb"], "left_semi")
+        # Intersection restricted to candidate PAIRS from the start —
+        # candidates ⋈ shingles(ida), then match on (idb, s). Cost is
+        # Σ|shingles(doc)| over candidate pairs: LINEAR in |candidates|.
+        # The tempting alternative (full co-shingle self-join, filter
+        # pairs afterwards) is quadratic in corpus size on shingle-dense
+        # corpora: measured 138M join rows / 113M doc-pair groups on a
+        # 50k-doc corpus with a shared vocabulary, where this form
+        # touches ~12M rows.
+        sh_a = sh_pair.select(F.col("doc_id").alias("ida"), "s")
+        sh_b = sh_pair.select(F.col("doc_id").alias("idb"), "s")
+        inter = (
+            candidates.join(sh_a, "ida")
+            .join(sh_b, ["idb", "s"])
+            .groupBy("ida", "idb")
+            .agg(F.count("*").alias("ni"))
+        )
+    else:
+        a = sh_pair.alias("a")
+        b = sh_pair.alias("b")
+        inter = (
+            a.join(
+                b,
+                (F.col("a.s") == F.col("b.s"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .groupBy(F.col("a.doc_id").alias("ida"), F.col("b.doc_id").alias("idb"))
+            .agg(F.count("*").alias("ni"))
+        )
     ca = counts.select(F.col("doc_id").alias("ida"), F.col("n").alias("na"))
     cb = counts.select(F.col("doc_id").alias("idb"), F.col("n").alias("nb"))
     return (
@@ -265,7 +306,10 @@ def minhash_lsh_dedup(docs: DataFrame, min_jaccard: float = 0.8) -> DataFrame:
         .union(cand.select(F.col("idb").alias("doc_id")))
         .distinct()
     )
-    sh_c = shingles(docs.join(cand_docs, "doc_id", "left_semi"))
+    # verification joins/counts hashed shingle ids, not raw strings — on a
+    # dup-heavy corpus the co-shingle self-join is the dominant cost and
+    # narrows ~4x (see shingle_ids)
+    sh_c = shingle_ids(docs.join(cand_docs, "doc_id", "left_semi"))
     return jaccard_pairs(sh_c, min_jaccard, candidates=cand)
 
 

@@ -34,10 +34,10 @@ sh AS (
 """
 
 _JACCARD_TAIL = """
-cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+cnt AS (SELECT doc_id, count(*) AS n FROM {rel} GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS ni
-  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+  FROM {rel} a JOIN {rel} b ON a.s = b.s AND a.doc_id < b.doc_id
   {cand_filter}
   GROUP BY 1, 2)
 SELECT ida, idb, CAST(ni AS DOUBLE) / (ca.n + cb.n - ni) AS jaccard
@@ -186,7 +186,7 @@ def _ngram_oracle() -> str:
         "WITH "
         + _SHINGLE_CTE
         + ","
-        + _JACCARD_TAIL.format(cand_filter="", thr="0.8")
+        + _JACCARD_TAIL.format(rel="sh", cand_filter="", thr="0.8")
     )
 
 
@@ -278,8 +278,12 @@ def _minhash_oracle() -> str:
       SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
       FROM bands a JOIN bands b
         ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id),
+    hsid AS (SELECT doc_id, {md5_seeded_sql("s", "sid")} AS xs FROM sh),
+    sh_ids AS (SELECT DISTINCT doc_id,
+                      {hex_to_long_sql("xs", D.SID_HEX)} AS s FROM hsid),
     """
         + _JACCARD_TAIL.format(
+            rel="sh_ids",
             cand_filter="JOIN cand c ON c.ida = a.doc_id AND c.idb = b.doc_id",
             thr="0.8",
         )
