@@ -74,6 +74,8 @@ def main() -> None:
             file=sys.stderr,
         )
 
+    parity = _parity_metrics(spark, sf_dir)
+
     sf = sf_dir.rstrip("/").split("sf")[-1]
     try:
         sf_val = float(sf)
@@ -87,9 +89,79 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf_val,
+                "parity": parity,
             }
         )
     )
+
+
+def _parity_metrics(spark, sf_dir: str) -> dict:
+    """The reference's evaluation machinery, measured for real: per-batch
+    notification latency percentiles (metrics.go:78-101 shape) and the
+    staleness-in-versions distribution (metrics.go:103-214 shape), from a
+    live SumView maintaining the events aggregation over a 4-chunk replay
+    while a reader samples view.version() concurrently."""
+    import threading
+    import time as _t
+
+    from proteus_spark.registry import load
+    from proteus_spark.sources import cdc
+    from proteus_spark.streaming.metrics import (
+        FreshnessListener,
+        staleness_report,
+    )
+    from proteus_spark.streaming.views import SumView
+
+    listener = FreshnessListener()
+    spark.streams.addListener(listener)
+    samples: list[tuple[int, int]] = []
+    try:
+        ev = load(spark, sf_dir, "events").select("user_id", "value")
+        src = cdc.stage_stream(spark, ev, chunks=4)
+        view = SumView(
+            spark, src.subscribe(), group_by="user_id", agg_attr="value",
+            name="bench_parity_sum_view", mode="append",
+        ).start()
+
+        stop = threading.Event()
+
+        def sample_reader():
+            # a "read" = note the version its snapshot came from, do the
+            # read, then compare against the latest committed version:
+            # staleness = versions that advanced while the read ran
+            while not stop.is_set():
+                observed = view.version()
+                snap = view.snapshot()
+                if snap is not None:
+                    snap.count()
+                samples.append((view.version(), observed))
+                _t.sleep(0.02)
+
+        reader = threading.Thread(target=sample_reader, daemon=True)
+        reader.start()
+        try:
+            view.await_catch_up()
+        finally:
+            stop.set()
+            reader.join(timeout=2)
+            view.stop()
+            cdc.cleanup(src)
+        report = listener.report().get("bench_parity_sum_view", {})
+        # versions observed before the first commit are warm-up, not lag
+        live = [(w, o) for w, o in samples if o >= 0]
+        return {
+            "notification_latency_ms": report.get("latency_ms", {}),
+            "batches": report.get("batches"),
+            "rows": report.get("rows"),
+            "staleness": staleness_report(live),
+        }
+    except Exception as exc:  # parity metrics must never fail the bench
+        return {"error": str(exc)[:200]}
+    finally:
+        try:
+            spark.streams.removeListener(listener)
+        except Exception:
+            pass
 
 
 if __name__ == "__main__":

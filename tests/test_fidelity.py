@@ -171,3 +171,21 @@ def test_dup_components_matches_union_find(spark):
     df = spark.createDataFrame(pairs, "ida long, idb long")
     got = {r["doc_id"]: r["component"] for r in dup_components(df).collect()}
     assert got == expected
+
+
+def test_jaccard_candidate_path_matches_baseline(spark, sf_dir):
+    """The candidate-pushed intersection (linear in |candidates|) must give
+    the same (ni, jaccard) as the unrestricted co-shingle self-join
+    filtered to the same pairs."""
+    from proteus_spark.llmops import dedup as D
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sh = D.shingle_ids(docs)
+    base = D.jaccard_pairs(sh, 0.0).filter(F.col("ida") % 3 == 0)
+    cand = base.select("ida", "idb")
+    pushed = D.jaccard_pairs(sh, 0.0, candidates=cand)
+
+    b = {(r["ida"], r["idb"]): round(r["jaccard"], 9) for r in base.collect()}
+    p = {(r["ida"], r["idb"]): round(r["jaccard"], 9) for r in pushed.collect()}
+    assert b == p and len(b) > 0
