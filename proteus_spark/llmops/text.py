@@ -114,3 +114,80 @@ def fingerprints(docs: DataFrame) -> DataFrame:
         .agg(F.min("hs").alias("fp_min"))
     )
     return full.join(mins, "doc_id", "left")
+
+
+# ---------------------------------------------------------------------------
+# BM25 relevance scoring
+# ---------------------------------------------------------------------------
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_QUERY_TERMS = ("join", "window", "stream", "hash")
+
+
+def bm25_search(
+    docs: DataFrame,
+    terms: tuple[str, ...] = BM25_QUERY_TERMS,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    topk: int = 20,
+) -> DataFrame:
+    """BM25 top-k search over the corpus for a fixed term set:
+    (doc_id, dl, score).
+
+    Scale shape — ONE explode and ONE shuffle for the per-doc stats:
+
+    - ``wide``: groupBy(doc_id) computes the document length AND one
+      conditional count per query term in a single map-side-combined
+      aggregation (the query term set is small and fixed, so columns beat
+      a (doc, term) posting shuffle);
+    - corpus stats (N, avgdl, per-term document frequencies) are one more
+      aggregation over ``wide`` — a 1-row broadcast;
+    - integer token counts accumulate exactly in doubles (< 2^53), so
+      avgdl is summation-order-independent and the final ``round(score,6)``
+      is engine-stable.
+
+    Ranking is on the ROUNDED score with doc_id tie-break, so top-k
+    membership is deterministic."""
+    toks = docs.repartition(32, "doc_id").select(
+        "doc_id", F.explode(tokens_col()).alias("w")
+    )
+    wide = toks.groupBy("doc_id").agg(
+        F.count("*").alias("dl"),
+        *[
+            F.count(F.when(F.col("w") == t, True)).alias(f"tf_{i}")
+            for i, t in enumerate(terms)
+        ],
+    )
+    stats = F.broadcast(
+        wide.agg(
+            F.count("*").alias("n"),
+            F.avg("dl").alias("avgdl"),
+            *[
+                F.count(F.when(F.col(f"tf_{i}") > 0, True)).alias(f"df_{i}")
+                for i in range(len(terms))
+            ],
+        )
+    )
+
+    def term_score(i: int):
+        tf = F.col(f"tf_{i}")
+        idf = F.log(
+            F.lit(1.0) + (F.col("n") - F.col(f"df_{i}") + 0.5) / (F.col(f"df_{i}") + 0.5)
+        )
+        tf_norm = (tf * (k1 + 1)) / (
+            tf + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+        )
+        return idf * tf_norm
+
+    any_term = sum(F.col(f"tf_{i}") for i in range(len(terms))) > 0
+    scored = (
+        wide.crossJoin(stats)
+        .filter(any_term)
+        .select(
+            "doc_id",
+            F.col("dl").cast("long").alias("dl"),
+            F.round(sum(term_score(i) for i in range(len(terms))), 6).alias("score"),
+        )
+    )
+    return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(topk)

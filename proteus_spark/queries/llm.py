@@ -160,6 +160,39 @@ def llm_fingerprint(spark, sf_dir):
     return TXT.fingerprints(load(spark, sf_dir, "documents"))
 
 
+def _bm25_oracle() -> str:
+    terms = ", ".join(f"'{t}'" for t in TXT.BM25_QUERY_TERMS)
+    k1, b = TXT.BM25_K1, TXT.BM25_B
+    return f"""
+    WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                  FROM documents),
+    dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+    tf AS (SELECT doc_id, w, count(*) AS tf FROM toks
+           WHERE w IN ({terms}) GROUP BY doc_id, w),
+    dfreq AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+    stats AS (SELECT (SELECT avg(dl) FROM dl) AS avgdl,
+                     (SELECT count(*) FROM documents) AS n)
+    SELECT tf.doc_id AS doc_id, CAST(dl.dl AS BIGINT) AS dl,
+           round(sum(
+             ln(1.0 + (n - df + 0.5) / (df + 0.5))
+             * (tf * ({k1} + 1)) / (tf + {k1} * (1 - {b} + {b} * dl.dl / avgdl))
+           ), 6) AS score
+    FROM tf JOIN dfreq USING (w) JOIN dl ON dl.doc_id = tf.doc_id, stats
+    GROUP BY tf.doc_id, dl.dl
+    ORDER BY score DESC, doc_id
+    LIMIT 20
+    """
+
+
+@register("llm_bm25_search", oracle=_bm25_oracle, tags=("llm", "text"))
+def llm_bm25_search(spark, sf_dir):
+    """BM25 top-20 relevance search for a fixed query-term set: tf filtered
+    before its shuffle, df/corpus stats broadcast, exact-in-double integer
+    accumulation, rounded-score ranking with id tie-break (see
+    llmops.text.bm25_search for the scale notes)."""
+    return TXT.bm25_search(load(spark, sf_dir, "documents"))
+
+
 # ---------------------------------------------------------------------------
 # Deduplication
 # ---------------------------------------------------------------------------

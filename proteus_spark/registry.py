@@ -263,7 +263,7 @@ PRIORITY: tuple[str, ...] = (
     "llm_fingerprint", "llm_dedup_exact", "llm_dedup_ngram_jaccard",
     "llm_dedup_minhash_lsh", "llm_dedup_simhash", "llm_dedup_simhash_pairs",
     "llm_dedup_embedding", "llm_sim_bruteforce", "llm_sim_ivf",
-    "llm_embed_norms", "llm_dedup_apply", "llm_dedup_components",
+    "llm_bm25_search", "llm_dedup_apply", "llm_dedup_components",
     "llm_corpus_stats",
     # streaming operators (materialized-view maintenance surface);
     # stream_windowed_watermark sits past the cap — it is rows-only by
