@@ -38,7 +38,12 @@ LSH_ROWS = 2  # MINHASH_K == LSH_BANDS * LSH_ROWS
 # banding math at jaccard s: P[candidate] = 1-(1-s^ROWS)^BANDS;
 # r=2,b=4: s=0.8 -> 98.3% recall (vs 94% at r=3), s=0.2 -> 15% FP rate
 # handled by exact verification — fewer hashes AND better recall
-SIMHASH_BITS = 16
+# 48-bit signatures: 12-bit pigeonhole blocks give 4096 bucket values per
+# block, so candidate buckets stay small even on dense shared-vocabulary
+# corpora (16-bit signatures measured 454M candidate pairs on a 50k-doc
+# corpus — the signature, not the plan, was the bottleneck). 48 bits also
+# matches the portable hash family width (exact under double division).
+SIMHASH_BITS = 48
 SIMHASH_CHUNKS = 4
 HAMMING_MAX = 3  # pigeonhole-safe: HAMMING_MAX <= SIMHASH_CHUNKS - 1
 
