@@ -391,7 +391,7 @@ def llm_dedup_simhash_pairs(spark, sf_dir):
 
 
 def _embed_neardup_oracle() -> str:
-    bits, bands, thr = 8, 4, 0.4
+    bits, bands, thr = S.SRP_BITS, S.SRP_BANDS, S.SRP_THRESHOLD
     r = bits // bands
     selects = []
     for j in range(bands):
@@ -422,9 +422,7 @@ def llm_dedup_embedding(spark, sf_dir):
     then exact cosine verification on candidates only (SURVEY §7.1's
     embedding-cosine near-dup; recall < 1 by design, reproduced by the
     oracle)."""
-    return S.embedding_near_dup_pairs(
-        load(spark, sf_dir, "embeddings"), threshold=0.4, bits=8, bands=4
-    )
+    return S.embedding_near_dup_pairs(load(spark, sf_dir, "embeddings"))
 
 
 # ---------------------------------------------------------------------------
