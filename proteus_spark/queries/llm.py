@@ -262,6 +262,35 @@ FROM reach GROUP BY v
     )
 
 
+def _components_lsh_oracle() -> str:
+    # transitive closure over the MinHash-LSH pair graph — the scale-path
+    # composition (banded candidates -> verified pairs -> clusters)
+    return f"""
+    WITH RECURSIVE
+    pairs AS ({_minhash_oracle()}),
+    edges AS (SELECT ida AS a, idb AS b FROM pairs
+              UNION SELECT idb, ida FROM pairs),
+    reach AS (
+      SELECT a AS v, a AS r FROM edges
+      UNION
+      SELECT e.b AS v, r.r AS r FROM reach r JOIN edges e ON e.a = r.v
+    )
+    SELECT CAST(v AS BIGINT) AS doc_id, CAST(min(r) AS BIGINT) AS component
+    FROM reach GROUP BY v
+    """
+
+
+@register(
+    "llm_dedup_components_lsh", oracle=_components_lsh_oracle, tags=("llm", "dedup")
+)
+def llm_dedup_components_lsh(spark, sf_dir):
+    """Duplicate clusters over the MinHash-LSH verified pair graph — the
+    composition a corpus-scale pipeline runs (LSH candidates -> exact
+    verification -> connected components), end-to-end oracle-checked."""
+    docs = load(spark, sf_dir, "documents")
+    return D.dup_components(D.minhash_lsh_dedup(docs, 0.8))
+
+
 @register("llm_dedup_components", oracle=_components_oracle, tags=("llm", "dedup"))
 def llm_dedup_components(spark, sf_dir):
     """Duplicate clusters: exact connected components over the verified
