@@ -166,3 +166,24 @@ def test_range_join_is_equi_join(q):
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
     assert "SortMergeJoin" in p or "ShuffledHashJoin" in p or "BroadcastHashJoin" in p
+
+
+def test_bm25_single_wide_aggregation(q):
+    """BM25 must stay one explode + one hash-agg shuffle (plus the top-k
+    exchange); corpus stats ride a broadcast, never a sort-merge join."""
+    p = q("llm_bm25_search")
+    assert p.count("Exchange hashpartitioning") <= 2
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p
+    assert "partial_count" in p  # map-side combine of the wide agg
+
+
+def test_embedding_neardup_no_cartesian(q):
+    """SRP candidate generation must stay an equi-join on (band, bval):
+    no cartesian/broadcast-nested-loop pair enumeration, and the float
+    arrays must not ride the candidate distinct (id-only exchange)."""
+    p = q("llm_dedup_embedding")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    # the candidate-dedup aggregate groups ids only — vectors join later
+    assert "avec" not in p.split("HashAggregate")[1]
