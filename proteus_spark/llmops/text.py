@@ -191,3 +191,58 @@ def bm25_search(
         )
     )
     return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(topk)
+
+
+# ---------------------------------------------------------------------------
+# Deterministic corpus splitting & repetition analysis
+# ---------------------------------------------------------------------------
+
+SPLIT_BUCKETS = 100
+SPLIT_VALID_PCT = 10  # buckets [0, 10) -> validation, rest -> train
+
+
+def train_split(docs: DataFrame, valid_pct: int = SPLIT_VALID_PCT) -> DataFrame:
+    """Deterministic train/validation assignment: (doc_id, bucket, split).
+
+    The split key is a content hash (md5 of the text), NOT the doc_id —
+    re-ingesting the same corpus with different ids keeps every document in
+    its split, and exact duplicates land in the same split (no train/valid
+    leakage between copies). Pure codegen expressions; reproduced exactly
+    by the DuckDB oracle."""
+    bucket = (
+        F.expr(
+            f"CAST(conv(substr({md5_seeded_sql('text', 'split')}, 1, 12), 16, 10)"
+            " AS BIGINT)"
+        )
+        % SPLIT_BUCKETS
+    )
+    return docs.select(
+        "doc_id",
+        bucket.alias("bucket"),
+        F.when(bucket < valid_pct, F.lit("valid")).otherwise(F.lit("train")).alias(
+            "split"
+        ),
+    )
+
+
+def repetition_score(docs: DataFrame, n: int = 3) -> DataFrame:
+    """Intra-document repetition: (doc_id, n_shingles, n_distinct, rep_ratio).
+
+    rep_ratio = 1 - distinct/total word-n-grams — the standard boilerplate /
+    degenerate-generation signal. One explode + one map-side-combined
+    aggregation (count + approx-free exact distinct per doc via a
+    two-level group)."""
+    sh = shingles(docs, n=n, distinct=False, fanout=32)
+    per = sh.groupBy("doc_id", "s").agg(F.count("*").alias("c"))
+    out = per.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_shingles"),
+        F.count("*").cast("long").alias("n_distinct"),
+    )
+    return out.select(
+        "doc_id",
+        "n_shingles",
+        "n_distinct",
+        F.round(
+            F.lit(1.0) - F.col("n_distinct") / F.col("n_shingles"), 6
+        ).alias("rep_ratio"),
+    )

@@ -184,6 +184,51 @@ def _bm25_oracle() -> str:
     """
 
 
+def _train_split_oracle() -> str:
+    return f"""
+    WITH b AS (
+      SELECT doc_id,
+             {hex_to_long_sql('xs')} % {TXT.SPLIT_BUCKETS} AS bucket
+      FROM (SELECT doc_id, {md5_seeded_sql('text', 'split')} AS xs FROM documents))
+    SELECT doc_id, bucket,
+           CASE WHEN bucket < {TXT.SPLIT_VALID_PCT} THEN 'valid'
+                ELSE 'train' END AS split
+    FROM b
+    """
+
+
+@register("llm_train_split", oracle=_train_split_oracle, tags=("llm", "text"))
+def llm_train_split(spark, sf_dir):
+    """Deterministic content-hash train/validation split: same text -> same
+    split across re-ingests and duplicate copies (no leakage); pure codegen,
+    oracle-reproduced bucket arithmetic."""
+    return TXT.train_split(load(spark, sf_dir, "documents"))
+
+
+def _repetition_oracle() -> str:
+    return (
+        "WITH "
+        + _SHINGLE_CTE.replace("SELECT DISTINCT doc_id, s", "SELECT doc_id, s")
+        + """,
+    per AS (SELECT doc_id, s, count(*) AS c FROM sh GROUP BY doc_id, s),
+    agg AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_shingles,
+                   CAST(count(*) AS BIGINT) AS n_distinct
+            FROM per GROUP BY doc_id)
+    SELECT doc_id, n_shingles, n_distinct,
+           round(1.0 - n_distinct / CAST(n_shingles AS DOUBLE), 6) AS rep_ratio
+    FROM agg
+    """
+    )
+
+
+@register("llm_doc_repetition", oracle=_repetition_oracle, tags=("llm", "text"))
+def llm_doc_repetition(spark, sf_dir):
+    """Intra-document repetition ratio (boilerplate / degenerate-text
+    signal): 1 - distinct/total word-3-grams, two-level group so the wide
+    explode combines map-side."""
+    return TXT.repetition_score(load(spark, sf_dir, "documents"))
+
+
 @register("llm_bm25_search", oracle=_bm25_oracle, tags=("llm", "text"))
 def llm_bm25_search(spark, sf_dir):
     """BM25 top-20 relevance search for a fixed query-term set: tf filtered
