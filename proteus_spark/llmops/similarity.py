@@ -227,15 +227,20 @@ def ivf_assign(
             6,
         ),
     )
-    w = W.partitionBy("vid").orderBy(F.desc("csim"), F.asc("cid"))
+    # argmax via max_by with a (csim, -cid) struct comparator — same
+    # deterministic tie-break as ORDER BY csim DESC, cid ASC, but it
+    # partial-aggregates map-side: the exchange carries one row per vector
+    # instead of the |corpus| x |centroids| window input (which also
+    # dragged the embedding array through the sort).
     return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(
-            F.col("vid").alias("vec_id"),
-            F.col("vec").alias("embedding"),
-            F.col("cid").alias("bucket"),
+        scored.groupBy("vid")
+        .agg(
+            F.first("vec").alias("embedding"),  # identical within the group
+            F.expr("max_by(cid, named_struct('s', csim, 'c', -cid))").alias(
+                "bucket"
+            ),
         )
+        .select(F.col("vid").alias("vec_id"), "embedding", "bucket")
     )
 
 
