@@ -31,13 +31,27 @@ from proteus_spark.schema import TESTDATA_SCHEMAS
 
 @dataclass
 class QueryStats:
-    """Per-query latency log, mirroring the reference's evaluation hooks
-    (reference: internal/metrics/metrics.go:78-101)."""
+    """Per-query latency + data-transfer log, mirroring the reference's
+    evaluation hooks (reference: internal/metrics/metrics.go:78-101;
+    measureDataTransfer, internal/apiprocessor/apiprocessor.go:392-408)."""
 
     latencies_ms: list[float] = field(default_factory=list)
+    response_bytes: list[int] = field(default_factory=list)
 
     def record(self, ms: float) -> None:
         self.latencies_ms.append(ms)
+
+    def record_bytes(self, n: int) -> None:
+        self.response_bytes.append(n)
+
+    def data_transfer(self) -> dict:
+        """bytes-per-response report (apiprocessor.go:392-408 shape)."""
+        xs = self.response_bytes
+        return {
+            "responses": len(xs),
+            "total_bytes": sum(xs),
+            "mean_bytes": (sum(xs) / len(xs)) if xs else None,
+        }
 
     def percentiles(self) -> dict[str, float]:
         if not self.latencies_ms:
@@ -150,7 +164,13 @@ class Engine:
         map<string,string>}`` (qpuextapi.proto:33-38,
         internal/qpu_classes/datastore_driver/datastoredriver.go:187-200)."""
         rows = self.query(sql).collect()
-        return [
+        out = [
             {k: ("" if v is None else str(v)) for k, v in row.asDict().items()}
             for row in rows
         ]
+        # measureDataTransfer parity: bytes of the stringified attribute
+        # maps actually shipped to the client (apiprocessor.go:140-159).
+        self.stats.record_bytes(
+            sum(len(k) + len(v) for rec in out for k, v in rec.items())
+        )
+        return out

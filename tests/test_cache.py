@@ -102,3 +102,14 @@ def test_invalidate_recomputes(cached_engine):
     assert cached_engine.cache.stats.hits == h0
     cached_engine.query(SQL).collect()  # fresh key -> hit again
     assert cached_engine.cache.stats.hits == h0 + 1
+
+
+def test_query_unary_data_transfer_metric(spark, sf_dir):
+    from proteus_spark.engine import Engine
+
+    eng = Engine(spark, sf_dir)
+    rows = eng.query_unary("SELECT r_regionkey, r_name FROM region")
+    rep = eng.stats.data_transfer()
+    assert rep["responses"] == 1
+    expect = sum(len(k) + len(v) for rec in rows for k, v in rec.items())
+    assert rep["total_bytes"] == expect > 0
