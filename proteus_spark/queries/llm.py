@@ -277,6 +277,34 @@ def llm_dedup_ngram_jaccard(spark, sf_dir):
     return D.jaccard_pairs(sh, 0.8)
 
 
+def _ngram_capped_oracle() -> str:
+    # max_doc_freq=50 applied identically: shingles in more than 50 docs
+    # are dropped before pairing (the hot-key guard changes results, so it
+    # gets its own oracle rather than riding the exact baseline's)
+    return (
+        "WITH "
+        + _SHINGLE_CTE
+        + """,
+    rare AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 50),
+    shc AS (SELECT sh.doc_id, sh.s FROM sh JOIN rare USING (s)),
+"""
+        + _JACCARD_TAIL.format(rel="shc", cand_filter="", thr="0.8")
+    )
+
+
+@register(
+    "llm_dedup_ngram_capped", oracle=_ngram_capped_oracle, tags=("llm", "dedup")
+)
+def llm_dedup_ngram_capped(spark, sf_dir):
+    """Exact Jaccard with the hot-shingle cap (max_doc_freq=50): the
+    standard skew guard for shingle-dense corpora — a shingle appearing in
+    >50 docs contributes quadratic join fan-out but near-zero similarity
+    signal, so it is dropped before pairing. Oracle applies the identical
+    cap, so the guard's effect on results is itself hash-checked."""
+    sh = D.shingles(load(spark, sf_dir, "documents"))
+    return D.jaccard_pairs(sh, 0.8, max_doc_freq=50)
+
+
 def _components_oracle() -> str:
     # same shingle/Jaccard pipeline as _ngram_oracle, then transitive
     # closure via a recursive CTE: reach(v, r) = r reaches v; component =

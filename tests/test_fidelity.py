@@ -189,3 +189,42 @@ def test_jaccard_candidate_path_matches_baseline(spark, sf_dir):
     b = {(r["ida"], r["idb"]): round(r["jaccard"], 9) for r in base.collect()}
     p = {(r["ida"], r["idb"]): round(r["jaccard"], 9) for r in pushed.collect()}
     assert b == p and len(b) > 0
+
+
+def test_dup_components_random_graphs(spark):
+    """Property: dup_components == union-find on random pair sets
+    (hypothesis-style over seeded rounds, one Spark job per graph)."""
+    import random
+
+    from proteus_spark.llmops.dedup import dup_components
+
+    for seed in (1, 7, 99):
+        rng = random.Random(seed)
+        n = rng.randrange(20, 80)
+        pairs = sorted(
+            {
+                tuple(sorted((rng.randrange(n), rng.randrange(n))))
+                for _ in range(rng.randrange(5, 60))
+            }
+        )
+        pairs = [(a, b) for a, b in pairs if a != b]
+        if not pairs:
+            continue
+        parent = list(range(n))
+
+        def find(v):
+            while parent[v] != v:
+                parent[v] = parent[parent[v]]
+                v = parent[v]
+            return v
+
+        for a, b in pairs:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        in_graph = {v for p in pairs for v in p}
+        expected = {v: find(v) for v in in_graph}
+
+        df = spark.createDataFrame(pairs, "ida long, idb long")
+        got = {r["doc_id"]: r["component"] for r in dup_components(df).collect()}
+        assert got == expected, f"seed {seed}"
