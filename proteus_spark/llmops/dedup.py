@@ -32,6 +32,17 @@ from proteus_spark.functions.texthash import (
 )
 
 SHINGLE_N = 3
+# sentinel: explode-stage fanout follows the cluster's defaultParallelism
+# (32 on the local test box; scales with executors on a real cluster)
+FANOUT_AUTO = -1
+
+
+def _fanout(df, fanout):
+    if fanout == FANOUT_AUTO:
+        return df.sparkSession.sparkContext.defaultParallelism
+    return fanout
+
+
 MINHASH_K = 8
 LSH_BANDS = 4
 LSH_ROWS = 2  # MINHASH_K == LSH_BANDS * LSH_ROWS
@@ -59,7 +70,7 @@ def shingles(
     n: int = SHINGLE_N,
     id_col: str = "doc_id",
     distinct: bool = True,
-    fanout: int | None = 32,
+    fanout: int | None = FANOUT_AUTO,
 ) -> DataFrame:
     """Word n-gram shingles per document: (id, s); ``distinct=True`` dedups
     within-doc repeats (required for Jaccard counting; skip it for
@@ -83,7 +94,7 @@ def shingles(
     # text (not token arrays), and tokenize+explode+hash all run at
     # cluster parallelism (projections don't migrate through exchanges)
     if fanout:
-        docs = docs.repartition(fanout, id_col)
+        docs = docs.repartition(_fanout(docs, fanout), id_col)
     toks = docs.select(F.col(id_col).alias("doc_id"), tokens_col().alias("_t"))
     t = F.col("_t")
     size = F.size(t)
@@ -100,7 +111,7 @@ SID_HEX = 15  # 60-bit shingle id — BIGINT-safe, ~(S^2)/2^61 collision pairs
 
 
 def shingle_ids(
-    docs: DataFrame, n: int = SHINGLE_N, fanout: int | None = 32
+    docs: DataFrame, n: int = SHINGLE_N, fanout: int | None = FANOUT_AUTO
 ) -> DataFrame:
     """Distinct hashed shingles per doc: (doc_id, s BIGINT).
 
@@ -338,7 +349,7 @@ def simhash_signatures(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
     # raw-docs repartition for the same reason as shingles(): single-file
     # sources otherwise tokenize serially
     tok = (
-        docs.repartition(32, "doc_id")
+        docs.repartition(_fanout(docs, FANOUT_AUTO), "doc_id")
         .select("doc_id", F.explode(tokens_col()).alias("w"))
         .distinct()
     )

@@ -125,7 +125,7 @@ def embedding_near_dup_pairs(
     bands: int = SRP_BANDS,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    fanout: int | None = 32,
+    fanout: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (a_id, b_id, sim).
 
@@ -141,6 +141,8 @@ def embedding_near_dup_pairs(
     shuffle + distinct (measured 8x on a clustered 20k-vector corpus,
     together with per-vector — not per-pair — norm computation)."""
     v = vectors
+    if fanout is None:
+        fanout = vectors.sparkSession.sparkContext.defaultParallelism
     if fanout:
         v = v.repartition(fanout, id_col)
     v = v.select(

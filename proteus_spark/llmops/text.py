@@ -149,7 +149,9 @@ def bm25_search(
 
     Ranking is on the ROUNDED score with doc_id tie-break, so top-k
     membership is deterministic."""
-    toks = docs.repartition(32, "doc_id").select(
+    toks = docs.repartition(
+        docs.sparkSession.sparkContext.defaultParallelism, "doc_id"
+    ).select(
         "doc_id", F.explode(tokens_col()).alias("w")
     )
     wide = toks.groupBy("doc_id").agg(
@@ -232,7 +234,7 @@ def repetition_score(docs: DataFrame, n: int = 3) -> DataFrame:
     degenerate-generation signal. One explode + one map-side-combined
     aggregation (count + approx-free exact distinct per doc via a
     two-level group)."""
-    sh = shingles(docs, n=n, distinct=False, fanout=32)
+    sh = shingles(docs, n=n, distinct=False)
     per = sh.groupBy("doc_id", "s").agg(F.count("*").alias("c"))
     out = per.groupBy("doc_id").agg(
         F.sum("c").cast("long").alias("n_shingles"),
