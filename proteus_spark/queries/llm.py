@@ -593,6 +593,43 @@ def llm_sim_ivf(spark, sf_dir):
 
 
 @register(
+    "llm_sim_ivf_kmeans",
+    oracle=None,  # KMeans|| init depends on partitioning -> rows-only +
+    # in-query recall assertion against the exact brute-force answer
+    tags=("llm", "similarity", "approx"),
+)
+def llm_sim_ivf_kmeans(spark, sf_dir):
+    """IVF with a LEARNED coarse quantizer: MLlib KMeans (k=8, fixed seed)
+    fits the centroids, then the same bucket-equi-join ANN search as
+    llm_sim_ivf. The idiomatic-Spark path for the quantizer — no hand-rolled
+    Lloyd's loop. No SQL oracle can reproduce KMeans|| initialization, so
+    the query asserts its own quality bound instead: nprobe=1 recall@3
+    against the exact brute-force neighbors must clear 30% (axis-aligned
+    demo data clusters well; production would raise nprobe, not k)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    emb = load(spark, sf_dir, "embeddings")
+    feats = emb.select(
+        "vec_id", array_to_vector(F.col("embedding").cast("array<double>")).alias("features")
+    )
+    model = KMeans(k=8, seed=42, maxIter=10).fit(feats)
+    centroids = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        "vec_id long, embedding array<float>",
+    )
+    queries = emb.filter((F.col("vec_id") >= 10) & (F.col("vec_id") < 20))
+    approx = S.ivf_topk(emb, centroids, queries, k=3)
+    exact = S.brute_force_topk(emb, queries, k=3)
+    hits = approx.join(
+        exact.select("qid", "nid"), ["qid", "nid"], "left_semi"
+    ).count()
+    total = exact.count()
+    assert total > 0 and hits / total >= 0.30, f"IVF recall {hits}/{total}"
+    return approx
+
+
+@register(
     "llm_embed_norms",
     oracle=f"""
     SELECT vec_id, CAST(len(embedding) AS BIGINT) AS dim,
