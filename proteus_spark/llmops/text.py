@@ -248,3 +248,45 @@ def repetition_score(docs: DataFrame, n: int = 3) -> DataFrame:
             F.lit(1.0) - F.col("n_distinct") / F.col("n_shingles"), 6
         ).alias("rep_ratio"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Weighted corpus sampling (language/source mixing)
+# ---------------------------------------------------------------------------
+
+SAMPLE_RATES = {"en": 1.0, "de": 0.5, "fr": 0.25, "es": 0.1}
+SAMPLE_DEFAULT_RATE = 0.05
+
+
+def weighted_sample(
+    docs: DataFrame,
+    rates: dict[str, float] | None = None,
+    by: str = "lang",
+    default_rate: float = SAMPLE_DEFAULT_RATE,
+) -> DataFrame:
+    """Deterministic per-group weighted sampling: (doc_id, group, kept by
+    rate[group]).
+
+    The mixing step of a training-data pipeline (up/down-weight languages
+    or sources): a doc survives iff its content-hash bucket falls under the
+    group's rate. Content-keyed like train_split — duplicates sample
+    identically, re-runs are reproducible, and there is no RNG state to
+    coordinate across executors. Pure codegen filter; the rate table
+    compiles to a CASE expression (a real deployment with thousands of
+    sources would broadcast-join a rates dimension instead)."""
+    rates = SAMPLE_RATES if rates is None else rates
+    bucket = (
+        F.expr(
+            f"CAST(conv(substr({md5_seeded_sql('text', 'mix')}, 1, 12), 16, 10)"
+            " AS BIGINT)"
+        )
+        % 10000
+    )
+    rate = F.lit(default_rate)
+    for g, r in sorted(rates.items()):
+        rate = F.when(F.col(by) == g, F.lit(r)).otherwise(rate)
+    return (
+        docs.select("doc_id", F.col(by).alias("grp"), bucket.alias("bucket"))
+        .filter(F.col("bucket") < rate * 10000)
+        .select("doc_id", "grp", "bucket")
+    )

@@ -205,6 +205,30 @@ def llm_train_split(spark, sf_dir):
     return TXT.train_split(load(spark, sf_dir, "documents"))
 
 
+def _weighted_sample_oracle() -> str:
+    cases = " ".join(
+        f"WHEN '{g}' THEN {r}" for g, r in sorted(TXT.SAMPLE_RATES.items())
+    )
+    return f"""
+    SELECT doc_id, lang AS grp, bucket
+    FROM (
+      SELECT doc_id, lang,
+             {hex_to_long_sql('xs')} % 10000 AS bucket,
+             CASE lang {cases} ELSE {TXT.SAMPLE_DEFAULT_RATE} END AS rate
+      FROM (SELECT doc_id, lang, {md5_seeded_sql('text', 'mix')} AS xs
+            FROM documents))
+    WHERE bucket < rate * 10000
+    """
+
+
+@register("llm_weighted_sample", oracle=_weighted_sample_oracle, tags=("llm", "text"))
+def llm_weighted_sample(spark, sf_dir):
+    """Language-weighted corpus sampling: content-hash buckets under a
+    per-group rate table — deterministic, duplicate-consistent, no RNG
+    state (the mixing step of a training-data pipeline)."""
+    return TXT.weighted_sample(load(spark, sf_dir, "documents"))
+
+
 def _repetition_oracle() -> str:
     return (
         "WITH "
