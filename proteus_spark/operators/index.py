@@ -79,3 +79,70 @@ class RangeIndex:
 
     def dataframe(self) -> DataFrame:
         return self._data
+
+
+class DurableRangeIndex:
+    """Durable index variant (reference: the Mongo-backed IndexQPU,
+    internal/qpu_classes/index/index.go:232-268,281-339): the index IS a
+    range-bucket-partitioned parquet table on disk.
+
+    ``bucket = floor(attribute / bucket_width)`` becomes the physical
+    partition column, so a lookup's bounds translate to a partition-filter
+    list and Spark prunes whole directories before any IO — the at-rest
+    analogue of the in-memory variant's repartitionByRange (at deployment
+    scale: a partitioned/Z-ordered lake table maintained by the streaming
+    upsert path). Files are sorted within partitions on (attribute, key)
+    so row-group min-max stats skip within the surviving buckets too.
+    """
+
+    BUCKET_COL = "_idx_bucket"
+
+    def __init__(
+        self,
+        df: DataFrame,
+        attribute: str,
+        key: str,
+        path: str,
+        bucket_width: int = 10,
+        lbound=None,
+        ubound=None,
+    ):
+        self.attribute = attribute
+        self.key = key
+        self.path = path
+        self.bucket_width = bucket_width
+        scoped = df.filter(range_pred(attribute, lbound, ubound))
+        (
+            scoped.withColumn(
+                self.BUCKET_COL, F.floor(F.col(attribute) / bucket_width)
+            )
+            .repartition(F.col(self.BUCKET_COL))
+            .sortWithinPartitions(attribute, key)
+            .write.mode("overwrite")
+            .partitionBy(self.BUCKET_COL)
+            .parquet(path)
+        )
+        self._spark = df.sparkSession
+
+    def lookup_range(
+        self, lbound=None, ubound=None, limit: int | None = DEFAULT_LOOKUP_LIMIT
+    ) -> DataFrame:
+        df = self._spark.read.parquet(self.path)
+        out = df.filter(range_pred(self.attribute, lbound, ubound))
+        # translate the value bounds to partition-column bounds so the
+        # filter lands in PartitionFilters (directory pruning)
+        if lbound is not None:
+            out = out.filter(
+                F.col(self.BUCKET_COL) >= (int(lbound) // self.bucket_width)
+            )
+        if ubound is not None:
+            out = out.filter(
+                F.col(self.BUCKET_COL) <= (int(ubound) // self.bucket_width)
+            )
+        out = out.drop(self.BUCKET_COL)
+        if limit is not None:
+            out = out.orderBy(self.attribute, self.key).limit(limit)
+        return out
+
+    def lookup_eq(self, value, limit: int | None = DEFAULT_LOOKUP_LIMIT) -> DataFrame:
+        return self.lookup_range(value, value + 1, limit=limit)

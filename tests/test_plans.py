@@ -187,3 +187,28 @@ def test_embedding_neardup_no_cartesian(q):
     assert "BroadcastNestedLoopJoin" not in p
     # the candidate-dedup aggregate groups ids only — vectors join later
     assert "avec" not in p.split("HashAggregate")[1]
+
+
+def test_durable_index_prunes_partitions(spark, sf_dir, tmp_path):
+    """DurableRangeIndex lookups must prune at the DIRECTORY level: the
+    bucket bounds land in PartitionFilters, and results match the
+    in-memory RangeIndex exactly."""
+    from proteus_spark.operators.index import DurableRangeIndex, RangeIndex
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    mem = RangeIndex(cust, attribute="c_nationkey", key="c_custkey")
+    dur = DurableRangeIndex(
+        cust, attribute="c_nationkey", key="c_custkey",
+        path=str(tmp_path / "idx"), bucket_width=5,
+    )
+    got = dur.lookup_range(7, 12)
+    p = plan(got)
+    assert "PartitionFilters" in p
+    seg = p.split("PartitionFilters: [")[1].split("]")[0]
+    assert "_idx_bucket" in seg  # non-empty partition filter list
+    expect = [
+        (r["c_custkey"], r["c_nationkey"])
+        for r in mem.lookup_range(7, 12).collect()
+    ]
+    actual = [(r["c_custkey"], r["c_nationkey"]) for r in got.collect()]
+    assert actual == expect
