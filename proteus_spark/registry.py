@@ -267,8 +267,10 @@ PRIORITY: tuple[str, ...] = (
     "llm_corpus_stats",
     # streaming operators (materialized-view maintenance surface);
     # stream_windowed_watermark sits past the cap — it is rows-only by
-    # nature, so a budgeted run learns little from it
-    "stream_sum_view", "stream_sessionize_stateful", "stream_dedup_ingest",
+    # nature, so a budgeted run learns little from it; sum_view_cdc takes
+    # the third slot because UPDATEDELTA application (old/new images) is
+    # the reference's core incremental semantic
+    "stream_sum_view", "stream_sessionize_stateful", "stream_sum_view_cdc",
 )
 
 
