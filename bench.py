@@ -95,7 +95,27 @@ def main() -> None:
     )
 
 
-def _parity_metrics(spark, sf_dir: str) -> dict:
+def _parity_metrics(spark, sf_dir: str, budget_s: float = 150.0) -> dict:
+    """Bounded wrapper: the measurement runs in a worker thread with a hard
+    time budget so a wedged streaming teardown (or a badly contended host)
+    can degrade the parity block to an error note instead of hanging the
+    whole bench run."""
+    import threading
+
+    box: dict = {}
+
+    def run():
+        box["result"] = _parity_metrics_inner(spark, sf_dir)
+
+    t = threading.Thread(target=run, daemon=True)
+    t.start()
+    t.join(timeout=budget_s)
+    if t.is_alive():
+        return {"error": f"parity measurement exceeded {budget_s}s budget"}
+    return box.get("result", {"error": "parity thread died"})
+
+
+def _parity_metrics_inner(spark, sf_dir: str) -> dict:
     """The reference's evaluation machinery, measured for real: per-batch
     notification latency percentiles (metrics.go:78-101 shape) and the
     staleness-in-versions distribution (metrics.go:103-214 shape), from a
@@ -144,6 +164,10 @@ def _parity_metrics(spark, sf_dir: str) -> dict:
         finally:
             stop.set()
             reader.join(timeout=2)
+            try:
+                spark.streams.removeListener(listener)
+            except Exception:
+                pass
             view.stop()
             cdc.cleanup(src)
         report = listener.report().get("bench_parity_sum_view", {})

@@ -57,15 +57,21 @@ class FreshnessListener(StreamingQueryListener):
         pass
 
     def onQueryProgress(self, event):
-        p = event.progress
-        name = p.name or p.id
-        self.batches.setdefault(str(name), []).append(
-            {
-                "batchId": p.batchId,
-                "durationMs": (p.durationMs or {}).get("triggerExecution"),
-                "numInputRows": p.numInputRows,
-            }
-        )
+        # listener callbacks run on the JVM's event bus via py4j; an
+        # exception (or a call racing interpreter teardown) must never
+        # propagate back into the bus thread
+        try:
+            p = event.progress
+            name = p.name or p.id
+            self.batches.setdefault(str(name), []).append(
+                {
+                    "batchId": p.batchId,
+                    "durationMs": (p.durationMs or {}).get("triggerExecution"),
+                    "numInputRows": p.numInputRows,
+                }
+            )
+        except Exception:
+            pass
 
     def onQueryTerminated(self, event):
         pass
