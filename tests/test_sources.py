@@ -90,3 +90,36 @@ def test_parquet_source_schema_contract(spark, sf_dir):
         parquet_source(
             spark, f"{sf_dir}/orders.parquet", TESTDATA_SCHEMAS.get("customer")
         )
+
+
+def test_corpus_source_jsonl_roundtrip(spark, sf_dir, tmp_path):
+    """JSONL corpus ingest: explicit schema, no inference pass, columns
+    prune to the fields a query touches."""
+    import json as _json
+
+    from proteus_spark.sources.batch import corpus_source
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(50).collect()
+    path = tmp_path / "corpus.jsonl"
+    with open(path, "w") as f:
+        for r in docs:
+            f.write(_json.dumps({"doc_id": r["doc_id"], "text": r["text"],
+                                 "lang": r["lang"]}) + "\n")
+    df = corpus_source(
+        spark, str(path), fmt="jsonl",
+        schema="doc_id long, text string, lang string",
+    )
+    assert df.count() == 50
+    got = {r["doc_id"]: r["text"] for r in df.collect()}
+    assert got == {r["doc_id"]: r["text"] for r in docs}
+    # explicit schema -> no inference job; projection prunes to one field
+    assert df.select("text").schema.fieldNames() == ["text"]
+
+
+def test_corpus_source_requires_schema(spark, tmp_path):
+    import pytest as _pytest
+
+    from proteus_spark.sources.batch import corpus_source
+
+    with _pytest.raises(ValueError, match="explicit schema"):
+        corpus_source(spark, str(tmp_path), fmt="jsonl")
