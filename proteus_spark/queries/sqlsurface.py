@@ -589,6 +589,43 @@ register_sql(
 )
 
 
+_FUNNEL_BODY = """
+s1 AS (SELECT user_id, min(ts_ns) AS t1
+       FROM events_ns WHERE event_type = 'view' GROUP BY user_id),
+s2 AS (SELECT e.user_id, min(e.ts_ns) AS t2
+       FROM events_ns e JOIN s1 ON e.user_id = s1.user_id
+        AND e.ts_ns > s1.t1 AND e.ts_ns <= s1.t1 + 604800000000000
+       WHERE e.event_type = 'click' GROUP BY e.user_id),
+s3 AS (SELECT e.user_id, min(e.ts_ns) AS t3
+       FROM events_ns e JOIN s2 ON e.user_id = s2.user_id
+        AND e.ts_ns > s2.t2 AND e.ts_ns <= s2.t2 + 604800000000000
+       WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+SELECT 'view' AS stage, CAST(count(*) AS BIGINT) AS users FROM s1
+UNION ALL
+SELECT 'view>click' AS stage, CAST(count(*) AS BIGINT) AS users FROM s2
+UNION ALL
+SELECT 'view>click>purchase' AS stage, CAST(count(*) AS BIGINT) AS users
+FROM s3
+"""
+
+
+@register(
+    "events_funnel",
+    oracle=lambda: EVENTS_NS_ORACLE.rstrip() + ",\n" + _FUNNEL_BODY,
+    tags=("event-time", "funnel"),
+)
+def events_funnel(spark, sf_dir):
+    """Ordered-conversion funnel (view -> click -> purchase, 7-day step
+    windows): min-timestamp chaining — each stage is one groupBy-min plus
+    an equi-join on user_id with a range residual, so cost is three
+    map-side-combined aggregations over ever-shrinking user sets; no
+    window sort, no per-user event materialization. The product-analytics
+    companion to events_sessionization. Stage SQL is shared verbatim with
+    the oracle (only the events_ns view construction differs per engine)."""
+    _events_ns(spark, sf_dir).createOrReplaceTempView("events_ns")
+    return spark.sql("WITH " + _FUNNEL_BODY)
+
+
 @register(
     "agg_percentiles",
     oracle="""
