@@ -589,6 +589,30 @@ register_sql(
 )
 
 
+register_sql(
+    "events_cohort_retention",
+    """
+    WITH weeks AS (
+      SELECT DISTINCT user_id,
+             CAST(floor(ts_ns / 604800000000000.0) AS BIGINT) AS w
+      FROM events_ns),
+    cohort AS (SELECT user_id, min(w) AS c FROM weeks GROUP BY user_id)
+    SELECT c AS cohort_week, w - c AS week_offset,
+           CAST(count(*) AS BIGINT) AS users
+    FROM weeks JOIN cohort USING (user_id)
+    GROUP BY c, w - c
+    """,
+    tags=("event-time", "retention"),
+    spark_prelude=EVENTS_PRELUDE,
+    oracle_prelude=EVENTS_NS_ORACLE,
+    doc="Weekly cohort-retention matrix: distinct (user, week) activity, "
+    "cohort = first active week, count per (cohort, offset). Week indexes "
+    "are epoch-nanos arithmetic (shared dialect, no per-engine date-diff "
+    "quirks); two map-side-combined aggregations and one equi-join on the "
+    "already-deduplicated (user, week) relation.",
+)
+
+
 _FUNNEL_BODY = """
 s1 AS (SELECT user_id, min(ts_ns) AS t1
        FROM events_ns WHERE event_type = 'view' GROUP BY user_id),

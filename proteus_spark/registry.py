@@ -219,8 +219,14 @@ def register_sql(
 
     fn.__name__ = name
     fn.__doc__ = doc
+    oracle = oracle_prelude + sql
+    if oracle_prelude and sql.lstrip().upper().startswith("WITH "):
+        # the prelude already opened a WITH clause: splice the query's own
+        # CTE list onto it instead of emitting an invalid second WITH
+        body = sql.lstrip()[5:]
+        oracle = oracle_prelude.rstrip() + ",\n" + body
     QUERIES[name] = QuerySpec(
-        fn=fn, oracle=oracle_prelude + sql, tags=tags + ("shared-sql",), doc=doc
+        fn=fn, oracle=oracle, tags=tags + ("shared-sql",), doc=doc
     )
     return fn
 
