@@ -393,3 +393,28 @@ def ref_topology_lobsters(spark, sf_dir):
     return nodes["stories_top"].select(
         "o_orderkey", F.round("vote_sum", 4).alias("vote_sum")
     )
+
+
+@register(
+    "ref_topology_ycsb",
+    oracle="""
+    (SELECT p_partkey, p_size FROM part
+     WHERE p_size >= 10 AND p_size < 25
+     ORDER BY p_size, p_partkey LIMIT 20)
+    UNION ALL
+    (SELECT p_partkey, p_size FROM part
+     WHERE p_size >= 25 AND p_size < 40
+     ORDER BY p_size, p_partkey LIMIT 20)
+    """,
+    tags=("parity", "topology"),
+)
+def ref_topology_ycsb(spark, sf_dir):
+    """The YCSB-style deployment from confs/: two range-scoped index
+    shards behind a scatter-gather router (confs/index0.toml [0,50),
+    confs/index1.toml [50,100), confs/router.toml), per-shard lookups
+    capped at 20 (inMemIndex.go:245-247) — declared as one TOML document
+    and built into one Catalyst plan."""
+    from proteus_spark.topology import YCSB_EXAMPLE, build_topology
+
+    nodes = build_topology(spark, sf_dir, YCSB_EXAMPLE, register_views=False)
+    return nodes["router"].select("p_partkey", "p_size")

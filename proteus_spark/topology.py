@@ -193,3 +193,41 @@ by = "vote_sum"
 k = 5
 tiebreak = ["o_orderkey"]
 """
+
+
+# The YCSB-style deployment from the reference's confs/: two range-scoped
+# index shards ([0,25) / [25,50) over p_size here; the reference uses
+# attribute0 with [0,50)/[50,100) — confs/index0.toml, confs/index1.toml)
+# behind a scatter-gather router (confs/router.toml). Each shard serves its
+# configured lookup, capped at 20 records (inMemIndex.go:245-247); the
+# router is a bag union.
+YCSB_EXAMPLE = """
+[nodes.parts]
+operator = "scan"
+table = "part"
+columns = ["p_partkey", "p_size"]
+
+[nodes.index0]
+operator = "index"
+input = "parts"
+attribute = "p_size"
+key = "p_partkey"
+lbound = 0
+ubound = 25
+lookup_lbound = 10
+lookup_ubound = 25
+
+[nodes.index1]
+operator = "index"
+input = "parts"
+attribute = "p_size"
+key = "p_partkey"
+lbound = 25
+ubound = 50
+lookup_lbound = 25
+lookup_ubound = 40
+
+[nodes.router]
+operator = "router"
+inputs = ["index0", "index1"]
+"""

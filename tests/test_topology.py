@@ -46,36 +46,7 @@ k = 5
 tiebreak = ["o_orderkey"]
 """
 
-YCSB = """
-[nodes.parts]
-operator = "scan"
-table = "part"
-columns = ["p_partkey", "p_size"]
-
-[nodes.index0]
-operator = "index"
-input = "parts"
-attribute = "p_size"
-key = "p_partkey"
-lbound = 0
-ubound = 25
-lookup_lbound = 10
-lookup_ubound = 25
-
-[nodes.index1]
-operator = "index"
-input = "parts"
-attribute = "p_size"
-key = "p_partkey"
-lbound = 25
-ubound = 50
-lookup_lbound = 25
-lookup_ubound = 40
-
-[nodes.router]
-operator = "router"
-inputs = ["index0", "index1"]
-"""
+from proteus_spark.topology import YCSB_EXAMPLE as YCSB  # noqa: E402
 
 
 def test_lobsters_topology_matches_flagship(spark, sf_dir):
