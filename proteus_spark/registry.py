@@ -243,40 +243,45 @@ def _import_all() -> None:
 
 
 # Verification-priority order. External harnesses that budget their checks
-# walk queries() in dict order, so breadth of operator coverage must come
-# before depth: reference-parity queries first, then every operator family
-# (aggregate/window/event-time/join/llm-pipeline/streaming) before the
-# long tail of same-family variants. Queries not listed keep registration
-# order after these.
+# walk queries() in dict order (first ~50), so the window rotates per round:
+# round 1+2 verified the breadth-first set (reference parity + one query
+# per operator family — all green in CORRECTNESS_r01/r02); round 3 swaps in
+# (a) every query never externally checked, (b) queries whose
+# implementation changed this round, (c) new round-3 queries, and (d) a
+# refresh of the r1-only-verified set. Queries rotated OUT remain covered
+# by the local DuckDB oracle gate (tests/test_oracle_gate.py runs ALL
+# oracled queries) — see ROTATION.md for the manifest.
 PRIORITY: tuple[str, ...] = (
-    # reference parity (the reference's own test-query surface)
-    "ref_point_eq", "ref_projection", "ref_range_filter", "ref_isnull",
-    "ref_isnotnull", "ref_conjunction", "ref_topk_orders", "ref_sum_view",
-    "ref_join_merge", "ref_lobsters_topk", "ref_router_union",
-    "ref_index_range", "ref_index_point", "ref_cache_topk",
-    "ref_topology_lobsters",
-    # aggregate / grouping-set / window families
-    "agg_full", "tpch_q1", "groupby_having", "rollup_flag_status",
-    "cube_flag_status", "window_running_sum", "window_lag_delta",
-    # event-time operators over the events stream table
-    "events_tumbling_hourly", "events_sessionization",
-    "asof_join_latest_order", "range_join_events",
-    "events_rollup_multigrain", "events_sliding_2h",
-    # join-heavy TPC-H representatives
-    "tpch_q10", "tpch_q18", "tpch_q19",
-    # training-data pipeline (dedup / similarity / text analysis)
-    "llm_token_stats", "llm_quality_score", "llm_lang_id",
-    "llm_fingerprint", "llm_dedup_exact", "llm_dedup_ngram_jaccard",
-    "llm_dedup_minhash_lsh", "llm_dedup_simhash", "llm_dedup_simhash_pairs",
-    "llm_dedup_embedding", "llm_sim_bruteforce", "llm_sim_ivf",
-    "llm_bm25_search", "llm_dedup_apply", "llm_dedup_components",
-    "llm_corpus_stats",
-    # streaming operators (materialized-view maintenance surface);
-    # stream_windowed_watermark sits past the cap — it is rows-only by
-    # nature, so a budgeted run learns little from it; sum_view_cdc takes
-    # the third slot because UPDATEDELTA application (old/new images) is
-    # the reference's core incremental semantic
-    "stream_sum_view", "stream_sessionize_stateful", "stream_sum_view_cdc",
+    # -- never externally verified before round 3 ------------------------
+    # core reference parity: streaming JoinQPU (join.go:302-350), the
+    # confs/router.toml sharded-index deployment, the sum-stories.toml
+    # flagship DAG
+    "stream_join_view", "ref_topology_ycsb", "stream_lobsters_pipeline",
+    # TPC-H completion pack
+    "tpch_q8", "tpch_q9", "tpch_q11", "tpch_q13", "tpch_q15", "tpch_q16",
+    "tpch_q17", "tpch_q20", "tpch_q21", "tpch_q22",
+    # events analytics
+    "events_funnel", "events_cohort_retention",
+    # training-data pipeline long tail
+    "llm_train_split", "llm_weighted_sample", "llm_doc_repetition",
+    "llm_dedup_ngram_capped", "llm_dedup_components_lsh",
+    "llm_sim_ivf_kmeans", "llm_embed_norms",
+    "llm_multimodal_extract", "llm_multimodal_frames",
+    # streaming long tail
+    "stream_windowed_watermark", "stream_dedup_ingest",
+    # -- implementation changed in round 3 -> re-verify ------------------
+    # (bucketed incremental view state; two-phase brute-force top-k;
+    # sink-path sessionization)
+    "stream_sum_view", "stream_sum_view_cdc", "stream_sessionize_stateful",
+    "llm_sim_bruteforce",
+    # -- new in round 3 --------------------------------------------------
+    "stream_sum_view_deletes", "ref_ts_projection", "llm_sim_ivf_nprobe2",
+    # -- r1-only-verified refresh (green in CORRECTNESS_r01, never r2) ---
+    "tpch_q2", "tpch_q3", "tpch_q4", "tpch_q5", "tpch_q6", "tpch_q7",
+    "tpch_q12", "tpch_q14", "semi_join_exists", "anti_join_not_exists",
+    "setops_intersect", "setops_except", "window_topk_per_group",
+    "pivot_event_counts", "scalar_functions", "json_extract_props",
+    "agg_percentiles",
 )
 
 
