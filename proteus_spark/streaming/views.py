@@ -12,10 +12,15 @@ Spark shape used here:
   reference's hand-rolled in-process maps (sum.go:49-59) — partitioned,
   spillable, fault-tolerant;
 - ``foreachBatch`` commits each micro-batch's changed groups into a
-  VERSIONED parquet state table (v0, v1, ...) — a poor-man's Delta MERGE
-  (SURVEY §7.3: on a real deployment this is a Delta/Iceberg MERGE INTO;
-  versioning doubles as the freshness-in-versions metric the reference
-  logs, metrics.go:103-214);
+  HASH-BUCKET-PARTITIONED incremental state table (``_BucketedState``):
+  only buckets containing changed keys are rewritten, so per-batch write
+  cost is O(|delta| + |touched-bucket state|), NOT O(|all state|) — the
+  Spark analogue of the reference's per-row UPSERT sink
+  (internal/qpustate/mysql_backend/mysql_backend.go:147-254), and exactly
+  the contract a Delta/Iceberg ``MERGE INTO`` over a key-partitioned table
+  gives at deployment scale. Version retention is bounded (last
+  ``retain``); manifests map bucket -> holding version, which doubles as
+  the freshness-in-versions metric the reference logs (metrics.go:103-214);
 - catch-up gate = the initial load completing (processAllAvailable after
   start), mirroring the serve-gate at qpu.go:72-75;
 - downstream views (the QPU DAG) recompute from the committed state inside
@@ -36,8 +41,132 @@ import tempfile
 import threading
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+class _BucketedState:
+    """Hash-bucket-partitioned incremental state table.
+
+    Layout: ``root/state_v{n}/_bucket={b}/*.parquet`` written with
+    ``partitionBy`` — one commit writes ONLY the buckets containing changed
+    keys (parquet dirs for untouched buckets are not re-created). A
+    per-version manifest maps bucket -> the version dir holding that
+    bucket's latest rows; a snapshot is the union read of the latest
+    per-bucket paths (directory-pruned by construction). Version dirs no
+    retained manifest references are deleted, bounding disk to
+    O(|state| + retain * |recent deltas|) instead of growing a full copy
+    per micro-batch.
+
+    At a real deployment this is precisely a Delta/Iceberg table
+    partitioned by key-hash with MERGE INTO + VACUUM; the manifest list is
+    the table's version log (time travel = ``snapshot_at``). Implemented
+    over plain parquet because the sandbox ships no lakehouse jars — the
+    contract (O(delta) maintenance, bounded retention, versioned reads) is
+    the part that matters at 100 TB.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        key: str,
+        n_buckets: int = 32,
+        retain: int = 8,
+    ):
+        self.spark = spark
+        self.root = root
+        self.key = key
+        self.n_buckets = n_buckets
+        self.retain = retain
+        # manifest per version: {bucket: version dir holding its data};
+        # kept for ALL versions (a few ints each) — files are what get
+        # evicted, so snapshot_at past the retention window raises.
+        self.manifests: list[dict[int, int]] = []
+        self.schema: T.StructType | None = None  # logical schema (no _bucket)
+
+    # -- addressing --------------------------------------------------------
+    @property
+    def version(self) -> int:
+        return len(self.manifests) - 1
+
+    def bucket_col(self) -> Column:
+        """Deterministic key -> bucket expression (JVM-side xxhash64)."""
+        return F.pmod(F.xxhash64(F.col(self.key)), F.lit(self.n_buckets)).cast(
+            "int"
+        )
+
+    def _vdir(self, v: int) -> str:
+        return os.path.join(self.root, f"state_v{v}")
+
+    def _paths(self, version: int, buckets: list[int] | None) -> list[str]:
+        m = self.manifests[version]
+        items = (
+            m.items()
+            if buckets is None
+            else [(b, m[b]) for b in buckets if b in m]
+        )
+        return [
+            os.path.join(self._vdir(v), f"_bucket={b}") for b, v in items
+        ]
+
+    # -- reads -------------------------------------------------------------
+    def read(
+        self, buckets: list[int] | None = None, version: int | None = None
+    ) -> DataFrame | None:
+        """Union read of the latest (or ``version``-pinned) per-bucket
+        paths; ``buckets`` prunes to the named buckets. None = no rows."""
+        if version is None:
+            version = self.version
+        if version < 0:
+            return None
+        lo = len(self.manifests) - self.retain
+        if version < lo:
+            raise ValueError(
+                f"version {version} evicted (retention keeps >= {lo})"
+            )
+        paths = self._paths(version, buckets)
+        if not paths:
+            if self.schema is not None:
+                return self.spark.createDataFrame([], self.schema)
+            return None
+        return self.spark.read.parquet(*paths)
+
+    # -- writes ------------------------------------------------------------
+    def commit(self, merged: DataFrame | None, touched: list[int]) -> int:
+        """Write ``merged`` (rows for the touched buckets, WITH a
+        ``_bucket`` column) as the next version; untouched buckets keep
+        their existing manifest pointers. Empty-delta batches bump the
+        version with a copied manifest and write nothing."""
+        v = len(self.manifests)
+        if merged is not None and touched:
+            par = self.spark.sparkContext.defaultParallelism
+            (
+                merged.repartition(min(len(touched), par), "_bucket")
+                .write.mode("overwrite")
+                .partitionBy("_bucket")
+                .parquet(self._vdir(v))
+            )
+            if self.schema is None:
+                self.schema = T.StructType(
+                    [f for f in merged.schema.fields if f.name != "_bucket"]
+                )
+        m = dict(self.manifests[-1]) if self.manifests else {}
+        for b in touched:
+            m[b] = v
+        self.manifests.append(m)
+        self._evict()
+        return v
+
+    def _evict(self) -> None:
+        keep_from = max(0, len(self.manifests) - self.retain)
+        referenced: set[int] = set()
+        for m in self.manifests[keep_from:]:
+            referenced.update(m.values())
+        for v in range(keep_from):
+            if v not in referenced:
+                shutil.rmtree(self._vdir(v), ignore_errors=True)
 
 
 class SumView:
@@ -50,10 +179,13 @@ class SumView:
       emits only changed groups per batch — exactly the incremental
       semantics of sum.go:250-285, minus the races.
     - mode='cdc': UPDATEDELTA records (old_value/new_value); each batch's
-      per-group contribution = sum(new - coalesce(old, 0)) is added to the
-      state table (delta application parity, sum.go:250-285).
+      per-group contribution = sum(coalesce(new,0) - coalesce(old,0)) is
+      added to the state table (delta application parity, sum.go:250-285).
+      DELETE records (old image, no new) therefore subtract — the
+      generalization the reference's sum QPU never shipped.
 
-    Output column is ``<attr>_sum`` (sum.go:158-160).
+    Output column is ``<attr>_sum`` (sum.go:158-160). State maintenance is
+    O(|delta| + |touched buckets|) per batch via ``_BucketedState``.
     """
 
     def __init__(
@@ -65,6 +197,8 @@ class SumView:
         name: str = "sum_view",
         mode: str = "append",
         derived: dict[str, Callable[[DataFrame], DataFrame]] | None = None,
+        n_buckets: int = 32,
+        retain: int = 8,
     ):
         self.spark = spark
         self.name = name
@@ -76,7 +210,10 @@ class SumView:
         self._stream = stream
         self._root = tempfile.mkdtemp(prefix=f"proteus_view_{name}_")
         self._ckpt = os.path.join(self._root, "_checkpoint")
-        self._version = -1
+        self._state = _BucketedState(
+            spark, self._root, key=group_by, n_buckets=n_buckets, retain=retain
+        )
+        self._retain = retain
         self._derived_version: dict[str, int] = {}
         self._subscribers: list[Callable[[DataFrame, int], None]] = []
         self._catch_up = threading.Event()
@@ -118,16 +255,14 @@ class SumView:
             shutil.rmtree(self._root, ignore_errors=True)
 
     # -- state maintenance ---------------------------------------------------
-    def _state_path(self, v: int) -> str:
-        return os.path.join(self._root, f"state_v{v}")
-
     def _on_changed_groups(self, batch: DataFrame, epoch: int) -> None:
         """update-mode aggregation hands us the changed groups with their
         NEW totals (state store did the math) -> MERGE = replace keys."""
         self._merge(batch, replace=True, epoch=epoch)
 
     def _on_cdc_batch(self, batch: DataFrame, epoch: int) -> None:
-        """raw UPDATEDELTA rows -> per-group contribution -> MERGE-add."""
+        """raw UPDATEDELTA rows -> per-group contribution -> MERGE-add.
+        DELETEs (new_value NULL, old_value set) contribute -old."""
         contrib = batch.groupBy(self.group_by).agg(
             F.sum(
                 F.coalesce(F.col("new_value"), F.lit(0.0))
@@ -137,26 +272,37 @@ class SumView:
         self._merge(contrib, replace=False, epoch=epoch)
 
     def _merge(self, delta: DataFrame, replace: bool, epoch: int) -> None:
-        prev = self.snapshot()
-        if prev is None:
-            merged = delta
-        elif replace:
-            merged = prev.join(
-                delta, self.group_by, "left_anti"
-            ).unionByName(delta)
-        else:
-            p = prev.withColumnRenamed(self.sum_col, "_prev")
-            d = delta.withColumnRenamed(self.sum_col, "_delta")
-            merged = p.join(d, self.group_by, "full_outer").select(
-                self.group_by,
-                (
-                    F.coalesce(F.col("_prev"), F.lit(0.0))
-                    + F.coalesce(F.col("_delta"), F.lit(0.0))
-                ).alias(self.sum_col),
+        key = self.group_by
+        delta = delta.withColumn("_bucket", self._state.bucket_col()).persist()
+        try:
+            # bounded driver probe: <= n_buckets ints, never row data
+            touched = [
+                r[0] for r in delta.select("_bucket").distinct().collect()
+            ]
+            d = delta.drop("_bucket")
+            # prev = ONLY the buckets this delta touches (pruned read);
+            # untouched buckets keep their manifest pointers untouched
+            prev = (
+                self._state.read(buckets=touched) if touched else None
             )
-        v = self._version + 1
-        merged.write.mode("overwrite").parquet(self._state_path(v))
-        self._version = v
+            if prev is None or not touched:
+                merged = d
+            elif replace:
+                merged = prev.join(d, key, "left_anti").unionByName(d)
+            else:
+                p = prev.withColumnRenamed(self.sum_col, "_prev")
+                dd = d.withColumnRenamed(self.sum_col, "_delta")
+                merged = p.join(dd, key, "full_outer").select(
+                    key,
+                    (
+                        F.coalesce(F.col("_prev"), F.lit(0.0))
+                        + F.coalesce(F.col("_delta"), F.lit(0.0))
+                    ).alias(self.sum_col),
+                )
+            merged = merged.withColumn("_bucket", self._state.bucket_col())
+            self._state.commit(merged if touched else None, touched)
+        finally:
+            delta.unpersist()
 
         # downstream QPUs: recompute derived views over the committed state
         state = self.snapshot()
@@ -167,10 +313,16 @@ class SumView:
                 os.path.join(self._root, f"{name}_v{dv}")
             )
             self._derived_version[name] = dv
+            old = dv - self._retain
+            if old >= 0:
+                shutil.rmtree(
+                    os.path.join(self._root, f"{name}_v{old}"),
+                    ignore_errors=True,
+                )
 
         for cb in list(self._subscribers):
             try:
-                cb(delta, epoch)
+                cb(delta.drop("_bucket"), epoch)
             except Exception:  # subscriber errors must not kill the view
                 pass
 
@@ -178,9 +330,7 @@ class SumView:
     def snapshot(self) -> DataFrame | None:
         """Current materialized state (ClientQuery parity: queries answer
         from local state, sum.go:149-180)."""
-        if self._version < 0:
-            return None
-        return self.spark.read.parquet(self._state_path(self._version))
+        return self._state.read()
 
     def snapshot_derived(self, name: str) -> DataFrame | None:
         dv = self._derived_version.get(name, -1)
@@ -194,18 +344,22 @@ class SumView:
 
     def version(self) -> int:
         """Freshness-in-versions handle (metrics.go:103-214)."""
-        return self._version
+        return self._state.version
 
     def snapshot_at(self, version: int) -> DataFrame:
         """Time-travel read of an earlier state version — the VECTORCLOCK
         tsPredicate bound the reference declares but never implemented
-        (qpu.proto:74-95; SURVEY §2.9 maps it to table time travel). All
-        committed versions remain readable until stop(cleanup=True)."""
-        if not 0 <= version <= self._version:
+        (qpu.proto:74-95; SURVEY §2.9 maps it to table time travel).
+        Versions inside the retention window remain readable; older ones
+        are vacuumed (ValueError)."""
+        if not 0 <= version <= self._state.version:
             raise ValueError(
-                f"version {version} out of range [0, {self._version}]"
+                f"version {version} out of range [0, {self._state.version}]"
             )
-        return self.spark.read.parquet(self._state_path(version))
+        df = self._state.read(version=version)
+        if df is None:
+            raise ValueError(f"version {version} has no committed state")
+        return df
 
 
 class JoinView:
@@ -222,11 +376,10 @@ class JoinView:
     columns -> NULL), so ONE streaming query maintains the state — no
     cross-stream race, strictly stronger than the reference's
     goroutine-per-record apply. Each micro-batch collapses to one row per
-    key (last non-null value per column), then MERGEs into the versioned
-    state table with per-column coalesce(batch, state, default).
-
-    At scale the state table is a Delta/Iceberg MERGE INTO target
-    partitioned by key range; here it is versioned parquet like SumView.
+    key (last non-null value per column), then MERGEs into the bucketed
+    state table with per-column coalesce(batch, state, default) — only
+    buckets containing arrived keys rewrite (O(delta) maintenance, the
+    MERGE INTO contract; see ``_BucketedState``).
     """
 
     def __init__(
@@ -237,6 +390,8 @@ class JoinView:
         key: str,
         name: str = "join_view",
         defaults: dict[str, float] | None = None,
+        n_buckets: int = 32,
+        retain: int = 8,
     ):
         self.spark = spark
         self.name = name
@@ -245,7 +400,9 @@ class JoinView:
         self._stream = left.unionByName(right, allowMissingColumns=True)
         self._root = tempfile.mkdtemp(prefix=f"proteus_view_{name}_")
         self._ckpt = os.path.join(self._root, "_checkpoint")
-        self._version = -1
+        self._state = _BucketedState(
+            spark, self._root, key=key, n_buckets=n_buckets, retain=retain
+        )
         self._subscribers: list[Callable[[DataFrame, int], None]] = []
         self._query = None
 
@@ -271,69 +428,76 @@ class JoinView:
             shutil.rmtree(self._root, ignore_errors=True)
 
     # -- state maintenance -------------------------------------------------
-    def _state_path(self, v: int) -> str:
-        return os.path.join(self._root, f"state_v{v}")
-
     def _on_batch(self, batch: DataFrame, epoch: int) -> None:
         cols = [c for c in batch.columns if c != self.key]
         # collapse the batch: one row per key, last non-null per attribute
         # (arrival order within a batch is arbitrary — matching the
         # reference's unordered apply, join.go:352-379)
-        delta = batch.groupBy(self.key).agg(
-            *[F.last(c, ignorenulls=True).alias(c) for c in cols]
+        delta = (
+            batch.groupBy(self.key)
+            .agg(*[F.last(c, ignorenulls=True).alias(c) for c in cols])
+            .withColumn("_bucket", self._state.bucket_col())
+            .persist()
         )
-        prev = self.snapshot()
-        if prev is None:
-            merged = delta.select(
-                self.key,
-                *[
-                    F.coalesce(F.col(c), F.lit(self.defaults.get(c))).alias(c)
-                    if c in self.defaults
-                    else F.col(c)
-                    for c in cols
-                ],
-            )
-        else:
-            d = delta.select(
-                F.col(self.key),
-                *[F.col(c).alias(f"_d_{c}") for c in cols],
-            )
-            merged = prev.join(d, self.key, "full_outer").select(
-                self.key,
-                *[
-                    F.coalesce(
-                        F.col(f"_d_{c}"),
-                        F.col(c),
-                        F.lit(self.defaults.get(c)),
-                    ).alias(c)
-                    for c in cols
-                ],
-            )
-        v = self._version + 1
-        merged.write.mode("overwrite").parquet(self._state_path(v))
-        self._version = v
+        try:
+            touched = [
+                r[0] for r in delta.select("_bucket").distinct().collect()
+            ]
+            d0 = delta.drop("_bucket")
+            prev = self._state.read(buckets=touched) if touched else None
+            if prev is None or not touched:
+                merged = d0.select(
+                    self.key,
+                    *[
+                        F.coalesce(F.col(c), F.lit(self.defaults.get(c))).alias(c)
+                        if c in self.defaults
+                        else F.col(c)
+                        for c in cols
+                    ],
+                )
+            else:
+                d = d0.select(
+                    F.col(self.key),
+                    *[F.col(c).alias(f"_d_{c}") for c in cols],
+                )
+                merged = prev.join(d, self.key, "full_outer").select(
+                    self.key,
+                    *[
+                        F.coalesce(
+                            F.col(f"_d_{c}"),
+                            F.col(c),
+                            F.lit(self.defaults.get(c)),
+                        ).alias(c)
+                        for c in cols
+                    ],
+                )
+            merged = merged.withColumn("_bucket", self._state.bucket_col())
+            self._state.commit(merged if touched else None, touched)
+        finally:
+            delta.unpersist()
         for cb in list(self._subscribers):
             try:
-                cb(delta, epoch)
+                cb(delta.drop("_bucket"), epoch)
             except Exception:  # subscriber errors must not kill the view
                 pass
 
     # -- query surface -----------------------------------------------------
     def snapshot(self) -> DataFrame | None:
-        if self._version < 0:
-            return None
-        return self.spark.read.parquet(self._state_path(self._version))
+        return self._state.read()
 
     def subscribe(self, cb: Callable[[DataFrame, int], None]) -> None:
         self._subscribers.append(cb)
 
     def version(self) -> int:
-        return self._version
+        return self._state.version
 
     def snapshot_at(self, version: int) -> DataFrame:
         """Time-travel read (see SumView.snapshot_at)."""
-        if not 0 <= version <= self._version:
+        if not 0 <= version <= self._state.version:
             raise ValueError(
-                f"version {version} out of range [0, {self._version}]"
+                f"version {version} out of range [0, {self._state.version}]"
             )
-        return self.spark.read.parquet(self._state_path(version))
+        df = self._state.read(version=version)
+        if df is None:
+            raise ValueError(f"version {version} has no committed state")
+        return df

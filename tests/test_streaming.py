@@ -150,6 +150,95 @@ def test_snapshot_time_travel_and_staleness(spark, sf_dir):
         cdc.cleanup(src)
 
 
+def _du(path):
+    import os
+
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            total += os.path.getsize(os.path.join(root, f))
+    return total
+
+
+def test_bucketed_state_writes_scale_with_delta(spark):
+    """The scale contract of the incremental view sink: a micro-batch
+    touching ONE key rewrites only that key's bucket — bytes written per
+    batch are O(|delta| + |one bucket|), not O(|state|). (The reference's
+    sink is per-row UPSERT, mysql_backend.go:147-254; a full-state rewrite
+    per batch is the classic incremental-view failure at 100x keys.)"""
+    import os
+
+    view = SumView(
+        spark, stream=None, group_by="k", agg_attr="new_value",
+        name="t_odelta", mode="cdc",
+    )
+    try:
+        b1 = spark.range(20_000).select(
+            F.col("id").alias("k"),
+            F.lit(None).cast("double").alias("old_value"),
+            (F.col("id") * 1.0).alias("new_value"),
+        )
+        view._on_cdc_batch(b1, 0)
+        b2 = spark.createDataFrame(
+            [(7, None, 100.0)], "k bigint, old_value double, new_value double"
+        )
+        view._on_cdc_batch(b2, 1)
+
+        v0, v1 = view._state._vdir(0), view._state._vdir(1)
+        # one touched key -> exactly one bucket dir in the new version
+        buckets_v1 = [d for d in os.listdir(v1) if d.startswith("_bucket=")]
+        assert len(buckets_v1) == 1
+        assert _du(v1) < 0.2 * _du(v0), (_du(v1), _du(v0))
+        # merge math: k=7 got 7 + 100, everything else untouched
+        snap = {r["k"]: r["new_value_sum"] for r in view.snapshot().collect()}
+        assert len(snap) == 20_000
+        assert snap[7] == 107.0 and snap[8] == 8.0
+    finally:
+        view.stop()
+
+
+def test_bucketed_state_retention_evicts_old_versions(spark):
+    """Bounded retention: version dirs no retained manifest references are
+    vacuumed; reads inside the window stay correct, older raise."""
+    import os
+
+    import pytest as _pytest
+
+    view = SumView(
+        spark, stream=None, group_by="k", agg_attr="new_value",
+        name="t_retain", mode="cdc", retain=2,
+    )
+    try:
+        for i in range(5):
+            b = spark.createDataFrame(
+                [(i, None, 1.0)], "k bigint, old_value double, new_value double"
+            )
+            view._on_cdc_batch(b, i)
+        assert view.version() == 4
+        # versions 0..2 are outside retain=2; their dirs may survive ONLY
+        # if a retained manifest still references them (they do here: each
+        # version holds a different key's only copy) — but unreferenced
+        # dirs must be gone. Rewrite key 0..4's buckets to dereference v0.
+        for i in range(5):
+            b = spark.createDataFrame(
+                [(i, 1.0, 2.0)], "k bigint, old_value double, new_value double"
+            )
+            view._on_cdc_batch(b, 5 + i)
+        live = {d for d in os.listdir(view._root) if d.startswith("state_v")}
+        referenced = {
+            f"state_v{v}"
+            for m in view._state.manifests[-2:]
+            for v in m.values()
+        }
+        assert live == referenced
+        snap = {r["k"]: r["new_value_sum"] for r in view.snapshot().collect()}
+        assert snap == {i: 2.0 for i in range(5)}
+        with _pytest.raises(ValueError, match="evicted"):
+            view.snapshot_at(0)
+    finally:
+        view.stop()
+
+
 def test_stateful_sessionize_out_of_order_convergence(spark, sf_dir):
     """applyInPandasWithState sessionization must converge to the batch
     lag()-window answer under ADVERSARIAL chunking: events shuffled into
