@@ -36,6 +36,32 @@ def cosine(a, b) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def _two_phase_topk(scored: DataFrame, k: int) -> DataFrame:
+    """Exact per-query top-k over (qid, nid, sim) rows WITHOUT funnelling
+    all |corpus| scored rows for a query into one task.
+
+    Phase 1 ranks within (input-partition, query): the exchange hash-
+    distributes over P x Q keys (every task sorts ~|partition| rows), and
+    only the per-partition top-k survive. Phase 2 ranks the surviving
+    P x k rows per query — a bounded merge, not a corpus-sized sort. The
+    result is identical to a single global window (any global top-k row is
+    in its partition's top-k), with the same deterministic tie-break.
+    """
+    w1 = W.partitionBy("_pid", "qid").orderBy(F.desc("sim"), F.asc("nid"))
+    local = (
+        scored.select("qid", "nid", "sim")  # narrow rows into the exchange
+        .withColumn("_pid", F.spark_partition_id())
+        .withColumn("_r1", F.row_number().over(w1))
+        .filter(F.col("_r1") <= k)
+    )
+    w2 = W.partitionBy("qid").orderBy(F.desc("sim"), F.asc("nid"))
+    return (
+        local.withColumn("rank", F.row_number().over(w2).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("qid", "nid", "sim", "rank")
+    )
+
+
 def brute_force_topk(
     vectors: DataFrame,
     queries: DataFrame,
@@ -47,8 +73,8 @@ def brute_force_topk(
 
     ``queries`` is broadcast (it is the small side by construction); each
     corpus partition scores its rows against every query independently —
-    the only shuffle is the final per-query top-k, which
-    TakeOrdered-style window ranking keeps at O(k) per partition.
+    the per-query ranking is two-phase (see ``_two_phase_topk``), so no
+    single task ever sorts a corpus-sized row set.
     """
     # norms are projected BEFORE the join: an array fold inlined into the
     # similarity expression is re-evaluated per (row x query) pair, so the
@@ -75,12 +101,7 @@ def brute_force_topk(
             ),
         )
     )
-    w = W.partitionBy("qid").orderBy(F.desc("sim"), F.asc("nid"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= k)
-        .select("qid", "nid", "sim", "rank")
-    )
+    return _two_phase_topk(scored, k)
 
 
 def srp_bands(
@@ -251,22 +272,44 @@ def ivf_topk(
     centroids: DataFrame,
     queries: DataFrame,
     k: int = 3,
+    nprobe: int = 1,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Approximate top-k: search only the query's IVF bucket
-    (nprobe=1): (qid, nid, sim, rank). Recall < 1 by design; the
-    candidate set shrinks by ~#centroids, and the bucket equi-join
-    replaces the brute-force cross product."""
+    """Approximate top-k: search the query's ``nprobe`` nearest IVF
+    buckets: (qid, nid, sim, rank). Recall < 1 by design (and
+    monotonically non-decreasing in nprobe — probing 2 buckets searches a
+    superset of probing 1); the candidate set shrinks by
+    ~#centroids/nprobe, and the bucket equi-join replaces the brute-force
+    cross product. Standard IVF recall/latency knob — the reference has no
+    ANN surface at all.
+
+    Probe selection ranks centroids per query (|queries| x |centroids|
+    broadcast join — both small by construction; the per-query sort is
+    over #centroids rows, never corpus-sized)."""
     assigned = ivf_assign(vectors, centroids, id_col, vec_col)
-    q = assigned.join(
-        queries.select(F.col(id_col).alias("qid")),
-        assigned.vec_id == F.col("qid"),
-    ).select(
-        "qid",
-        F.col("embedding").alias("qvec"),
-        F.col("bucket").alias("qbucket"),
-        norm(F.col("embedding")).alias("qnorm"),
+    c = centroids.select(
+        F.col(id_col).alias("cid"),
+        F.col(vec_col).alias("cvec"),
+        norm(F.col(vec_col)).alias("cnorm"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("qid"),
+        F.col(vec_col).alias("qvec"),
+        norm(F.col(vec_col)).alias("qnorm"),
+    )
+    qc = q.join(F.broadcast(c)).withColumn(
+        "csim",
+        F.round(
+            dot(F.col("qvec"), F.col("cvec")) / (F.col("qnorm") * F.col("cnorm")),
+            6,
+        ),
+    )
+    wq = W.partitionBy("qid").orderBy(F.desc("csim"), F.asc("cid"))
+    probes = (
+        qc.withColumn("_pr", F.row_number().over(wq))
+        .filter(F.col("_pr") <= nprobe)
+        .select("qid", "qvec", "qnorm", F.col("cid").alias("qbucket"))
     )
     cand = assigned.select(
         F.col("vec_id").alias("nid"),
@@ -274,8 +317,10 @@ def ivf_topk(
         F.col("bucket").alias("nbucket"),
         norm(F.col("embedding")).alias("nnorm"),
     )
+    # a vector lives in exactly one bucket and a query's probed buckets are
+    # distinct, so no candidate dedup is needed
     scored = cand.join(
-        F.broadcast(q),
+        F.broadcast(probes),
         (F.col("nbucket") == F.col("qbucket")) & (F.col("nid") != F.col("qid")),
     ).withColumn(
         "sim",
@@ -284,9 +329,4 @@ def ivf_topk(
             6,
         ),
     )
-    w = W.partitionBy("qid").orderBy(F.desc("sim"), F.asc("nid"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= k)
-        .select("qid", "nid", "sim", "rank")
-    )
+    return _two_phase_topk(scored, k)

@@ -616,6 +616,61 @@ def llm_sim_ivf(spark, sf_dir):
     return S.ivf_topk(emb, centroids, queries, k=3)
 
 
+def _ivf_nprobe2_oracle() -> str:
+    cos_vc = _cos_sql("vec", "cvec")
+    cos_qc = _cos_sql("qvec", "cvec")
+    cos_qn = _cos_sql("qvec", "nvec")
+    return f"""
+    WITH c AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 10),
+    v AS (SELECT vec_id, embedding AS vec FROM embeddings),
+    assigned AS (
+      SELECT vec_id, vec AS embedding, cid AS bucket FROM (
+        SELECT v.vec_id, v.vec, c.cid,
+               row_number() OVER (PARTITION BY v.vec_id
+                                  ORDER BY round({cos_vc}, 6) DESC, c.cid) AS rn
+        FROM v CROSS JOIN c)
+      WHERE rn = 1),
+    q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings
+          WHERE vec_id >= 10 AND vec_id < 20),
+    probes AS (
+      SELECT qid, qvec, cid AS qbucket FROM (
+        SELECT q.qid, q.qvec, c.cid,
+               row_number() OVER (PARTITION BY q.qid
+                                  ORDER BY round({cos_qc}, 6) DESC, c.cid) AS pr
+        FROM q CROSS JOIN c)
+      WHERE pr <= 2),
+    scored AS (
+      SELECT p.qid, n.vec_id AS nid,
+             round({cos_qn}, 6) AS sim
+      FROM (SELECT vec_id, embedding AS nvec, bucket FROM assigned) n
+      JOIN probes p ON n.bucket = p.qbucket AND n.vec_id != p.qid)
+    SELECT qid, nid, sim, CAST(rn AS BIGINT) AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn
+          FROM scored)
+    WHERE rn <= 3
+    """
+
+
+@register(
+    "llm_sim_ivf_nprobe2", oracle=_ivf_nprobe2_oracle, tags=("llm", "similarity")
+)
+def llm_sim_ivf_nprobe2(spark, sf_dir):
+    """IVF ANN probing the 2 nearest centroid buckets (the standard
+    recall/latency knob): the candidate superset of nprobe=1 makes recall
+    monotonically non-decreasing, which the query asserts in-line against
+    the exact brute-force neighbors before returning."""
+    emb = load(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < 10)
+    queries = emb.filter((F.col("vec_id") >= 10) & (F.col("vec_id") < 20))
+    probe2 = S.ivf_topk(emb, centroids, queries, k=3, nprobe=2)
+    probe1 = S.ivf_topk(emb, centroids, queries, k=3, nprobe=1)
+    exact = S.brute_force_topk(emb, queries, k=3).select("qid", "nid")
+    hits2 = probe2.join(exact, ["qid", "nid"], "left_semi").count()
+    hits1 = probe1.join(exact, ["qid", "nid"], "left_semi").count()
+    assert hits2 >= hits1, f"nprobe=2 recall regressed: {hits2} < {hits1}"
+    return probe2
+
+
 @register(
     "llm_sim_ivf_kmeans",
     oracle=None,  # KMeans|| init depends on partitioning -> rows-only +

@@ -81,6 +81,22 @@ def test_similarity_broadcasts_queries(q):
     assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
 
 
+def test_bruteforce_topk_is_two_phase(q):
+    """No per-query single-task sort: the corpus-sized ranking must window
+    over (partition-id, qid) — P x Q shuffle keys — with only the bounded
+    P x k survivors reaching the per-qid merge window."""
+    import re
+
+    p = q("llm_sim_bruteforce")
+    wins = re.findall(r"Arguments: \[row_number.*?windowspecdefinition\(([^)]*)\)", p)
+    assert len(wins) >= 2, p
+    # the FIRST (bottom) window over the scored corpus includes the
+    # partition-id key; only the top (merge) window may partition by qid
+    # alone
+    bottom = [w for w in wins if "_pid" in w]
+    assert bottom, f"no partition-local ranking window found: {wins}"
+
+
 def test_whole_stage_codegen_on_hot_paths(spark, sf_dir):
     # the *(n) codegen markers only exist on the AQE-final executed plan
     for name in ("ref_sum_view", "tpch_q1", "ref_range_filter"):
