@@ -169,8 +169,17 @@ class CachedEngine:
         entry = self.cache.get(sql, self._known())
         if entry is None:
             df = self.engine.query(sql)
-            rows = df.collect()
-            self.cache.put(sql, self._known(), df.schema, rows)
+            # probe with LIMIT max_rows+1 instead of a full collect: an
+            # over-limit result stays on the executors (CollectLimit
+            # short-circuits) rather than materializing on the driver only
+            # to be refused by put() — the hot-path collect() the reference
+            # cache never pays either (it caps at the index's 20-record
+            # truncation, inMemIndex.go:245-247).
+            probe = df.limit(self.cache.max_rows + 1).collect()
+            if len(probe) <= self.cache.max_rows:
+                self.cache.put(sql, self._known(), df.schema, probe)
+            else:
+                self.cache.stats.uncacheable += 1
             return df
         return self.engine.spark.createDataFrame(entry.rows, schema=entry.schema)
 

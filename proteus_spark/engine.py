@@ -123,11 +123,21 @@ class Engine:
 
     # -- query plane ------------------------------------------------------
     def query(self, sql: str) -> DataFrame:
-        """QueryUnary parity: SQL in, result out (lazy DataFrame)."""
+        """QueryUnary parity: SQL in, result out (lazy DataFrame).
+
+        No latency is recorded here: ``spark.sql`` only builds the plan
+        (~0ms). The reference's query-latency metric is end-to-end
+        (metrics.go:78-101), so recording happens where execution does —
+        ``_collect_timed`` under query_unary / query_subscribe."""
+        return self.spark.sql(sql)
+
+    def _collect_timed(self, sql: str) -> list:
+        """Execute + collect with the latency recorded around the actual
+        execution — the reference's end-to-end definition."""
         t0 = time.perf_counter()
-        df = self.spark.sql(sql)
+        rows = self.spark.sql(sql).collect()
         self.stats.record((time.perf_counter() - t0) * 1000.0)
-        return df
+        return rows
 
     def explain(self, sql: str, mode: str = "formatted") -> str:
         """Physical plan for a SQL query — the introspection surface the
@@ -154,7 +164,7 @@ class Engine:
             if snap is None:
                 return
             snap.createOrReplaceTempView(table)
-            callback(self.query(sql).collect(), epoch)
+            callback(self._collect_timed(sql), epoch)
 
         view.subscribe(_on_update)
 
@@ -163,7 +173,7 @@ class Engine:
         reference response encoding ``QueryRespRecord{attributes:
         map<string,string>}`` (qpuextapi.proto:33-38,
         internal/qpu_classes/datastore_driver/datastoredriver.go:187-200)."""
-        rows = self.query(sql).collect()
+        rows = self._collect_timed(sql)
         out = [
             {k: ("" if v is None else str(v)) for k, v in row.asDict().items()}
             for row in rows

@@ -113,3 +113,49 @@ def test_query_unary_data_transfer_metric(spark, sf_dir):
     assert rep["responses"] == 1
     expect = sum(len(k) + len(v) for rec in rows for k, v in rec.items())
     assert rep["total_bytes"] == expect > 0
+
+
+def test_latency_records_execution_not_plan_build(spark, sf_dir):
+    """The recorded latency must cover actual execution (reference
+    end-to-end definition, metrics.go:78-101) — a lazy plan build is ~0ms
+    and would make every percentile meaningless."""
+    from proteus_spark.engine import Engine
+
+    eng = Engine(spark, sf_dir)
+    eng.query("SELECT sum(l_quantity) AS s FROM lineitem")  # lazy: no record
+    assert eng.stats.latencies_ms == []
+    eng.query_unary("SELECT sum(l_quantity) AS s FROM lineitem")
+    assert len(eng.stats.latencies_ms) == 1
+    assert eng.stats.latencies_ms[0] > 1.0  # real work, not plan build
+    assert eng.stats.percentiles()["p50"] > 1.0
+
+
+def test_over_limit_miss_probes_without_full_collect(spark, sf_dir):
+    """A miss whose result exceeds max_rows must NOT materialize the full
+    result on the driver: the probe collects at most max_rows+1 rows and
+    the entry is refused up front."""
+    from unittest.mock import patch
+
+    from proteus_spark.cache import CachedEngine
+    from proteus_spark.engine import Engine
+
+    try:  # Spark 4: instances are the classic subclass, which overrides
+        from pyspark.sql.classic.dataframe import DataFrame
+    except ImportError:  # pragma: no cover - older pyspark
+        from pyspark.sql import DataFrame
+
+    eng = CachedEngine(Engine(spark, sf_dir), max_rows=10)
+    collected: list[int] = []
+    orig = DataFrame.collect
+
+    def spy(self):
+        rows = orig(self)
+        collected.append(len(rows))
+        return rows
+
+    with patch.object(DataFrame, "collect", spy):
+        df = eng.query("SELECT o_orderkey FROM orders")  # way over 10 rows
+    assert max(collected) <= 11  # only the LIMIT 11 probe ever collected
+    assert eng.cache.stats.uncacheable == 1
+    assert len(eng.cache) == 0
+    assert df.count() > 11  # the caller still gets the full lazy result
