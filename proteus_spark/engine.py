@@ -168,19 +168,70 @@ class Engine:
 
         view.subscribe(_on_update)
 
+    @staticmethod
+    def _stringify(row) -> dict[str, str]:
+        return {
+            k: ("" if v is None else str(v)) for k, v in row.asDict().items()
+        }
+
     def query_unary(self, sql: str) -> list[dict[str, str]]:
         """Eager variant returning stringified attribute maps, matching the
         reference response encoding ``QueryRespRecord{attributes:
         map<string,string>}`` (qpuextapi.proto:33-38,
         internal/qpu_classes/datastore_driver/datastoredriver.go:187-200)."""
-        rows = self._collect_timed(sql)
-        out = [
-            {k: ("" if v is None else str(v)) for k, v in row.asDict().items()}
-            for row in rows
-        ]
+        out = [self._stringify(row) for row in self._collect_timed(sql)]
         # measureDataTransfer parity: bytes of the stringified attribute
         # maps actually shipped to the client (apiprocessor.go:140-159).
         self.stats.record_bytes(
             sum(len(k) + len(v) for rec in out for k, v in rec.items())
         )
         return out
+
+    def query_stream(
+        self,
+        sql: str,
+        view=None,
+        updates_timeout: float = 5.0,
+    ):
+        """Bidi ``Query`` parity (qpuapi.proto:106-116,
+        rpcserver.go:101-119): a generator of ``(seq_id, record_type,
+        attributes)`` triples — the snapshot phase streams every current
+        record as STATE, then the END_OF_STREAM marker closes the
+        snapshot (queries.go:81-116's [LATEST, INF) boundary), then — when
+        ``view`` (a streaming view with ``subscribe``) is given — each
+        later micro-batch's changed records stream as UPDATEDELTA until no
+        update arrives for ``updates_timeout`` seconds. ``seq_id`` is the
+        strictly-increasing per-stream sequence number the reference
+        stamps on responses. The subscriber registers BEFORE the snapshot
+        executes, so no delta between snapshot and subscribe is lost —
+        strictly stronger than the reference's race (responseStream.go:51-64).
+        """
+        import queue as _queue
+
+        updates: _queue.Queue = _queue.Queue()
+        if view is not None:
+
+            def _on_update(delta, epoch: int) -> None:
+                try:
+                    updates.put((epoch, [self._stringify(r) for r in delta.collect()]))
+                except Exception:
+                    pass  # view teardown mid-collect must not kill the view
+
+            view.subscribe(_on_update)
+
+        seq = 0
+        for row in self._collect_timed(sql):
+            yield (seq, "STATE", self._stringify(row))
+            seq += 1
+        yield (seq, "END_OF_STREAM", None)
+        seq += 1
+        if view is None:
+            return
+        while True:
+            try:
+                _epoch, rows = updates.get(timeout=updates_timeout)
+            except _queue.Empty:
+                return
+            for rec in rows:
+                yield (seq, "UPDATEDELTA", rec)
+                seq += 1

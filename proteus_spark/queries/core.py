@@ -61,6 +61,33 @@ def ref_projection(spark, sf_dir):
 
 
 @register(
+    "ref_ts_projection",
+    oracle="""
+    SELECT event_id, event_type,
+           epoch_us(CAST(ts AS TIMESTAMP)) AS _ts
+    FROM events WHERE event_type = 'click'
+    """,
+    tags=("parity", "metadata"),
+)
+def ref_ts_projection(spark, sf_dir):
+    """Vector-clock metadata surface (SURVEY §1.5): every record carries a
+    ``_ts`` source-timestamp column — the Spark mapping of the reference's
+    per-record Vectorclock (qpu.proto:97-99), which its responses expose
+    (qpuextapi.proto:33-38). Epoch-micros BIGINT; for event-sourced tables
+    the clock is the event time, for raw file scans it is the ingestion
+    time (sources.cdc.attach_source_ts)."""
+    from proteus_spark.registry import events_with_ts
+    from proteus_spark.sources.cdc import attach_source_ts
+
+    ev = events_with_ts(spark, sf_dir)
+    return (
+        attach_source_ts(ev, ts_col="ts")
+        .filter(F.col("event_type") == "click")
+        .select("event_id", "event_type", "_ts")
+    )
+
+
+@register(
     "ref_range_filter",
     oracle="""
     SELECT l_orderkey, l_linenumber, l_quantity

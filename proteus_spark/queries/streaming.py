@@ -91,6 +91,50 @@ def stream_sum_view_cdc(spark, sf_dir):
 
 
 @register(
+    "stream_sum_view_deletes",
+    oracle="""
+    SELECT user_id,
+           round(sum(CASE WHEN event_id % 7 = 0 THEN 0.0 ELSE value END), 4)
+             AS new_value_sum
+    FROM events GROUP BY user_id
+    """,
+    tags=("streaming", "cdc"),
+)
+def stream_sum_view_deletes(spark, sf_dir):
+    """DELETE-delta application: every 7th event is inserted AND later
+    deleted (a DELETE tombstone carries the old image, no new —
+    qpu.proto:17-29 StateDelta with absent new), so its net contribution
+    is zero; the view subtracts old on DELETE (sum.go:250-285 generalized
+    to the delete case the reference never shipped). Final state == batch
+    recompute excluding the deleted rows. Groups keep their row even if a
+    sum returns to a partial value — only full-key deletion removes rows
+    (none here: every user retains non-deleted events)."""
+    ev = load(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    src = cdc.stage_stream(spark, ev, chunks=4)
+    deltas = cdc.as_update_deltas(
+        src.subscribe(),
+        key_cols=["user_id"],
+        value_col="value",
+        delete_when=F.col("event_id") % 7 == 0,
+    )
+    view = SumView(
+        spark, deltas, group_by="user_id", agg_attr="new_value",
+        name="stream_sum_view_deletes", mode="cdc",
+    ).start()
+    try:
+        view.await_catch_up()
+        snap = view.snapshot()
+        out = snap.select(
+            "user_id", F.round("new_value_sum", 4).alias("new_value_sum")
+        )
+        out = spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        view.stop()
+        cdc.cleanup(src)
+    return out
+
+
+@register(
     "stream_lobsters_pipeline",
     oracle="""
     WITH rev AS (

@@ -27,6 +27,20 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def attach_source_ts(df: DataFrame, ts_col: str | None = None) -> DataFrame:
+    """Attach the ``_ts`` metadata column — the Spark mapping of the
+    reference's per-record Vectorclock (qpu.proto:97-99; SURVEY §1.5):
+    the source-assigned timestamp as epoch-MICROS BIGINT (one scalar per
+    record — the reference's vector has one entry per source bucket, and a
+    single-source scan is exactly that).
+
+    ``ts_col``: use the named event-time column. Default: the file
+    source's modification time (``_metadata.file_modification_time``) —
+    the ingestion clock, available on any file-based scan or stream."""
+    src = F.col(ts_col) if ts_col else F.col("_metadata.file_modification_time")
+    return df.withColumn("_ts", F.unix_micros(src.cast("timestamp")))
+
+
 @dataclass
 class CDCSource:
     """Snapshot + subscribe over one parquet location (one 'bucket')."""
@@ -36,21 +50,29 @@ class CDCSource:
     name: str
     _tmp: list[str] = field(default_factory=list)
 
-    def snapshot(self) -> DataFrame:
+    def snapshot(self, with_ts: bool = False) -> DataFrame:
         """STATE records: the full current state (GetSnapshot parity —
         datastore_driver/mysql/store.go:154-247; projection/predicate
-        pushdown is Catalyst's job, not ours)."""
-        return self.spark.read.parquet(self.path)
+        pushdown is Catalyst's job, not ours). ``with_ts`` attaches the
+        ``_ts`` vector-clock column (file ingestion clock)."""
+        df = self.spark.read.parquet(self.path)
+        return attach_source_ts(df) if with_ts else df
 
-    def subscribe(self, max_files_per_trigger: int = 1) -> DataFrame:
+    def subscribe(
+        self, max_files_per_trigger: int = 1, with_ts: bool = False
+    ) -> DataFrame:
         """UPDATEDELTA stream: files appearing under the location become
-        micro-batches (SubscribeOps parity — mysql/store.go:117-151)."""
+        micro-batches (SubscribeOps parity — mysql/store.go:117-151).
+        ``with_ts`` stamps each record with its file's ingestion time —
+        the per-record Vectorclock the reference ships on every
+        LogOperation (qpu.proto:8-16)."""
         schema = self.spark.read.parquet(self.path).schema
-        return (
+        df = (
             self.spark.readStream.schema(schema)
             .option("maxFilesPerTrigger", max_files_per_trigger)
             .parquet(self.path)
         )
+        return attach_source_ts(df) if with_ts else df
 
 
 def stage_stream(
@@ -77,23 +99,39 @@ def as_update_deltas(
     value_col: str,
     update_when=None,
     update_factor: float = 1.5,
+    delete_when=None,
 ) -> DataFrame:
     """Shape an append stream into UPDATEDELTA old/new records
     (qpu.proto:17-29): rows matching ``update_when`` become updates
-    (old = value, new = value * factor), the rest are inserts (old NULL).
+    (old = value, new = value * factor), rows matching ``delete_when``
+    become an insert FOLLOWED BY a DELETE tombstone (old = value, new
+    NULL — the object existed, then was removed; qpu.proto's StateDelta
+    with an absent new image), and the rest are inserts (old NULL).
 
     Used by tests/queries to exercise the reference's delta-application
-    semantics (sum.go:250-285 applies new-minus-old per delta)."""
+    semantics (sum.go:250-285 applies new-minus-old per delta; a DELETE
+    therefore contributes -old — the generalization the reference's sum
+    QPU never shipped)."""
     if update_when is None:
         update_when = F.lit(False)
-    old_v = F.when(update_when, F.col(value_col)).otherwise(F.lit(None).cast("double"))
-    new_v = F.when(
-        update_when, F.col(value_col) * F.lit(update_factor)
-    ).otherwise(F.col(value_col))
-    op = F.when(update_when, F.lit("UPDATEDELTA")).otherwise(F.lit("STATE"))
-    return stream.select(
-        *key_cols,
-        op.alias("op_type"),
-        old_v.alias("old_value"),
-        new_v.alias("new_value"),
+    ins = F.struct(
+        F.lit("STATE").alias("op_type"),
+        F.lit(None).cast("double").alias("old_value"),
+        F.col(value_col).cast("double").alias("new_value"),
     )
+    upd = F.struct(
+        F.lit("UPDATEDELTA").alias("op_type"),
+        F.col(value_col).cast("double").alias("old_value"),
+        (F.col(value_col) * F.lit(update_factor)).alias("new_value"),
+    )
+    tomb = F.struct(
+        F.lit("DELETE").alias("op_type"),
+        F.col(value_col).cast("double").alias("old_value"),
+        F.lit(None).cast("double").alias("new_value"),
+    )
+    deltas = F.when(update_when, F.array(upd)).otherwise(F.array(ins))
+    if delete_when is not None:
+        deltas = F.when(delete_when, F.array(ins, tomb)).otherwise(deltas)
+    return stream.select(
+        *key_cols, F.explode(deltas).alias("_d")
+    ).select(*key_cols, "_d.op_type", "_d.old_value", "_d.new_value")

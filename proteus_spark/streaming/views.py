@@ -140,6 +140,7 @@ class _BucketedState:
         their existing manifest pointers. Empty-delta batches bump the
         version with a copied manifest and write nothing."""
         v = len(self.manifests)
+        written: set[int] = set()
         if merged is not None and touched:
             par = self.spark.sparkContext.defaultParallelism
             (
@@ -152,9 +153,20 @@ class _BucketedState:
                 self.schema = T.StructType(
                     [f for f in merged.schema.fields if f.name != "_bucket"]
                 )
+            written = {
+                b
+                for b in touched
+                if os.path.isdir(os.path.join(self._vdir(v), f"_bucket={b}"))
+            }
         m = dict(self.manifests[-1]) if self.manifests else {}
         for b in touched:
-            m[b] = v
+            if b in written:
+                m[b] = v
+            else:
+                # every key in the bucket was deleted this batch: the new
+                # version has no dir for it, and pointing at the OLD dir
+                # would resurrect the deleted keys — drop the bucket
+                m.pop(b, None)
         self.manifests.append(m)
         self._evict()
         return v
@@ -262,13 +274,20 @@ class SumView:
 
     def _on_cdc_batch(self, batch: DataFrame, epoch: int) -> None:
         """raw UPDATEDELTA rows -> per-group contribution -> MERGE-add.
-        DELETEs (new_value NULL, old_value set) contribute -old."""
-        contrib = batch.groupBy(self.group_by).agg(
+        DELETEs (new_value NULL, old_value set) contribute -old. An input
+        ``_ts`` vector-clock column (see sources.cdc.attach_source_ts)
+        carries through as the group's freshness: max over applied deltas
+        (the reference folds per-record Vectorclocks the same way when it
+        stamps state rows, qpu.proto:97-99)."""
+        aggs = [
             F.sum(
                 F.coalesce(F.col("new_value"), F.lit(0.0))
                 - F.coalesce(F.col("old_value"), F.lit(0.0))
             ).alias(self.sum_col)
-        )
+        ]
+        if "_ts" in batch.columns:
+            aggs.append(F.max("_ts").alias("_ts"))
+        contrib = batch.groupBy(self.group_by).agg(*aggs)
         self._merge(contrib, replace=False, epoch=epoch)
 
     def _merge(self, delta: DataFrame, replace: bool, epoch: int) -> None:
@@ -285,6 +304,7 @@ class SumView:
             prev = (
                 self._state.read(buckets=touched) if touched else None
             )
+            has_ts = "_ts" in d.columns
             if prev is None or not touched:
                 merged = d
             elif replace:
@@ -292,13 +312,23 @@ class SumView:
             else:
                 p = prev.withColumnRenamed(self.sum_col, "_prev")
                 dd = d.withColumnRenamed(self.sum_col, "_delta")
-                merged = p.join(dd, key, "full_outer").select(
-                    key,
+                if has_ts:
+                    p = p.withColumnRenamed("_ts", "_pts")
+                    dd = dd.withColumnRenamed("_ts", "_dts")
+                sel = [
+                    F.col(key),
                     (
                         F.coalesce(F.col("_prev"), F.lit(0.0))
                         + F.coalesce(F.col("_delta"), F.lit(0.0))
                     ).alias(self.sum_col),
-                )
+                ]
+                if has_ts:
+                    # greatest skips NULLs: a group untouched this batch
+                    # keeps its previous clock
+                    sel.append(
+                        F.greatest(F.col("_pts"), F.col("_dts")).alias("_ts")
+                    )
+                merged = p.join(dd, key, "full_outer").select(*sel)
             merged = merged.withColumn("_bucket", self._state.bucket_col())
             self._state.commit(merged if touched else None, touched)
         finally:
@@ -429,13 +459,19 @@ class JoinView:
 
     # -- state maintenance -------------------------------------------------
     def _on_batch(self, batch: DataFrame, epoch: int) -> None:
-        cols = [c for c in batch.columns if c != self.key]
+        has_op = "_op" in batch.columns
+        cols = [c for c in batch.columns if c not in (self.key, "_op")]
         # collapse the batch: one row per key, last non-null per attribute
         # (arrival order within a batch is arbitrary — matching the
-        # reference's unordered apply, join.go:352-379)
+        # reference's unordered apply, join.go:352-379); the optional
+        # ``_op`` column marks DELETE tombstones — a key whose last record
+        # in the batch is a DELETE is removed from state
+        aggs = [F.last(c, ignorenulls=True).alias(c) for c in cols]
+        if has_op:
+            aggs.append(F.last("_op", ignorenulls=False).alias("_op"))
         delta = (
             batch.groupBy(self.key)
-            .agg(*[F.last(c, ignorenulls=True).alias(c) for c in cols])
+            .agg(*aggs)
             .withColumn("_bucket", self._state.bucket_col())
             .persist()
         )
@@ -444,6 +480,10 @@ class JoinView:
                 r[0] for r in delta.select("_bucket").distinct().collect()
             ]
             d0 = delta.drop("_bucket")
+            deleted = None
+            if has_op:
+                deleted = d0.filter(F.col("_op") == "DELETE").select(self.key)
+                d0 = d0.drop("_op")
             prev = self._state.read(buckets=touched) if touched else None
             if prev is None or not touched:
                 merged = d0.select(
@@ -471,6 +511,8 @@ class JoinView:
                         for c in cols
                     ],
                 )
+            if deleted is not None:
+                merged = merged.join(deleted, self.key, "left_anti")
             merged = merged.withColumn("_bucket", self._state.bucket_col())
             self._state.commit(merged if touched else None, touched)
         finally:

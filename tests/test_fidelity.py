@@ -47,6 +47,54 @@ def test_reference_parser_topk_query_verbatim(spark, sf_dir):
     assert votes == sorted(votes, reverse=True)
 
 
+def test_ts_metadata_through_source_view_and_response(spark, sf_dir, tmp_path):
+    """Vector-clock (_ts) plumbing end-to-end: the CDC source stamps each
+    record with its ingestion clock (qpu.proto:8-16 LogOperation
+    timestamp); a CDC sum view folds max(_ts) per group (state-row clock,
+    qpu.proto:97-99); query_unary surfaces _ts in the stringified
+    attribute map exactly like any attribute (qpuextapi.proto:33-38)."""
+    import time as _time
+
+    from proteus_spark.sources import cdc
+    from proteus_spark.streaming.views import SumView
+
+    # two files written ~now: the ingestion clock must land in [t0, t1]
+    t0 = int(_time.time() * 1_000_000) - 5_000_000
+    ev = spark.createDataFrame(
+        [(1, None, 10.0), (1, None, 5.0), (2, None, 7.0)],
+        "user_id bigint, old_value double, new_value double",
+    )
+    src = cdc.stage_stream(spark, ev, chunks=2)
+    snap = src.snapshot(with_ts=True)
+    assert "_ts" in snap.columns
+    t1 = int(_time.time() * 1_000_000) + 5_000_000
+    assert all(t0 <= r["_ts"] <= t1 for r in snap.collect())
+
+    view = SumView(
+        spark, src.subscribe(with_ts=True), group_by="user_id",
+        agg_attr="new_value", name="t_ts_view", mode="cdc",
+    ).start()
+    try:
+        view.await_catch_up()
+        state = view.snapshot()
+        assert "_ts" in state.columns
+        got = {r["user_id"]: r for r in state.collect()}
+        assert got[1]["new_value_sum"] == 15.0
+        assert t0 <= got[1]["_ts"] <= t1
+
+        eng = Engine(spark)
+        eng.register_view("ts_view", state)
+        rows = eng.query_unary(
+            "SELECT user_id, new_value_sum, _ts FROM ts_view ORDER BY user_id"
+        )
+        assert rows[0]["user_id"] == "1"
+        assert rows[0]["new_value_sum"] == "15.0"
+        assert rows[0]["_ts"].isdigit()  # stringified epoch-micros clock
+    finally:
+        view.stop()
+        cdc.cleanup(src)
+
+
 def test_salted_sum_matches_plain(spark, sf_dir):
     ev = spark.read.parquet(f"{sf_dir}/events.parquet").select("user_id", "value")
     plain = {
@@ -114,6 +162,55 @@ def test_engine_query_subscribe(spark, sf_dir):
         # final push reflects the fully-caught-up state
         final = eng.query("SELECT * FROM user_sums").count()
         assert final == ev.select("user_id").distinct().count()
+    finally:
+        view.stop()
+        cdc.cleanup(src)
+
+
+def test_query_stream_record_type_sequence(spark):
+    """The bidi Query record stream (qpuapi.proto:106-116): STATE* records
+    with increasing seq ids, END_OF_STREAM closing the snapshot phase,
+    then UPDATEDELTA records as the subscribed view keeps updating —
+    the reference's record-type sequence (rpcserver.go:101-119)."""
+    from proteus_spark.sources import cdc
+    from proteus_spark.streaming.views import SumView
+
+    ev = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (1, 5.0)], "user_id bigint, value double"
+    )
+    src = cdc.stage_stream(spark, ev, chunks=2)
+    view = SumView(
+        spark, src.subscribe(), group_by="user_id", agg_attr="value",
+        name="t_qstream", mode="append",
+    ).start()
+    try:
+        view.await_catch_up()
+        eng = Engine(spark)
+        eng.register_view("v", view.snapshot())
+        gen = eng.query_stream(
+            "SELECT * FROM v ORDER BY user_id", view=view, updates_timeout=60
+        )
+        records = []
+        for rec in gen:
+            records.append(rec)
+            if rec[1] == "END_OF_STREAM":
+                break
+        # snapshot phase: one STATE per current group, then the marker
+        types = [t for _, t, _ in records]
+        assert types == ["STATE", "STATE", "END_OF_STREAM"]
+        assert [s for s, _, _ in records] == [0, 1, 2]
+        assert records[0][2]["user_id"] == "1"
+        assert records[0][2]["value_sum"] == "15.0"
+
+        # a new delta file arrives -> the stream continues as UPDATEDELTA
+        spark.createDataFrame(
+            [(2, 7.0)], "user_id bigint, value double"
+        ).coalesce(1).write.mode("append").parquet(src.path)
+        view._query.processAllAvailable()
+        upd = next(gen)
+        assert upd[0] == 3 and upd[1] == "UPDATEDELTA"
+        assert upd[2]["user_id"] == "2" and upd[2]["value_sum"] == "27.0"
+        gen.close()
     finally:
         view.stop()
         cdc.cleanup(src)

@@ -113,6 +113,36 @@ def test_join_view_keyed_merge_semantics(spark):
         cdc.cleanup(src_r)
 
 
+def test_join_view_delete_tombstone_removes_key(spark):
+    """A DELETE record (op column ``_op``) removes the key's merged row
+    from state; other keys in the same bucket survive the rewrite."""
+    from proteus_spark.streaming.views import JoinView
+
+    view = JoinView(
+        spark,
+        left=spark.createDataFrame([], "k bigint, price double"),
+        right=spark.createDataFrame([], "k bigint, votes double"),
+        key="k",
+        name="t_join_del",
+        defaults={"price": 0.0, "votes": 0.0},
+    )
+    try:
+        b1 = spark.createDataFrame(
+            [(1, 10.0, None, None), (2, 20.0, 200.0, None), (3, None, 300.0, None)],
+            "k bigint, price double, votes double, _op string",
+        )
+        view._on_batch(b1, 0)
+        b2 = spark.createDataFrame(
+            [(2, None, None, "DELETE"), (3, 30.0, None, None)],
+            "k bigint, price double, votes double, _op string",
+        )
+        view._on_batch(b2, 1)
+        got = {r["k"]: (r["price"], r["votes"]) for r in view.snapshot().collect()}
+        assert got == {1: (10.0, 0.0), 3: (30.0, 300.0)}
+    finally:
+        view.stop()
+
+
 def test_snapshot_time_travel_and_staleness(spark, sf_dir):
     """VECTORCLOCK-bound parity: earlier versions stay readable; staleness
     report over sampled (write, observed) version pairs."""
