@@ -235,15 +235,22 @@ def stream_sessionize_stateful(spark, sf_dir):
     per-key interval-merge state converges to the batch lag()-window answer
     regardless of arrival order. Emissions are update-mode (changed keys
     only); the converged snapshot is the last emission per key."""
+    import shutil
+    import tempfile
+
     ev = events_with_ts(spark, sf_dir).select("user_id", "ts_ns", "value")
     src = cdc.stage_stream(spark, ev, chunks=4)
     out = sessionize_stream(src.subscribe())
 
-    final: dict = {}
+    # per-batch emissions land in a parquet sink (distributed append, no
+    # driver collect); the converged state = last emission per key, a
+    # max_by reduction that scales with key cardinality across executors
+    outdir = tempfile.mkdtemp(prefix="proteus_sessionize_out_")
 
     def capture(batch, epoch):
-        for row in batch.collect():
-            final[row["user_id"]] = row
+        batch.withColumn("_epoch", F.lit(epoch)).write.mode("append").parquet(
+            outdir
+        )
 
     query = (
         out.writeStream.outputMode("update")
@@ -256,13 +263,25 @@ def stream_sessionize_stateful(spark, sf_dir):
     finally:
         query.stop()
         cdc.cleanup(src)
-    rows = [
-        (r["user_id"], r["n_sessions"], r["n_events"], round(r["value_sum"], 4))
-        for r in final.values()
-    ]
-    from proteus_spark.streaming.stateful import SESSION_OUTPUT_SCHEMA
-
-    return spark.createDataFrame(rows, SESSION_OUTPUT_SCHEMA)
+    try:
+        emitted = spark.read.parquet(outdir)
+        final = (
+            emitted.groupBy("user_id")
+            .agg(
+                F.max_by(
+                    F.struct("n_sessions", "n_events", "value_sum"), F.col("_epoch")
+                ).alias("_s")
+            )
+            .select(
+                "user_id",
+                F.col("_s.n_sessions").alias("n_sessions"),
+                F.col("_s.n_events").alias("n_events"),
+                F.round(F.col("_s.value_sum"), 4).alias("value_sum"),
+            )
+        )
+        return spark.createDataFrame(final.collect(), final.schema)
+    finally:
+        shutil.rmtree(outdir, ignore_errors=True)
 
 
 @register(
@@ -286,15 +305,19 @@ def stream_windowed_watermark(spark, sf_dir):
     ev = events_with_ts(spark, sf_dir).select(
         F.col("ts").cast("timestamp").alias("ts"), "event_type", "value"
     )
+    import shutil
+    import tempfile
+
     src = cdc.stage_stream(spark, ev, chunks=4)
     out = tumbling_agg_stream(
         src.subscribe(), ts_col="ts", window="1 hour", watermark="10 minutes"
     )
-    final: dict = {}
+    outdir = tempfile.mkdtemp(prefix="proteus_watermark_out_")
 
     def capture(batch, epoch):
-        for row in batch.collect():
-            final[(row["window_start"], row["event_type"])] = row
+        batch.withColumn("_epoch", F.lit(epoch)).write.mode("append").parquet(
+            outdir
+        )
 
     query = (
         out.writeStream.outputMode("update")
@@ -307,30 +330,26 @@ def stream_windowed_watermark(spark, sf_dir):
     finally:
         query.stop()
         cdc.cleanup(src)
-    rows = [
-        (r["window_start"], r["window_end"], r["event_type"], r["n"],
-         round(r["value_sum"], 4))
-        for r in final.values()
-    ]
-    from pyspark.sql.types import (
-        DoubleType,
-        LongType,
-        StringType,
-        StructField,
-        StructType,
-        TimestampType,
-    )
-
-    schema = StructType(
-        [
-            StructField("window_start", TimestampType()),
-            StructField("window_end", TimestampType()),
-            StructField("event_type", StringType()),
-            StructField("n", LongType()),
-            StructField("value_sum", DoubleType()),
-        ]
-    )
-    return spark.createDataFrame(rows, schema)
+    try:
+        emitted = spark.read.parquet(outdir)
+        final = (
+            emitted.groupBy("window_start", "event_type")
+            .agg(
+                F.max_by(
+                    F.struct("window_end", "n", "value_sum"), F.col("_epoch")
+                ).alias("_s")
+            )
+            .select(
+                "window_start",
+                F.col("_s.window_end").alias("window_end"),
+                "event_type",
+                F.col("_s.n").alias("n"),
+                F.round(F.col("_s.value_sum"), 4).alias("value_sum"),
+            )
+        )
+        return spark.createDataFrame(final.collect(), final.schema)
+    finally:
+        shutil.rmtree(outdir, ignore_errors=True)
 
 
 @register(
@@ -352,12 +371,15 @@ def stream_dedup_ingest(spark, sf_dir):
     docs = load(spark, sf_dir, "documents").select(
         F.md5("text").alias("text_hash")
     )
+    import shutil
+    import tempfile
+
     src = cdc.stage_stream(spark, docs, chunks=4)
     out = dedup_stream(src.subscribe())
-    seen: list = []
+    outdir = tempfile.mkdtemp(prefix="proteus_dedup_out_")
 
     def capture(batch, epoch):
-        seen.extend(r["text_hash"] for r in batch.collect())
+        batch.write.mode("append").parquet(outdir)
 
     query = (
         out.writeStream.outputMode("append")
@@ -370,9 +392,11 @@ def stream_dedup_ingest(spark, sf_dir):
     finally:
         query.stop()
         cdc.cleanup(src)
-    return spark.createDataFrame(
-        [(h,) for h in sorted(set(seen))], "text_hash string"
-    )
+    try:
+        final = spark.read.parquet(outdir).select("text_hash").distinct()
+        return spark.createDataFrame(final.collect(), final.schema)
+    finally:
+        shutil.rmtree(outdir, ignore_errors=True)
 
 
 @register(
