@@ -135,6 +135,82 @@ def stream_sum_view_deletes(spark, sf_dir):
 
 
 @register(
+    "stream_sum_view_debezium",
+    oracle="""
+    SELECT user_id,
+           round(sum(CASE WHEN event_id % 7 = 0 THEN 0.0
+                          WHEN event_id % 5 = 0 THEN value * 2
+                          ELSE value END), 4) AS new_value_sum
+    FROM events GROUP BY user_id
+    """,
+    tags=("streaming", "cdc", "debezium"),
+)
+def stream_sum_view_debezium(spark, sf_dir):
+    """Binlog-shaped connector end-to-end: events encoded as Debezium
+    change envelopes (the open wire format of the reference's MySQL binlog
+    side-channel, mysql.proto:8-37 / store.go:117-151) staged as a JSONL
+    stream, parsed by ``sources.debezium`` into canonical deltas, applied
+    by the CDC sum view. Feed per event: INSERT(v); every 5th (non-7th)
+    also UPDATE(v -> 2v); every 7th also DELETE — so converged state ==
+    the batch CASE sum. Order within the replay is arbitrary: delta
+    application is commutative (sum.go:250-285)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from proteus_spark.sources import debezium as dbz
+    from proteus_spark.streaming.views import SumView
+
+    ev = load(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    row_schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    cols = ["event_id", "user_id", "value"]
+    ts_ms = F.col("event_id") + F.lit(1_700_000_000_000)
+    inserts = dbz.to_envelopes(ev, cols, F.lit("c"), ts_ms)
+    upd_row = F.struct(
+        F.col("event_id"), F.col("user_id"), (F.col("value") * 2).alias("value")
+    )
+    updates = dbz.to_envelopes(
+        ev.filter((F.col("event_id") % 5 == 0) & (F.col("event_id") % 7 != 0)),
+        cols,
+        F.lit("u"),
+        ts_ms,
+        update_row=upd_row,
+    )
+    deletes = dbz.to_envelopes(
+        ev.filter(F.col("event_id") % 7 == 0), cols, F.lit("d"), ts_ms
+    )
+    feed = inserts.unionByName(updates).unionByName(deletes)
+
+    tmpdir = tempfile.mkdtemp(prefix="proteus_dbz_")
+    feed.repartition(4).write.mode("overwrite").text(tmpdir)
+    deltas = dbz.stream_envelopes(
+        spark, tmpdir, row_schema, key_cols=["user_id"], value_col="value"
+    )
+    view = SumView(
+        spark, deltas, group_by="user_id", agg_attr="new_value",
+        name="stream_sum_view_debezium", mode="cdc",
+    ).start()
+    try:
+        view.await_catch_up()
+        snap = view.snapshot()
+        out = snap.select(
+            "user_id", F.round("new_value_sum", 4).alias("new_value_sum")
+        )
+        out = spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        view.stop()
+        shutil.rmtree(tmpdir, ignore_errors=True)
+    return out
+
+
+@register(
     "stream_lobsters_pipeline",
     oracle="""
     WITH rev AS (

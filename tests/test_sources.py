@@ -123,3 +123,55 @@ def test_corpus_source_requires_schema(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="explicit schema"):
         corpus_source(spark, str(tmp_path), fmt="jsonl")
+
+
+def test_debezium_parse_envelope_ops(spark):
+    """Envelope -> canonical delta mapping: c/r -> STATE, u -> UPDATEDELTA
+    (old+new images), d -> DELETE tombstone; ts_ms -> _ts micros; key
+    resolves from after when present, else before (delete)."""
+    from pyspark.sql import types as T
+
+    from proteus_spark.sources.debezium import parse_envelope
+
+    row_schema = T.StructType(
+        [T.StructField("k", T.LongType()), T.StructField("v", T.DoubleType())]
+    )
+    lines = spark.createDataFrame(
+        [
+            ('{"payload":{"before":null,"after":{"k":1,"v":10.0},'
+             '"op":"c","ts_ms":1000}}',),
+            ('{"payload":{"before":{"k":1,"v":10.0},"after":{"k":1,"v":25.0},'
+             '"op":"u","ts_ms":2000}}',),
+            ('{"payload":{"before":{"k":2,"v":7.0},"after":null,'
+             '"op":"d","ts_ms":3000}}',),
+            ('{"payload":{"before":null,"after":{"k":3,"v":1.5},'
+             '"op":"r","ts_ms":4000}}',),
+        ],
+        "value string",
+    )
+    out = {r["op_type"]: r for r in
+           parse_envelope(lines, row_schema, ["k"], "v").collect()}
+    assert out["STATE"]["k"] in (1, 3) and out["STATE"]["old_value"] is None
+    u = out["UPDATEDELTA"]
+    assert (u["k"], u["old_value"], u["new_value"], u["_ts"]) == (1, 10.0, 25.0, 2_000_000)
+    d = out["DELETE"]
+    assert (d["k"], d["old_value"], d["new_value"]) == (2, 7.0, None)
+
+
+def test_debezium_parse_envelope_flattened(spark):
+    """schemas.enable=false layout (no payload wrapper) parses identically."""
+    from pyspark.sql import types as T
+
+    from proteus_spark.sources.debezium import parse_envelope
+
+    row_schema = T.StructType(
+        [T.StructField("k", T.LongType()), T.StructField("v", T.DoubleType())]
+    )
+    lines = spark.createDataFrame(
+        [('{"before":{"k":5,"v":2.0},"after":{"k":5,"v":4.0},'
+          '"op":"u","ts_ms":9000}',)],
+        "value string",
+    )
+    r = parse_envelope(lines, row_schema, ["k"], "v").collect()[0]
+    assert (r["k"], r["op_type"], r["old_value"], r["new_value"], r["_ts"]) == (
+        5, "UPDATEDELTA", 2.0, 4.0, 9_000_000)
