@@ -11,16 +11,18 @@ Spark shape used here:
 - one Structured-Streaming query per view; Spark's state store replaces the
   reference's hand-rolled in-process maps (sum.go:49-59) — partitioned,
   spillable, fault-tolerant;
-- ``foreachBatch`` commits each micro-batch's changed groups into a
-  HASH-BUCKET-PARTITIONED incremental state table (``_BucketedState``):
-  only buckets containing changed keys are rewritten, so per-batch write
-  cost is O(|delta| + |touched-bucket state|), NOT O(|all state|) — the
-  Spark analogue of the reference's per-row UPSERT sink
-  (internal/qpustate/mysql_backend/mysql_backend.go:147-254), and exactly
-  the contract a Delta/Iceberg ``MERGE INTO`` over a key-partitioned table
-  gives at deployment scale. Version retention is bounded (last
-  ``retain``); manifests map bucket -> holding version, which doubles as
-  the freshness-in-versions metric the reference logs (metrics.go:103-214);
+- ``foreachBatch`` appends each micro-batch's delta rows into a
+  HASH-BUCKET-PARTITIONED LSM state table (``_BucketedState``): commits
+  write O(|delta|) bytes full stop, reads collapse each bucket's
+  base+delta chain through the view's merge policy, and a bucket compacts
+  only when its pending deltas reach its base size (amortized O(delta)
+  maintenance) — the log-structured analogue of the reference's per-row
+  B-tree UPSERT sink
+  (internal/qpustate/mysql_backend/mysql_backend.go:147-254), and the
+  same shape as an Iceberg merge-on-read table with minor compaction.
+  Version retention is bounded (last ``retain``); manifests map bucket ->
+  version chain, which doubles as the freshness-in-versions metric the
+  reference logs (metrics.go:103-214);
 - catch-up gate = the initial load completing (processAllAvailable after
   start), mirroring the serve-gate at qpu.go:72-75;
 - downstream views (the QPU DAG) recompute from the committed state inside
@@ -46,25 +48,112 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
+class _Merge:
+    """Merge-on-read policy: collapse the union of a bucket's base +
+    delta rows (each stamped with its commit version ``_v``) to one row
+    per key. Implementations are pure DataFrame aggregations, so the
+    collapse runs as one hash aggregate across executors."""
+
+    helper_cols: tuple[str, ...] = ("_v",)
+
+    def collapse(self, df: DataFrame, key: str) -> DataFrame:  # pragma: no cover
+        raise NotImplementedError
+
+
+class _ReplaceMerge(_Merge):
+    """Latest version wins wholesale (update-mode aggregation emits each
+    group's NEW total, so the newest row IS the state)."""
+
+    def collapse(self, df: DataFrame, key: str) -> DataFrame:
+        cols = [c for c in df.columns if c not in (key, "_v")]
+        return (
+            df.groupBy(key)
+            .agg(F.max_by(F.struct(*cols), "_v").alias("_s"))
+            .select(key, *[F.col(f"_s.{c}").alias(c) for c in cols])
+        )
+
+
+class _AddMerge(_Merge):
+    """Deltas are additive contributions (CDC new-minus-old); state is
+    their running sum. Commutative+associative, so base rows produced by
+    compaction are just partial sums. ``_ts`` folds as max (vector-clock
+    join, qpu.proto:97-99)."""
+
+    def __init__(self, sum_col: str):
+        self.sum_col = sum_col
+
+    def collapse(self, df: DataFrame, key: str) -> DataFrame:
+        aggs = [F.sum(self.sum_col).alias(self.sum_col)]
+        if "_ts" in df.columns:
+            aggs.append(F.max("_ts").alias("_ts"))
+        return df.groupBy(key).agg(*aggs)
+
+
+class _CoalesceMerge(_Merge):
+    """JoinView semantics: per column, last non-null value by version;
+    a DELETE tombstone at version v kills everything <= v (a later
+    re-insert revives the key); keys with no live rows disappear.
+    Missing attributes fall to their declared defaults (join.go:414-423)."""
+
+    helper_cols = ("_v", "_op")
+
+    def __init__(self, defaults: dict[str, float]):
+        self.defaults = defaults
+
+    def collapse(self, df: DataFrame, key: str) -> DataFrame:
+        from pyspark.sql.window import Window
+
+        cols = [c for c in df.columns if c not in (key, "_v", "_op")]
+        if "_op" in df.columns:
+            vdel = F.max(
+                F.when(F.col("_op") == "DELETE", F.col("_v"))
+            ).over(Window.partitionBy(key))
+            df = df.withColumn("_vdel", vdel).filter(
+                F.col("_v") > F.coalesce(F.col("_vdel"), F.lit(-1))
+            )
+        picked = df.groupBy(key).agg(
+            *[
+                F.max_by(c, F.when(F.col(c).isNotNull(), F.col("_v"))).alias(c)
+                for c in cols
+            ]
+        )
+        return picked.select(
+            key,
+            *[
+                F.coalesce(F.col(c), F.lit(self.defaults[c])).alias(c)
+                if c in self.defaults
+                else F.col(c)
+                for c in cols
+            ],
+        )
+
+
 class _BucketedState:
-    """Hash-bucket-partitioned incremental state table.
+    """Hash-bucket-partitioned LSM state table: delta commits,
+    merge-on-read, per-bucket compaction.
 
-    Layout: ``root/state_v{n}/_bucket={b}/*.parquet`` written with
-    ``partitionBy`` — one commit writes ONLY the buckets containing changed
-    keys (parquet dirs for untouched buckets are not re-created). A
-    per-version manifest maps bucket -> the version dir holding that
-    bucket's latest rows; a snapshot is the union read of the latest
-    per-bucket paths (directory-pruned by construction). Version dirs no
-    retained manifest references are deleted, bounding disk to
-    O(|state| + retain * |recent deltas|) instead of growing a full copy
-    per micro-batch.
+    A commit writes ONLY the micro-batch's delta rows (partitioned by key
+    bucket) — per-batch write cost is O(|delta|), full stop; there is no
+    read-modify-write of existing buckets on the hot path. Each bucket
+    accumulates a CHAIN of versions [base, delta, delta, ...]; a read
+    unions the chain and collapses it with the view's merge policy (one
+    hash aggregate). When a bucket's pending-delta bytes reach its base
+    bytes — or its chain hits ``max_chain`` (read-amplification bound) —
+    that bucket alone is compacted: chain ∪ new delta collapse to a fresh
+    base inside the same commit. Size-triggered compaction rewrites at
+    most ~2x the bytes the deltas brought in, so maintenance stays
+    amortized O(|delta|) — the LSM argument, and the reason round 2's
+    bucket-rewrite design (measured: a 1000-key uniform delta touched all
+    buckets and rewrote 110% of state per batch) was replaced.
 
-    At a real deployment this is precisely a Delta/Iceberg table
-    partitioned by key-hash with MERGE INTO + VACUUM; the manifest list is
-    the table's version log (time travel = ``snapshot_at``). Implemented
-    over plain parquet because the sandbox ships no lakehouse jars — the
-    contract (O(delta) maintenance, bounded retention, versioned reads) is
-    the part that matters at 100 TB.
+    This is the same shape as a lakehouse merge-on-read table (Iceberg
+    MOR delta files + minor compaction; the reference's own sink is a
+    per-row B-tree UPSERT, mysql_backend.go:147-254, which a log-structured
+    store matches amortized). The manifest list is the version log; time
+    travel = ``snapshot_at``; version dirs no retained manifest references
+    are vacuumed. Plain parquet because the sandbox ships no lakehouse
+    jars — the contract (O(delta) maintenance, bounded retention,
+    versioned reads) is the part that matters at 100 TB.
     """
 
     def __init__(
@@ -72,19 +161,23 @@ class _BucketedState:
         spark: SparkSession,
         root: str,
         key: str,
+        merge: _Merge,
         n_buckets: int = 32,
         retain: int = 8,
+        max_chain: int = 16,
     ):
         self.spark = spark
         self.root = root
         self.key = key
+        self.merge = merge
         self.n_buckets = n_buckets
         self.retain = retain
-        # manifest per version: {bucket: version dir holding its data};
-        # kept for ALL versions (a few ints each) — files are what get
-        # evicted, so snapshot_at past the retention window raises.
-        self.manifests: list[dict[int, int]] = []
-        self.schema: T.StructType | None = None  # logical schema (no _bucket)
+        self.max_chain = max_chain
+        # manifest per version: {bucket: (chain of version dirs holding its
+        # rows, oldest first)}; kept for ALL versions (ints only) — files
+        # are what get evicted, so reads past the retention window raise.
+        self.manifests: list[dict[int, tuple[int, ...]]] = []
+        self.schema: T.StructType | None = None  # stored schema (no _bucket)
 
     # -- addressing --------------------------------------------------------
     @property
@@ -100,6 +193,9 @@ class _BucketedState:
     def _vdir(self, v: int) -> str:
         return os.path.join(self.root, f"state_v{v}")
 
+    def _bdir(self, v: int, b: int) -> str:
+        return os.path.join(self._vdir(v), f"_bucket={b}")
+
     def _paths(self, version: int, buckets: list[int] | None) -> list[str]:
         m = self.manifests[version]
         items = (
@@ -107,16 +203,18 @@ class _BucketedState:
             if buckets is None
             else [(b, m[b]) for b in buckets if b in m]
         )
-        return [
-            os.path.join(self._vdir(v), f"_bucket={b}") for b, v in items
-        ]
+        return [self._bdir(v, b) for b, chain in items for v in chain]
 
     # -- reads -------------------------------------------------------------
+    def _read_raw(self, paths: list[str]) -> DataFrame:
+        return self.spark.read.parquet(*paths)
+
     def read(
         self, buckets: list[int] | None = None, version: int | None = None
     ) -> DataFrame | None:
-        """Union read of the latest (or ``version``-pinned) per-bucket
-        paths; ``buckets`` prunes to the named buckets. None = no rows."""
+        """Collapsed state at ``version`` (default latest): union the
+        per-bucket chains (directory-pruned by construction; ``buckets``
+        prunes further) and merge-on-read. None = never committed."""
         if version is None:
             version = self.version
         if version < 0:
@@ -129,44 +227,104 @@ class _BucketedState:
         paths = self._paths(version, buckets)
         if not paths:
             if self.schema is not None:
-                return self.spark.createDataFrame([], self.schema)
+                empty = self.spark.createDataFrame([], self.schema)
+                return self.merge.collapse(empty, self.key)
             return None
-        return self.spark.read.parquet(*paths)
+        return self.merge.collapse(self._read_raw(paths), self.key)
 
     # -- writes ------------------------------------------------------------
-    def commit(self, merged: DataFrame | None, touched: list[int]) -> int:
-        """Write ``merged`` (rows for the touched buckets, WITH a
-        ``_bucket`` column) as the next version; untouched buckets keep
-        their existing manifest pointers. Empty-delta batches bump the
+    def _du(self, path: str) -> int:
+        total = 0
+        for root, _dirs, files in os.walk(path):
+            for f in files:
+                try:
+                    total += os.path.getsize(os.path.join(root, f))
+                except OSError:
+                    pass
+        return total
+
+    def commit_delta(self, delta: DataFrame | None, touched: list[int]) -> int:
+        """Append ``delta`` (this batch's rows, WITH ``_bucket``) as the
+        next version. Buckets due for compaction fold chain + delta into
+        a fresh single-version base in the same write; every other touched
+        bucket just extends its chain with the delta rows. Untouched
+        buckets carry their chains forward. Empty-delta batches bump the
         version with a copied manifest and write nothing."""
         v = len(self.manifests)
+        prev = dict(self.manifests[-1]) if self.manifests else {}
         written: set[int] = set()
-        if merged is not None and touched:
+        compact: set[int] = set()
+        if delta is not None and touched:
+            for b in touched:
+                chain = prev.get(b, ())
+                if not chain:
+                    continue
+                if len(chain) >= self.max_chain:
+                    compact.add(b)
+                    continue
+                base = self._du(self._bdir(chain[0], b))
+                pending = sum(
+                    self._du(self._bdir(cv, b)) for cv in chain[1:]
+                )
+                # size-tiered trigger (ratio 0.5): rewrite costs <= ~3x
+                # what the pending deltas brought in -> amortized O(delta)
+                if base > 0 and pending >= base * 0.5:
+                    compact.add(b)
+
+            delta = delta.withColumn("_v", F.lit(v))
+            out = delta
+            if compact:
+                chain_paths = [
+                    self._bdir(cv, b)
+                    for b in compact
+                    for cv in prev.get(b, ())
+                ]
+                old = self._read_raw(chain_paths).withColumn(
+                    "_bucket", self.bucket_col()
+                )
+                clist = sorted(compact)
+                folded = self.merge.collapse(
+                    old.unionByName(
+                        delta.filter(F.col("_bucket").isin(clist)),
+                        allowMissingColumns=True,
+                    ),
+                    self.key,
+                ).withColumn("_bucket", self.bucket_col())
+                # re-add helper cols so base and delta files share one schema
+                for c in delta.columns:
+                    if c not in folded.columns:
+                        folded = folded.withColumn(
+                            c,
+                            F.lit(v)
+                            if c == "_v"
+                            else F.lit(None).cast(delta.schema[c].dataType),
+                        )
+                out = delta.filter(~F.col("_bucket").isin(clist)).unionByName(
+                    folded.select(*delta.columns)
+                )
             par = self.spark.sparkContext.defaultParallelism
             (
-                merged.repartition(min(len(touched), par), "_bucket")
+                out.repartition(min(len(touched), par), "_bucket")
                 .write.mode("overwrite")
                 .partitionBy("_bucket")
                 .parquet(self._vdir(v))
             )
             if self.schema is None:
                 self.schema = T.StructType(
-                    [f for f in merged.schema.fields if f.name != "_bucket"]
+                    [f for f in out.schema.fields if f.name != "_bucket"]
                 )
             written = {
-                b
-                for b in touched
-                if os.path.isdir(os.path.join(self._vdir(v), f"_bucket={b}"))
+                b for b in touched if os.path.isdir(self._bdir(v, b))
             }
-        m = dict(self.manifests[-1]) if self.manifests else {}
+        m = prev
         for b in touched:
             if b in written:
-                m[b] = v
-            else:
-                # every key in the bucket was deleted this batch: the new
-                # version has no dir for it, and pointing at the OLD dir
-                # would resurrect the deleted keys — drop the bucket
+                m[b] = (v,) if b in compact else m.get(b, ()) + (v,)
+            elif b in compact:
+                # compaction folded the bucket to zero live keys (all
+                # deleted): keeping the old chain would resurrect them
                 m.pop(b, None)
+            # else: delta had no rows for this bucket after all — keep chain
         self.manifests.append(m)
         self._evict()
         return v
@@ -175,7 +333,8 @@ class _BucketedState:
         keep_from = max(0, len(self.manifests) - self.retain)
         referenced: set[int] = set()
         for m in self.manifests[keep_from:]:
-            referenced.update(m.values())
+            for chain in m.values():
+                referenced.update(chain)
         for v in range(keep_from):
             if v not in referenced:
                 shutil.rmtree(self._vdir(v), ignore_errors=True)
@@ -222,8 +381,16 @@ class SumView:
         self._stream = stream
         self._root = tempfile.mkdtemp(prefix=f"proteus_view_{name}_")
         self._ckpt = os.path.join(self._root, "_checkpoint")
+        # append mode: update-mode agg emits NEW totals -> latest row wins;
+        # cdc mode: raw contributions -> running sum (commutative)
+        merge = (
+            _ReplaceMerge()
+            if mode == "append"
+            else _AddMerge(sum_col=self.sum_col)
+        )
         self._state = _BucketedState(
-            spark, self._root, key=group_by, n_buckets=n_buckets, retain=retain
+            spark, self._root, key=group_by, merge=merge,
+            n_buckets=n_buckets, retain=retain,
         )
         self._retain = retain
         self._derived_version: dict[str, int] = {}
@@ -291,46 +458,16 @@ class SumView:
         self._merge(contrib, replace=False, epoch=epoch)
 
     def _merge(self, delta: DataFrame, replace: bool, epoch: int) -> None:
-        key = self.group_by
         delta = delta.withColumn("_bucket", self._state.bucket_col()).persist()
         try:
             # bounded driver probe: <= n_buckets ints, never row data
             touched = [
                 r[0] for r in delta.select("_bucket").distinct().collect()
             ]
-            d = delta.drop("_bucket")
-            # prev = ONLY the buckets this delta touches (pruned read);
-            # untouched buckets keep their manifest pointers untouched
-            prev = (
-                self._state.read(buckets=touched) if touched else None
-            )
-            has_ts = "_ts" in d.columns
-            if prev is None or not touched:
-                merged = d
-            elif replace:
-                merged = prev.join(d, key, "left_anti").unionByName(d)
-            else:
-                p = prev.withColumnRenamed(self.sum_col, "_prev")
-                dd = d.withColumnRenamed(self.sum_col, "_delta")
-                if has_ts:
-                    p = p.withColumnRenamed("_ts", "_pts")
-                    dd = dd.withColumnRenamed("_ts", "_dts")
-                sel = [
-                    F.col(key),
-                    (
-                        F.coalesce(F.col("_prev"), F.lit(0.0))
-                        + F.coalesce(F.col("_delta"), F.lit(0.0))
-                    ).alias(self.sum_col),
-                ]
-                if has_ts:
-                    # greatest skips NULLs: a group untouched this batch
-                    # keeps its previous clock
-                    sel.append(
-                        F.greatest(F.col("_pts"), F.col("_dts")).alias("_ts")
-                    )
-                merged = p.join(dd, key, "full_outer").select(*sel)
-            merged = merged.withColumn("_bucket", self._state.bucket_col())
-            self._state.commit(merged if touched else None, touched)
+            # LSM append: write ONLY the delta rows — no read-modify-write
+            # of existing state on the hot path (merge happens on read /
+            # at per-bucket compaction)
+            self._state.commit_delta(delta if touched else None, touched)
         finally:
             delta.unpersist()
 
@@ -431,7 +568,9 @@ class JoinView:
         self._root = tempfile.mkdtemp(prefix=f"proteus_view_{name}_")
         self._ckpt = os.path.join(self._root, "_checkpoint")
         self._state = _BucketedState(
-            spark, self._root, key=key, n_buckets=n_buckets, retain=retain
+            spark, self._root, key=key,
+            merge=_CoalesceMerge(defaults=self.defaults),
+            n_buckets=n_buckets, retain=retain,
         )
         self._subscribers: list[Callable[[DataFrame, int], None]] = []
         self._query = None
@@ -479,42 +618,10 @@ class JoinView:
             touched = [
                 r[0] for r in delta.select("_bucket").distinct().collect()
             ]
-            d0 = delta.drop("_bucket")
-            deleted = None
-            if has_op:
-                deleted = d0.filter(F.col("_op") == "DELETE").select(self.key)
-                d0 = d0.drop("_op")
-            prev = self._state.read(buckets=touched) if touched else None
-            if prev is None or not touched:
-                merged = d0.select(
-                    self.key,
-                    *[
-                        F.coalesce(F.col(c), F.lit(self.defaults.get(c))).alias(c)
-                        if c in self.defaults
-                        else F.col(c)
-                        for c in cols
-                    ],
-                )
-            else:
-                d = d0.select(
-                    F.col(self.key),
-                    *[F.col(c).alias(f"_d_{c}") for c in cols],
-                )
-                merged = prev.join(d, self.key, "full_outer").select(
-                    self.key,
-                    *[
-                        F.coalesce(
-                            F.col(f"_d_{c}"),
-                            F.col(c),
-                            F.lit(self.defaults.get(c)),
-                        ).alias(c)
-                        for c in cols
-                    ],
-                )
-            if deleted is not None:
-                merged = merged.join(deleted, self.key, "left_anti")
-            merged = merged.withColumn("_bucket", self._state.bucket_col())
-            self._state.commit(merged if touched else None, touched)
+            # LSM append: delta rows only (tombstones persist as rows with
+            # _op=DELETE until their bucket compacts); the coalesce merge
+            # resolves per-column last-writer-wins + deletes on read
+            self._state.commit_delta(delta if touched else None, touched)
         finally:
             delta.unpersist()
         for cb in list(self._subscribers):

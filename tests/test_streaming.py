@@ -258,7 +258,8 @@ def test_bucketed_state_retention_evicts_old_versions(spark):
         referenced = {
             f"state_v{v}"
             for m in view._state.manifests[-2:]
-            for v in m.values()
+            for chain in m.values()
+            for v in chain
         }
         assert live == referenced
         snap = {r["k"]: r["new_value_sum"] for r in view.snapshot().collect()}
@@ -483,3 +484,90 @@ def test_stream_dedup_ttl_readmits(spark, tmp_path):
         await_emitted(emitted, ["A", "A", "B"])
     finally:
         q.stop()
+
+
+def test_lsm_uniform_delta_writes_o_delta_bytes(spark):
+    """The failure the bucket-REWRITE design had: a uniform 1000-key delta
+    touches every bucket, and rewriting touched buckets meant rewriting
+    ~110% of state per batch (measured, scripts/sweep_streaming_state.py).
+    The LSM commit writes only the delta rows regardless of how many
+    buckets they span."""
+    view = SumView(
+        spark, stream=None, group_by="k", agg_attr="new_value",
+        name="t_lsm_odelta", mode="cdc",
+    )
+    try:
+        b1 = spark.range(200_000).select(
+            F.col("id").alias("k"),
+            F.lit(None).cast("double").alias("old_value"),
+            (F.col("id") * 1.0).alias("new_value"),
+        )
+        view._on_cdc_batch(b1, 0)
+        delta = spark.range(1_000).select(
+            ((F.col("id") * 7919) % 200_000).alias("k"),
+            F.lit(None).cast("double").alias("old_value"),
+            F.lit(1.0).alias("new_value"),
+        )
+        view._on_cdc_batch(delta, 1)
+        v0 = _du(view._state._vdir(0))
+        v1 = _du(view._state._vdir(1))
+        assert v1 < 0.1 * v0, (v1, v0)
+        snap = {r["k"]: r["new_value_sum"] for r in
+                view.snapshot().filter(F.col("k").isin(0, 7919, 1)).collect()}
+        assert snap[0] == 1.0 and snap[7919] == 7920.0 and snap[1] == 1.0
+    finally:
+        view.stop()
+
+
+def test_lsm_compaction_bounds_chains_and_stays_correct(spark):
+    """Size-tiered compaction: when a bucket's pending deltas reach its
+    base size the chain folds to a single fresh base — read amplification
+    stays bounded while totals keep accumulating across compactions."""
+    view = SumView(
+        spark, stream=None, group_by="k", agg_attr="new_value",
+        name="t_lsm_compact", mode="cdc", n_buckets=2, retain=4,
+    )
+    try:
+        for e in range(10):
+            b = spark.createDataFrame(
+                [(1, None, 1.0)], "k bigint, old_value double, new_value double"
+            )
+            view._on_cdc_batch(b, e)
+        chains = view._state.manifests[-1]
+        assert all(len(chain) <= 3 for chain in chains.values()), chains
+        snap = {r["k"]: r["new_value_sum"] for r in view.snapshot().collect()}
+        assert snap == {1: 10.0}
+    finally:
+        view.stop()
+
+
+def test_lsm_join_compaction_erases_tombstones(spark):
+    """A DELETE tombstone persists as a row until its bucket compacts;
+    compaction folds it away and a fully-deleted bucket leaves the
+    manifest instead of resurrecting old keys."""
+    from proteus_spark.streaming.views import JoinView
+
+    view = JoinView(
+        spark,
+        left=spark.createDataFrame([], "k bigint, price double"),
+        right=spark.createDataFrame([], "k bigint, votes double"),
+        key="k", name="t_lsm_join_del",
+        defaults={"price": 0.0, "votes": 0.0}, n_buckets=1,
+    )
+    try:
+        view._on_batch(spark.createDataFrame(
+            [(1, 10.0, None, None)],
+            "k bigint, price double, votes double, _op string"), 0)
+        view._on_batch(spark.createDataFrame(
+            [(1, None, None, "DELETE")],
+            "k bigint, price double, votes double, _op string"), 1)
+        # pending >= base -> this commit compacts the bucket; the fold
+        # sees k=1's tombstone and k=2's insert
+        view._on_batch(spark.createDataFrame(
+            [(2, 20.0, None, None)],
+            "k bigint, price double, votes double, _op string"), 2)
+        got = {r["k"]: (r["price"], r["votes"]) for r in view.snapshot().collect()}
+        assert got == {2: (20.0, 0.0)}
+        assert view._state.manifests[-1] == {0: (2,)}
+    finally:
+        view.stop()
