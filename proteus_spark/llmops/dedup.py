@@ -511,3 +511,34 @@ def dup_components(pairs: DataFrame, max_iters: int = 25) -> DataFrame:
             break
         prev_sum = cur_sum
     return labels.select(F.col("v").alias("doc_id"), F.col("label").alias("component"))
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination
+# ---------------------------------------------------------------------------
+
+DECON_N = 5  # word n-gram length for overlap detection
+
+
+def decontaminate(
+    train: DataFrame, eval_docs: DataFrame, n: int = DECON_N
+) -> DataFrame:
+    """Benchmark decontamination: (doc_id, n_hits) — training documents
+    sharing at least one word-``n``-gram with the evaluation set, with the
+    count of DISTINCT overlapping shingles.
+
+    The standard eval-leak filter of a training pipeline (remove train
+    docs that quote benchmark items). Shape at 100 TB: both sides shingle
+    to 60-bit hashed ids (codegen md5, no strings on the wire), the eval
+    side collapses to its distinct shingle set — tiny relative to the
+    corpus, typically broadcast — and candidates come from an equi-join on
+    the shingle id; cost is linear in |train shingles| + |matches|, never
+    a cross product. ``dedup_apply``-style removal is then an anti-join of
+    ``train`` against this frame."""
+    sh_t = shingle_ids(train, n=n)
+    sh_e = shingle_ids(eval_docs, n=n).select("s").distinct()
+    return (
+        sh_t.join(sh_e, "s")
+        .groupBy("doc_id")
+        .agg(F.count("*").cast("long").alias("n_hits"))
+    )

@@ -290,3 +290,129 @@ def weighted_sample(
         .filter(F.col("bucket") < rate * 10000)
         .select("doc_id", "grp", "bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# Chunking, PII scrubbing, sequence packing
+# ---------------------------------------------------------------------------
+
+CHUNK_SIZE = 200
+CHUNK_STRIDE = 150  # 50-char overlap between consecutive chunks
+
+
+def chunk_documents(
+    docs: DataFrame, size: int = CHUNK_SIZE, stride: int = CHUNK_STRIDE
+) -> DataFrame:
+    """Fixed-size overlapping character chunks: (doc_id, chunk_id,
+    chunk_len, chunk_hash).
+
+    The context-window splitter of a training pipeline: chunk i covers
+    [i*stride, i*stride + size) for every start < len(text). Built as a
+    per-row sequence + explode + substring — embarrassingly parallel, no
+    shuffle, stays in codegen; chunks travel as md5 digests so the wide
+    text never rides an exchange."""
+    n = F.length("text")
+    # greatest-guard: an empty text would make the bound -1, and Spark's
+    # sequence(0, -1) counts BACKWARDS instead of yielding nothing
+    starts = F.sequence(
+        F.lit(0).cast("long"),
+        F.greatest(F.lit(0).cast("long"), F.floor((n - 1) / stride).cast("long")),
+    )
+    return (
+        docs.select("doc_id", "text", F.explode(starts).alias("chunk_id"))
+        .select(
+            "doc_id",
+            "chunk_id",
+            F.substring(
+                F.col("text"), (F.col("chunk_id") * stride + 1).cast("int"), size
+            ).alias("_c"),
+        )
+        .select(
+            "doc_id",
+            "chunk_id",
+            F.length("_c").cast("long").alias("chunk_len"),
+            F.md5("_c").alias("chunk_hash"),
+        )
+    )
+
+
+# RE2- and Java-regex compatible (no lookaround): emails + long digit runs
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_LONGNUM = r"[0-9]{7,}"
+
+
+def pii_scrub(docs: DataFrame) -> DataFrame:
+    """PII redaction pass: (doc_id, n_emails, n_longnums, scrubbed_hash).
+
+    The compliance scrub of a corpus pipeline: emails -> [EMAIL], 7+-digit
+    runs (phone/account-shaped) -> [NUM]; counts via regexp_extract_all so
+    the detector and the redactor can't drift apart. Patterns are
+    RE2/Java-portable (the DuckDB oracle runs the identical regexes).
+    Pure codegen — at 100 TB this is one projection over the text scan."""
+    emails = F.regexp_extract_all(F.col("text"), F.lit(PII_EMAIL), F.lit(0))
+    nums = F.regexp_extract_all(F.col("text"), F.lit(PII_LONGNUM), F.lit(0))
+    scrubbed = F.regexp_replace(
+        F.regexp_replace("text", PII_EMAIL, "[EMAIL]"), PII_LONGNUM, "[NUM]"
+    )
+    return docs.select(
+        "doc_id",
+        F.size(emails).cast("long").alias("n_emails"),
+        F.size(nums).cast("long").alias("n_longnums"),
+        F.md5(scrubbed).alias("scrubbed_hash"),
+    )
+
+
+PACK_BUDGET = 512
+
+
+def pack_sequences(docs: DataFrame, budget: int = PACK_BUDGET) -> DataFrame:
+    """Sequence packing: (doc_id, n_tokens, tok_offset, bin_id) — concatenate
+    the corpus in doc_id order into one token stream and cut it into
+    training sequences of ``budget`` tokens; a document belongs to the bin
+    where it starts.
+
+    The global prefix-sum is computed DISTRIBUTED, two-phase: docs fall
+    into deterministic doc_id range buckets (one per core), per-bucket
+    token totals (one tiny row per bucket) are prefix-summed on the
+    driver, then a within-bucket running sum is offset by the bucket's
+    prefix — no single-task global window (the naive ``sum() OVER
+    (ORDER BY doc_id)`` funnels the whole table through ONE task; this
+    form's widest single task is one bucket). Buckets are a pure
+    expression of doc_id (not sampled range partitioning), so
+    recomputation is deterministic and the lazy plan stays valid."""
+    from pyspark.sql.window import Window
+
+    toks = docs.select(
+        "doc_id", F.size(tokens_col()).cast("long").alias("n_tokens")
+    )
+    par = docs.sparkSession.sparkContext.defaultParallelism
+    lo, hi = toks.agg(F.min("doc_id"), F.max("doc_id")).collect()[0]
+    width = max(1, (int(hi) - int(lo)) // par + 1)
+    bucket = F.floor((F.col("doc_id") - F.lit(int(lo))) / width).cast("int")
+    r = toks.withColumn("_pid", bucket)
+    # driver-side prefix over <= par rows (bucket id -> token total)
+    sums = {
+        row["_pid"]: row["s"]
+        for row in r.groupBy("_pid").agg(F.sum("n_tokens").alias("s")).collect()
+    }
+    prefix, acc = {}, 0
+    for pid in sorted(sums):
+        prefix[pid] = acc
+        acc += sums[pid]
+    pmap = F.create_map(
+        *[F.lit(x) for pid in sorted(prefix) for x in (pid, prefix[pid])]
+    )
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return r.select(
+        "doc_id",
+        "n_tokens",
+        (
+            F.element_at(pmap, F.col("_pid"))
+            + F.sum("n_tokens").over(w)
+            - F.col("n_tokens")
+        ).alias("tok_offset"),
+    ).withColumn("bin_id", F.floor(F.col("tok_offset") / budget).cast("long"))

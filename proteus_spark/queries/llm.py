@@ -819,3 +819,111 @@ def llm_corpus_stats(spark, sf_dir):
         F.max(F.length("text")).cast("long").alias("max_chars"),
         F.round(F.avg(F.length("text")), 6).alias("avg_chars"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 3: decontamination, chunking, PII scrub, sequence packing
+# ---------------------------------------------------------------------------
+
+
+def _decon_oracle() -> str:
+    g = " || ' ' || ".join(f"t[i+{j}]" if j else "t[i]" for j in range(D.DECON_N))
+    return f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh5 AS (SELECT DISTINCT doc_id, s FROM (
+      SELECT doc_id,
+             unnest([{g}
+                     FOR i IN generate_series(1, greatest(len(t)-{D.DECON_N - 1}, 0))]) AS s
+      FROM toks)),
+    hs AS (SELECT doc_id, {md5_seeded_sql('s', 'sid')} AS xs FROM sh5),
+    sid AS (SELECT DISTINCT doc_id, {hex_to_long_sql('xs', D.SID_HEX)} AS s FROM hs),
+    ev AS (SELECT DISTINCT s FROM sid WHERE doc_id % 50 = 0),
+    tr AS (SELECT doc_id, s FROM sid WHERE doc_id % 50 <> 0)
+    SELECT tr.doc_id, CAST(count(*) AS BIGINT) AS n_hits
+    FROM tr JOIN ev USING (s) GROUP BY tr.doc_id
+    """
+
+
+@register("llm_decontaminate", oracle=_decon_oracle, tags=("llm", "dedup"))
+def llm_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: every 50th doc plays the eval set; train
+    docs sharing any word-5-gram with it are flagged with their distinct-
+    overlap count. Candidates come from a 60-bit shingle-id equi-join
+    (eval side is a tiny distinct set — broadcast at scale); linear in
+    |train shingles|, never a cross product."""
+    docs = load(spark, sf_dir, "documents")
+    ev = docs.filter(F.col("doc_id") % 50 == 0)
+    tr = docs.filter(F.col("doc_id") % 50 != 0)
+    return D.decontaminate(tr, ev)
+
+
+@register(
+    "llm_chunk_documents",
+    oracle=f"""
+    SELECT doc_id, i AS chunk_id,
+           CAST(length(substr(text, CAST(i*{TXT.CHUNK_STRIDE}+1 AS BIGINT),
+                              {TXT.CHUNK_SIZE})) AS BIGINT) AS chunk_len,
+           md5(substr(text, CAST(i*{TXT.CHUNK_STRIDE}+1 AS BIGINT),
+                      {TXT.CHUNK_SIZE})) AS chunk_hash
+    FROM (SELECT doc_id, text,
+                 unnest(generate_series(0,
+                     greatest(CAST(floor((length(text)-1)/{TXT.CHUNK_STRIDE})
+                              AS BIGINT), 0))) AS i
+          FROM documents)
+    """,
+    tags=("llm", "text"),
+)
+def llm_chunk_documents(spark, sf_dir):
+    """Context-window chunking: 200-char chunks at 150-char stride (50
+    overlap), chunks shipped as md5 digests. Per-row sequence + explode —
+    no shuffle, pure codegen."""
+    return TXT.chunk_documents(load(spark, sf_dir, "documents"))
+
+
+@register(
+    "llm_pii_scrub",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{TXT.PII_EMAIL}')) AS BIGINT)
+             AS n_emails,
+           CAST(len(regexp_extract_all(text, '{TXT.PII_LONGNUM}')) AS BIGINT)
+             AS n_longnums,
+           md5(regexp_replace(regexp_replace(text, '{TXT.PII_EMAIL}', '[EMAIL]',
+                                             'g'),
+                              '{TXT.PII_LONGNUM}', '[NUM]', 'g')) AS scrubbed_hash
+    FROM documents
+    """,
+    tags=("llm", "text"),
+)
+def llm_pii_scrub(spark, sf_dir):
+    """PII redaction: emails -> [EMAIL], 7+-digit runs -> [NUM]; counts and
+    the scrubbed-content digest, detector and redactor sharing one regex
+    (RE2/Java-portable, identical in the oracle)."""
+    return TXT.pii_scrub(load(spark, sf_dir, "documents"))
+
+
+@register(
+    "llm_pack_sequences",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents)
+    SELECT doc_id, n_tokens,
+           CAST(sum(n_tokens) OVER (ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                - n_tokens AS BIGINT) AS tok_offset,
+           CAST(floor((sum(n_tokens) OVER (ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                - n_tokens) / {TXT.PACK_BUDGET}) AS BIGINT) AS bin_id
+    FROM toks
+    """,
+    tags=("llm", "text"),
+)
+def llm_pack_sequences(spark, sf_dir):
+    """Sequence packing for training: concatenate docs in id order into a
+    token stream cut at 512-token boundaries; a doc's bin is where it
+    starts. The global prefix-sum runs as a DISTRIBUTED two-phase sum
+    (per-range-bucket totals prefix-folded on the driver, within-bucket
+    windows) — the oracle states the same math as the naive single-task
+    global window, which the implementation deliberately avoids."""
+    return TXT.pack_sequences(load(spark, sf_dir, "documents"))
