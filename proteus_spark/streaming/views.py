@@ -393,6 +393,9 @@ class SumView:
             n_buckets=n_buckets, retain=retain,
         )
         self._retain = retain
+        self._snap_lock = threading.Lock()
+        self._snap_cache = None
+        self._snap_version = -1
         self._derived_version: dict[str, int] = {}
         self._subscribers: list[Callable[[DataFrame, int], None]] = []
         self._catch_up = threading.Event()
@@ -496,8 +499,25 @@ class SumView:
     # -- query surface -------------------------------------------------------
     def snapshot(self) -> DataFrame | None:
         """Current materialized state (ClientQuery parity: queries answer
-        from local state, sum.go:149-180)."""
-        return self._state.read()
+        from local state, sum.go:149-180).
+
+        Reads pay the LSM collapse once per version: the collapsed frame
+        is memoized + persisted, so a read-heavy serving workload between
+        micro-batches hits the cached collapse instead of re-aggregating
+        the bucket chains on every query (the LSM read-optimized view).
+        Laziness keeps the writer unaffected — materialization cost lands
+        on the first reader of each version, O(|state|) once per version
+        AT MOST (never per read, never per commit)."""
+        with self._snap_lock:
+            v = self._state.version
+            if v != self._snap_version:
+                new = self._state.read()
+                old = self._snap_cache
+                self._snap_cache = new.persist() if new is not None else None
+                self._snap_version = v
+                if old is not None:
+                    old.unpersist()
+            return self._snap_cache
 
     def snapshot_derived(self, name: str) -> DataFrame | None:
         dv = self._derived_version.get(name, -1)
@@ -573,6 +593,9 @@ class JoinView:
             n_buckets=n_buckets, retain=retain,
         )
         self._subscribers: list[Callable[[DataFrame, int], None]] = []
+        self._snap_lock = threading.Lock()
+        self._snap_cache = None
+        self._snap_version = -1
         self._query = None
 
     def start(self) -> "JoinView":
@@ -632,7 +655,17 @@ class JoinView:
 
     # -- query surface -----------------------------------------------------
     def snapshot(self) -> DataFrame | None:
-        return self._state.read()
+        """Collapsed state, memoized per version (see SumView.snapshot)."""
+        with self._snap_lock:
+            v = self._state.version
+            if v != self._snap_version:
+                new = self._state.read()
+                old = self._snap_cache
+                self._snap_cache = new.persist() if new is not None else None
+                self._snap_version = v
+                if old is not None:
+                    old.unpersist()
+            return self._snap_cache
 
     def subscribe(self, cb: Callable[[DataFrame, int], None]) -> None:
         self._subscribers.append(cb)
