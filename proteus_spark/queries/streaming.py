@@ -429,6 +429,72 @@ def stream_windowed_watermark(spark, sf_dir):
 
 
 @register(
+    "stream_interval_join",
+    oracle="""
+    SELECT l.event_id AS l_event_id, r.event_id AS r_event_id,
+           l.user_id AS user_id,
+           CAST(epoch_us(r.ts) - epoch_us(l.ts) AS BIGINT) AS gap_us
+    FROM events l JOIN events r ON l.user_id = r.user_id
+      AND l.event_type = 'view' AND r.event_type = 'click'
+      AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 10 MINUTE
+    """,
+    tags=("streaming", "join", "event-time"),
+)
+def stream_interval_join(spark, sf_dir):
+    """Stream-stream event-time interval join, live: view and click events
+    replayed as TWO independent micro-batch streams; each view pairs with
+    the same user's clicks in the next 10 minutes. Inner-join pairs emit
+    as they match (append mode); watermarks bound the join state to the
+    horizon, so state is O(watermark x rate) at any stream length — a
+    temporal correlation the reference's keyed-coalesce JoinQPU cannot
+    express (join.go:352-379). Converged output == the batch interval
+    join."""
+    import shutil
+    import tempfile
+
+    from proteus_spark.streaming.windows import interval_join_stream
+
+    ev = events_with_ts(spark, sf_dir).select(
+        "event_id", "user_id", "event_type",
+        F.col("ts").cast("timestamp").alias("ts"),
+    )
+    views = ev.filter(F.col("event_type") == "view").drop("event_type")
+    clicks = ev.filter(F.col("event_type") == "click").drop("event_type")
+    src_l = cdc.stage_stream(spark, views, chunks=3, order_col="ts")
+    src_r = cdc.stage_stream(spark, clicks, chunks=3, order_col="ts")
+    joined = interval_join_stream(
+        src_l.subscribe(), src_r.subscribe(), key="user_id",
+        lower="0 seconds", upper="10 minutes", watermark="30 minutes",
+    ).select(
+        "l_event_id", "r_event_id",
+        F.col("l_key").alias("user_id"),
+        (F.unix_micros("r_ts") - F.unix_micros("l_ts")).alias("gap_us"),
+    )
+    outdir = tempfile.mkdtemp(prefix="proteus_ijoin_out_")
+
+    def capture(batch, epoch):
+        batch.write.mode("append").parquet(outdir)
+
+    query = (
+        joined.writeStream.outputMode("append")
+        .foreachBatch(capture)
+        .queryName("stream_interval_join")
+        .start()
+    )
+    try:
+        query.processAllAvailable()
+    finally:
+        query.stop()
+        cdc.cleanup(src_l)
+        cdc.cleanup(src_r)
+    try:
+        final = spark.read.parquet(outdir).distinct()
+        return spark.createDataFrame(final.collect(), final.schema)
+    finally:
+        shutil.rmtree(outdir, ignore_errors=True)
+
+
+@register(
     "stream_dedup_ingest",
     oracle="""
     SELECT DISTINCT md5(text) AS text_hash FROM documents

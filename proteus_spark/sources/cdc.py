@@ -76,13 +76,47 @@ class CDCSource:
 
 
 def stage_stream(
-    spark: SparkSession, df: DataFrame, chunks: int = 4, prefix: str = "proteus_cdc_"
+    spark: SparkSession,
+    df: DataFrame,
+    chunks: int = 4,
+    prefix: str = "proteus_cdc_",
+    order_col: str | None = None,
 ) -> CDCSource:
     """Stage a batch DataFrame as ``chunks`` parquet files in a temp dir so
     a file stream replays it across multiple micro-batches — the test
-    harness's CDC simulator. Caller (or View.stop) cleans up."""
+    harness's CDC simulator. Caller (or View.stop) cleans up.
+
+    ``order_col``: replay in that column's order — chunk i holds the i-th
+    ntile, and files get strictly increasing mtimes so the file source
+    triggers them in sequence. Event-time operators (watermarks,
+    stream-stream interval joins) need this: a real CDC/notification feed
+    is approximately time-ordered, and replaying random subsets would
+    advance the watermark past data that 'arrives' later, dropping it by
+    (correct) late-data policy."""
     tmpdir = tempfile.mkdtemp(prefix=prefix)
-    df.repartition(chunks).write.mode("overwrite").parquet(tmpdir)
+    if order_col is None:
+        df.repartition(chunks).write.mode("overwrite").parquet(tmpdir)
+    else:
+        import time
+
+        from pyspark.sql.window import Window
+
+        chunked = df.withColumn(
+            "_chunk", F.ntile(chunks).over(Window.orderBy(order_col))
+        )
+        scratch = tempfile.mkdtemp(prefix=prefix + "scratch_")
+        now = time.time()
+        for i in range(1, chunks + 1):
+            cdir = os.path.join(scratch, f"c{i}")
+            chunked.filter(F.col("_chunk") == i).drop("_chunk").coalesce(
+                1
+            ).write.parquet(cdir)
+            for j, f in enumerate(sorted(os.listdir(cdir))):
+                if f.endswith(".parquet"):
+                    dst = os.path.join(tmpdir, f"{i:04d}_{j}.parquet")
+                    shutil.move(os.path.join(cdir, f), dst)
+                    os.utime(dst, (now + i, now + i))
+        shutil.rmtree(scratch, ignore_errors=True)
     src = CDCSource(spark=spark, path=tmpdir, name=os.path.basename(tmpdir))
     src._tmp.append(tmpdir)
     return src

@@ -228,3 +228,37 @@ def test_durable_index_prunes_partitions(spark, sf_dir, tmp_path):
     ]
     actual = [(r["c_custkey"], r["c_nationkey"]) for r in got.collect()]
     assert actual == expect
+
+
+def test_chunk_documents_no_shuffle(q):
+    """Chunking is per-row sequence+explode — the plan must contain no
+    Exchange at all (embarrassingly parallel at any scale)."""
+    p = q("llm_chunk_documents")
+    assert "Exchange" not in p
+    assert "Generate" in p  # the explode
+
+
+def test_pii_scrub_single_projection(q):
+    """PII scrub is one codegen projection over the text scan: no
+    Exchange, no Python evaluation."""
+    p = q("llm_pii_scrub")
+    assert "Exchange" not in p
+    assert "Python" not in p
+
+
+def test_pack_sequences_no_global_window(q):
+    """The packing prefix-sum must run per range-bucket, never as a
+    single-task global window: every Window in the plan partitions by the
+    bucket column (a global window shows an empty partition spec and an
+    Exchange SinglePartition)."""
+    p = q("llm_pack_sequences")
+    assert "SinglePartition" not in p
+    assert "Window" in p
+
+
+def test_decontaminate_equi_join(q):
+    """Candidate generation is an equi-join on the shingle id — no
+    cartesian/broadcast-nested-loop anywhere."""
+    p = q("llm_decontaminate")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
