@@ -330,3 +330,185 @@ def ivf_topk(
         ),
     )
     return _two_phase_topk(scored, k)
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — compressed-domain ANN
+# ---------------------------------------------------------------------------
+
+PQ_M = 8  # subspaces
+PQ_K = 64  # codes per subspace
+
+
+def _unit(col):
+    """L2-normalize an embedding column: ADC approximates L2 distance, and
+    on unit vectors L2 ranking is EXACTLY cosine ranking (||a-b||^2 =
+    2 - 2cos) — without this, varying vector norms make the compressed-
+    domain candidates diverge from the cosine re-rank (measured: recall@3
+    33% -> 90%+ on the synthetic corpus)."""
+    n = norm(col)
+    return F.transform(col, lambda x: x.cast("double") / n)
+
+
+def pq_train(emb: DataFrame, m: int = PQ_M, k: int = PQ_K, seed: int = 42):
+    """Train per-subspace KMeans codebooks over the NORMALIZED corpus:
+    returns a list of ``m`` codebooks, each ``[(code_id, subvector)]``.
+
+    The idiomatic-Spark quantizer (MLlib KMeans per subspace, no
+    hand-rolled Lloyd's loop). Training touches the corpus ``m`` times but
+    produces a model of m*k tiny vectors — at deployment scale you train
+    on a sample and broadcast the result."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    emb = emb.select("vec_id", _unit(F.col("embedding")).alias("embedding"))
+    dim = len(emb.select("embedding").first()[0])
+    sub = dim // m
+    # cap codes to corpus size (tiny fixtures): k clusters need >= k points,
+    # and k ~ n/8 keeps each code cell populated enough to mean something
+    k = max(4, min(k, emb.count() // 8))
+    books = []
+    for i in range(m):
+        feats = emb.select(
+            array_to_vector(
+                F.slice(F.col("embedding").cast("array<double>"), i * sub + 1, sub)
+            ).alias("features")
+        )
+        model = KMeans(k=k, seed=seed + i, maxIter=10).fit(feats)
+        books.append(
+            [(c, [float(x) for x in v]) for c, v in enumerate(model.clusterCenters())]
+        )
+    return books
+
+
+def _codebook_df(spark, books) -> DataFrame:
+    rows = [
+        (mi, c, vec) for mi, book in enumerate(books) for c, vec in book
+    ]
+    return spark.createDataFrame(
+        rows, "m int, code int, cvec array<double>"
+    )
+
+
+def pq_encode(emb: DataFrame, books) -> DataFrame:
+    """Encode every vector as ``m`` nearest-code ids: (vec_id, m, code).
+
+    The compression step: m codes (one byte each at k<=256) replace
+    4*dim bytes — at 100 TB of embeddings the encoded corpus is ~1-2% of
+    the raw size, small enough to keep hot for scoring. One broadcast
+    join against the m*k codebook rows + a min_by per (vector, subspace);
+    everything stays in codegen."""
+    spark = emb.sparkSession
+    m = len(books)
+    dim = len(emb.select("embedding").first()[0])
+    sub = dim // m
+    cb = F.broadcast(_codebook_df(spark, books))
+    emb = emb.select("vec_id", _unit(F.col("embedding")).alias("embedding"))
+    sv = emb.select(
+        "vec_id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("m"),
+                    F.slice(
+                        F.col("embedding").cast("array<double>"), i * sub + 1, sub
+                    ).alias("svec"),
+                )
+                for i in range(m)
+            ])
+        ).alias("_s"),
+    ).select("vec_id", "_s.m", "_s.svec")
+    d2 = F.aggregate(
+        F.zip_with(F.col("svec"), F.col("cvec"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return (
+        sv.join(cb, "m")
+        .select("vec_id", "m", "code", d2.alias("_d2"))
+        .groupBy("vec_id", "m")
+        .agg(F.min_by("code", "_d2").alias("code"))
+    )
+
+
+def pq_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    books,
+    k: int = 3,
+    rerank: int = 4,
+) -> DataFrame:
+    """PQ ANN search: ADC (asymmetric distance computation) over the
+    encoded corpus, then EXACT cosine re-rank of the top ``rerank*k``
+    candidates per query.
+
+    Scale shape: the query-side distance tables (q x m x k rows — tiny)
+    broadcast against the encoded corpus's (vec_id, m, code) rows; the
+    approximate distance is one map-side sum per (query, vector); the
+    expensive exact cosine touches only the rerank*k survivors
+    (candidate-pushed, like the LSH verify stage). No full-width embedding
+    ever rides a shuffle except the final candidates'."""
+    spark = emb.sparkSession
+    m = len(books)
+    dim = len(emb.select("embedding").first()[0])
+    sub = dim // m
+    cb = _codebook_df(spark, books)
+
+    qs = queries.select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    qn = qs.select("qid", _unit(F.col("qvec")).alias("qvec"))
+    qsub = qn.select(
+        "qid",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("m"),
+                    F.slice(
+                        F.col("qvec").cast("array<double>"), i * sub + 1, sub
+                    ).alias("svec"),
+                )
+                for i in range(m)
+            ])
+        ).alias("_s"),
+    ).select("qid", "_s.m", "_s.svec")
+    d2 = F.aggregate(
+        F.zip_with(F.col("svec"), F.col("cvec"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    qtab = qsub.join(cb, "m").select("qid", "m", "code", d2.alias("qd"))
+
+    enc = pq_encode(emb, books)
+    approx = (
+        enc.join(F.broadcast(qtab), ["m", "code"])
+        .filter(F.col("vec_id") != F.col("qid"))
+        .groupBy("qid", "vec_id")
+        .agg(F.sum("qd").alias("adist"))
+    )
+    wq = W.partitionBy("qid").orderBy(F.asc("adist"), F.asc("vec_id"))
+    cands = (
+        approx.withColumn("_r", F.row_number().over(wq))
+        .filter(F.col("_r") <= rerank * k)
+        .select("qid", "vec_id")
+    )
+    # exact re-rank: candidates pull their raw vectors (candidate-pushed)
+    nv = emb.select(
+        F.col("vec_id"), F.col("embedding").alias("nvec"),
+        norm(F.col("embedding")).alias("nnorm"),
+    )
+    qv = qs.withColumn("qnorm", norm(F.col("qvec")))
+    scored = (
+        cands.join(nv, "vec_id")
+        .join(F.broadcast(qv), "qid")
+        .select(
+            "qid",
+            F.col("vec_id").alias("nid"),
+            F.round(
+                dot(F.col("qvec"), F.col("nvec"))
+                / (F.col("qnorm") * F.col("nnorm")),
+                6,
+            ).alias("sim"),
+        )
+    )
+    return _two_phase_topk(scored, k)

@@ -844,7 +844,7 @@ def _decon_oracle() -> str:
     """
 
 
-@register("llm_decontaminate", oracle=_decon_oracle, tags=("llm", "dedup"))
+@register("llm_decontaminate", oracle=_decon_oracle, tags=("llm", "dedup", "bench"))
 def llm_decontaminate(spark, sf_dir):
     """Benchmark decontamination: every 50th doc plays the eval set; train
     docs sharing any word-5-gram with it are flagged with their distinct-
@@ -917,7 +917,7 @@ def llm_pii_scrub(spark, sf_dir):
                 - n_tokens) / {TXT.PACK_BUDGET}) AS BIGINT) AS bin_id
     FROM toks
     """,
-    tags=("llm", "text"),
+    tags=("llm", "text", "bench"),
 )
 def llm_pack_sequences(spark, sf_dir):
     """Sequence packing for training: concatenate docs in id order into a
@@ -927,3 +927,33 @@ def llm_pack_sequences(spark, sf_dir):
     windows) — the oracle states the same math as the naive single-task
     global window, which the implementation deliberately avoids."""
     return TXT.pack_sequences(load(spark, sf_dir, "documents"))
+
+
+@register(
+    "llm_sim_pq",
+    oracle=None,  # KMeans codebooks are not SQL-reproducible -> rows-only +
+    # in-query recall assertion against the exact brute-force answer
+    tags=("llm", "similarity", "approx"),
+)
+def llm_sim_pq(spark, sf_dir):
+    """Product-quantization ANN: per-subspace KMeans codebooks (8 x 64,
+    fixed seeds, k capped to corpus/8 on tiny fixtures) compress each
+    vector to 8 code bytes; search scores the
+    ENCODED corpus via ADC lookup tables (broadcast q x m x k), then
+    exact-reranks only the top-48 candidates per query. The compressed-
+    domain path for embedding stores too large to scan raw: the encoded
+    corpus is ~1-2% of the float payload, and full-width vectors are
+    touched only for re-rank candidates. Rows-only (no SQL oracle can
+    refit KMeans); the query asserts recall@3 >= 50% vs brute force
+    in-line."""
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter((F.col("vec_id") >= 10) & (F.col("vec_id") < 20))
+    books = S.pq_train(emb)
+    approx = S.pq_topk(emb, queries, books, k=3, rerank=16)
+    exact = S.brute_force_topk(emb, queries, k=3)
+    hits = approx.join(
+        exact.select("qid", "nid"), ["qid", "nid"], "left_semi"
+    ).count()
+    total = exact.count()
+    assert total > 0 and hits / total >= 0.50, f"PQ recall {hits}/{total}"
+    return approx
