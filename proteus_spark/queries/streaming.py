@@ -429,6 +429,48 @@ def stream_windowed_watermark(spark, sf_dir):
 
 
 @register(
+    "stream_static_enrich",
+    oracle="""
+    SELECT c.c_mktsegment AS segment,
+           round(sum(e.value), 4) AS value_sum
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+    tags=("streaming", "join"),
+)
+def stream_static_enrich(spark, sf_dir):
+    """Stream-static enrichment: the live event stream joins a broadcast
+    dimension (customer market segment) BEFORE the streaming aggregation
+    — the standard fact-stream x dim-table shape (no join state at all:
+    the dimension is a broadcast, re-resolved per micro-batch, so a dim
+    update is picked up at the next trigger). Converged sum view over the
+    enriched stream == the batch join+GROUP BY."""
+    cust = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey"), F.col("c_mktsegment").alias("segment")
+    )
+    ev = load(spark, sf_dir, "events").select("user_id", "value")
+    src = cdc.stage_stream(spark, ev, chunks=3)
+    enriched = src.subscribe().join(
+        F.broadcast(cust), F.col("user_id") == F.col("c_custkey")
+    ).select("segment", "value")
+    view = SumView(
+        spark, enriched, group_by="segment", agg_attr="value",
+        name="stream_static_enrich", mode="append",
+    ).start()
+    try:
+        view.await_catch_up()
+        snap = view.snapshot()
+        out = snap.select(
+            "segment", F.round("value_sum", 4).alias("value_sum")
+        )
+        out = spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        view.stop()
+        cdc.cleanup(src)
+    return out
+
+
+@register(
     "stream_interval_join",
     oracle="""
     SELECT l.event_id AS l_event_id, r.event_id AS r_event_id,
