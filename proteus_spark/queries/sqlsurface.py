@@ -851,3 +851,43 @@ def events_sliding_2h(spark, sf_dir):
         F.count("*").alias("n"),
         F.sum(F.col("value").cast("decimal(18,6)")).cast("decimal(38,6)").cast("double").alias("value_sum"),
     )
+
+
+@register(
+    "agg_hll_rollup",
+    oracle=None,  # Datasketches HLL binary registers are Spark-specific ->
+    # rows-only; the merged-vs-exact bound is asserted in-query
+    tags=("aggregate", "approx", "sketch"),
+)
+def agg_hll_rollup(spark, sf_dir):
+    """MERGEABLE sketch rollup — the pre-aggregation story approx_count_
+    distinct can't tell: per-month HLL sketches (hll_sketch_agg) union
+    into a total-period distinct estimate (hll_union_agg) WITHOUT
+    re-touching the raw data. At 100 TB this is the difference between a
+    daily-materialized KB-sized sketch table answering any date-range
+    distinct query, and a full-corpus re-scan per query. Union is
+    commutative/idempotent, so the rollup is partitioning-independent;
+    the merged estimate must land within 5% of the exact distinct
+    (asserted in-query; no SQL oracle — DuckDB's HLL registers differ)."""
+    li = load(spark, sf_dir, "lineitem")
+    monthly = li.groupBy(
+        F.date_format("l_shipdate", "yyyy-MM").alias("month")
+    ).agg(
+        F.hll_sketch_agg("l_orderkey").alias("sketch"),
+        F.count_distinct("l_orderkey").alias("exact_month"),
+    )
+    merged = monthly.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("merged_estimate")
+    )
+    exact_total = li.select(
+        F.count_distinct("l_orderkey").alias("exact_total")
+    )
+    out = monthly.select(
+        "month",
+        F.hll_sketch_estimate("sketch").alias("month_estimate"),
+        "exact_month",
+    )
+    m = merged.collect()[0][0]
+    e = exact_total.collect()[0][0]
+    assert abs(m - e) / e <= 0.05, f"merged HLL {m} vs exact {e}"
+    return out
