@@ -12,6 +12,7 @@ though results stay correct.
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from proteus_spark.registry import all_queries
 
@@ -262,3 +263,38 @@ def test_decontaminate_equi_join(q):
     p = q("llm_decontaminate")
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_bucketed_tables_join_without_exchange(spark, sf_dir):
+    """Bucketing for co-located joins (the 100 TB fact-fact join shape):
+    orders and lineitem written bucketed by the join key join WITHOUT any
+    Exchange — both sides scan pre-partitioned buckets. At deployment
+    scale this is the difference between a full dual-table shuffle per
+    join and zero shuffle for every future join on the key."""
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_totalprice"
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_quantity"
+    )
+    (orders.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+     .mode("overwrite").saveAsTable("b_orders"))
+    (li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+     .mode("overwrite").saveAsTable("b_lineitem"))
+    try:
+        # disable broadcast so the join would otherwise shuffle both sides
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("b_orders").join(
+            spark.table("b_lineitem"),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        p = plan(joined)
+        assert "Exchange" not in p, p
+        n = joined.count()
+        assert n == li.count()  # every lineitem matches its order
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
