@@ -325,3 +325,48 @@ def test_dup_components_random_graphs(spark):
         df = spark.createDataFrame(pairs, "ida long, idb long")
         got = {r["doc_id"]: r["component"] for r in dup_components(df).collect()}
         assert got == expected, f"seed {seed}"
+
+
+def test_chunk_documents_degenerate_texts(spark):
+    """Empty and shorter-than-stride texts chunk to exactly one chunk
+    (Spark's sequence(0, -1) counts BACKWARDS without the greatest-guard —
+    this pins the guard)."""
+    from proteus_spark.llmops.text import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "short"), (3, "x" * 200), (4, "y" * 201)],
+        "doc_id long, text string",
+    )
+    out = chunk_documents(docs).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append((r["chunk_id"], r["chunk_len"]))
+    assert by_doc[1] == [(0, 0)]
+    assert by_doc[2] == [(0, 5)]
+    # starts at every stride multiple below len: 200-char text gets the
+    # full chunk plus the 50-char tail window starting at 150
+    assert sorted(by_doc[3]) == [(0, 200), (1, 50)]
+    assert sorted(by_doc[4]) == [(0, 200), (1, 51)]
+
+
+def test_pack_sequences_matches_naive_window(spark):
+    """The distributed two-phase prefix sum must equal the naive global
+    cumulative sum for any bucket layout (including a doc count smaller
+    than the parallelism)."""
+    from pyspark.sql import functions as F
+
+    from proteus_spark.llmops.text import pack_sequences
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(["w"] * n)) for i, n in
+         [(3, 100), (7, 500), (11, 12), (20, 513), (21, 1), (40, 256)]],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: (r["tok_offset"], r["bin_id"])
+           for r in pack_sequences(docs, budget=512).collect()}
+    acc = 0
+    exp = {}
+    for i, n in [(3, 100), (7, 500), (11, 12), (20, 513), (21, 1), (40, 256)]:
+        exp[i] = (acc, acc // 512)
+        acc += n
+    assert got == exp
