@@ -891,3 +891,29 @@ def agg_hll_rollup(spark, sf_dir):
     e = exact_total.collect()[0][0]
     assert abs(m - e) / e <= 0.05, f"merged HLL {m} vs exact {e}"
     return out
+
+
+register_sql(
+    "events_anomaly_zscore",
+    """
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS d, event_type,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events_ns GROUP BY CAST(ts AS DATE), event_type),
+    scored AS (
+      SELECT CAST(d AS STRING) AS day, event_type, n,
+             round((n - avg(n) OVER (PARTITION BY event_type))
+                   / stddev_samp(n) OVER (PARTITION BY event_type), 6) AS z
+      FROM daily)
+    SELECT day, event_type, n, z
+    FROM scored WHERE abs(z) > 2
+    """,
+    spark_prelude=EVENTS_PRELUDE,
+    oracle_prelude=EVENTS_NS_ORACLE,
+    tags=("events", "window", "anomaly"),
+    doc="Daily per-type volume anomalies: z-score of each day's event count "
+    "against that type's distribution, flagging |z| > 2 days — the ops "
+    "monitoring query every event pipeline runs. Window aggregates per "
+    "type (map-side partial count, one exchange on (date, type), then a "
+    "per-type window over the tiny daily rollup).",
+)
