@@ -536,7 +536,11 @@ def decontaminate(
     a cross product. ``dedup_apply``-style removal is then an anti-join of
     ``train`` against this frame."""
     sh_t = shingle_ids(train, n=n)
-    sh_e = shingle_ids(eval_docs, n=n).select("s").distinct()
+    # the eval set is a benchmark corpus — small at ANY training-corpus
+    # scale, so broadcast explicitly instead of trusting the size
+    # estimator (a missed broadcast here would shuffle every train
+    # shingle at 100 TB)
+    sh_e = F.broadcast(shingle_ids(eval_docs, n=n).select("s").distinct())
     return (
         sh_t.join(sh_e, "s")
         .groupBy("doc_id")

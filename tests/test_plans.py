@@ -298,3 +298,11 @@ def test_bucketed_tables_join_without_exchange(spark, sf_dir):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_decontaminate_broadcasts_eval_side(q):
+    """The eval benchmark set is small at any training-corpus scale —
+    its shingle set must broadcast (a missed broadcast would shuffle
+    every train shingle)."""
+    p = q("llm_decontaminate")
+    assert "BroadcastHashJoin" in p
