@@ -416,3 +416,26 @@ def pack_sequences(docs: DataFrame, budget: int = PACK_BUDGET) -> DataFrame:
             - F.col("n_tokens")
         ).alias("tok_offset"),
     ).withColumn("bin_id", F.floor(F.col("tok_offset") / budget).cast("long"))
+
+
+def normalize_text(docs: DataFrame) -> DataFrame:
+    """Canonicalization pass: (doc_id, norm_hash, n_chars_norm, changed) —
+    lowercase, non-alphanumerics to spaces, whitespace collapsed+trimmed.
+
+    The pre-dedup normalization every corpus pipeline runs (near-dup
+    detection over raw text misses case/punctuation variants). Normalized
+    text ships as a digest; one codegen projection, portable regexes (the
+    oracle runs them verbatim)."""
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "),
+            " +",
+            " ",
+        )
+    )
+    return docs.select(
+        "doc_id",
+        F.md5(norm).alias("norm_hash"),
+        F.length(norm).cast("long").alias("n_chars_norm"),
+        (norm != F.col("text")).cast("int").alias("changed"),
+    )

@@ -957,3 +957,26 @@ def llm_sim_pq(spark, sf_dir):
     total = exact.count()
     assert total > 0 and hits / total >= 0.50, f"PQ recall {hits}/{total}"
     return approx
+
+
+@register(
+    "llm_text_normalize",
+    oracle="""
+    SELECT doc_id,
+           md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]',
+                                                  ' ', 'g'),
+                                   ' +', ' ', 'g'))) AS norm_hash,
+           CAST(length(trim(regexp_replace(regexp_replace(lower(text),
+                '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS BIGINT)
+             AS n_chars_norm,
+           CAST(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]',
+                ' ', 'g'), ' +', ' ', 'g')) <> text AS INTEGER) AS changed
+    FROM documents
+    """,
+    tags=("llm", "text"),
+)
+def llm_text_normalize(spark, sf_dir):
+    """Text canonicalization (lowercase, strip punctuation, collapse
+    whitespace) with the normalized digest — the pre-dedup pass; one
+    codegen projection, identical regexes in the oracle."""
+    return TXT.normalize_text(load(spark, sf_dir, "documents"))
