@@ -445,3 +445,32 @@ def ref_topology_ycsb(spark, sf_dir):
 
     nodes = build_topology(spark, sf_dir, YCSB_EXAMPLE, register_views=False)
     return nodes["router"].select("p_partkey", "p_size")
+
+
+def _mock_ds_oracle() -> str:
+    from proteus_spark.sources.mock import mock_table_oracle_sql
+
+    return (
+        "WITH "
+        + mock_table_oracle_sql(1000)
+        + "SELECT object_id, attribute0 FROM mock"
+    )
+
+
+@register(
+    "ref_mock_datasource",
+    oracle=_mock_ds_oracle,
+    tags=("parity", "source"),
+)
+def ref_mock_datasource(spark, sf_dir):
+    """The 'new datastore driver' extension point, exercised for real: the
+    reference's mock store (mock/store.go:36-55) reimplemented as a Spark
+    Python DataSource (sources/pyds.py) — partitioned executor-side row
+    generation behind spark.read.format('proteus_mock'), value-checked
+    against the DuckDB oracle that regenerates the identical table. The
+    Spark counterpart of implementing the dataStore Go interface
+    (datastoredriver.go:36-40)."""
+    from proteus_spark.sources.pyds import register_mock_datasource
+
+    fmt = register_mock_datasource(spark)
+    return spark.read.format(fmt).option("n", 1000).load()
