@@ -278,10 +278,10 @@ PRIORITY: tuple[str, ...] = (
     "stream_sum_view_deletes", "ref_ts_projection", "llm_sim_ivf_nprobe2",
     "stream_sum_view_debezium", "llm_decontaminate", "llm_chunk_documents",
     "llm_pii_scrub", "llm_pack_sequences", "stream_interval_join",
-    "stream_static_enrich",
+    "stream_static_enrich", "ref_mock_datasource",
     # -- r1-only-verified refresh (green in CORRECTNESS_r01, never r2) ---
     "tpch_q2", "tpch_q3", "tpch_q4", "tpch_q5", "tpch_q6", "tpch_q7",
-    "tpch_q12", "tpch_q14", "semi_join_exists", "anti_join_not_exists",
+    "tpch_q12", "tpch_q14", "semi_join_exists",
 )
 
 
