@@ -433,6 +433,13 @@ class SumView:
     def stop(self, cleanup: bool = True) -> None:
         if self._query is not None:
             self._query.stop()
+        with self._snap_lock:
+            if self._snap_cache is not None:
+                try:
+                    self._snap_cache.unpersist()
+                except Exception:
+                    pass  # session may already be closing
+                self._snap_cache = None
         if cleanup:
             shutil.rmtree(self._root, ignore_errors=True)
 
@@ -616,6 +623,13 @@ class JoinView:
     def stop(self, cleanup: bool = True) -> None:
         if self._query is not None:
             self._query.stop()
+        with self._snap_lock:
+            if self._snap_cache is not None:
+                try:
+                    self._snap_cache.unpersist()
+                except Exception:
+                    pass  # session may already be closing
+                self._snap_cache = None
         if cleanup:
             shutil.rmtree(self._root, ignore_errors=True)
 
