@@ -571,3 +571,106 @@ def test_lsm_join_compaction_erases_tombstones(spark):
         assert view._state.manifests[-1] == {0: (2,)}
     finally:
         view.stop()
+
+
+def test_lsm_randomized_cdc_convergence(spark):
+    """Model check: random delta batches (inserts, updates, deletes) over
+    a tiny bucket/retention config (constant compaction + eviction
+    pressure) must converge to the Python-dict accumulation of the same
+    deltas, for several seeds."""
+    import random
+
+    for seed in (7, 23, 99):
+        rng = random.Random(seed)
+        view = SumView(
+            spark, stream=None, group_by="k", agg_attr="new_value",
+            name=f"t_lsm_rand_{seed}", mode="cdc", n_buckets=2, retain=2,
+        )
+        expected: dict[int, float] = {}
+        try:
+            for epoch in range(6):
+                rows = []
+                for _ in range(rng.randint(1, 12)):
+                    k = rng.randint(0, 9)
+                    kind = rng.choice(["ins", "upd", "del"])
+                    if kind == "ins":
+                        v = float(rng.randint(1, 50))
+                        rows.append((k, None, v))
+                        expected[k] = expected.get(k, 0.0) + v
+                    elif kind == "upd":
+                        old = float(rng.randint(1, 50))
+                        new = float(rng.randint(1, 50))
+                        rows.append((k, old, new))
+                        expected[k] = expected.get(k, 0.0) + (new - old)
+                    else:
+                        old = float(rng.randint(1, 50))
+                        rows.append((k, old, None))
+                        expected[k] = expected.get(k, 0.0) - old
+                batch = spark.createDataFrame(
+                    rows, "k bigint, old_value double, new_value double"
+                )
+                view._on_cdc_batch(batch, epoch)
+            got = {r["k"]: round(r["new_value_sum"], 6)
+                   for r in view.snapshot().collect()}
+            exp = {k: round(v, 6) for k, v in expected.items()}
+            assert got == exp, (seed, got, exp)
+        finally:
+            view.stop()
+
+
+def test_lsm_randomized_join_convergence(spark):
+    """Model check for the coalesce merge: random per-batch attribute
+    arrivals and DELETE tombstones against a last-writer-wins dict model
+    (within-batch order is collapsed first, like the view does)."""
+    import random
+
+    from proteus_spark.streaming.views import JoinView
+
+    for seed in (5, 41):
+        rng = random.Random(seed)
+        view = JoinView(
+            spark,
+            left=spark.createDataFrame([], "k bigint, price double"),
+            right=spark.createDataFrame([], "k bigint, votes double"),
+            key="k", name=f"t_lsm_jrand_{seed}",
+            defaults={"price": 0.0, "votes": 0.0}, n_buckets=2, retain=2,
+        )
+        model: dict[int, dict] = {}
+        try:
+            for epoch in range(5):
+                per_key: dict[int, dict] = {}
+                for _ in range(rng.randint(1, 8)):
+                    k = rng.randint(0, 5)
+                    kind = rng.choice(["price", "votes", "del"])
+                    cur = per_key.setdefault(
+                        k, {"price": None, "votes": None, "op": None}
+                    )
+                    if kind == "del":
+                        cur["op"] = "DELETE"
+                    else:
+                        cur[kind] = float(rng.randint(1, 99))
+                        cur["op"] = None  # last record wins in the collapse
+                rows = [
+                    (k, c["price"], c["votes"], c["op"])
+                    for k, c in per_key.items()
+                ]
+                batch = spark.createDataFrame(
+                    rows, "k bigint, price double, votes double, _op string"
+                )
+                view._on_batch(batch, epoch)
+                for k, c in per_key.items():
+                    if c["op"] == "DELETE":
+                        model.pop(k, None)
+                        continue
+                    m = model.setdefault(k, {"price": None, "votes": None})
+                    for a in ("price", "votes"):
+                        if c[a] is not None:
+                            m[a] = c[a]
+            got = {r["k"]: (r["price"], r["votes"])
+                   for r in view.snapshot().collect()}
+            exp = {k: (m["price"] if m["price"] is not None else 0.0,
+                       m["votes"] if m["votes"] is not None else 0.0)
+                   for k, m in model.items()}
+            assert got == exp, (seed, got, exp)
+        finally:
+            view.stop()
