@@ -100,3 +100,37 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+
+def run_latency_series(spark, n_keys: int, delta_keys: int, n_batches: int):
+    """Per-batch commit latency over a LONG batch sequence: compaction
+    must amortize — batch times stay flat (no monotonic growth as chains
+    accumulate and fold)."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    base = spark.range(n_keys).select(
+        F.col("id").alias("k"),
+        F.lit(None).cast("double").alias("old_value"),
+        (F.col("id") % 97).cast("double").alias("new_value"),
+    )
+    view = SumView(
+        spark, stream=None, group_by="k", agg_attr="new_value",
+        name="sweep_lat", mode="cdc", n_buckets=32,
+    )
+    times = []
+    try:
+        view._on_cdc_batch(base, epoch=0)
+        for e in range(1, n_batches + 1):
+            delta = spark.range(delta_keys).select(
+                ((F.col("id") * 7919 + e) % n_keys).alias("k"),
+                F.lit(None).cast("double").alias("old_value"),
+                F.lit(1.0).alias("new_value"),
+            )
+            t0 = time.perf_counter()
+            view._on_cdc_batch(delta, epoch=e)
+            times.append(round(time.perf_counter() - t0, 3))
+    finally:
+        view.stop()
+    return times
