@@ -178,6 +178,7 @@ class _BucketedState:
         # are what get evicted, so reads past the retention window raise.
         self.manifests: list[dict[int, tuple[int, ...]]] = []
         self.schema: T.StructType | None = None  # stored schema (no _bucket)
+        self._du_cache: dict[str, int] = {}
 
     # -- addressing --------------------------------------------------------
     @property
@@ -234,14 +235,20 @@ class _BucketedState:
 
     # -- writes ------------------------------------------------------------
     def _du(self, path: str) -> int:
-        total = 0
-        for root, _dirs, files in os.walk(path):
-            for f in files:
-                try:
-                    total += os.path.getsize(os.path.join(root, f))
-                except OSError:
-                    pass
-        return total
+        """Bytes under ``path``, memoized: version dirs are immutable once
+        committed, so each (version, bucket) dir is walked at most once —
+        without this, compaction-trigger checks re-walk every chain dir on
+        every commit and driver time creeps with chain length."""
+        if path not in self._du_cache:
+            total = 0
+            for root, _dirs, files in os.walk(path):
+                for f in files:
+                    try:
+                        total += os.path.getsize(os.path.join(root, f))
+                    except OSError:
+                        pass
+            self._du_cache[path] = total
+        return self._du_cache[path]
 
     def commit_delta(self, delta: DataFrame | None, touched: list[int]) -> int:
         """Append ``delta`` (this batch's rows, WITH ``_bucket``) as the
