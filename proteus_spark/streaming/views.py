@@ -333,8 +333,49 @@ class _BucketedState:
                 m.pop(b, None)
             # else: delta had no rows for this bucket after all — keep chain
         self.manifests.append(m)
+        self._persist_manifest(v, m)
         self._evict()
         return v
+
+    # -- durability --------------------------------------------------------
+    def _persist_manifest(self, v: int, m: dict[int, tuple[int, ...]]) -> None:
+        """Write the version's manifest as a tiny JSON next to the data —
+        the state's commit log. Without it the bucket->chain mapping lives
+        only in driver memory and a driver restart orphans every committed
+        file (the reference's state survives restarts because it IS the
+        database, mysql_backend.go:63-144). Write-then-rename = atomic
+        publish; recovery takes the highest contiguous version."""
+        import json
+
+        tmp = os.path.join(self.root, f".manifest_v{v}.tmp")
+        dst = os.path.join(self.root, f"manifest_v{v}.json")
+        with open(tmp, "w") as f:
+            json.dump({str(b): list(chain) for b, chain in m.items()}, f)
+        os.replace(tmp, dst)
+
+    def recover(self) -> int:
+        """Rebuild the manifest list from the persisted commit log (e.g.
+        after a driver restart): returns the recovered latest version, or
+        -1 for an empty/new state dir."""
+        import json
+        import re as _re
+
+        found: dict[int, dict[int, tuple[int, ...]]] = {}
+        if os.path.isdir(self.root):
+            for fname in os.listdir(self.root):
+                mt = _re.fullmatch(r"manifest_v(\d+)\.json", fname)
+                if mt:
+                    with open(os.path.join(self.root, fname)) as f:
+                        raw = json.load(f)
+                    found[int(mt.group(1))] = {
+                        int(b): tuple(chain) for b, chain in raw.items()
+                    }
+        self.manifests = []
+        v = 0
+        while v in found:  # highest contiguous prefix = committed history
+            self.manifests.append(found[v])
+            v += 1
+        return self.version
 
     def _evict(self) -> None:
         keep_from = max(0, len(self.manifests) - self.retain)
