@@ -377,6 +377,39 @@ class _BucketedState:
             v += 1
         return self.version
 
+    def changes_since(self, since_version: int) -> DataFrame | None:
+        """Catch-up read: the CURRENT rows of every key touched after
+        ``since_version`` — the VECTORCLOCK-bound tsPredicate ``[v, INF)``
+        the reference declares but never implemented (qpu.proto:74-95;
+        queries.go:119-134 only ships [LATEST, INF)).
+
+        The LSM makes this natural: keys touched since v live in the
+        version dirs > v that the current chains still reference, so the
+        key probe reads ONLY those delta files (no full-state scan).
+        Compaction folds untouched keys into new dirs, so the key set is a
+        SUPERSET of the truly-changed keys — at-least-once delivery, the
+        same guarantee a CDC catch-up gives. Values come from the current
+        collapse, semi-joined to the touched keys."""
+        cur = self.version
+        if cur < 0 or since_version >= cur:
+            if self.schema is not None:
+                empty = self.spark.createDataFrame([], self.schema)
+                return self.merge.collapse(empty, self.key)
+            return None
+        m = self.manifests[cur]
+        paths = [
+            self._bdir(v, b)
+            for b, chain in m.items()
+            for v in chain
+            if v > since_version
+        ]
+        if not paths:
+            empty = self.spark.createDataFrame([], self.schema)
+            return self.merge.collapse(empty, self.key)
+        touched = self._read_raw(paths).select(self.key).distinct()
+        full = self.read()
+        return full.join(touched, self.key, "left_semi")
+
     def _evict(self) -> None:
         keep_from = max(0, len(self.manifests) - self.retain)
         referenced: set[int] = set()
@@ -587,6 +620,12 @@ class SumView:
     def version(self) -> int:
         """Freshness-in-versions handle (metrics.go:103-214)."""
         return self._state.version
+
+    def changes_since(self, version: int) -> DataFrame | None:
+        """Catch-up subscribe from a version bound: current rows of every
+        group touched after ``version`` (at-least-once; see
+        _BucketedState.changes_since). The [v, INF) tsPredicate."""
+        return self._state.changes_since(version)
 
     def snapshot_at(self, version: int) -> DataFrame:
         """Time-travel read of an earlier state version — the VECTORCLOCK

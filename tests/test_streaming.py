@@ -706,3 +706,35 @@ def test_lsm_state_recovers_after_driver_restart(spark):
         assert after == before
     finally:
         view.stop()
+
+
+def test_lsm_changes_since_version_bound(spark):
+    """The [v, INF) tsPredicate: after updating a subset of keys, the
+    catch-up read from the pre-update version returns (at least) those
+    keys with their CURRENT values, and reads only post-v delta files for
+    the key probe."""
+    view = SumView(
+        spark, stream=None, group_by="k", agg_attr="new_value",
+        name="t_lsm_since", mode="cdc", n_buckets=4,
+    )
+    try:
+        base = spark.createDataFrame(
+            [(i, None, 10.0) for i in range(8)],
+            "k bigint, old_value double, new_value double",
+        )
+        view._on_cdc_batch(base, 0)
+        v0 = view.version()
+        upd = spark.createDataFrame(
+            [(2, None, 5.0), (6, None, 1.0)],
+            "k bigint, old_value double, new_value double",
+        )
+        view._on_cdc_batch(upd, 1)
+        got = {r["k"]: r["new_value_sum"]
+               for r in view.changes_since(v0).collect()}
+        assert set(got) >= {2, 6}          # at-least-once key delivery
+        assert got[2] == 15.0 and got[6] == 11.0
+        assert set(got) <= set(range(8))   # never invents keys
+        # no change since the latest version -> empty catch-up
+        assert view.changes_since(view.version()).count() == 0
+    finally:
+        view.stop()
