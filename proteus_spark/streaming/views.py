@@ -774,6 +774,10 @@ class JoinView:
     def version(self) -> int:
         return self._state.version
 
+    def changes_since(self, version: int) -> DataFrame | None:
+        """Catch-up from a version bound (see SumView.changes_since)."""
+        return self._state.changes_since(version)
+
     def snapshot_at(self, version: int) -> DataFrame:
         """Time-travel read (see SumView.snapshot_at)."""
         if not 0 <= version <= self._state.version:
