@@ -20,7 +20,7 @@ from proteus_spark.operators.aggregate import (  # noqa: F401
     salted_sum_view,
     sum_view,
 )
-from proteus_spark.operators.join import keyed_merge_join  # noqa: F401
+from proteus_spark.operators.join import keyed_merge_join, salted_join  # noqa: F401
 from proteus_spark.operators.topk import topk  # noqa: F401
 from proteus_spark.operators.router import union_router  # noqa: F401
 from proteus_spark.operators.index import RangeIndex  # noqa: F401

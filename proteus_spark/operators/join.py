@@ -102,3 +102,33 @@ def range_join_pairs(
         )
         .select(key, "a_id", "b_id", "a_ts", "b_ts")
     )
+
+
+def salted_join(
+    facts: DataFrame,
+    dim: DataFrame,
+    key: str,
+    salt_buckets: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-safe equi-join: salt the (skewed) fact side, replicate the
+    dim side once per salt value, join on (key, salt).
+
+    The classic hot-key fix when the dim side is too large to broadcast
+    and one key dominates the fact table: a plain shuffle join sends every
+    hot-key row to ONE reducer; salting fans the hot key over
+    ``salt_buckets`` reducers at the cost of a ``salt_buckets``x dim
+    replication (cheap when |dim| << |facts|). AQE's skew-join split
+    handles moderate skew automatically — this is the explicit form for
+    the extreme case (or engines/runs with AQE off). Results are exactly
+    the plain join's: salt is internal and dropped.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError("salted_join supports inner/left (skewed fact side)")
+    salted = facts.withColumn(
+        "_salt", (F.rand(seed=42) * salt_buckets).cast("int")
+    )
+    replicated = dim.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
+    )
+    return salted.join(replicated, on=[key, "_salt"], how=how).drop("_salt")

@@ -474,3 +474,32 @@ def ref_mock_datasource(spark, sf_dir):
 
     fmt = register_mock_datasource(spark)
     return spark.read.format(fmt).option("n", 1000).load()
+
+
+@register(
+    "salted_join_orders",
+    oracle="""
+    SELECT o.o_orderkey, c.c_mktsegment AS segment,
+           CAST(o.o_totalprice AS DOUBLE) AS o_totalprice
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+    tags=("join", "skew"),
+)
+def salted_join_orders(spark, sf_dir):
+    """Skew-safe salted equi-join: orders (the potentially hot-keyed fact
+    side) salted over 16 buckets, the customer dim replicated per salt —
+    the explicit hot-key fix when the dim can't broadcast and AQE's skew
+    split isn't available. Result identical to the plain join (oracle is
+    the plain join); salt is internal."""
+    from proteus_spark.operators import salted_join
+
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    cust = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    return salted_join(orders, cust, key="o_custkey", salt_buckets=16).select(
+        "o_orderkey", "segment", F.col("o_totalprice").cast("double").alias("o_totalprice")
+    )
