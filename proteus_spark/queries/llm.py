@@ -980,3 +980,32 @@ def llm_text_normalize(spark, sf_dir):
     whitespace) with the normalized digest — the pre-dedup pass; one
     codegen projection, identical regexes in the oracle."""
     return TXT.normalize_text(load(spark, sf_dir, "documents"))
+
+
+@register(
+    "llm_dedup_keep_longest",
+    oracle="""
+    SELECT md5(text) AS text_hash,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(max(n_chars) AS BIGINT) AS keep_n_chars,
+           CAST(min(doc_id) FILTER (
+             WHERE n_chars = (SELECT max(d2.n_chars) FROM documents d2
+                              WHERE md5(d2.text) = md5(documents.text))
+           ) AS BIGINT) AS keep_doc_id
+    FROM documents GROUP BY md5(text)
+    """,
+    tags=("llm", "dedup"),
+)
+def llm_dedup_keep_longest(spark, sf_dir):
+    """Exact dedup with the keep-longest survivor policy (the common
+    production choice: among byte-identical docs keep the one with the
+    richest metadata/longest canonical form; min doc_id breaks ties) —
+    one map-side-combined aggregation, max_by on (n_chars, -doc_id)."""
+    docs = load(spark, sf_dir, "documents")
+    return docs.groupBy(F.md5("text").alias("text_hash")).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.max("n_chars").cast("long").alias("keep_n_chars"),
+        F.min_by(
+            "doc_id", F.struct((-F.col("n_chars")).alias("a"), F.col("doc_id").alias("b"))
+        ).cast("long").alias("keep_doc_id"),
+    )

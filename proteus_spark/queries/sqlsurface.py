@@ -941,3 +941,23 @@ register_sql(
     "standard warehouse build over CDC output — one exchange on the key, "
     "interval assembly entirely in the window operator.",
 )
+
+
+register_sql(
+    "window_rank_family",
+    """
+    SELECT o_custkey, o_orderkey,
+           CAST(rank() OVER w AS BIGINT) AS rnk,
+           CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+           round(percent_rank() OVER w, 6) AS prnk,
+           round(cume_dist() OVER w, 6) AS cdist,
+           CAST(ntile(4) OVER w AS BIGINT) AS quartile
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+    tags=("window",),
+    doc="The complete ranking-function family over per-customer order "
+    "spend: rank/dense_rank/percent_rank/cume_dist/ntile share one window "
+    "spec (one exchange + one sort; deterministic tie-breaks make every "
+    "function hash-stable).",
+)
