@@ -8,7 +8,7 @@ column from parquet (column pruning).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from proteus_spark.functions.texthash import hex_to_long_spark_sql, md5_seeded_sql
@@ -193,6 +193,59 @@ def bm25_search(
         )
     )
     return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(topk)
+
+
+TFIDF_TOPN = 3
+
+
+def tfidf_top_terms(docs: DataFrame, topn: int = TFIDF_TOPN) -> DataFrame:
+    """Per-document top-N TF-IDF terms: (doc_id, term, tf, tfidf).
+
+    The per-document counterpart of BM25's corpus search (keyword
+    extraction / doc-representation step of a training-data pipeline).
+    Scale shape — the classic two-aggregation factorization:
+
+    - term frequencies: ONE explode, then groupBy(doc_id, term) with
+      map-side combine — only (doc_id, term) pairs cross the exchange,
+      never raw text;
+    - document frequencies: a second aggregation over the tf relation,
+      keyed by term (vocabulary-sized, not corpus-sized); joined back on
+      term — an equi-join on the vocabulary, shuffle-partitioned, NOT
+      broadcast (a 100 TB corpus has a broadcast-hostile vocabulary);
+    - corpus size N: a 1-row broadcast;
+    - ranking: row_number per doc_id over that document's DISTINCT terms
+      only — bounded by document length, so no single-task global window.
+
+    Smoothed idf = ln((N+1)/(df+1)) + 1 keeps every term finite; the score
+    is rounded to 6 decimals BEFORE ranking with a term-name tie-break, so
+    top-N membership is engine-stable."""
+    sess = docs.sparkSession
+    toks = docs.repartition(
+        sess.sparkContext.defaultParallelism, "doc_id"
+    ).select("doc_id", F.explode(tokens_col()).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n = F.broadcast(docs.agg(F.count("*").alias("n")))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(n)
+        .select(
+            "doc_id",
+            "term",
+            F.col("tf").cast("long").alias("tf"),
+            F.round(
+                F.col("tf")
+                * (F.log((F.col("n") + 1.0) / (F.col("df") + 1.0)) + 1.0),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= topn)
+        .select("doc_id", "term", "tf", "tfidf")
+    )
 
 
 # ---------------------------------------------------------------------------

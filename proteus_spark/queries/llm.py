@@ -262,6 +262,33 @@ def llm_bm25_search(spark, sf_dir):
     return TXT.bm25_search(load(spark, sf_dir, "documents"))
 
 
+_TFIDF_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+n AS (SELECT count(*) AS n FROM documents),
+scored AS (
+  SELECT doc_id, term, CAST(tf AS BIGINT) AS tf,
+         round(tf * (ln((n + 1.0) / (df + 1.0)) + 1.0), 6) AS tfidf
+  FROM tf JOIN dfreq USING (term) CROSS JOIN n),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY tfidf DESC, term ASC) AS rk
+  FROM scored)
+SELECT doc_id, term, tf, tfidf FROM ranked WHERE rk <= {TXT.TFIDF_TOPN}
+"""
+
+
+@register("llm_tfidf_topterms", oracle=_TFIDF_ORACLE, tags=("llm", "text"))
+def llm_tfidf_topterms(spark, sf_dir):
+    """Per-document top-3 TF-IDF terms: two-aggregation factorization (tf
+    by (doc, term), df by term), vocabulary join NOT broadcast, smoothed
+    idf, per-doc bounded ranking window (see llmops.text.tfidf_top_terms
+    for the scale notes)."""
+    return TXT.tfidf_top_terms(load(spark, sf_dir, "documents"))
+
+
 # ---------------------------------------------------------------------------
 # Deduplication
 # ---------------------------------------------------------------------------

@@ -893,6 +893,98 @@ def agg_hll_rollup(spark, sf_dir):
     return out
 
 
+_HIST_BIN_W = 25.0
+
+
+@register(
+    "agg_histogram_sketch",
+    oracle=EVENTS_NS_ORACLE
+    + f"""
+    , part AS (
+      SELECT strftime(ts, '%Y-%m') AS month, event_type,
+             CAST(floor(value / {_HIST_BIN_W}) AS BIGINT) AS bin,
+             count(*) AS cnt
+      FROM events_ns GROUP BY 1, 2, 3),
+    merged AS (
+      SELECT event_type, bin, CAST(sum(cnt) AS BIGINT) AS cnt
+      FROM part GROUP BY 1, 2),
+    cum AS (
+      SELECT event_type, bin, cnt,
+             sum(cnt) OVER (PARTITION BY event_type ORDER BY bin
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS cum,
+             sum(cnt) OVER (PARTITION BY event_type) AS total
+      FROM merged)
+    SELECT event_type, bin, CAST(bin * {_HIST_BIN_W} AS DOUBLE) AS bin_lo, cnt,
+           CAST(cum AS BIGINT) AS cum,
+           CAST((2 * cum >= total AND 2 * (cum - cnt) < total)
+                AS INTEGER) AS is_p50
+    FROM cum
+    """,
+    tags=("aggregate", "sketch"),
+)
+def agg_histogram_sketch(spark, sf_dir):
+    """MERGEABLE fixed-bin histogram sketch rollup — the exactly-checkable
+    companion to the HLL rollup: per-(event_type, month) value histograms
+    (bin = floor(value/25)) merge by bin-wise addition into per-type
+    histograms, and quantile estimates read straight off the cumulative
+    counts WITHOUT re-touching raw events. At 100 TB the monthly partial
+    is the materialization unit: any date-range quantile/distribution
+    query is then a KB-scale merge. Bin counts are integers end-to-end
+    and the p50-bin marker uses only integer comparisons (2*cum vs
+    total), so — unlike HLL's engine-specific registers — a full DuckDB
+    oracle checks every row. Merge is commutative/associative, so the
+    rollup is partitioning-independent; the ranking window runs per
+    event_type over ~value_range/bin_width rows, never over raw data."""
+    ev = events_with_ts(spark, sf_dir)
+    part = ev.groupBy(
+        F.date_format("ts", "yyyy-MM").alias("month"),
+        "event_type",
+        F.floor(F.col("value") / _HIST_BIN_W).cast("long").alias("bin"),
+    ).agg(F.count("*").alias("cnt"))
+    merged = part.groupBy("event_type", "bin").agg(
+        F.sum("cnt").cast("long").alias("cnt")
+    )
+    w_cum = (
+        W.partitionBy("event_type")
+        .orderBy("bin")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    w_tot = W.partitionBy("event_type")
+    cum = merged.withColumn("cum", F.sum("cnt").over(w_cum)).withColumn(
+        "total", F.sum("cnt").over(w_tot)
+    )
+    return cum.select(
+        "event_type",
+        "bin",
+        (F.col("bin") * _HIST_BIN_W).alias("bin_lo"),
+        "cnt",
+        F.col("cum").cast("long").alias("cum"),
+        (
+            (2 * F.col("cum") >= F.col("total"))
+            & (2 * (F.col("cum") - F.col("cnt")) < F.col("total"))
+        )
+        .cast("integer")
+        .alias("is_p50"),
+    )
+
+
+register_sql(
+    "agg_grouping_sets",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_qty,
+           CAST(count(*) AS BIGINT) AS n
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_linestatus), ())
+    """,
+    tags=("aggregate",),
+    doc="Explicit GROUPING SETS — the general form behind ROLLUP/CUBE, "
+    "with an asymmetric set list neither shortcut can express (SURVEY "
+    "§2.4: free in Spark, absent in the reference).",
+)
+
+
 register_sql(
     "events_anomaly_zscore",
     """

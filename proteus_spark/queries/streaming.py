@@ -639,3 +639,108 @@ def stream_join_view(spark, sf_dir):
         cdc.cleanup(src_l)
         cdc.cleanup(src_r)
     return out
+
+
+@register(
+    "stream_session_window_native",
+    # gap-boundary convention: Spark's session windows are half-open
+    # [start, last+gap) and an event landing EXACTLY at the end starts a
+    # new session, so the oracle's new-session predicate is >= gap (the
+    # applyInPandasWithState sessionizer and its oracle use > gap; event
+    # times are random microseconds, so exact-boundary collisions are
+    # measure-zero either way).
+    oracle="""
+    WITH events_ns AS (
+      SELECT event_id, user_id, value, epoch_ns(ts) AS ts_ns FROM events),
+    flagged AS (
+      SELECT user_id, ts_ns, event_id, value,
+             CASE WHEN lag(ts_ns) OVER w IS NULL
+                       OR ts_ns - lag(ts_ns) OVER w >= 1800000000000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events_ns
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts_ns, event_id)),
+    islands AS (
+      SELECT user_id, ts_ns, value,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_ns, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS sid
+      FROM flagged)
+    SELECT user_id,
+           CAST(min(ts_ns) // 1000 AS BIGINT) AS sess_start_us,
+           CAST(max(ts_ns) // 1000 + 1800000000 AS BIGINT) AS sess_end_us,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 4) AS value_sum
+    FROM islands GROUP BY user_id, sid
+    """,
+    tags=("streaming", "event-time"),
+)
+def stream_session_window_native(spark, sf_dir):
+    """Built-in F.session_window streaming aggregation — the declarative
+    counterpart of the applyInPandasWithState sessionizer
+    (stream_sessionize_stateful): 30-minute-gap sessions per user over a
+    time-ordered replay, withWatermark + APPEND mode, so the state store
+    merges/evicts sessions and each session is emitted EXACTLY ONCE when
+    the watermark passes its end — no per-epoch dedup reduction needed.
+
+    Tail flush: sessions still open when the data ends would never emit
+    (the watermark stops at max event time), so the staged feed appends
+    one far-future sentinel event; Spark's no-data micro-batches then
+    advance the watermark past every real session. The sentinel's own
+    session is the only unclosed state and is filtered out by user_id.
+
+    At scale this is the shape to prefer over the stateful-UDF variant:
+    session merge runs inside the JVM state store (no Python transfer),
+    keys partition across the cluster, and append-mode output is
+    write-once (no read-modify-write sink)."""
+    import shutil
+    import tempfile
+    from datetime import timedelta
+
+    ev = events_with_ts(spark, sf_dir).select(
+        F.col("ts").cast("timestamp").alias("ts"),
+        "event_id",
+        "user_id",
+        "value",
+    )
+    last = ev.agg(F.max("ts")).collect()[0][0]
+    sentinel = spark.createDataFrame(
+        [(last + timedelta(days=10), -1, -1, 0.0)],
+        "ts timestamp, event_id long, user_id long, value double",
+    )
+    src = cdc.stage_stream(
+        spark, ev.unionByName(sentinel), chunks=4, order_col="ts"
+    )
+    sess = (
+        src.subscribe()
+        .withWatermark("ts", "10 minutes")
+        .groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("value_sum"))
+    )
+    outdir = tempfile.mkdtemp(prefix="proteus_session_native_out_")
+
+    def capture(batch, epoch):
+        batch.write.mode("append").parquet(outdir)
+
+    query = (
+        sess.writeStream.outputMode("append")
+        .foreachBatch(capture)
+        .queryName("stream_session_window_native")
+        .start()
+    )
+    try:
+        query.processAllAvailable()
+    finally:
+        query.stop()
+        cdc.cleanup(src)
+    try:
+        emitted = spark.read.parquet(outdir).filter(F.col("user_id") >= 0)
+        final = emitted.select(
+            "user_id",
+            F.unix_micros(F.col("w.start")).alias("sess_start_us"),
+            F.unix_micros(F.col("w.end")).alias("sess_end_us"),
+            F.col("n_events").cast("long").alias("n_events"),
+            F.round("value_sum", 4).alias("value_sum"),
+        )
+        return spark.createDataFrame(final.collect(), final.schema)
+    finally:
+        shutil.rmtree(outdir, ignore_errors=True)
