@@ -76,6 +76,9 @@ class Engine:
         self.spark = spark
         self.stats = QueryStats()
         self._registered: dict[str, str] = {}
+        from proteus_spark.plans.mvsub import MVCatalog
+
+        self.mvs = MVCatalog(spark)
         if data_dir:
             self.register_dir(data_dir)
 
@@ -121,21 +124,39 @@ class Engine:
         """= GetConfig schema advertisement (qpuapi.proto:128-144)."""
         return sorted(self._registered)
 
+    def register_materialized(
+        self, name: str, defining_sql: str, provider=None
+    ) -> None:
+        """Register a materialized view for automatic substitution: any
+        later ``query()`` whose plan semantically equals ``defining_sql``
+        (or is a top-k wrapper over it) is answered from the view's
+        snapshot instead of re-aggregating base tables — the topology
+        wiring of the reference (sum.go:149-180) turned into a rewrite
+        (SURVEY §4 'materialized-view answering'). ``provider`` supplies
+        the live snapshot (e.g. ``SumView.snapshot``); default
+        materializes ``defining_sql`` once, eagerly."""
+        self.mvs.register(name, defining_sql, provider)
+
     # -- query plane ------------------------------------------------------
     def query(self, sql: str) -> DataFrame:
         """QueryUnary parity: SQL in, result out (lazy DataFrame).
 
-        No latency is recorded here: ``spark.sql`` only builds the plan
-        (~0ms). The reference's query-latency metric is end-to-end
-        (metrics.go:78-101), so recording happens where execution does —
-        ``_collect_timed`` under query_unary / query_subscribe."""
-        return self.spark.sql(sql)
+        If a registered materialized view answers this plan, serve from
+        its snapshot (``mvs.last_substitution`` names the view; None =
+        normal Catalyst execution). No latency is recorded here:
+        ``spark.sql`` only builds the plan (~0ms). The reference's
+        query-latency metric is end-to-end (metrics.go:78-101), so
+        recording happens where execution does — ``_collect_timed`` under
+        query_unary / query_subscribe."""
+        df = self.spark.sql(sql)
+        sub = self.mvs.try_substitute(df)
+        return sub if sub is not None else df
 
     def _collect_timed(self, sql: str) -> list:
         """Execute + collect with the latency recorded around the actual
         execution — the reference's end-to-end definition."""
         t0 = time.perf_counter()
-        rows = self.spark.sql(sql).collect()
+        rows = self.query(sql).collect()
         self.stats.record((time.perf_counter() - t0) * 1000.0)
         return rows
 

@@ -503,3 +503,42 @@ def salted_join_orders(spark, sf_dir):
     return salted_join(orders, cust, key="o_custkey", salt_buckets=16).select(
         "o_orderkey", "segment", F.col("o_totalprice").cast("double").alias("o_totalprice")
     )
+
+
+@register(
+    "ref_mv_substitution",
+    oracle="""
+    SELECT l_orderkey AS story_id,
+           CAST(SUM(l_quantity) AS DOUBLE) AS vote_sum
+    FROM lineitem GROUP BY l_orderkey
+    ORDER BY vote_sum DESC, story_id ASC LIMIT 5
+    """,
+    tags=("optimizer", "cache"),
+)
+def ref_mv_substitution(spark, sf_dir):
+    """Automatic materialized-view substitution (SURVEY §4's one custom
+    optimizer piece): the client writes the lobsters top-k against BASE
+    tables; the engine recognizes — via Catalyst sameResult on analyzed
+    plans, not string matching — that a registered sum view answers the
+    aggregation core, peels the ORDER BY/LIMIT wrapper, and serves from
+    the view snapshot. In the reference the client must name the view
+    table because wiring IS the plan (sum.go:149-180); here the rewrite
+    makes the topology transparent. The query asserts the substitution
+    actually fired."""
+    from proteus_spark.engine import Engine
+
+    eng = Engine(spark, sf_dir)
+    eng.register_materialized(
+        "votes_sum",
+        "SELECT l_orderkey AS story_id, "
+        "CAST(SUM(l_quantity) AS DOUBLE) AS vote_sum "
+        "FROM lineitem GROUP BY l_orderkey",
+    )
+    out = eng.query(
+        "SELECT l_orderkey AS story_id, "
+        "CAST(SUM(l_quantity) AS DOUBLE) AS vote_sum "
+        "FROM lineitem GROUP BY l_orderkey "
+        "ORDER BY vote_sum DESC, story_id ASC LIMIT 5"
+    )
+    assert eng.mvs.last_substitution == "votes_sum", "substitution did not fire"
+    return out

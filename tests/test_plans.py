@@ -306,3 +306,20 @@ def test_decontaminate_broadcasts_eval_side(q):
     every train shingle)."""
     p = q("llm_decontaminate")
     assert "BroadcastHashJoin" in p
+
+
+def test_tfidf_window_is_per_doc_with_group_limit(q):
+    p = q("llm_tfidf_topterms")
+    # rank<=N pushed into the window operator (WindowGroupLimit) so only
+    # top-3 candidates per doc survive the sort buffer
+    assert "WindowGroupLimit" in p
+    # ranking window partitions by doc_id — never a single-task global sort
+    assert "hashpartitioning(doc_id" in p
+    # tf aggregation combines map-side before its exchange
+    assert "partial_count" in p
+
+
+def test_histogram_sketch_combines_map_side(q):
+    p = q("agg_histogram_sketch")
+    # both rollup levels (monthly partial, merged) pre-aggregate map-side
+    assert "partial_count" in p or "partial_sum" in p
