@@ -248,6 +248,56 @@ def tfidf_top_terms(docs: DataFrame, topn: int = TFIDF_TOPN) -> DataFrame:
     )
 
 
+INDEX_POSTING_CAP = 20  # reference truncates index lookups to 20 records
+
+
+def inverted_index(docs: DataFrame, cap: int = INDEX_POSTING_CAP) -> DataFrame:
+    """Term → capped posting-list materialization: (term, df, postings).
+
+    The text-search member of the reference's index family (§2.5): where
+    the reference maintains a B-tree of value→record postings and
+    truncates every lookup to 20 records (inMemIndex.go:245-247), this
+    materializes term→doc postings with the same cap, generalized behind
+    a parameter, as a queryable table.
+
+    Scale shape:
+
+    - one explode to distinct (doc_id, term) pairs — raw text never
+      crosses an exchange;
+    - the cap is enforced BEFORE any list is collected: row_number per
+      term ≤ cap runs as a WindowGroupLimit (rank pushdown), so each
+      map-side sort keeps only `cap` candidates per term and a hot term's
+      full posting list never sits in one aggregation buffer;
+    - document frequency comes from a separate count aggregation over the
+      full pair set (the capped subset would under-count), joined back on
+      term.
+
+    Postings are the `cap` SMALLEST doc_ids in id order, encoded as a
+    comma-joined string so the artifact is engine-portable and hashable
+    (a real deployment keeps the array column)."""
+    sess = docs.sparkSession
+    toks = (
+        docs.repartition(sess.sparkContext.defaultParallelism, "doc_id")
+        .select("doc_id", F.explode(tokens_col()).alias("term"))
+        .distinct()
+    )
+    dfreq = toks.groupBy("term").agg(F.count("*").alias("df"))
+    w = Window.partitionBy("term").orderBy("doc_id")
+    posts = (
+        toks.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= cap)
+        .groupBy("term")
+        .agg(
+            F.concat_ws(",", F.sort_array(F.collect_list("doc_id"))).alias(
+                "postings"
+            )
+        )
+    )
+    return dfreq.join(posts, "term").select(
+        "term", F.col("df").cast("long").alias("df"), "postings"
+    )
+
+
 # ---------------------------------------------------------------------------
 # Deterministic corpus splitting & repetition analysis
 # ---------------------------------------------------------------------------

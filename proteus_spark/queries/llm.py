@@ -289,6 +289,34 @@ def llm_tfidf_topterms(spark, sf_dir):
     return TXT.tfidf_top_terms(load(spark, sf_dir, "documents"))
 
 
+_INVIDX_ORACLE = f"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, term FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)),
+dfreq AS (SELECT term, count(*) AS df FROM toks GROUP BY term),
+ranked AS (
+  SELECT term, doc_id,
+         row_number() OVER (PARTITION BY term ORDER BY doc_id) AS rk
+  FROM toks),
+posts AS (
+  SELECT term,
+         string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+  FROM ranked WHERE rk <= {TXT.INDEX_POSTING_CAP} GROUP BY term)
+SELECT term, CAST(df AS BIGINT) AS df, postings
+FROM dfreq JOIN posts USING (term)
+"""
+
+
+@register("llm_inverted_index", oracle=_INVIDX_ORACLE, tags=("llm", "text", "index"))
+def llm_inverted_index(spark, sf_dir):
+    """Term -> capped posting-list index materialization — the text-search
+    member of the reference's index family, with its 20-record lookup
+    truncation (inMemIndex.go:245-247) as the posting cap; cap enforced
+    via WindowGroupLimit BEFORE any list aggregation (see
+    llmops.text.inverted_index for the scale notes)."""
+    return TXT.inverted_index(load(spark, sf_dir, "documents"))
+
+
 # ---------------------------------------------------------------------------
 # Deduplication
 # ---------------------------------------------------------------------------

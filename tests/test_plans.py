@@ -323,3 +323,11 @@ def test_histogram_sketch_combines_map_side(q):
     p = q("agg_histogram_sketch")
     # both rollup levels (monthly partial, merged) pre-aggregate map-side
     assert "partial_count" in p or "partial_sum" in p
+
+
+def test_inverted_index_caps_before_collect(q):
+    p = q("llm_inverted_index")
+    # posting cap runs as a WindowGroupLimit: map-side sorts keep only
+    # `cap` candidates per term before any list aggregation
+    assert "WindowGroupLimit" in p
+    assert "hashpartitioning(term" in p
