@@ -542,3 +542,49 @@ def ref_mv_substitution(spark, sf_dir):
     )
     assert eng.mvs.last_substitution == "votes_sum", "substitution did not fire"
     return out
+
+
+@register(
+    "ref_vectorclock_join",
+    oracle="""
+    SELECT o.o_orderkey,
+           epoch_us(CAST(o.o_orderdate AS TIMESTAMP)) AS vc_orders_us,
+           epoch_us(CAST(l.max_ship AS TIMESTAMP)) AS vc_lineitem_us
+    FROM orders o LEFT JOIN (
+      SELECT l_orderkey, max(l_shipdate) AS max_ship
+      FROM lineitem GROUP BY l_orderkey) l
+    ON l.l_orderkey = o.o_orderkey
+    """,
+    tags=("streaming", "metadata"),
+)
+def ref_vectorclock_join(spark, sf_dir):
+    """MAP-form vector clocks composed through a join: each side carries
+    the reference's actual Vectorclock shape — map<source, ts>, one entry
+    per source bucket (qpu.proto:97-99) — and the join merges them
+    entry-wise (map_zip_with max, pure codegen). The scalar ``_ts``
+    convention (ref_ts_projection) is the single-source projection of
+    this; here the merged clock is keyed by BOTH upstreams, exactly what
+    the reference surfaces per response record (qpuextapi.proto:33-38).
+    Clock values derive from data columns (orderdate / max shipdate) so
+    the oracle can recompute them."""
+    from proteus_spark.sources.cdc import attach_vectorclock, merge_vectorclocks
+
+    orders = attach_vectorclock(
+        load(spark, sf_dir, "orders"), "orders", ts_col="o_orderdate"
+    ).select("o_orderkey", F.col("_vc").alias("_vc_o"))
+    li = attach_vectorclock(
+        load(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.max("l_shipdate").alias("max_ship")),
+        "lineitem",
+        ts_col="max_ship",
+    ).select(F.col("l_orderkey").alias("o_orderkey"), F.col("_vc").alias("_vc_l"))
+    merged = orders.join(li, "o_orderkey", "left").select(
+        "o_orderkey",
+        merge_vectorclocks(F.col("_vc_o"), F.col("_vc_l")).alias("_vc"),
+    )
+    return merged.select(
+        "o_orderkey",
+        F.element_at("_vc", F.lit("orders")).alias("vc_orders_us"),
+        F.element_at("_vc", F.lit("lineitem")).alias("vc_lineitem_us"),
+    )

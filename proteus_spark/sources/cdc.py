@@ -41,6 +41,40 @@ def attach_source_ts(df: DataFrame, ts_col: str | None = None) -> DataFrame:
     return df.withColumn("_ts", F.unix_micros(src.cast("timestamp")))
 
 
+def attach_vectorclock(
+    df: DataFrame, source_name: str, ts_col: str | None = None
+) -> DataFrame:
+    """Attach the MAP-form vector clock ``_vc`` — the reference's actual
+    ``Vectorclock = map<string, Timestamp>`` (qpu.proto:97-99), one entry
+    per source bucket. A single-source scan carries exactly one entry
+    keyed by its own name; multi-source operators (join) merge entry-wise
+    (``merge_vectorclocks``), which is precisely how the reference's
+    clocks compose. ``_ts`` (attach_source_ts) is the scalar projection
+    of this for single-source pipelines."""
+    src = F.col(ts_col) if ts_col else F.col("_metadata.file_modification_time")
+    return df.withColumn(
+        "_vc",
+        F.create_map(
+            F.lit(source_name), F.unix_micros(src.cast("timestamp"))
+        ),
+    )
+
+
+def merge_vectorclocks(a, b):
+    """Entry-wise max of two ``_vc`` map columns (vector-clock join):
+    keys present on one side only keep their value; shared keys take the
+    max. NULL maps (outer-join missing side) fold as empty. Pure Catalyst
+    map_zip_with — no UDF, codegen-safe at any scale."""
+    empty = F.map_from_arrays(F.array().cast("array<string>"), F.array().cast("array<bigint>"))
+    return F.map_zip_with(
+        F.coalesce(a, empty),
+        F.coalesce(b, empty),
+        lambda _k, v1, v2: F.greatest(
+            F.coalesce(v1, F.lit(-(1 << 62))), F.coalesce(v2, F.lit(-(1 << 62)))
+        ),
+    )
+
+
 @dataclass
 class CDCSource:
     """Snapshot + subscribe over one parquet location (one 'bucket')."""

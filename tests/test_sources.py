@@ -232,3 +232,24 @@ def test_python_datasource_mock_stream(spark, tmp_path):
     got = sorted((r[0], r[1]) for r in spark.read.parquet(outdir).collect())
     exp = sorted((r[0], r[1]) for r in mock_table(spark, 400).collect())
     assert got == exp
+
+
+def test_vectorclock_merge_semantics(spark):
+    """Entry-wise max with disjoint keys kept and NULL (outer-missing)
+    sides folding as empty — qpu.proto:97-99 composition."""
+    from pyspark.sql import functions as F
+
+    from proteus_spark.sources.cdc import merge_vectorclocks
+
+    df = spark.createDataFrame(
+        [
+            ({"a": 10}, {"a": 20, "b": 5}),  # shared key -> max; new key kept
+            ({"a": 30}, None),  # missing side -> identity
+        ],
+        "x map<string,bigint>, y map<string,bigint>",
+    )
+    out = [
+        dict(r[0])
+        for r in df.select(merge_vectorclocks(F.col("x"), F.col("y"))).collect()
+    ]
+    assert out == [{"a": 20, "b": 5}, {"a": 30}]
