@@ -189,6 +189,29 @@ class Engine:
 
         view.subscribe(_on_update)
 
+    def subscribe_matching(self, view, predicate_sql: str, callback) -> None:
+        """Per-value subscriber parity (inMemIndex.go:420-449): the
+        reference keeps a registry of subscribers keyed by attribute
+        VALUE and pushes a delta only to subscribers whose value it
+        matches. Generalized here from value-keyed to an arbitrary SQL
+        predicate: each micro-batch's delta is filtered by
+        ``predicate_sql`` and ``callback(rows, epoch)`` fires only when
+        matching records changed — non-matching epochs are silent, unlike
+        ``query_subscribe`` which re-evaluates on every update. The
+        filter is a Catalyst expression over the (small) delta frame, so
+        fan-out cost is per-subscriber-per-delta, as in the reference."""
+        from pyspark.sql import functions as F
+
+        def _on_delta(delta, epoch: int) -> None:
+            rows = [
+                self._stringify(r)
+                for r in delta.filter(F.expr(predicate_sql)).collect()
+            ]
+            if rows:
+                callback(rows, epoch)
+
+        view.subscribe(_on_delta)
+
     @staticmethod
     def _stringify(row) -> dict[str, str]:
         return {

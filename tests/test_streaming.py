@@ -738,3 +738,36 @@ def test_lsm_changes_since_version_bound(spark):
         assert view.changes_since(view.version()).count() == 0
     finally:
         view.stop()
+
+
+def test_subscribe_matching_pushes_only_matching_deltas(spark, sf_dir):
+    """Per-value subscriber registry parity (inMemIndex.go:420-449): a
+    predicate-scoped subscriber sees ONLY deltas matching its predicate,
+    and epochs whose delta has no matching record stay silent."""
+    from proteus_spark.engine import Engine
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select("user_id", "value")
+    key = ev.groupBy("user_id").count().orderBy("user_id").first()["user_id"]
+    src = cdc.stage_stream(spark, ev, chunks=3)
+    view = SumView(
+        spark, src.subscribe(), group_by="user_id", agg_attr="value",
+        name="t_sum_match", mode="append",
+    )
+    eng = Engine(spark)
+    matched: list[tuple[int, list]] = []
+    all_epochs: list[int] = []
+    eng.subscribe_matching(view, f"user_id = {key}", lambda rows, ep: matched.append((ep, rows)))
+    view.subscribe(lambda delta, ep: all_epochs.append(ep))
+    view.start()
+    try:
+        view.await_catch_up()
+        view._query.stop()
+        assert matched, "scoped subscriber never fired"
+        # every pushed record matches the predicate
+        for _ep, rows in matched:
+            assert all(r["user_id"] == str(key) for r in rows)
+        # scoped pushes are a subset of all epochs (silent when no match)
+        assert {ep for ep, _ in matched} <= set(all_epochs)
+    finally:
+        view.stop()
+        cdc.cleanup(src)
