@@ -97,3 +97,43 @@ def test_query_unary_routes_through_substitution(eng):
     out = eng.query_unary(DEF_SQL + " ORDER BY vote_sum DESC, story_id ASC LIMIT 1")
     assert eng.mvs.last_substitution == "votes_sum"
     assert len(out) == 1 and "story_id" in out[0]
+
+
+def test_streaming_sum_view_answers_base_table_aggregate(spark, sf_dir):
+    """End-to-end: a LIVE SumView (continuously maintained from a CDC
+    stream) registered as the materialized answer to the base-table
+    aggregate — the full reference topology (scan -> sum QPU -> client
+    query) expressed as stream + rewrite. The client's base-table SQL is
+    served from streaming state, and the state matches the batch answer
+    after catch-up."""
+    from proteus_spark.sources import cdc
+    from proteus_spark.streaming.views import SumView
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select("user_id", "value")
+    ev.createOrReplaceTempView("events_base")
+    src = cdc.stage_stream(spark, ev, chunks=3)
+    view = SumView(
+        spark, src.subscribe(), group_by="user_id", agg_attr="value",
+        name="t_sum_mv", mode="append",
+    )
+    view.start()
+    eng = Engine(spark)
+    eng.register_materialized(
+        "events_sum_view",
+        "SELECT user_id, SUM(value) AS value_sum FROM events_base GROUP BY user_id",
+        provider=lambda: view.snapshot().select("user_id", "value_sum"),
+    )
+    try:
+        view.await_catch_up()
+        got = eng.query(
+            "SELECT user_id, SUM(value) AS value_sum "
+            "FROM events_base GROUP BY user_id"
+        )
+        assert eng.mvs.last_substitution == "events_sum_view"
+        a = {r["user_id"]: round(r["value_sum"], 4) for r in got.collect()}
+        direct = ev.groupBy("user_id").sum("value").collect()
+        b = {r[0]: round(r[1], 4) for r in direct}
+        assert a == b
+    finally:
+        view.stop()
+        cdc.cleanup(src)
