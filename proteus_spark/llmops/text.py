@@ -248,6 +248,38 @@ def tfidf_top_terms(docs: DataFrame, topn: int = TFIDF_TOPN) -> DataFrame:
     )
 
 
+SAMPLE_K_PER_GROUP = 40
+
+
+def sample_k_per_group(
+    docs: DataFrame, by: str = "lang", k: int = SAMPLE_K_PER_GROUP
+) -> DataFrame:
+    """Exactly-k deterministic sample per group: (doc_id, grp, rk).
+
+    Eval-set construction: rate-based sampling (weighted_sample) yields
+    binomially-sized strata; this yields EXACTLY k docs per group — the k
+    with the smallest content hash, so the choice is content-keyed
+    (duplicates sample identically, re-runs reproduce, no RNG state).
+
+    Scale shape: rank-per-group plans as WindowGroupLimit — each map-side
+    sort keeps only k candidates per group before the exchange, so a
+    billion-doc stratum never concentrates in one task's sort buffer. The
+    hash is a Catalyst md5 expression (no UDF, one pass)."""
+    h = docs.select(
+        "doc_id",
+        F.col(by).alias("grp"),
+        F.expr(md5_seeded_sql("text", "kpg")).alias("_x"),
+    ).select(
+        "doc_id", "grp", F.expr(hex_to_long_spark_sql("_x")).alias("h")
+    )
+    w = Window.partitionBy("grp").orderBy("h", "doc_id")
+    return (
+        h.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("doc_id", "grp", F.col("rk").cast("long").alias("rk"))
+    )
+
+
 INDEX_POSTING_CAP = 20  # reference truncates index lookups to 20 records
 
 

@@ -146,3 +146,104 @@ class DurableRangeIndex:
 
     def lookup_eq(self, value, limit: int | None = DEFAULT_LOOKUP_LIMIT) -> DataFrame:
         return self.lookup_range(value, value + 1, limit=limit)
+
+
+class ZOrderIndex2D:
+    """2-D Z-order (Morton) durable index: generalizes the reference's 1-D
+    range sharding (confs/index0.toml [0,50) / index1.toml [50,100) behind
+    a router) to two attributes with interleaved-bit locality.
+
+    Each dimension is bucketed to a ``bits``-bit code (clamped to its
+    declared [lbound, ubound) domain); the codes interleave into one
+    Morton value used as the PHYSICAL partition column. A 2-D box lookup
+    enumerates the bucket-grid cells intersecting the box driver-side
+    (at most 2^(2*bits) cells — 256 at the default 4 bits, microseconds)
+    and prunes to exactly those directories via an IN partition filter,
+    then re-applies the exact box predicate to trim partial cells.
+
+    This is the manual analogue of lakehouse Z-ORDER clustering: at
+    100 TB, a box query touching f% of each dimension reads ~f²% of the
+    files instead of a full scan — the property neither single-column
+    range partitioning nor the reference's router (which broadcasts to
+    ALL shards regardless of predicate, router.go:50-59) provides.
+    Interleaving is pure bit arithmetic on Catalyst columns (codegen, no
+    UDF)."""
+
+    Z_COL = "_z_bucket"
+
+    def __init__(
+        self,
+        df: DataFrame,
+        attr_a: str,
+        attr_b: str,
+        key: str,
+        path: str,
+        a_bounds: tuple[float, float],
+        b_bounds: tuple[float, float],
+        bits: int = 4,
+    ):
+        self.attr_a, self.attr_b, self.key, self.path = attr_a, attr_b, key, path
+        self.a_bounds, self.b_bounds, self.bits = a_bounds, b_bounds, bits
+        self._spark = df.sparkSession
+        z = self._interleave(
+            self._code(F.col(attr_a), a_bounds), self._code(F.col(attr_b), b_bounds)
+        )
+        (
+            df.withColumn(self.Z_COL, z)
+            .repartition(F.col(self.Z_COL))
+            .sortWithinPartitions(attr_a, attr_b, key)
+            .write.mode("overwrite")
+            .partitionBy(self.Z_COL)
+            .parquet(path)
+        )
+
+    def _code(self, col, bounds):
+        lo, hi = bounds
+        cells = 1 << self.bits
+        raw = F.floor((col - F.lit(lo)) / F.lit((hi - lo) / cells))
+        return F.least(F.greatest(raw, F.lit(0)), F.lit(cells - 1)).cast("long")
+
+    def _interleave(self, ca, cb):
+        # Column & / | are LOGICAL operators in PySpark; bit math needs
+        # the explicit bitwiseAND/bitwiseOR methods
+        one = F.lit(1).cast("long")
+        out = F.lit(0).cast("long")
+        for i in range(self.bits):
+            out = out.bitwiseOR(
+                F.shiftleft(F.shiftright(ca, i).bitwiseAND(one), 2 * i)
+            ).bitwiseOR(
+                F.shiftleft(F.shiftright(cb, i).bitwiseAND(one), 2 * i + 1)
+            )
+        return out
+
+    def _cell(self, v, bounds) -> int:
+        lo, hi = bounds
+        cells = 1 << self.bits
+        return min(max(int((v - lo) / ((hi - lo) / cells)), 0), cells - 1)
+
+    def lookup_box(self, a_lb, a_ub, b_lb, b_ub) -> DataFrame:
+        """Rows with attr_a in [a_lb, a_ub) AND attr_b in [b_lb, b_ub) —
+        the RANGE-conjunction the reference evaluates per record
+        (queries.go:183-209), served with directory pruning."""
+        zs = sorted(
+            {
+                self._z_of(i, j)
+                for i in range(self._cell(a_lb, self.a_bounds), self._cell(a_ub, self.a_bounds) + 1)
+                for j in range(self._cell(b_lb, self.b_bounds), self._cell(b_ub, self.b_bounds) + 1)
+            }
+        )
+        df = self._spark.read.parquet(self.path)
+        out = df.filter(F.col(self.Z_COL).isin(zs)).filter(
+            (F.col(self.attr_a) >= a_lb)
+            & (F.col(self.attr_a) < a_ub)
+            & (F.col(self.attr_b) >= b_lb)
+            & (F.col(self.attr_b) < b_ub)
+        )
+        return out.drop(self.Z_COL)
+
+    def _z_of(self, i: int, j: int) -> int:
+        z = 0
+        for b in range(self.bits):
+            z |= ((i >> b) & 1) << (2 * b)
+            z |= ((j >> b) & 1) << (2 * b + 1)
+        return z

@@ -588,3 +588,38 @@ def ref_vectorclock_join(spark, sf_dir):
         F.element_at("_vc", F.lit("orders")).alias("vc_orders_us"),
         F.element_at("_vc", F.lit("lineitem")).alias("vc_lineitem_us"),
     )
+
+
+@register(
+    "ref_index_zorder",
+    oracle="""
+    SELECT event_id, user_id, value FROM events
+    WHERE user_id >= 2 AND user_id < 8 AND value >= 100.0 AND value < 160.0
+    """,
+    tags=("index",),
+)
+def ref_index_zorder(spark, sf_dir):
+    """2-D Z-order durable index lookup: both dimensions interleave into a
+    Morton partition column, and a 2-D box query prunes to the
+    intersecting z directories before re-applying the exact RANGE
+    conjunction (queries.go:183-209) — the multi-attribute generalization
+    of the 1-D sharded index+router deployment, whose router broadcasts
+    to ALL shards regardless of predicate (router.go:50-59). Result ==
+    brute-force conjunction (the oracle); pruning is plan-asserted in
+    tests/test_plans.py."""
+    import shutil
+    import tempfile
+
+    from proteus_spark.operators.index import ZOrderIndex2D
+
+    ev = load(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    path = tempfile.mkdtemp(prefix="proteus_zidx_")
+    try:
+        idx = ZOrderIndex2D(
+            ev, attr_a="user_id", attr_b="value", key="event_id", path=path,
+            a_bounds=(0.0, 16.0), b_bounds=(0.0, 500.0),
+        )
+        out = idx.lookup_box(2, 8, 100.0, 160.0)
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        shutil.rmtree(path, ignore_errors=True)

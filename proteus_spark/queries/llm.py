@@ -307,6 +307,31 @@ FROM dfreq JOIN posts USING (term)
 """
 
 
+def _sample_kpg_oracle() -> str:
+    return f"""
+    WITH hx AS (
+      SELECT doc_id, lang AS grp, {md5_seeded_sql('text', 'kpg')} AS _x
+      FROM documents),
+    h AS (SELECT doc_id, grp, {hex_to_long_sql('_x')} AS h FROM hx),
+    r AS (
+      SELECT doc_id, grp,
+             row_number() OVER (PARTITION BY grp ORDER BY h, doc_id) AS rk
+      FROM h)
+    SELECT doc_id, grp, CAST(rk AS BIGINT) AS rk
+    FROM r WHERE rk <= {TXT.SAMPLE_K_PER_GROUP}
+    """
+
+
+@register(
+    "llm_sample_k_per_group", oracle=_sample_kpg_oracle, tags=("llm", "text")
+)
+def llm_sample_k_per_group(spark, sf_dir):
+    """Exactly-k deterministic per-language sample (content-hash ranked,
+    WindowGroupLimit-bounded — see llmops.text.sample_k_per_group): the
+    fixed-size counterpart of rate-based llm_weighted_sample."""
+    return TXT.sample_k_per_group(load(spark, sf_dir, "documents"))
+
+
 @register("llm_inverted_index", oracle=_INVIDX_ORACLE, tags=("llm", "text", "index"))
 def llm_inverted_index(spark, sf_dir):
     """Term -> capped posting-list index materialization — the text-search

@@ -331,3 +331,40 @@ def test_inverted_index_caps_before_collect(q):
     # `cap` candidates per term before any list aggregation
     assert "WindowGroupLimit" in p
     assert "hashpartitioning(term" in p
+
+
+def test_zorder_index_prunes_2d_box(spark, sf_dir, tmp_path):
+    """ZOrderIndex2D: a 2-D box lookup prunes at the directory level (z
+    partition filter) and matches the brute-force conjunction exactly; a
+    small box must read a fraction of the z partitions."""
+    from proteus_spark.operators.index import ZOrderIndex2D
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "user_id", "value"
+    )
+    n_users = ev.agg(F.max("user_id")).collect()[0][0] + 1
+    idx = ZOrderIndex2D(
+        ev, attr_a="user_id", attr_b="value", key="event_id",
+        path=str(tmp_path / "zidx"),
+        a_bounds=(0, float(n_users)), b_bounds=(0.0, 500.0),
+    )
+    box = dict(a_lb=0, a_ub=max(1, n_users // 8), b_lb=0.0, b_ub=60.0)
+    got = idx.lookup_box(**box)
+    p = plan(got)
+    assert "PartitionFilters" in p
+    assert "_z_bucket" in p.split("PartitionFilters: [")[1].split("]")[0]
+    expect = sorted(
+        r["event_id"]
+        for r in ev.filter(
+            (F.col("user_id") >= box["a_lb"]) & (F.col("user_id") < box["a_ub"])
+            & (F.col("value") >= box["b_lb"]) & (F.col("value") < box["b_ub"])
+        ).collect()
+    )
+    assert sorted(r["event_id"] for r in got.collect()) == expect
+    # pruning actually skips directories: the box covers ~1/8 x ~1/8 of the
+    # grid, so the surviving z-partition list must be well under the total
+    total = spark.read.parquet(str(tmp_path / "zidx")).select("_z_bucket").distinct().count()
+    seg = p.split("PartitionFilters: [")[1].split("]")[0]
+    import re
+    n_kept = len(re.findall(r"\d+", seg.split("IN (")[-1])) if "IN (" in seg else total
+    assert n_kept < total / 2
