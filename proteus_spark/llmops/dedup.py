@@ -546,3 +546,37 @@ def decontaminate(
         .groupBy("doc_id")
         .agg(F.count("*").cast("long").alias("n_hits"))
     )
+
+
+EDIT_SIM_MIN = 0.3  # report candidates at/above this normalized similarity
+
+
+def editdistance_verify(
+    docs: DataFrame, sim_min: float = EDIT_SIM_MIN
+) -> DataFrame:
+    """Edit-distance verification of near-dup candidates:
+    (ida, idb, lev, edit_sim) with edit_sim = 1 - lev/max(len) >= sim_min.
+
+    The character-level verifier real pipelines run after a cheap
+    candidate pass: SimHash's pigeonhole index supplies the candidate
+    pairs (equi-join, never a cross join), and Levenshtein — O(n·m) per
+    pair, the expensive step — runs JVM-side on ONLY |candidates| pairs.
+    Joining the text back onto id-pairs keeps raw text out of the
+    candidate-generation shuffles; at 100 TB the two text lookups are
+    id-keyed equi-joins against the (bucketed) corpus."""
+    pairs = simhash_pairs(docs).select("ida", "idb")
+    t = docs.select("doc_id", "text")
+    sim = 1 - F.levenshtein("ta", "tb") / F.greatest(
+        F.length("ta"), F.length("tb")
+    )
+    return (
+        pairs.join(t.select(F.col("doc_id").alias("ida"), F.col("text").alias("ta")), "ida")
+        .join(t.select(F.col("doc_id").alias("idb"), F.col("text").alias("tb")), "idb")
+        .select(
+            "ida",
+            "idb",
+            F.levenshtein("ta", "tb").cast("long").alias("lev"),
+            F.round(sim, 6).alias("edit_sim"),
+        )
+        .filter(F.col("edit_sim") >= sim_min)
+    )

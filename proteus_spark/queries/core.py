@@ -623,3 +623,57 @@ def ref_index_zorder(spark, sf_dir):
         return spark.createDataFrame(out.collect(), out.schema)
     finally:
         shutil.rmtree(path, ignore_errors=True)
+
+
+@register(
+    "dq_validate_orders",
+    oracle="""
+    WITH n AS (SELECT CAST(count(*) AS BIGINT) AS n_rows FROM orders)
+    SELECT 'not_null(o_custkey)' AS rule,
+           CAST(count(*) FILTER (WHERE o_custkey IS NULL) AS BIGINT) AS violations,
+           n_rows, CAST(count(*) FILTER (WHERE o_custkey IS NULL) = 0 AS INTEGER) AS passed
+    FROM orders, n GROUP BY n_rows
+    UNION ALL
+    SELECT 'unique(o_orderkey)',
+           CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT),
+           n_rows, CAST(count(*) - count(DISTINCT o_orderkey) = 0 AS INTEGER)
+    FROM orders, n GROUP BY n_rows
+    UNION ALL
+    SELECT 'in_range(o_totalprice, 0, 300000)',
+           CAST(count(*) FILTER (WHERE NOT (o_totalprice >= 0 AND o_totalprice < 300000)
+                                    OR o_totalprice IS NULL) AS BIGINT),
+           n_rows,
+           CAST(count(*) FILTER (WHERE NOT (o_totalprice >= 0 AND o_totalprice < 300000)
+                                    OR o_totalprice IS NULL) = 0 AS INTEGER)
+    FROM orders, n GROUP BY n_rows
+    UNION ALL
+    SELECT 'satisfies(o_orderstatus IN (''O'', ''F''))',
+           CAST(count(*) FILTER (WHERE o_orderstatus NOT IN ('O', 'F')
+                                    OR o_orderstatus IS NULL) AS BIGINT),
+           n_rows,
+           CAST(count(*) FILTER (WHERE o_orderstatus NOT IN ('O', 'F')
+                                    OR o_orderstatus IS NULL) = 0 AS INTEGER)
+    FROM orders, n GROUP BY n_rows
+    """,
+    tags=("quality",),
+)
+def dq_validate_orders(spark, sf_dir):
+    """Data-quality expectations gate (deequ/dbt-test role; beyond the
+    reference, whose only contract is the TOML type declaration): four
+    declared rules — null check, key uniqueness, value range with the
+    engine's [lb, ub) convention, domain membership — ALL evaluated in one
+    aggregation pass and unpivoted via stack (operators/quality.py). The
+    range and domain rules intentionally catch real violations (prices
+    over 300k; status 'P')."""
+    from proteus_spark.operators import quality as Q
+
+    orders = load(spark, sf_dir, "orders")
+    return Q.check_constraints(
+        orders,
+        [
+            Q.not_null("o_custkey"),
+            Q.unique("o_orderkey"),
+            Q.in_range("o_totalprice", 0, 300000),
+            Q.satisfies("o_orderstatus IN ('O', 'F')"),
+        ],
+    )

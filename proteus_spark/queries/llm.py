@@ -1089,3 +1089,39 @@ def llm_dedup_keep_longest(spark, sf_dir):
             "doc_id", F.struct((-F.col("n_chars")).alias("a"), F.col("doc_id").alias("b"))
         ).cast("long").alias("keep_doc_id"),
     )
+
+
+def _editdistance_oracle() -> str:
+    pairs = _simhash_pairs_oracle()
+    # reuse the simhash candidate CTEs INCLUDING the hamming filter (the
+    # final SELECT of the pairs oracle), then verify with edit distance
+    head = pairs[: pairs.rindex("SELECT ida")].rstrip()
+    return (
+        head
+        + f""",
+    cand2 AS (
+      SELECT ida, idb FROM cand
+      WHERE bit_count(xor(sa, sb)) <= {D.HAMMING_MAX})
+    SELECT ida, idb,
+           CAST(levenshtein(ta.text, tb.text) AS BIGINT) AS lev,
+           round(1 - levenshtein(ta.text, tb.text)
+                 / CAST(greatest(length(ta.text), length(tb.text)) AS DOUBLE), 6) AS edit_sim
+    FROM cand2
+    JOIN documents ta ON ta.doc_id = ida
+    JOIN documents tb ON tb.doc_id = idb
+    WHERE 1 - levenshtein(ta.text, tb.text)
+          / CAST(greatest(length(ta.text), length(tb.text)) AS DOUBLE)
+          >= {D.EDIT_SIM_MIN}
+    """
+    )
+
+
+@register(
+    "llm_dedup_editdistance", oracle=_editdistance_oracle, tags=("llm", "dedup")
+)
+def llm_dedup_editdistance(spark, sf_dir):
+    """Character-level near-dup verification: Levenshtein similarity over
+    SimHash pigeonhole candidates only (the expensive O(n*m) verifier
+    runs on |candidates| pairs, never all pairs — see
+    llmops.dedup.editdistance_verify)."""
+    return D.editdistance_verify(load(spark, sf_dir, "documents"))

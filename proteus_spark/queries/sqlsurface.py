@@ -1053,3 +1053,33 @@ register_sql(
     "spec (one exchange + one sort; deterministic tie-breaks make every "
     "function hash-stable).",
 )
+
+
+@register(
+    "unpivot_lineitem_measures",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, 'qty' AS measure,
+           CAST(l_quantity AS DOUBLE) AS val FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'price', CAST(l_extendedprice AS DOUBLE)
+    FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'disc', CAST(l_discount AS DOUBLE)
+    FROM lineitem
+    """,
+    tags=("sql-surface",),
+)
+def unpivot_lineitem_measures(spark, sf_dir):
+    """UNPIVOT (wide -> long) via stack — the inverse of
+    pivot_event_counts, completing the reshape pair; a generator
+    projection (no shuffle, no UDF), 3 long rows per input row."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.expr(
+            "stack(3, 'qty', CAST(l_quantity AS DOUBLE), "
+            "'price', CAST(l_extendedprice AS DOUBLE), "
+            "'disc', CAST(l_discount AS DOUBLE)) AS (measure, val)"
+        ),
+    )
