@@ -138,8 +138,15 @@ class Engine:
         self.mvs.register(name, defining_sql, provider)
 
     # -- query plane ------------------------------------------------------
-    def query(self, sql: str) -> DataFrame:
+    def query(self, sql: str, args=None) -> DataFrame:
         """QueryUnary parity: SQL in, result out (lazy DataFrame).
+
+        ``args`` binds named (dict) or positional (list) parameters —
+        ``query("... WHERE x = :k", args={"k": 42})`` — the principled
+        form of the reference's SQL→AST cache, which patches the literal
+        after the ``=`` into a cached parse tree for point queries
+        (apiprocessor.go:335-390): here the parameterized TEXT is the
+        cache key Spark's own plan cache reuses across bindings.
 
         If a registered materialized view answers this plan, serve from
         its snapshot (``mvs.last_substitution`` names the view; None =
@@ -148,7 +155,7 @@ class Engine:
         query-latency metric is end-to-end (metrics.go:78-101), so
         recording happens where execution does — ``_collect_timed`` under
         query_unary / query_subscribe."""
-        df = self.spark.sql(sql)
+        df = self.spark.sql(sql, args=args) if args is not None else self.spark.sql(sql)
         sub = self.mvs.try_substitute(df)
         return sub if sub is not None else df
 

@@ -370,3 +370,27 @@ def test_pack_sequences_matches_naive_window(spark):
         exp[i] = (acc, acc // 512)
         acc += n
     assert got == exp
+
+
+def test_parameterized_query_binding(spark, sf_dir):
+    """Named + positional parameter binding (the principled form of the
+    reference's literal-patching AST cache, apiprocessor.go:335-390)."""
+    from proteus_spark.engine import Engine
+
+    eng = Engine(spark, sf_dir)
+    named = eng.query(
+        "SELECT count(*) AS n FROM lineitem WHERE l_orderkey = :k",
+        args={"k": 1},
+    ).collect()
+    direct = eng.query(
+        "SELECT count(*) AS n FROM lineitem WHERE l_orderkey = 1"
+    ).collect()
+    assert named == direct
+    # rebinding the same text answers a different point query
+    other = eng.query(
+        "SELECT count(*) AS n FROM lineitem WHERE l_orderkey = :k",
+        args={"k": 2},
+    ).collect()
+    assert other == eng.query(
+        "SELECT count(*) AS n FROM lineitem WHERE l_orderkey = 2"
+    ).collect()
