@@ -248,6 +248,90 @@ def tfidf_top_terms(docs: DataFrame, topn: int = TFIDF_TOPN) -> DataFrame:
     )
 
 
+CMS_DEPTH = 4
+CMS_WIDTH = 1024
+CMS_PROBE_TERMS = ("join", "window", "stream", "hash", "table", "zzzznever")
+
+
+def countmin_estimate(
+    docs: DataFrame,
+    terms: tuple[str, ...] = CMS_PROBE_TERMS,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+) -> DataFrame:
+    """MERGEABLE count-min sketch over the token stream:
+    (term, est, exact, ge_exact) for a probe-term set.
+
+    Completes the sketch-rollup family (HLL → distincts, histogram →
+    quantiles, CMS → frequencies): per-``source`` partial sketches — a
+    (depth × width) grid of counts, ≤ depth·width rows regardless of
+    corpus size — merge by plain addition into the corpus sketch, and a
+    term's frequency estimate is the MIN of its ``depth`` bucket counts.
+    At 100 TB the per-partition partial is KB-sized and the merged
+    sketch answers any frequency probe without re-scanning text.
+
+    Everything is integer counts + portable md5 bucket hashes, so a full
+    DuckDB oracle checks every row — including the CMS guarantee
+    ``est >= exact`` (ge_exact, asserted in the result), which holds
+    deterministically, not just probabilistically."""
+    sess = docs.sparkSession
+    toks = docs.select(
+        "source", F.explode(tokens_col()).alias("w")
+    )
+    bucket_exprs = [
+        F.expr(
+            hex_to_long_spark_sql(f"({md5_seeded_sql('w', f'cms{d}')})")
+        )
+        % width
+        for d in range(depth)
+    ]
+    grid = toks.select(
+        "source", "w", F.posexplode(F.array(*bucket_exprs)).alias("d", "bucket")
+    )
+    partial = grid.groupBy("source", "d", "bucket").agg(
+        F.count("*").alias("cnt")
+    )
+    sketch = partial.groupBy("d", "bucket").agg(
+        F.sum("cnt").cast("long").alias("cnt")
+    )
+    probe = sess.createDataFrame([(t,) for t in terms], "term string")
+    probe_buckets = probe.select(
+        "term",
+        F.posexplode(
+            F.array(
+                *[
+                    F.expr(
+                        hex_to_long_spark_sql(
+                            f"({md5_seeded_sql('term', f'cms{d}')})"
+                        )
+                    )
+                    % width
+                    for d in range(depth)
+                ]
+            )
+        ).alias("d", "bucket"),
+    )
+    est = (
+        probe_buckets.join(F.broadcast(sketch), ["d", "bucket"], "left")
+        .groupBy("term")
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("long").alias("est"))
+    )
+    exact = (
+        toks.filter(F.col("w").isin(list(terms)))
+        .groupBy(F.col("w").alias("term"))
+        .agg(F.count("*").cast("long").alias("exact"))
+    )
+    out = est.join(exact, "term", "left").select(
+        "term",
+        "est",
+        F.coalesce(F.col("exact"), F.lit(0)).cast("long").alias("exact"),
+        (F.col("est") >= F.coalesce(F.col("exact"), F.lit(0)))
+        .cast("integer")
+        .alias("ge_exact"),
+    )
+    return out
+
+
 SAMPLE_K_PER_GROUP = 40
 
 

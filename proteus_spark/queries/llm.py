@@ -1125,3 +1125,63 @@ def llm_dedup_editdistance(spark, sf_dir):
     runs on |candidates| pairs, never all pairs — see
     llmops.dedup.editdistance_verify)."""
     return D.editdistance_verify(load(spark, sf_dir, "documents"))
+
+
+def _countmin_oracle() -> str:
+    depth, width = TXT.CMS_DEPTH, TXT.CMS_WIDTH
+    terms = ", ".join(f"'{t}'" for t in TXT.CMS_PROBE_TERMS)
+    hx_cols = ", ".join(
+        f"{md5_seeded_sql('w', f'cms{d}')} AS x{d}" for d in range(depth)
+    )
+    grid_rows = "\n      UNION ALL\n      ".join(
+        f"SELECT source, {d} AS d, {hex_to_long_sql(f'x{d}')} % {width} AS bucket FROM hx"
+        for d in range(depth)
+    )
+    phx_cols = ", ".join(
+        f"{md5_seeded_sql('term', f'cms{d}')} AS x{d}" for d in range(depth)
+    )
+    pgrid_rows = "\n      UNION ALL\n      ".join(
+        f"SELECT term, {d} AS d, {hex_to_long_sql(f'x{d}')} % {width} AS bucket FROM phx"
+        for d in range(depth)
+    )
+    return f"""
+    WITH toks AS (
+      SELECT source, unnest(string_split(text, ' ')) AS w FROM documents),
+    hx AS (SELECT source, w, {hx_cols} FROM toks),
+    grid AS (
+      {grid_rows}),
+    partial AS (
+      SELECT source, d, bucket, count(*) AS cnt FROM grid GROUP BY 1, 2, 3),
+    sketch AS (
+      SELECT d, bucket, CAST(sum(cnt) AS BIGINT) AS cnt
+      FROM partial GROUP BY 1, 2),
+    probe AS (SELECT unnest([{terms}]) AS term),
+    phx AS (SELECT term, {phx_cols} FROM probe),
+    pgrid AS (
+      {pgrid_rows}),
+    est AS (
+      SELECT term, CAST(min(COALESCE(s.cnt, 0)) AS BIGINT) AS est
+      FROM pgrid p LEFT JOIN sketch s USING (d, bucket) GROUP BY term),
+    exact AS (
+      SELECT w AS term, count(*) AS exact FROM toks
+      WHERE w IN ({terms}) GROUP BY w)
+    SELECT term, est, CAST(COALESCE(exact, 0) AS BIGINT) AS exact,
+           CAST(est >= COALESCE(exact, 0) AS INTEGER) AS ge_exact
+    FROM est LEFT JOIN exact USING (term)
+    """
+
+
+@register(
+    "agg_countmin_terms",
+    oracle=_countmin_oracle,
+    tags=("aggregate", "sketch", "llm"),
+)
+def agg_countmin_terms(spark, sf_dir):
+    """Mergeable count-min sketch frequency estimation over the token
+    stream — the frequencies member of the sketch-rollup family
+    (HLL=distincts, histogram=quantiles): per-source partial grids merge
+    by addition; probes read MIN over depth buckets; est >= exact
+    guaranteed and checked row-by-row (see llmops.text.countmin_estimate)."""
+    out = TXT.countmin_estimate(load(spark, sf_dir, "documents"))
+    assert out.filter(F.col("ge_exact") == 0).count() == 0, "CMS under-estimated"
+    return out
