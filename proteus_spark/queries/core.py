@@ -677,3 +677,106 @@ def dq_validate_orders(spark, sf_dir):
             Q.satisfies("o_orderstatus IN ('O', 'F')"),
         ],
     )
+
+
+_BLOOM_CANDS = tuple(range(1, 11)) + (9999991, 9999992)
+
+
+def _bloom_oracle() -> str:
+    from proteus_spark.functions.texthash import hex_to_long_sql, md5_seeded_sql
+    from proteus_spark.operators.bloom import (
+        BLOOM_BITS,
+        BLOOM_HASHES,
+        WORD_BITS,
+    )
+
+    hx = ", ".join(
+        f"{md5_seeded_sql('s', f'bloom{d}')} AS x{d}" for d in range(BLOOM_HASHES)
+    )
+    chx = ", ".join(
+        f"{md5_seeded_sql('CAST(candidate AS VARCHAR)', f'bloom{d}')} AS x{d}"
+        for d in range(BLOOM_HASHES)
+    )
+    grid = "\n      UNION ALL\n      ".join(
+        f"SELECT month, {hex_to_long_sql(f'x{d}')} % {BLOOM_BITS} AS pos FROM hx"
+        for d in range(BLOOM_HASHES)
+    )
+    pgrid = "\n      UNION ALL\n      ".join(
+        f"SELECT candidate, {hex_to_long_sql(f'x{d}')} % {BLOOM_BITS} AS pos FROM chx"
+        for d in range(BLOOM_HASHES)
+    )
+    cands = ", ".join(str(c) for c in _BLOOM_CANDS)
+    return f"""
+    WITH keys AS (
+      SELECT CAST(o_custkey AS VARCHAR) AS s,
+             strftime(CAST(o_orderdate AS TIMESTAMP), '%Y-%m') AS month
+      FROM orders),
+    hx AS (SELECT month, {hx} FROM keys),
+    grid AS (
+      {grid}),
+    masks AS (
+      SELECT month, pos // {WORD_BITS} AS word,
+             (CAST(1 AS BIGINT) << CAST(pos % {WORD_BITS} AS INTEGER)) AS mask
+      FROM grid),
+    partial AS (
+      SELECT month, word, bit_or(mask) AS bits FROM masks GROUP BY 1, 2),
+    merged AS (SELECT word, bit_or(bits) AS bits FROM partial GROUP BY word),
+    cand AS (SELECT unnest([{cands}]) AS candidate),
+    chx AS (SELECT candidate, {chx} FROM cand),
+    pgrid AS (
+      {pgrid}),
+    probe AS (
+      SELECT candidate, pos // {WORD_BITS} AS word,
+             CAST(pos % {WORD_BITS} AS INTEGER) AS bit
+      FROM pgrid),
+    hits AS (
+      SELECT candidate,
+             (COALESCE(m.bits, 0) >> bit) & 1 AS hit
+      FROM probe LEFT JOIN merged m USING (word)),
+    maybe AS (
+      SELECT candidate, CAST(min(hit) AS INTEGER) AS maybe_present
+      FROM hits GROUP BY candidate),
+    actual AS (SELECT DISTINCT o_custkey AS candidate FROM orders)
+    SELECT mb.candidate AS candidate, maybe_present,
+           CAST(a.candidate IS NOT NULL AS INTEGER) AS actually_present,
+           CAST(maybe_present >= CAST(a.candidate IS NOT NULL AS INTEGER)
+                AS INTEGER) AS no_false_negative
+    FROM maybe mb LEFT JOIN actual a ON a.candidate = mb.candidate
+    """
+
+
+@register(
+    "agg_bloom_probe", oracle=_bloom_oracle, tags=("aggregate", "sketch", "join")
+)
+def agg_bloom_probe(spark, sf_dir):
+    """Mergeable Bloom-filter membership — the semi-join pruning sketch:
+    per-month partial filters bit_or-merge into one KB-sized (word, bits)
+    relation; candidate keys probe it without touching orders. Integer
+    bit arithmetic on portable hashes end-to-end, so DuckDB replays the
+    filter bit-for-bit and the no-false-negative guarantee is checked
+    per row (operators/bloom.py)."""
+    from proteus_spark.operators import bloom as B
+
+    orders = load(spark, sf_dir, "orders").withColumn(
+        "month", F.date_format("o_orderdate", "yyyy-MM")
+    )
+    filt = B.bloom_build(orders, "o_custkey", partial_by="month")
+    cands = spark.createDataFrame(
+        [(int(c),) for c in _BLOOM_CANDS], "candidate long"
+    )
+    probed = B.bloom_probe(cands, filt, "candidate")
+    actual = (
+        orders.select(F.col("o_custkey").alias("candidate"))
+        .distinct()
+        .withColumn("_a", F.lit(1))
+    )
+    out = probed.join(actual, "candidate", "left").select(
+        "candidate",
+        "maybe_present",
+        F.coalesce(F.col("_a"), F.lit(0)).cast("integer").alias("actually_present"),
+        (F.col("maybe_present") >= F.coalesce(F.col("_a"), F.lit(0)))
+        .cast("integer")
+        .alias("no_false_negative"),
+    )
+    assert out.filter(F.col("no_false_negative") == 0).count() == 0
+    return out
