@@ -6,9 +6,12 @@ Documentation.md:23-33; S3 objects with x-amz-meta-* attributes,
 internal/qpu_classes/datastore_driver/s3/store.go:146-200). Here the blob
 becomes a ``binary`` column with a metadata struct, and per-modality
 decode/feature-extraction runs as Arrow-batched ``mapInPandas`` — the
-Spark-side plumbing (schema, batch shape, partition parallelism) is real;
-actual image/audio codecs are stubbed behind NotImplementedError because
-the decode libraries are not in this environment.
+Spark-side plumbing (schema, batch shape, partition parallelism) is real.
+Library-backed codecs (PIL/librosa/ffmpeg) are stubbed behind
+NotImplementedError because those libraries are not in this environment;
+the PPM (P6) path (``ppm_assets``/``resize_ppm``) is a WORKING
+decoder+resizer — P6 needs no library — so one image modality runs end
+to end and oracle-checks byte-for-byte.
 """
 
 from __future__ import annotations
@@ -135,6 +138,102 @@ def resize_assets(assets: DataFrame, side: int = 4) -> DataFrame:
             )
 
     return assets.mapInPandas(_resize_batch, schema=RESIZE_SCHEMA)
+
+
+PPM_SIDE = 8  # synthesized asset: 8x8 RGB
+PPM_POOL = 4  # pooled 4x4 per output pixel -> 2x2 thumbnail
+PPM_HEADER = f"P6\n{PPM_SIDE} {PPM_SIDE}\n255\n".encode()
+
+
+def ppm_assets(docs: DataFrame, side: int = PPM_SIDE) -> DataFrame:
+    """Synthesize REAL PPM (P6) images JVM-side: header + side*side*3 raw
+    RGB bytes taken from the (padded) document text. P6 is a genuine
+    image format that needs no codec library, so the decode path below is
+    a WORKING decoder, not a stub — the one modality this environment
+    can exercise end-to-end."""
+    body = F.encode(
+        F.substring(F.rpad("text", side * side * 3, "x"), 1, side * side * 3),
+        "utf-8",
+    )
+    return docs.select(
+        "doc_id",
+        F.concat(F.lit(PPM_HEADER), body).alias("payload"),
+        F.lit("image/ppm").alias("modality"),
+    )
+
+
+def resize_ppm(assets: DataFrame, pool: int = PPM_POOL) -> DataFrame:
+    """REAL image decode → average-pool → re-encode for PPM (P6) assets:
+    (doc_id, width, height, thumb binary, tvals array<int>).
+
+    The decoder parses the P6 header (magic, dimensions, maxval) and
+    reinterprets the raw RGB body with numpy; pooling is exact integer
+    mean (block_sum // block_px) per channel; the thumbnail re-encodes
+    as a valid P6. Arrow-batched mapInPandas, partition-parallel, no
+    driver involvement — and because every step is integer arithmetic on
+    known bytes, a SQL oracle can replay the pooled values (``tvals``)
+    byte-for-byte. Non-PPM modalities still raise where a richer codec
+    (PIL/ffmpeg) would plug in."""
+
+    def _batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as _np
+        import pandas as _pd
+
+        def _decode(payload: bytes):
+            b = bytes(payload)
+            if not b.startswith(b"P6"):
+                raise NotImplementedError("only P6 PPM decodes here")
+            # header = magic, width, height, maxval as whitespace-separated
+            # tokens; body starts after the single whitespace byte that
+            # follows maxval
+            fields, i = [], 2
+            while len(fields) < 3:
+                while b[i : i + 1].isspace():
+                    i += 1
+                j = i
+                while not b[j : j + 1].isspace():
+                    j += 1
+                fields.append(int(b[i:j]))
+                i = j
+            i += 1  # the single whitespace after maxval
+            w, h, _maxval = fields
+            return _np.frombuffer(b, dtype=_np.uint8, count=w * h * 3, offset=i).reshape(
+                h, w, 3
+            )
+
+        def _one(payload: bytes):
+            img = _decode(payload)
+            h, w, _ = img.shape
+            oh, ow = h // pool, w // pool
+            arr = img[: oh * pool, : ow * pool, :].astype(_np.int64)
+            pooled = (
+                arr.reshape(oh, pool, ow, pool, 3).sum(axis=(1, 3)) // (pool * pool)
+            ).astype(_np.uint8)
+            thumb = f"P6\n{ow} {oh}\n255\n".encode() + pooled.tobytes()
+            return ow, oh, thumb, [int(v) for v in pooled.reshape(-1)]
+
+        for pdf in batches:
+            ws, hs, thumbs, tvals = [], [], [], []
+            for payload in pdf["payload"]:
+                w, h, t, v = _one(payload)
+                ws.append(w)
+                hs.append(h)
+                thumbs.append(t)
+                tvals.append(v)
+            yield _pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": ws,
+                    "height": hs,
+                    "thumb": thumbs,
+                    "tvals": tvals,
+                }
+            )
+
+    return assets.mapInPandas(
+        _batches,
+        schema="doc_id long, width int, height int, thumb binary, tvals array<int>",
+    )
 
 
 def sample_frames(

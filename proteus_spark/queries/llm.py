@@ -1185,3 +1185,47 @@ def agg_countmin_terms(spark, sf_dir):
     out = TXT.countmin_estimate(load(spark, sf_dir, "documents"))
     assert out.filter(F.col("ge_exact") == 0).count() == 0, "CMS under-estimated"
     return out
+
+
+def _ppm_oracle() -> str:
+    side, pool = M.PPM_SIDE, M.PPM_POOL
+    oh = ow = side // pool
+    n = side * side * 3
+    cols = []
+    for k in range(oh * ow * 3):
+        i, r = divmod(k, ow * 3)
+        j, c = divmod(r, 3)
+        terms = [
+            f"ascii(substr(p, {(y * side + x) * 3 + c + 1}, 1))"
+            for y in range(i * pool, (i + 1) * pool)
+            for x in range(j * pool, (j + 1) * pool)
+        ]
+        cols.append(
+            f"CAST(({' + '.join(terms)}) // {pool * pool} AS BIGINT) AS t{k}"
+        )
+    col_sql = ",\n           ".join(cols)
+    return f"""
+    WITH padded AS (
+      SELECT doc_id, substr(rpad(text, {n}, 'x'), 1, {n}) AS p FROM documents)
+    SELECT doc_id, {ow} AS width, {oh} AS height,
+           {col_sql}
+    FROM padded
+    """
+
+
+@register("llm_multimodal_ppm", oracle=_ppm_oracle, tags=("llm", "multimodal"))
+def llm_multimodal_ppm(spark, sf_dir):
+    """WORKING image decode -> average-pool -> re-encode, end to end: PPM
+    (P6) needs no codec library, so this pipeline — header parse, numpy
+    body reinterpret, exact integer pooling, P6 re-encode — runs for
+    real (unlike the stubbed PIL/ffmpeg modalities) and the pooled pixel
+    values hash-match a byte-arithmetic SQL oracle."""
+    docs = load(spark, sf_dir, "documents")
+    out = M.resize_ppm(M.ppm_assets(docs))
+    k = (M.PPM_SIDE // M.PPM_POOL) ** 2 * 3
+    return out.select(
+        "doc_id",
+        "width",
+        "height",
+        *[F.col("tvals")[i].cast("long").alias(f"t{i}") for i in range(k)],
+    )
