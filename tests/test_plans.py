@@ -368,3 +368,19 @@ def test_zorder_index_prunes_2d_box(spark, sf_dir, tmp_path):
     import re
     n_kept = len(re.findall(r"\d+", seg.split("IN (")[-1])) if "IN (" in seg else total
     assert n_kept < total / 2
+
+
+def test_editdistance_verify_is_candidate_pushed(q):
+    """Levenshtein runs on candidate pairs only: the plan must contain no
+    cartesian/nested-loop product — candidates come from the block
+    equi-join and texts join back by id."""
+    p = q("llm_dedup_editdistance")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_bloom_probe_broadcasts_filter(q):
+    """The (word, bits) filter relation is KB-sized by construction and
+    must broadcast to the probe side."""
+    p = q("agg_bloom_probe")
+    assert "BroadcastHashJoin" in p
