@@ -92,3 +92,19 @@ def hex_to_long_sql_inline(hex_expr: str, n: int = HEX_PREFIX_LEN) -> str:
         for i in range(n)
     ]
     return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+def bucket_exprs_sql(
+    col_sql: str, seed_prefix: str, k: int, mod: int
+) -> list[str]:
+    """The k-function bucket-hash family shared by the CMS and Bloom
+    sketches: ``hex_to_long(md5(f'{seed_prefix}{i}|' || col)) % mod`` for
+    i in [0, k) — one definition so the seed scheme / modulo handling
+    cannot drift between operators (oracles regenerate the same family
+    via md5_seeded_sql + hex_to_long_sql). Spark-dialect strings (conv
+    form: one md5 evaluation per hash); wrap in F.expr."""
+    out = []
+    for d in range(k):
+        md5 = md5_seeded_sql(col_sql, f"{seed_prefix}{d}")
+        out.append(f"({hex_to_long_spark_sql(f'({md5})')} % {mod})")
+    return out

@@ -566,8 +566,11 @@ def editdistance_verify(
     id-keyed equi-joins against the (bucketed) corpus."""
     pairs = simhash_pairs(docs).select("ida", "idb")
     t = docs.select("doc_id", "text")
-    sim = 1 - F.levenshtein("ta", "tb") / F.greatest(
-        F.length("ta"), F.length("tb")
+    maxlen = F.greatest(F.length("ta"), F.length("tb"))
+    # two empty texts are exact duplicates: 0/0 would be NaN (which Spark
+    # orders ABOVE every number, silently passing the threshold)
+    sim = F.when(maxlen == 0, F.lit(1.0)).otherwise(
+        1 - F.levenshtein("ta", "tb") / maxlen
     )
     return (
         pairs.join(t.select(F.col("doc_id").alias("ida"), F.col("text").alias("ta")), "ida")

@@ -142,7 +142,6 @@ def resize_assets(assets: DataFrame, side: int = 4) -> DataFrame:
 
 PPM_SIDE = 8  # synthesized asset: 8x8 RGB
 PPM_POOL = 4  # pooled 4x4 per output pixel -> 2x2 thumbnail
-PPM_HEADER = f"P6\n{PPM_SIDE} {PPM_SIDE}\n255\n".encode()
 
 
 def ppm_assets(docs: DataFrame, side: int = PPM_SIDE) -> DataFrame:
@@ -150,14 +149,19 @@ def ppm_assets(docs: DataFrame, side: int = PPM_SIDE) -> DataFrame:
     RGB bytes taken from the (padded) document text. P6 is a genuine
     image format that needs no codec library, so the decode path below is
     a WORKING decoder, not a stub — the one modality this environment
-    can exercise end-to-end."""
-    body = F.encode(
-        F.substring(F.rpad("text", side * side * 3, "x"), 1, side * side * 3),
-        "utf-8",
-    )
+    can exercise end-to-end.
+
+    Text is stripped to printable ASCII first so one character == one
+    byte: the oracle replays pixel values with per-CHARACTER codepoint
+    arithmetic, and a multi-byte UTF-8 character would shift the byte
+    stream against it (and overflow the header's promised body size)."""
+    header = f"P6\n{side} {side}\n255\n".encode()
+    n = side * side * 3
+    ascii_text = F.regexp_replace("text", "[^ -~]", "")
+    body = F.encode(F.substring(F.rpad(ascii_text, n, "x"), 1, n), "utf-8")
     return docs.select(
         "doc_id",
-        F.concat(F.lit(PPM_HEADER), body).alias("payload"),
+        F.concat(F.lit(header), body).alias("payload"),
         F.lit("image/ppm").alias("modality"),
     )
 

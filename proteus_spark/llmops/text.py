@@ -11,7 +11,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from proteus_spark.functions.texthash import hex_to_long_spark_sql, md5_seeded_sql
+from proteus_spark.functions.texthash import (
+    bucket_exprs_sql,
+    hex_to_long_spark_sql,
+    md5_seeded_sql,
+)
 from proteus_spark.llmops.dedup import shingles, tokens_col
 
 # BPE-ish tokenizer regex: alpha runs, digit runs, or any single non-space
@@ -205,9 +209,11 @@ def tfidf_top_terms(docs: DataFrame, topn: int = TFIDF_TOPN) -> DataFrame:
     extraction / doc-representation step of a training-data pipeline).
     Scale shape — the classic two-aggregation factorization:
 
-    - term frequencies: ONE explode, then groupBy(doc_id, term) with
-      map-side combine — only (doc_id, term) pairs cross the exchange,
-      never raw text;
+    - term frequencies: one doc-keyed repartition spreads the explode
+      across the cluster (raw text crosses that ONE exchange; a
+      few-partition source would otherwise serialize the tokenize), then
+      groupBy(doc_id, term) with map-side combine — every later exchange
+      carries only (doc_id, term) pairs;
     - document frequencies: a second aggregation over the tf relation,
       keyed by term (vocabulary-sized, not corpus-sized); joined back on
       term — an equi-join on the vocabulary, shuffle-partitioned, NOT
@@ -279,11 +285,7 @@ def countmin_estimate(
         "source", F.explode(tokens_col()).alias("w")
     )
     bucket_exprs = [
-        F.expr(
-            hex_to_long_spark_sql(f"({md5_seeded_sql('w', f'cms{d}')})")
-        )
-        % width
-        for d in range(depth)
+        F.expr(e) for e in bucket_exprs_sql("w", "cms", depth, width)
     ]
     grid = toks.select(
         "source", "w", F.posexplode(F.array(*bucket_exprs)).alias("d", "bucket")
@@ -300,13 +302,8 @@ def countmin_estimate(
         F.posexplode(
             F.array(
                 *[
-                    F.expr(
-                        hex_to_long_spark_sql(
-                            f"({md5_seeded_sql('term', f'cms{d}')})"
-                        )
-                    )
-                    % width
-                    for d in range(depth)
+                    F.expr(e)
+                    for e in bucket_exprs_sql("term", "cms", depth, width)
                 ]
             )
         ).alias("d", "bucket"),
@@ -378,8 +375,9 @@ def inverted_index(docs: DataFrame, cap: int = INDEX_POSTING_CAP) -> DataFrame:
 
     Scale shape:
 
-    - one explode to distinct (doc_id, term) pairs — raw text never
-      crosses an exchange;
+    - one doc-keyed repartition spreads the explode (raw text crosses
+      that single exchange), then distinct (doc_id, term) pairs — every
+      later exchange carries ids and terms only;
     - the cap is enforced BEFORE any list is collected: row_number per
       term ≤ cap runs as a WindowGroupLimit (rank pushdown), so each
       map-side sort keeps only `cap` candidates per term and a hot term's

@@ -21,10 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from proteus_spark.functions.texthash import (
-    hex_to_long_spark_sql,
-    md5_seeded_sql,
-)
+from proteus_spark.functions.texthash import bucket_exprs_sql
 
 BLOOM_BITS = 1024
 BLOOM_HASHES = 3
@@ -32,13 +29,7 @@ WORD_BITS = 62
 
 
 def _positions(col_sql: str, bits: int, hashes: int) -> list:
-    return [
-        F.expr(
-            hex_to_long_spark_sql(f"({md5_seeded_sql(col_sql, f'bloom{d}')})")
-        )
-        % bits
-        for d in range(hashes)
-    ]
+    return [F.expr(e) for e in bucket_exprs_sql(col_sql, "bloom", hashes, bits)]
 
 
 def bloom_build(

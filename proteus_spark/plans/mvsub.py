@@ -83,7 +83,15 @@ def _unwrap_topk(jplan):
             child = so.child()
             if _cls(child) != "AttributeReference":
                 raise ValueError("non-column sort key")
-            keys.append((child.name(), "Ascending" in so.direction().toString()))
+            asc = "Ascending" in so.direction().toString()
+            # re-application uses Spark's DEFAULT null placement (asc ->
+            # NULLS FIRST, desc -> NULLS LAST); an explicit non-default
+            # NULLS clause would reorder differently, so decline rather
+            # than mis-serve
+            nulls = so.nullOrdering().toString()
+            if (asc and nulls != "NullsFirst") or (not asc and nulls != "NullsLast"):
+                raise ValueError("non-default null ordering")
+            keys.append((child.name(), asc))
         node = node.child()
     return node, keys, limit
 
@@ -108,8 +116,11 @@ class MVCatalog:
         defining query once, eagerly, as a static snapshot."""
         jplan = _analyzed(self.spark, defining_sql)
         if provider is None:
-            snap = self.spark.sql(defining_sql)
-            snap = self.spark.createDataFrame(snap.collect(), snap.schema)
+            # materialize eagerly but DISTRIBUTED (persist + force): a
+            # driver-side collect of a large view would OOM exactly where
+            # an MV matters most
+            snap = self.spark.sql(defining_sql).persist()
+            snap.count()
             provider = lambda: snap  # noqa: E731
         self._views.append(_MV(name=name, jplan=jplan, provider=provider))
 

@@ -1105,14 +1105,19 @@ def _editdistance_oracle() -> str:
       WHERE bit_count(xor(sa, sb)) <= {D.HAMMING_MAX})
     SELECT ida, idb,
            CAST(levenshtein(ta.text, tb.text) AS BIGINT) AS lev,
-           round(1 - levenshtein(ta.text, tb.text)
-                 / CAST(greatest(length(ta.text), length(tb.text)) AS DOUBLE), 6) AS edit_sim
+           round(CASE WHEN greatest(length(ta.text), length(tb.text)) = 0
+                      THEN 1.0
+                      ELSE 1 - levenshtein(ta.text, tb.text)
+                           / CAST(greatest(length(ta.text), length(tb.text)) AS DOUBLE)
+                 END, 6) AS edit_sim
     FROM cand2
     JOIN documents ta ON ta.doc_id = ida
     JOIN documents tb ON tb.doc_id = idb
-    WHERE 1 - levenshtein(ta.text, tb.text)
-          / CAST(greatest(length(ta.text), length(tb.text)) AS DOUBLE)
-          >= {D.EDIT_SIM_MIN}
+    WHERE (CASE WHEN greatest(length(ta.text), length(tb.text)) = 0
+                THEN 1.0
+                ELSE 1 - levenshtein(ta.text, tb.text)
+                     / CAST(greatest(length(ta.text), length(tb.text)) AS DOUBLE)
+           END) >= {D.EDIT_SIM_MIN}
     """
     )
 
@@ -1207,7 +1212,10 @@ def _ppm_oracle() -> str:
     col_sql = ",\n           ".join(cols)
     return f"""
     WITH padded AS (
-      SELECT doc_id, substr(rpad(text, {n}, 'x'), 1, {n}) AS p FROM documents)
+      SELECT doc_id,
+             substr(rpad(regexp_replace(text, '[^ -~]', '', 'g'), {n}, 'x'),
+                    1, {n}) AS p
+      FROM documents)
     SELECT doc_id, {ow} AS width, {oh} AS height,
            {col_sql}
     FROM padded

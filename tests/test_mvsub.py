@@ -137,3 +137,11 @@ def test_streaming_sum_view_answers_base_table_aggregate(spark, sf_dir):
     finally:
         view.stop()
         cdc.cleanup(src)
+
+
+def test_non_default_null_ordering_falls_through(eng):
+    """An explicit NULLS clause that differs from Spark's default for the
+    direction could reorder NULL-bearing results; substitution declines."""
+    df = eng.query(DEF_SQL + " ORDER BY vote_sum DESC NULLS FIRST LIMIT 5")
+    assert eng.mvs.last_substitution is None
+    assert df.count() == 5
