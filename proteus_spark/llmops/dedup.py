@@ -583,3 +583,37 @@ def editdistance_verify(
         )
         .filter(F.col("edit_sim") >= sim_min)
     )
+
+
+def incremental_dedup(
+    docs: DataFrame, base_sources: tuple[str, ...]
+) -> DataFrame:
+    """Incremental ingest dedup: (doc_id, source) of BATCH docs whose
+    content does not already exist in the BASE corpus.
+
+    The composition real ingest pipelines run: a Bloom filter built over
+    the base corpus's content hashes prefilters the incoming batch —
+    definitely-new docs (filter says absent) skip the join entirely —
+    and only the maybe-present survivors verify with an exact anti-join.
+    The Bloom's no-false-negative guarantee makes the prefilter
+    TRANSPARENT: the result equals a plain anti-join (which is the
+    oracle), but at 100 TB the KB-sized filter spares the shuffle for
+    every novel document, and novel documents dominate a healthy ingest."""
+    from proteus_spark.operators.bloom import bloom_build, bloom_probe
+
+    hashed = docs.select(
+        "doc_id", "source", F.md5("text").alias("h")
+    )
+    base = hashed.filter(F.col("source").isin(list(base_sources)))
+    batch = hashed.filter(~F.col("source").isin(list(base_sources)))
+    filt = bloom_build(base.select("h"), "h")
+    probed = bloom_probe(
+        batch.select("h").distinct(), filt, "h"
+    ).withColumnRenamed("candidate", "h")
+    batch_flagged = batch.join(probed, "h", "left")
+    definite_new = batch_flagged.filter(F.col("maybe_present") == 0)
+    maybes = batch_flagged.filter(F.col("maybe_present") == 1)
+    verified_new = maybes.join(
+        base.select("h").distinct(), "h", "left_anti"
+    )
+    return definite_new.unionByName(verified_new).select("doc_id", "source")

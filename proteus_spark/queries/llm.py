@@ -1294,3 +1294,29 @@ def llm_bpe_top_merges(spark, sf_dir):
     return top.withColumn(
         "rk", F.row_number().over(W.orderBy(*order)).cast("long")
     )
+
+
+_INC_BASE = ("src0", "src1", "src2", "src3", "src4")
+
+
+@register(
+    "llm_dedup_incremental",
+    oracle=f"""
+    WITH hashed AS (SELECT doc_id, source, md5(text) AS h FROM documents),
+    base AS (SELECT DISTINCT h FROM hashed
+             WHERE source IN {_INC_BASE!r}),
+    batch AS (SELECT doc_id, source, h FROM hashed
+              WHERE source NOT IN {_INC_BASE!r})
+    SELECT doc_id, source FROM batch b
+    WHERE NOT EXISTS (SELECT 1 FROM base WHERE base.h = b.h)
+    """,
+    tags=("llm", "dedup", "sketch"),
+)
+def llm_dedup_incremental(spark, sf_dir):
+    """Incremental ingest dedup: Bloom prefilter over the base corpus's
+    content hashes, exact anti-join verify for the maybes — result
+    identical to the plain anti-join (the oracle) by the filter's
+    no-false-negative guarantee (llmops.dedup.incremental_dedup)."""
+    return D.incremental_dedup(
+        load(spark, sf_dir, "documents"), base_sources=_INC_BASE
+    )
