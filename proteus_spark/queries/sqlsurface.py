@@ -1083,3 +1083,68 @@ def unpivot_lineitem_measures(spark, sf_dir):
             "'disc', CAST(l_discount AS DOUBLE)) AS (measure, val)"
         ),
     )
+
+
+_EWMA_ALPHA = 0.3
+
+
+@register(
+    "events_ewma_daily",
+    oracle=EVENTS_NS_ORACLE
+    + f"""
+    , daily AS (
+      SELECT CAST(ts AS DATE) AS d, event_type,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events_ns GROUP BY 1, 2),
+    seq AS (
+      SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY d) - 1 AS i
+      FROM daily),
+    acc AS (
+      SELECT *,
+             sum(n * power(1 - {_EWMA_ALPHA}, -i))
+               OVER (PARTITION BY event_type ORDER BY i
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
+      FROM seq)
+    SELECT strftime(d, '%Y-%m-%d') AS day, event_type, n,
+           round({_EWMA_ALPHA} * power(1 - {_EWMA_ALPHA}, i) * s
+                 + power(1 - {_EWMA_ALPHA}, i + 1)
+                   * first_value(n) OVER (PARTITION BY event_type ORDER BY i),
+                 6) AS ewma
+    FROM acc
+    """,
+    tags=("event-time", "window"),
+)
+def events_ewma_daily(spark, sf_dir):
+    """Exponentially-weighted moving average of daily event volume per
+    type — the smoothing companion to the z-score anomaly query. The
+    recurrence ewma_t = a*x_t + (1-a)*ewma_{{t-1}} (seeded with x_0)
+    unrolls into ONE closed-form window expression:
+    a * (1-a)^t * sum(x_i * (1-a)^(-i)) + (1-a)^(t+1) * x_0 — a running
+    sum plus first_value, both over the same per-type window, so the
+    whole series computes in one pass with no recursion or UDF. The
+    (1-a)^(-i) weights stay tiny here (~30 daily points per type;
+    (1/0.7)^30 ≈ 4e4 — far inside double range); a longer horizon would
+    chunk the series to bound the exponent, noted in-line."""
+    ev = events_with_ts(spark, sf_dir)
+    a = _EWMA_ALPHA
+    daily = ev.groupBy(
+        F.col("ts").cast("date").alias("d"), "event_type"
+    ).agg(F.count("*").cast("long").alias("n"))
+    w_ord = W.partitionBy("event_type").orderBy("d")
+    seq = daily.withColumn("i", F.row_number().over(w_ord) - 1)
+    w_acc = W.partitionBy("event_type").orderBy("i").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    s = F.sum(F.col("n") * F.pow(F.lit(1 - a), -F.col("i"))).over(w_acc)
+    x0 = F.first("n").over(W.partitionBy("event_type").orderBy("i"))
+    ewma = F.round(
+        F.lit(a) * F.pow(F.lit(1 - a), F.col("i")) * s
+        + F.pow(F.lit(1 - a), F.col("i") + 1) * x0,
+        6,
+    )
+    return seq.select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        "event_type",
+        "n",
+        ewma.alias("ewma"),
+    )
