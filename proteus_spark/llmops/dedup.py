@@ -563,7 +563,14 @@ def editdistance_verify(
     pair, the expensive step — runs JVM-side on ONLY |candidates| pairs.
     Joining the text back onto id-pairs keeps raw text out of the
     candidate-generation shuffles; at 100 TB the two text lookups are
-    id-keyed equi-joins against the (bucketed) corpus."""
+    id-keyed equi-joins against the (bucketed) corpus.
+
+    Ordering caveat: cost is |candidates|-bound, and EXACT duplicates are
+    maximal candidate generators (k copies of a doc → k·(k-1)/2 pairs,
+    all hamming-0). Run exact_dedup first and verify only survivors —
+    the standard pipeline order; a duplicate-heavy corpus fed directly
+    to this operator pays a quadratic-in-copy-count verification bill
+    for pairs a hash group-by finds for free."""
     pairs = simhash_pairs(docs).select("ida", "idb")
     t = docs.select("doc_id", "text")
     maxlen = F.greatest(F.length("ta"), F.length("tb"))
