@@ -31,15 +31,6 @@ from pyspark.sql.types import (
     StructType,
 )
 
-SESSION_OUTPUT_SCHEMA = StructType(
-    [
-        StructField("user_id", LongType()),
-        StructField("n_sessions", LongType()),
-        StructField("n_events", LongType()),
-        StructField("value_sum", DoubleType()),
-    ]
-)
-
 # Per-key state: parallel arrays of disjoint session intervals, each with
 # its event count and value sum. Bounded by session count per key.
 SESSION_STATE_SCHEMA = StructType(
@@ -120,16 +111,26 @@ def sessionize_stream(
         )
         yield pd.DataFrame(
             {
-                "user_id": [key_tuple[0]],
+                key: [key_tuple[0]],
                 "n_sessions": [len(merged)],
                 "n_events": [int(merged["c"].sum())],
                 "value_sum": [float(merged["v"].sum())],
             }
         )
 
+    # the key field mirrors the INPUT column (name + type): a hardcoded
+    # name/type would mis-serialize any non-default key at the Arrow layer
+    out_schema = StructType(
+        [
+            StructField(key, stream.schema[key].dataType),
+            StructField("n_sessions", LongType()),
+            StructField("n_events", LongType()),
+            StructField("value_sum", DoubleType()),
+        ]
+    )
     return stream.groupBy(key).applyInPandasWithState(
         _update,
-        outputStructType=SESSION_OUTPUT_SCHEMA,
+        outputStructType=out_schema,
         stateStructType=SESSION_STATE_SCHEMA,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
@@ -163,7 +164,9 @@ def dedup_stream(
     """
     from pyspark.sql.types import StringType, StructField, StructType
 
-    out_schema = StructType([StructField(key, StringType())])
+    # key field mirrors the input column's type (a BIGINT hash key would
+    # fail Arrow serialization into a hardcoded StringType)
+    out_schema = StructType([StructField(key, stream.schema[key].dataType)])
     state_schema = StructType([StructField("seen", StringType())])
     timeout = (
         GroupStateTimeout.ProcessingTimeTimeout

@@ -54,8 +54,6 @@ class _Merge:
     per key. Implementations are pure DataFrame aggregations, so the
     collapse runs as one hash aggregate across executors."""
 
-    helper_cols: tuple[str, ...] = ("_v",)
-
     def collapse(self, df: DataFrame, key: str) -> DataFrame:  # pragma: no cover
         raise NotImplementedError
 
@@ -94,8 +92,6 @@ class _CoalesceMerge(_Merge):
     a DELETE tombstone at version v kills everything <= v (a later
     re-insert revives the key); keys with no live rows disappear.
     Missing attributes fall to their declared defaults (join.go:414-423)."""
-
-    helper_cols = ("_v", "_op")
 
     def __init__(self, defaults: dict[str, float]):
         self.defaults = defaults
@@ -350,7 +346,16 @@ class _BucketedState:
         tmp = os.path.join(self.root, f".manifest_v{v}.tmp")
         dst = os.path.join(self.root, f"manifest_v{v}.json")
         with open(tmp, "w") as f:
-            json.dump({str(b): list(chain) for b, chain in m.items()}, f)
+            json.dump(
+                {
+                    "buckets": {str(b): list(chain) for b, chain in m.items()},
+                    # schema rides the commit log: without it a recovered
+                    # state can't serve the empty-result paths (read/
+                    # changes_since at an all-empty or no-news bound)
+                    "schema": self.schema.json() if self.schema else None,
+                },
+                f,
+            )
         os.replace(tmp, dst)
 
     def recover(self) -> int:
@@ -361,20 +366,31 @@ class _BucketedState:
         import re as _re
 
         found: dict[int, dict[int, tuple[int, ...]]] = {}
+        schemas: dict[int, str] = {}
         if os.path.isdir(self.root):
             for fname in os.listdir(self.root):
                 mt = _re.fullmatch(r"manifest_v(\d+)\.json", fname)
                 if mt:
                     with open(os.path.join(self.root, fname)) as f:
                         raw = json.load(f)
+                    buckets = raw.get("buckets", raw)  # legacy: bare map
                     found[int(mt.group(1))] = {
-                        int(b): tuple(chain) for b, chain in raw.items()
+                        int(b): tuple(chain) for b, chain in buckets.items()
                     }
+                    if isinstance(raw, dict) and raw.get("schema"):
+                        schemas[int(mt.group(1))] = raw["schema"]
         self.manifests = []
         v = 0
         while v in found:  # highest contiguous prefix = committed history
             self.manifests.append(found[v])
             v += 1
+        committed = [k for k in schemas if k < v]
+        if self.schema is None and committed:
+            import json as _json
+
+            self.schema = T.StructType.fromJson(
+                _json.loads(schemas[max(committed)])
+            )
         return self.version
 
     def changes_since(self, since_version: int) -> DataFrame | None:
@@ -389,12 +405,20 @@ class _BucketedState:
         Compaction folds untouched keys into new dirs, so the key set is a
         SUPERSET of the truly-changed keys — at-least-once delivery, the
         same guarantee a CDC catch-up gives. Values come from the current
-        collapse, semi-joined to the touched keys."""
+        collapse, semi-joined to the touched keys; touched keys with NO
+        current row (tombstoned since the bound) are delivered too, as
+        null-valued rows with ``_deleted = 1`` — a catch-up that dropped
+        deletions would leave the consumer's mirror holding dead keys
+        forever."""
+
+        def _with_flag(df: DataFrame) -> DataFrame:
+            return df.withColumn("_deleted", F.lit(0))
+
         cur = self.version
         if cur < 0 or since_version >= cur:
             if self.schema is not None:
                 empty = self.spark.createDataFrame([], self.schema)
-                return self.merge.collapse(empty, self.key)
+                return _with_flag(self.merge.collapse(empty, self.key))
             return None
         m = self.manifests[cur]
         paths = [
@@ -404,11 +428,21 @@ class _BucketedState:
             if v > since_version
         ]
         if not paths:
+            if self.schema is None:
+                return None
             empty = self.spark.createDataFrame([], self.schema)
-            return self.merge.collapse(empty, self.key)
+            return _with_flag(self.merge.collapse(empty, self.key))
         touched = self._read_raw(paths).select(self.key).distinct()
         full = self.read()
-        return full.join(touched, self.key, "left_semi")
+        live = _with_flag(full.join(touched, self.key, "left_semi"))
+        gone = touched.join(full.select(self.key), self.key, "left_anti")
+        for f in live.schema.fields:
+            if f.name not in (self.key, "_deleted"):
+                gone = gone.withColumn(
+                    f.name, F.lit(None).cast(f.dataType)
+                )
+        gone = gone.withColumn("_deleted", F.lit(1))
+        return live.unionByName(gone.select(*live.columns))
 
     def _evict(self) -> None:
         keep_from = max(0, len(self.manifests) - self.retain)
@@ -416,9 +450,24 @@ class _BucketedState:
         for m in self.manifests[keep_from:]:
             for chain in m.values():
                 referenced.update(chain)
-        for v in range(keep_from):
+        # frontier: versions below it were already vacuumed by earlier
+        # commits — without it this loop rescans (and re-rmtrees) every
+        # historic version on EVERY commit, O(total versions) driver work
+        # per batch over the stream's lifetime
+        start = getattr(self, "_evicted_to", 0)
+        for v in range(start, keep_from):
             if v not in referenced:
-                shutil.rmtree(self._vdir(v), ignore_errors=True)
+                vdir = self._vdir(v)
+                shutil.rmtree(vdir, ignore_errors=True)
+                # drop memoized sizes for the removed dirs — the cache
+                # would otherwise accrete dead entries forever
+                for p in [k for k in self._du_cache if k.startswith(vdir)]:
+                    self._du_cache.pop(p, None)
+        # a still-referenced version below keep_from must stay scannable
+        self._evicted_to = min(
+            keep_from,
+            min((rv for rv in referenced if rv >= start), default=keep_from),
+        )
 
 
 class SumView:
@@ -479,7 +528,6 @@ class SumView:
         self._snap_version = -1
         self._derived_version: dict[str, int] = {}
         self._subscribers: list[Callable[[DataFrame, int], None]] = []
-        self._catch_up = threading.Event()
         self._query = None
 
     # -- lifecycle ---------------------------------------------------------
@@ -508,7 +556,6 @@ class SumView:
         """Serve-gate parity (qpu.go:72-75): block until the snapshot replay
         (all currently-available input) is committed."""
         self._query.processAllAvailable()
-        self._catch_up.set()
         return self
 
     def stop(self, cleanup: bool = True) -> None:
@@ -528,7 +575,7 @@ class SumView:
     def _on_changed_groups(self, batch: DataFrame, epoch: int) -> None:
         """update-mode aggregation hands us the changed groups with their
         NEW totals (state store did the math) -> MERGE = replace keys."""
-        self._merge(batch, replace=True, epoch=epoch)
+        self._merge(batch, epoch=epoch)
 
     def _on_cdc_batch(self, batch: DataFrame, epoch: int) -> None:
         """raw UPDATEDELTA rows -> per-group contribution -> MERGE-add.
@@ -546,9 +593,11 @@ class SumView:
         if "_ts" in batch.columns:
             aggs.append(F.max("_ts").alias("_ts"))
         contrib = batch.groupBy(self.group_by).agg(*aggs)
-        self._merge(contrib, replace=False, epoch=epoch)
+        self._merge(contrib, epoch=epoch)
 
-    def _merge(self, delta: DataFrame, replace: bool, epoch: int) -> None:
+    def _merge(self, delta: DataFrame, epoch: int) -> None:
+        # merge POLICY lives in the _state.merge object chosen at
+        # construction (replace / add / coalesce) — not a per-call flag
         delta = delta.withColumn("_bucket", self._state.bucket_col()).persist()
         try:
             # bounded driver probe: <= n_buckets ints, never row data
@@ -563,8 +612,10 @@ class SumView:
             delta.unpersist()
 
         # downstream QPUs: recompute derived views over the committed state
+        # (None until the first non-empty batch commits a schema — an
+        # empty first micro-batch must not crash the streaming query)
         state = self.snapshot()
-        for name, fn in self.derived.items():
+        for name, fn in self.derived.items() if state is not None else ():
             out = fn(state)
             dv = self._derived_version.get(name, -1) + 1
             out.write.mode("overwrite").parquet(

@@ -771,3 +771,119 @@ def test_subscribe_matching_pushes_only_matching_deltas(spark, sf_dir):
     finally:
         view.stop()
         cdc.cleanup(src)
+
+
+def test_changes_since_delivers_deletions(spark):
+    """A key tombstoned after the catch-up bound must appear in
+    changes_since as a _deleted=1 row — a catch-up that drops deletions
+    leaves the consumer's mirror holding dead keys forever."""
+    from proteus_spark.streaming.views import JoinView
+
+    view = JoinView(
+        spark,
+        left=spark.createDataFrame([], "k bigint, price double"),
+        right=spark.createDataFrame([], "k bigint, votes double"),
+        key="k",
+        name="t_since_del",
+        defaults={"price": 0.0, "votes": 0.0},
+    )
+    try:
+        b1 = spark.createDataFrame(
+            [(1, 10.0, None, None), (2, 20.0, None, None)],
+            "k bigint, price double, votes double, _op string",
+        )
+        view._on_batch(b1, 0)
+        v0 = view.version()
+        b2 = spark.createDataFrame(
+            [(2, None, None, "DELETE"), (1, 11.0, None, None)],
+            "k bigint, price double, votes double, _op string",
+        )
+        view._on_batch(b2, 1)
+        got = {r["k"]: r["_deleted"] for r in view.changes_since(v0).collect()}
+        assert got[1] == 0 and got[2] == 1
+    finally:
+        view.stop()
+
+
+def test_lsm_recover_restores_schema(spark):
+    """After a driver restart, the empty-result paths (read of an
+    all-empty state, changes_since at the current bound) must serve empty
+    frames with the COMMITTED schema, not None/crash — the schema rides
+    the manifest commit log."""
+    from proteus_spark.streaming.views import _AddMerge, _BucketedState
+
+    view = SumView(
+        spark, stream=None, group_by="k", agg_attr="new_value",
+        name="t_lsm_schema", mode="cdc", n_buckets=4,
+    )
+    try:
+        b = spark.createDataFrame(
+            [(1, None, 2.0)], "k bigint, old_value double, new_value double"
+        )
+        view._on_cdc_batch(b, 0)
+        fresh = _BucketedState(
+            spark, view._root, key="k",
+            merge=_AddMerge(sum_col="new_value_sum"), n_buckets=4,
+        )
+        fresh.recover()
+        assert fresh.schema is not None
+        # the "any news since my version?" idiom must return an EMPTY
+        # frame (not None) on a freshly recovered state
+        assert fresh.changes_since(fresh.version).count() == 0
+    finally:
+        view.stop()
+
+
+def test_empty_first_batch_does_not_kill_derived_views(spark):
+    """An empty first micro-batch commits no schema; derived-view
+    recomputation must skip (None snapshot), not crash the query."""
+    view = SumView(
+        spark, stream=None, group_by="k", agg_attr="new_value",
+        name="t_empty_first", mode="cdc", n_buckets=4,
+    )
+    view.derived["probe"] = lambda snap: snap.limit(1)
+    try:
+        empty = spark.createDataFrame(
+            [], "k bigint, old_value double, new_value double"
+        )
+        view._on_cdc_batch(empty, 0)  # must not raise
+        b = spark.createDataFrame(
+            [(1, None, 2.0)], "k bigint, old_value double, new_value double"
+        )
+        view._on_cdc_batch(b, 1)
+        assert view.snapshot().count() == 1
+    finally:
+        view.stop()
+
+
+def test_dedup_stream_bigint_key(spark):
+    """dedup_stream with a non-string key: the output schema mirrors the
+    input column's type (a hardcoded StringType failed Arrow
+    serialization for hash keys)."""
+    import shutil as _sh
+
+    from proteus_spark.streaming.stateful import dedup_stream
+
+    df = spark.createDataFrame(
+        [(1,), (2,), (1,), (3,), (2,)], "doc_hash bigint"
+    )
+    src = cdc.stage_stream(spark, df, chunks=2)
+    out = dedup_stream(src.subscribe(), key="doc_hash")
+    import tempfile as _tf
+
+    outdir = _tf.mkdtemp(prefix="t_dedup_bigint_")
+    q = (
+        out.writeStream.outputMode("append")
+        .foreachBatch(lambda b, e: b.write.mode("append").parquet(outdir))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        cdc.cleanup(src)
+    try:
+        got = sorted(r[0] for r in spark.read.parquet(outdir).collect())
+        assert got == [1, 2, 3]
+    finally:
+        _sh.rmtree(outdir, ignore_errors=True)
