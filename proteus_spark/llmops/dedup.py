@@ -624,3 +624,54 @@ def incremental_dedup(
         base.select("h").distinct(), "h", "left_anti"
     )
     return definite_new.unionByName(verified_new).select("doc_id", "source")
+
+
+CONTAINMENT_MIN = 0.85
+
+
+def containment_pairs(
+    sh: DataFrame,
+    min_containment: float = CONTAINMENT_MIN,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Shingle-containment near-subset pairs: (ida, idb, containment),
+    ida < idb, containment = |A∩B| / min(|A|,|B|).
+
+    Catches the duplication Jaccard misses: a short document embedded in a
+    much longer one (quotes, boilerplate wrapping, prefix truncations) has
+    high containment but low Jaccard — the standard complement metric in
+    corpus dedup (cf. Broder's resemblance vs containment).
+
+    Same scale shape as ``jaccard_pairs``: candidate generation is the
+    shingle equi-join (never a cross product), per-doc set sizes come from
+    one group-by, and ``max_doc_freq`` guards hot shingles (drops shingles
+    in more than that many docs before pairing; changes results, so the
+    oracled query leaves it None)."""
+    if max_doc_freq is not None:
+        rare = sh.groupBy("s").count().filter(F.col("count") <= max_doc_freq).select("s")
+        sh = sh.join(rare, "s")
+    counts = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("ida"), F.col("b.doc_id").alias("idb"))
+        .agg(F.count("*").alias("ni"))
+    )
+    ca = counts.select(F.col("doc_id").alias("ida"), F.col("n").alias("na"))
+    cb = counts.select(F.col("doc_id").alias("idb"), F.col("n").alias("nb"))
+    return (
+        inter.join(ca, "ida")
+        .join(cb, "idb")
+        .select(
+            "ida",
+            "idb",
+            (F.col("ni").cast("double") / F.least(F.col("na"), F.col("nb"))).alias(
+                "containment"
+            ),
+        )
+        .filter(F.col("containment") >= min_containment)
+    )

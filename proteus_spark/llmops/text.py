@@ -656,3 +656,66 @@ def normalize_text(docs: DataFrame) -> DataFrame:
         F.length(norm).cast("long").alias("n_chars_norm"),
         (norm != F.col("text")).cast("int").alias("changed"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style heuristic quality rules
+# ---------------------------------------------------------------------------
+
+# Rule thresholds follow the published Gopher/MassiveText filtering recipe
+# (Rae et al. 2021, table A1) — word-count band, mean-word-length band,
+# symbol-to-word ratio, alphabetic-word fraction, minimum stopword evidence.
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WORD_LEN = 3.0
+GOPHER_MAX_MEAN_WORD_LEN = 10.0
+GOPHER_MAX_SYMBOL_RATIO = 0.1
+GOPHER_MIN_ALPHA_RATIO = 0.80
+GOPHER_MIN_STOP_HITS = 2
+
+
+def gopher_filter(docs: DataFrame) -> DataFrame:
+    """Gopher-rule document filter: per-doc rule measurements plus the
+    composite ``keep`` decision.
+
+    (doc_id, n_words, mean_word_len, symbol_ratio, alpha_word_ratio,
+    n_stop_distinct, keep) — every measure is a pure Catalyst expression
+    over the ``text`` column (whole-stage codegen, zero shuffle, column
+    pruning to one string column), so at 100 TB this runs at scan speed.
+    Thresholds compare the UNROUNDED doubles (int/int division is
+    bit-identical across engines); the reported ratio columns are rounded
+    to 6 for display stability only."""
+    t = tokens_col()
+    n_words = F.size(t)
+    nw = F.greatest(n_words, F.lit(1))  # defensive: empty text
+    sum_len = F.aggregate(F.transform(t, F.length), F.lit(0), lambda a, x: a + x)
+    mean_wl = sum_len.cast("double") / nw
+    n_hash = F.length("text") - F.length(F.replace(F.col("text"), F.lit("#")))
+    n_ellipsis = (
+        F.length("text") - F.length(F.replace(F.col("text"), F.lit("...")))
+    ) / 3
+    symbol_ratio = (n_hash + n_ellipsis).cast("double") / nw
+    n_alpha = F.size(F.filter(t, lambda x: x.rlike("[a-zA-Z]")))
+    alpha_ratio = n_alpha.cast("double") / nw
+    all_stop = sorted({w for ws in STOPWORDS.values() for w in ws})
+    n_stop = F.size(
+        F.array_intersect(F.array_distinct(t), F.array(*[F.lit(w) for w in all_stop]))
+    )
+    keep = (
+        (n_words >= GOPHER_MIN_WORDS)
+        & (n_words <= GOPHER_MAX_WORDS)
+        & (mean_wl >= GOPHER_MIN_MEAN_WORD_LEN)
+        & (mean_wl <= GOPHER_MAX_MEAN_WORD_LEN)
+        & (symbol_ratio <= GOPHER_MAX_SYMBOL_RATIO)
+        & (alpha_ratio >= GOPHER_MIN_ALPHA_RATIO)
+        & (n_stop >= GOPHER_MIN_STOP_HITS)
+    )
+    return docs.select(
+        "doc_id",
+        n_words.cast("long").alias("n_words"),
+        F.round(mean_wl, 6).alias("mean_word_len"),
+        F.round(symbol_ratio, 6).alias("symbol_ratio"),
+        F.round(alpha_ratio, 6).alias("alpha_word_ratio"),
+        n_stop.cast("long").alias("n_stop_distinct"),
+        keep.cast("int").alias("keep"),
+    )

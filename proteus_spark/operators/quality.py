@@ -80,3 +80,32 @@ def check_constraints(df: DataFrame, constraints: list[tuple]) -> DataFrame:
         "n_rows",
         (F.col("violations") == 0).cast("integer").alias("passed"),
     )
+
+
+def skew_report(df: DataFrame, key: str, top_n: int = 10) -> DataFrame:
+    """Key-distribution skew diagnostic: the ``top_n`` heaviest keys with
+    global distribution stats attached — (key, n, n_keys, max_n,
+    total_rows, avg_n, skew_ratio).
+
+    The pre-flight check before any large keyed join/agg: skew_ratio
+    (max key count / mean key count) >> 1 says "salt this key or enable
+    AQE skew handling". Two aggregations, both with map-side partial
+    combine; the heavy-hitter pick is TakeOrderedAndProject (per-partition
+    heaps, no global sort); the one-row stats frame joins in broadcast —
+    nothing here funnels the per-key relation through a single task, so
+    the diagnostic itself is safe to run on a 100 TB fact table."""
+    per_key = df.groupBy(F.col(key).alias("key")).agg(
+        F.count("*").cast("long").alias("n")
+    )
+    stats = per_key.agg(
+        F.count("*").cast("long").alias("n_keys"),
+        F.max("n").cast("long").alias("max_n"),
+        F.sum("n").cast("long").alias("total_rows"),
+    )
+    top = per_key.orderBy(F.desc("n"), F.asc("key")).limit(top_n)
+    avg_n = F.col("total_rows").cast("double") / F.col("n_keys")
+    return (
+        top.crossJoin(F.broadcast(stats))
+        .withColumn("avg_n", F.round(avg_n, 6))
+        .withColumn("skew_ratio", F.round(F.col("max_n") / avg_n, 6))
+    )

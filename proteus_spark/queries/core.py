@@ -780,3 +780,28 @@ def agg_bloom_probe(spark, sf_dir):
     )
     assert out.filter(F.col("no_false_negative") == 0).count() == 0
     return out
+
+
+@register(
+    "dq_skew_report",
+    oracle="""
+    WITH pk AS (SELECT o_custkey AS key, CAST(count(*) AS BIGINT) AS n
+                FROM orders GROUP BY o_custkey),
+    st AS (SELECT CAST(count(*) AS BIGINT) AS n_keys,
+                  CAST(max(n) AS BIGINT) AS max_n,
+                  CAST(sum(n) AS BIGINT) AS total_rows FROM pk)
+    SELECT key, n, n_keys, max_n, total_rows,
+           round(CAST(total_rows AS DOUBLE) / n_keys, 6) AS avg_n,
+           round(max_n / (CAST(total_rows AS DOUBLE) / n_keys), 6) AS skew_ratio
+    FROM (SELECT * FROM pk ORDER BY n DESC, key LIMIT 10), st
+    """,
+    tags=("quality", "skew"),
+)
+def dq_skew_report(spark, sf_dir):
+    """Key-skew diagnostic on orders.o_custkey: top-10 heavy hitters +
+    global distribution stats (operators/quality.py::skew_report). The
+    operational companion to the salted-join operator — run this first,
+    salt when skew_ratio says so."""
+    from proteus_spark.operators.quality import skew_report
+
+    return skew_report(load(spark, sf_dir, "orders"), "o_custkey")

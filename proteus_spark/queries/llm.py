@@ -1320,3 +1320,77 @@ def llm_dedup_incremental(spark, sf_dir):
     return D.incremental_dedup(
         load(spark, sf_dir, "documents"), base_sources=_INC_BASE
     )
+
+
+def _containment_oracle() -> str:
+    return (
+        "WITH "
+        + _SHINGLE_CTE
+        + f""",
+    cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS ni
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT ida, idb,
+           CAST(ni AS DOUBLE) / least(ca.n, cb.n) AS containment
+    FROM inter JOIN cnt ca ON ca.doc_id = ida JOIN cnt cb ON cb.doc_id = idb
+    WHERE CAST(ni AS DOUBLE) / least(ca.n, cb.n) >= {D.CONTAINMENT_MIN}
+    """
+    )
+
+
+@register("llm_dedup_containment", oracle=_containment_oracle, tags=("llm", "dedup"))
+def llm_dedup_containment(spark, sf_dir):
+    """Shingle-containment near-subset pairs (|A∩B|/min(|A|,|B|) >= 0.85):
+    the complement metric to Jaccard — a short doc embedded in a longer one
+    (boilerplate wrap, prefix truncation) scores high containment but low
+    Jaccard. Same shingle equi-join candidate shape as the Jaccard baseline
+    (llmops.dedup.containment_pairs; never a cross product)."""
+    sh = D.shingles(load(spark, sf_dir, "documents"))
+    return D.containment_pairs(sh, D.CONTAINMENT_MIN)
+
+
+def _gopher_oracle() -> str:
+    all_stop = sorted({w for ws in TXT.STOPWORDS.values() for w in ws})
+    stop_list = ", ".join(f"'{w}'" for w in all_stop)
+    return f"""
+    WITH base AS (
+      SELECT doc_id, text, string_split(text, ' ') AS t FROM documents),
+    m AS (
+      SELECT doc_id,
+             len(t) AS n_words,
+             greatest(len(t), 1) AS nw,
+             CAST(list_sum(list_transform(t, x -> length(x))) AS DOUBLE)
+               / greatest(len(t), 1) AS mean_wl,
+             (length(text) - length(replace(text, '#', ''))
+              + (length(text) - length(replace(text, '...', ''))) / 3.0)
+               / greatest(len(t), 1) AS symbol_ratio,
+             CAST(len(list_filter(t, x -> regexp_matches(x, '[a-zA-Z]')))
+                  AS DOUBLE) / greatest(len(t), 1) AS alpha_ratio,
+             len(list_intersect(list_distinct(t), [{stop_list}])) AS n_stop
+      FROM base)
+    SELECT doc_id,
+           CAST(n_words AS BIGINT) AS n_words,
+           round(mean_wl, 6) AS mean_word_len,
+           round(symbol_ratio, 6) AS symbol_ratio,
+           round(alpha_ratio, 6) AS alpha_word_ratio,
+           CAST(n_stop AS BIGINT) AS n_stop_distinct,
+           CAST(n_words >= {TXT.GOPHER_MIN_WORDS}
+                AND n_words <= {TXT.GOPHER_MAX_WORDS}
+                AND mean_wl >= {TXT.GOPHER_MIN_MEAN_WORD_LEN}
+                AND mean_wl <= {TXT.GOPHER_MAX_MEAN_WORD_LEN}
+                AND symbol_ratio <= {TXT.GOPHER_MAX_SYMBOL_RATIO}
+                AND alpha_ratio >= {TXT.GOPHER_MIN_ALPHA_RATIO}
+                AND n_stop >= {TXT.GOPHER_MIN_STOP_HITS} AS INT) AS keep
+    FROM m
+    """
+
+
+@register("llm_gopher_filter", oracle=_gopher_oracle, tags=("llm", "text"))
+def llm_gopher_filter(spark, sf_dir):
+    """Gopher/MassiveText heuristic quality rules (word-count band,
+    mean-word-length band, symbol ratio, alphabetic-word fraction, stopword
+    evidence) + composite keep decision — pure codegen expressions, one
+    text-column scan (llmops.text.gopher_filter)."""
+    return TXT.gopher_filter(load(spark, sf_dir, "documents"))

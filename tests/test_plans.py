@@ -384,3 +384,31 @@ def test_bloom_probe_broadcasts_filter(q):
     must broadcast to the probe side."""
     p = q("agg_bloom_probe")
     assert "BroadcastHashJoin" in p
+
+
+def test_gopher_filter_pure_codegen_scan(q):
+    """Gopher rules must evaluate inside one codegen projection over the
+    scan: no shuffle, no UDF eval, only text+doc_id read from parquet."""
+    p = q("llm_gopher_filter")
+    assert "Exchange" not in p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in p
+
+
+def test_containment_no_cartesian(q):
+    """Containment candidate generation is the shingle equi-join —
+    never a cartesian / nested-loop pair enumeration."""
+    p = q("llm_dedup_containment")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_skew_report_broadcast_stats_and_heap_topk(q):
+    """The heavy-hitter pick must be TakeOrderedAndProject (partition-local
+    heaps) and the one-row stats frame must broadcast; per-key counts
+    combine map-side."""
+    p = q("dq_skew_report")
+    assert "TakeOrderedAndProject" in p
+    assert "BroadcastExchange" in p
+    assert "SortMergeJoin" not in p
+    assert "partial_count" in p
