@@ -512,3 +512,83 @@ def pq_topk(
         )
     )
     return _two_phase_topk(scored, k)
+
+
+# Looser than the near-dup bar: radius retrieval asks "related", not
+# "duplicate" (0.4 returns nothing on the synthetic corpus's query slice).
+RADIUS_THRESHOLD = 0.2
+
+
+def radius_search(
+    vectors: DataFrame,
+    queries: DataFrame,
+    threshold: float = RADIUS_THRESHOLD,
+    bits: int = SRP_BITS,
+    bands: int = SRP_BANDS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Cosine radius (threshold) search, query-set vs corpus: (qid, nid,
+    sim) for every corpus vector within ``threshold`` cosine of a query —
+    the retrieval dual of top-k (fixed quality bar, variable result size).
+
+    Scale shape: the corpus is SRP-banded once (codegen, no shuffle) and
+    candidates come from an equi-join of corpus bands against the
+    BROADCAST query bands — the corpus never shuffles, candidate volume is
+    linear in true near-neighbors, and only candidates pay the exact
+    cosine verification. Recall < 1 by design (banding misses some
+    in-radius vectors); the oracle reproduces the identical candidate set,
+    so the approximation itself is hash-checked."""
+    bandvals_n = srp_bands(F.col(vec_col), bits=bits, bands=bands)
+    nb = vectors.select(
+        F.col(id_col).alias("nid"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(j).alias("band"), bv.alias("bval"))
+                    for j, bv in bandvals_n
+                ]
+            )
+        ).alias("bb"),
+    ).select("nid", F.col("bb.band").alias("band"), F.col("bb.bval").alias("bval"))
+    qb = queries.select(
+        F.col(id_col).alias("qid"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(j).alias("band"), bv.alias("bval"))
+                    for j, bv in srp_bands(F.col(vec_col), bits=bits, bands=bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("qid", F.col("bb.band").alias("band"), F.col("bb.bval").alias("bval"))
+    cand = (
+        nb.join(F.broadcast(qb), ["band", "bval"])
+        .filter(F.col("qid") != F.col("nid"))
+        .select("qid", "nid")
+        .distinct()
+    )
+    qv = queries.select(
+        F.col(id_col).alias("vq_id"),
+        F.col(vec_col).alias("qvec"),
+        norm(F.col(vec_col)).alias("qnorm"),
+    )
+    nv = vectors.select(
+        F.col(id_col).alias("vn_id"),
+        F.col(vec_col).alias("nvec"),
+        norm(F.col(vec_col)).alias("nnorm"),
+    )
+    return (
+        cand.join(nv, F.col("nid") == F.col("vn_id"))
+        .join(F.broadcast(qv), F.col("qid") == F.col("vq_id"))
+        .withColumn(
+            "sim",
+            F.round(
+                dot(F.col("qvec"), F.col("nvec"))
+                / (F.col("qnorm") * F.col("nnorm")),
+                6,
+            ),
+        )
+        .filter(F.col("sim") >= threshold)
+        .select("qid", "nid", "sim")
+    )

@@ -1394,3 +1394,79 @@ def llm_gopher_filter(spark, sf_dir):
     evidence) + composite keep decision — pure codegen expressions, one
     text-column scan (llmops.text.gopher_filter)."""
     return TXT.gopher_filter(load(spark, sf_dir, "documents"))
+
+
+def _radius_oracle() -> str:
+    bits, bands, thr = S.SRP_BITS, S.SRP_BANDS, S.RADIUS_THRESHOLD
+    r = bits // bands
+    selects = []
+    for j in range(bands):
+        bval = " + ".join(
+            f"(CASE WHEN embedding[{j * r + m + 1}] >= 0 THEN 1 ELSE 0 END) * {1 << m}"
+            for m in range(r)
+        )
+        selects.append(
+            f"SELECT vec_id AS vid, embedding AS vec, {j} AS band, {bval} AS bval"
+            " FROM embeddings"
+        )
+    banded = " UNION ALL ".join(selects)
+    return f"""
+    WITH banded AS ({banded}),
+    cand AS (
+      SELECT DISTINCT q.vid AS qid, n.vid AS nid, q.vec AS qvec, n.vec AS nvec
+      FROM banded n JOIN banded q ON n.band = q.band AND n.bval = q.bval
+      WHERE q.vid < 10 AND q.vid != n.vid)
+    SELECT qid, nid, round({_cos_sql('qvec', 'nvec')}, 6) AS sim
+    FROM cand WHERE round({_cos_sql('qvec', 'nvec')}, 6) >= {thr}
+    """
+
+
+@register("llm_sim_radius", oracle=_radius_oracle, tags=("llm", "similarity"))
+def llm_sim_radius(spark, sf_dir):
+    """Cosine radius search (threshold retrieval, query vectors vec_id<10):
+    corpus SRP-banded in codegen, candidates from an equi-join against the
+    BROADCAST query bands — the corpus never shuffles — then exact cosine
+    verification on candidates only (llmops.similarity.radius_search)."""
+    emb = load(spark, sf_dir, "embeddings")
+    return S.radius_search(emb, emb.filter(F.col("vec_id") < 10))
+
+
+def _cluster_stats_oracle() -> str:
+    # component assignment (same recursive closure as _components_oracle),
+    # then the run-report rollup: clusters by size, docs removable
+    return (
+        _components_oracle()
+        .replace(
+            """SELECT CAST(v AS BIGINT) AS doc_id, CAST(min(r) AS BIGINT) AS component
+FROM reach GROUP BY v
+""",
+            """, comp AS (
+  SELECT v AS doc_id, min(r) AS component FROM reach GROUP BY v),
+sizes AS (
+  SELECT component, count(*) AS csize FROM comp GROUP BY component)
+SELECT CAST(csize AS BIGINT) AS cluster_size,
+       CAST(count(*) AS BIGINT) AS n_clusters,
+       CAST(count(*) * csize AS BIGINT) AS n_docs,
+       CAST(count(*) * (csize - 1) AS BIGINT) AS n_removable
+FROM sizes GROUP BY csize
+""",
+        )
+    )
+
+
+@register("llm_dedup_cluster_stats", oracle=_cluster_stats_oracle, tags=("llm", "dedup"))
+def llm_dedup_cluster_stats(spark, sf_dir):
+    """Dedup run report: duplicate-cluster size distribution — for each
+    cluster size, how many clusters, how many docs they hold, and how many
+    are removable (all but one survivor per cluster). The summary every
+    production dedup run logs; two map-side-combined aggregations over the
+    component assignment, output rows = distinct cluster sizes (tiny at
+    any corpus scale)."""
+    docs = load(spark, sf_dir, "documents")
+    comp = D.dup_components(D.jaccard_pairs(D.shingles(docs), 0.8))
+    sizes = comp.groupBy("component").agg(F.count("*").alias("csize"))
+    return sizes.groupBy(F.col("csize").cast("long").alias("cluster_size")).agg(
+        F.count("*").cast("long").alias("n_clusters"),
+        (F.count("*") * F.first("csize")).cast("long").alias("n_docs"),
+        (F.count("*") * (F.first("csize") - 1)).cast("long").alias("n_removable"),
+    )

@@ -412,3 +412,13 @@ def test_skew_report_broadcast_stats_and_heap_topk(q):
     assert "BroadcastExchange" in p
     assert "SortMergeJoin" not in p
     assert "partial_count" in p
+
+
+def test_radius_search_broadcasts_query_bands(q):
+    """Radius search must join corpus bands against BROADCAST query bands
+    (corpus side never shuffles for candidate generation) and never
+    enumerate pairs via cartesian/nested-loop."""
+    p = q("llm_sim_radius")
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
