@@ -1148,3 +1148,84 @@ def events_ewma_daily(spark, sf_dir):
         "n",
         ewma.alias("ewma"),
     )
+
+
+@register(
+    "events_gap_fill_hourly",
+    oracle=EVENTS_NS_ORACLE.rstrip()
+    + """,
+    daily AS (
+      SELECT date_trunc('hour', ts) AS h, event_type,
+             CAST(count(*) AS BIGINT) AS n_events,
+             CAST(sum(CAST(value AS DECIMAL(18,6))) AS DECIMAL(38,6)) AS dec_sum
+      FROM events_ns GROUP BY 1, 2),
+    bounds AS (SELECT min(date_trunc('hour', ts)) AS h0,
+                      max(date_trunc('hour', ts)) AS h1 FROM events_ns),
+    cal AS (
+      SELECT t.event_type, CAST(u.g AS TIMESTAMP) AS h
+      FROM (SELECT DISTINCT event_type FROM events_ns) t
+      CROSS JOIN (SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS g
+                  FROM bounds) u)
+    SELECT strftime(cal.h, '%Y-%m-%d %H:00') AS hour, cal.event_type,
+           COALESCE(n_events, 0) AS n_events,
+           CAST(n_events IS NULL AS INT) AS gap,
+           CAST(dec_sum AS DOUBLE) AS hour_value,
+           CAST(last_value(dec_sum IGNORE NULLS) OVER (
+                  PARTITION BY cal.event_type ORDER BY cal.h
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS filled_value
+    FROM cal LEFT JOIN daily
+      ON daily.event_type = cal.event_type AND daily.h = cal.h
+    """,
+    tags=("event-time",),
+)
+def events_gap_fill_hourly(spark, sf_dir):
+    """Time-series resample + gap-fill: a dense hourly calendar per event
+    type (explode of one broadcast bounds row — no driver collect), sparse
+    hourly aggregates left-joined onto it, missing hours marked and
+    forward-filled with the last observed value (``last IGNORE NULLS``
+    running window).
+
+    The standard time-series densification every monitoring/feature
+    pipeline needs; the reference has no event-time machinery at all
+    (SURVEY §2.9) so this is Spark-native surface. Scale shape: the
+    calendar is |types| x |hours| (tiny next to the fact table), the
+    forward-fill window partitions by type over bounded calendar rows —
+    never over raw events; the DECIMAL interior sum keeps both engines
+    bit-identical regardless of summation order."""
+    ev = events_with_ts(spark, sf_dir)
+    bucket = F.date_trunc("hour", F.col("ts"))
+    hourly = ev.groupBy(bucket.alias("h"), "event_type").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .cast("decimal(38,6)")
+        .alias("dec_sum"),
+    )
+    bounds = ev.agg(
+        F.min(bucket).alias("h0"), F.max(bucket).alias("h1")
+    )
+    cal = (
+        ev.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+            ).alias("h"),
+        )
+    )
+    joined = cal.join(hourly, ["event_type", "h"], "left")
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return joined.select(
+        F.date_format("h", "yyyy-MM-dd HH:00").alias("hour"),
+        "event_type",
+        F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
+        F.col("n_events").isNull().cast("int").alias("gap"),
+        F.col("dec_sum").cast("double").alias("hour_value"),
+        F.last("dec_sum", ignorenulls=True).over(w).cast("double").alias("filled_value"),
+    )
