@@ -744,3 +744,60 @@ def stream_session_window_native(spark, sf_dir):
         return spark.createDataFrame(final.collect(), final.schema)
     finally:
         shutil.rmtree(outdir, ignore_errors=True)
+
+
+@register(
+    "stream_scd2_history",
+    oracle="""
+    WITH events_ns AS (
+      SELECT event_id, user_id, value, epoch_ns(ts) AS ts_ns
+      FROM events WHERE event_type = 'purchase')
+    SELECT user_id, event_id, round(value, 4) AS value,
+           CAST(ts_ns AS BIGINT) AS valid_from_ns,
+           CAST(COALESCE(lead(ts_ns) OVER w, 9223372036854775807) AS BIGINT)
+             AS valid_to_ns,
+           CAST(lead(ts_ns) OVER w IS NULL AS INT) AS is_current
+    FROM events_ns
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts_ns, event_id)
+    """,
+    tags=("streaming", "cdc", "scd2"),
+)
+def stream_scd2_history(spark, sf_dir):
+    """Streaming SCD2: purchase-value changes replayed as 4 micro-batches
+    into a HistoryView — an append-only change-log state (every commit
+    O(|delta|) by construction; merge-on-read only dedups replays) whose
+    read surface assembles type-2 validity intervals per key. Converged
+    history == the batch lead()-window build (`scd2_user_value_history`),
+    the strongest check that arbitrary micro-batch interleaving loses no
+    change record. Reference never retains history (its sink upserts in
+    place, mysql_backend.go:147-254); this is the lakehouse upgrade."""
+    from proteus_spark.streaming.views import HistoryView
+
+    ev = (
+        events_with_ts(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id", "event_id", "value", "ts_ns")
+    )
+    src = cdc.stage_stream(spark, ev, chunks=4)
+    view = HistoryView(
+        spark, src.subscribe(), key="user_id", order_col="ts_ns",
+        id_col="event_id", name="stream_scd2_history",
+    ).start()
+    try:
+        view.await_catch_up()
+        hist = view.history()
+        out = hist.select(
+            "user_id",
+            "event_id",
+            F.round("value", 4).alias("value"),
+            F.col("valid_from").cast("long").alias("valid_from_ns"),
+            F.coalesce(
+                F.col("valid_to"), F.lit(9223372036854775807)
+            ).cast("long").alias("valid_to_ns"),
+            "is_current",
+        )
+        out = spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        view.stop()
+        cdc.cleanup(src)
+    return out

@@ -839,3 +839,121 @@ class JoinView:
         if df is None:
             raise ValueError(f"version {version} has no committed state")
         return df
+
+
+class _DistinctMerge(_Merge):
+    """History/log state: rows are IMMUTABLE change records, so the
+    collapse keeps them all — it only drops the chain bookkeeping and
+    dedups exact replays (at-least-once replay safety). Idempotent under
+    compaction: a folded base is the distinct union of its chain, and
+    re-collapsing base + new deltas changes nothing already folded."""
+
+    def collapse(self, df: DataFrame, key: str) -> DataFrame:
+        return df.drop("_v").distinct()
+
+
+class HistoryView:
+    """Streaming SCD2 history view: every change record for a key is
+    retained, and reads surface slowly-changing-dimension rows with
+    validity intervals ([valid_from, valid_to) by the change's event-time
+    order, open interval + ``is_current`` for the latest).
+
+    The third state shape next to SumView (one agg row per key) and
+    JoinView (one merged row per key): ONE ROW PER CHANGE. The LSM fits it
+    perfectly — history is append-only, so every commit is O(|delta|) by
+    construction (there is nothing to read-modify-write, merge-on-read is
+    just replay-dedup), and per-bucket compaction only folds exact
+    duplicates. Interval computation happens at read: a window per key
+    ordered by (order_col, id_col) — per-key history is bounded (a
+    dimension key changes thousands of times, not billions), so the
+    window partition never concentrates the corpus in one task.
+
+    The reference keeps only current state (mysql_backend.go:147-254
+    upserts in place, old values lost); SCD2 retention is the lakehouse
+    upgrade every warehouse dimension pipeline expects.
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        stream: DataFrame,
+        key: str,
+        order_col: str,
+        id_col: str,
+        name: str = "history_view",
+        n_buckets: int = 32,
+        retain: int = 8,
+    ):
+        self.spark = spark
+        self.name = name
+        self.key = key
+        self.order_col = order_col
+        self.id_col = id_col
+        self._stream = stream
+        self._root = tempfile.mkdtemp(prefix=f"proteus_view_{name}_")
+        self._ckpt = os.path.join(self._root, "_checkpoint")
+        self._state = _BucketedState(
+            spark, self._root, key=key, merge=_DistinctMerge(),
+            n_buckets=n_buckets, retain=retain,
+        )
+        self._query = None
+
+    # -- lifecycle ---------------------------------------------------------
+    def start(self) -> "HistoryView":
+        writer = self._stream.writeStream.outputMode("append").foreachBatch(
+            self._on_batch
+        )
+        self._query = (
+            writer.option("checkpointLocation", self._ckpt)
+            .queryName(self.name)
+            .start()
+        )
+        return self
+
+    def await_catch_up(self) -> "HistoryView":
+        self._query.processAllAvailable()
+        return self
+
+    def stop(self, cleanup: bool = True) -> None:
+        if self._query is not None:
+            self._query.stop()
+        if cleanup:
+            shutil.rmtree(self._root, ignore_errors=True)
+
+    # -- state maintenance -------------------------------------------------
+    def _on_batch(self, batch: DataFrame, epoch: int) -> None:
+        delta = batch.withColumn("_bucket", self._state.bucket_col()).persist()
+        try:
+            touched = [
+                r[0] for r in delta.select("_bucket").distinct().collect()
+            ]
+            self._state.commit_delta(delta if touched else None, touched)
+        finally:
+            delta.unpersist()
+
+    # -- query surface -----------------------------------------------------
+    def log(self) -> DataFrame | None:
+        """The raw deduped change log (one row per change record)."""
+        df = self._state.read()
+        return None if df is None else df.drop("_bucket")
+
+    def history(self) -> DataFrame | None:
+        """SCD2 rows: every change with its validity interval —
+        ``valid_to`` = next change's ``order_col`` for the key (NULL while
+        current), deterministic under ties via ``id_col``."""
+        from pyspark.sql.window import Window
+
+        log = self.log()
+        if log is None:
+            return None
+        w = Window.partitionBy(self.key).orderBy(self.order_col, self.id_col)
+        nxt = F.lead(self.order_col).over(w)
+        return log.select(
+            "*",
+            F.col(self.order_col).alias("valid_from"),
+            nxt.alias("valid_to"),
+            nxt.isNull().cast("int").alias("is_current"),
+        )
+
+    def version(self) -> int:
+        return self._state.version

@@ -887,3 +887,41 @@ def test_dedup_stream_bigint_key(spark):
         assert got == [1, 2, 3]
     finally:
         _sh.rmtree(outdir, ignore_errors=True)
+
+
+def test_history_view_scd2_intervals_and_replay_dedup(spark):
+    """HistoryView: (a) exact replays dedup (at-least-once safety), (b)
+    intervals chain correctly per key, (c) exactly one open interval per
+    key marked current."""
+    from proteus_spark.streaming.views import HistoryView
+
+    rows = [
+        (1, 1, 10, 1.0),
+        (1, 2, 20, 2.0),
+        (2, 3, 15, 5.0),
+        (1, 1, 10, 1.0),  # exact replay of the first change
+    ]
+    df = spark.createDataFrame(rows, "user_id int, event_id int, ts_ns long, value double")
+    src = cdc.stage_stream(spark, df, chunks=2)
+    view = HistoryView(
+        spark, src.subscribe(), key="user_id", order_col="ts_ns",
+        id_col="event_id", name="t_hist",
+    ).start()
+    try:
+        view.await_catch_up()
+        log = view.log().collect()
+        assert len(log) == 3  # replay deduped
+        hist = {
+            (r["user_id"], r["event_id"]): (
+                r["valid_from"], r["valid_to"], r["is_current"]
+            )
+            for r in view.history().collect()
+        }
+        assert hist[(1, 1)] == (10, 20, 0)
+        assert hist[(1, 2)] == (20, None, 1)
+        assert hist[(2, 3)] == (15, None, 1)
+        cur = [k for k, v in hist.items() if v[2] == 1]
+        assert sorted(cur) == [(1, 2), (2, 3)]
+    finally:
+        view.stop()
+        cdc.cleanup(src)
