@@ -801,3 +801,55 @@ def stream_scd2_history(spark, sf_dir):
         view.stop()
         cdc.cleanup(src)
     return out
+
+
+_ASOF_NS = 1705276800000000000  # 2024-01-15T00:00:00Z in epoch nanos
+
+
+@register(
+    "stream_scd2_asof",
+    oracle=f"""
+    WITH events_ns AS (
+      SELECT event_id, user_id, value, epoch_ns(ts) AS ts_ns
+      FROM events WHERE event_type = 'purchase'),
+    hist AS (
+      SELECT user_id, event_id, value, ts_ns AS valid_from,
+             lead(ts_ns) OVER (PARTITION BY user_id
+                               ORDER BY ts_ns, event_id) AS valid_to
+      FROM events_ns)
+    SELECT user_id, event_id, round(value, 4) AS value
+    FROM hist
+    WHERE valid_from <= {_ASOF_NS}
+      AND (valid_to IS NULL OR valid_to > {_ASOF_NS})
+    """,
+    tags=("streaming", "cdc", "scd2"),
+)
+def stream_scd2_asof(spark, sf_dir):
+    """Point-in-time dimension read from the streaming SCD2 view: each
+    user's purchase value AS OF 2024-01-15T00:00Z (event-time travel over
+    the materialized history — distinct from commit-version time travel,
+    which ``snapshot_at`` provides). Oracle = batch interval build +
+    point filter."""
+    from proteus_spark.streaming.views import HistoryView
+
+    ev = (
+        events_with_ts(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id", "event_id", "value", "ts_ns")
+    )
+    src = cdc.stage_stream(spark, ev, chunks=4)
+    view = HistoryView(
+        spark, src.subscribe(), key="user_id", order_col="ts_ns",
+        id_col="event_id", name="stream_scd2_asof",
+    ).start()
+    try:
+        view.await_catch_up()
+        pit = view.as_of(_ASOF_NS)
+        out = pit.select(
+            "user_id", "event_id", F.round("value", 4).alias("value")
+        )
+        out = spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        view.stop()
+        cdc.cleanup(src)
+    return out

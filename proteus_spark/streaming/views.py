@@ -957,3 +957,18 @@ class HistoryView:
 
     def version(self) -> int:
         return self._state.version
+
+
+    def as_of(self, at) -> DataFrame | None:
+        """Point-in-time dimension read: each key's value whose validity
+        interval covers ``at`` (event-time travel — distinct from
+        ``_BucketedState.snapshot_at``, which travels COMMIT versions).
+        Keys whose first change is after ``at`` are absent, exactly like
+        a dimension table rebuilt from the log at that moment."""
+        hist = self.history()
+        if hist is None:
+            return None
+        return hist.filter(
+            (F.col("valid_from") <= F.lit(at))
+            & (F.col("valid_to").isNull() | (F.col("valid_to") > F.lit(at)))
+        ).drop("valid_from", "valid_to", "is_current")
