@@ -719,3 +719,47 @@ def gopher_filter(docs: DataFrame) -> DataFrame:
         n_stop.cast("long").alias("n_stop_distinct"),
         keep.cast("int").alias("keep"),
     )
+
+
+MIXTURE_ALPHA = 0.5  # temperature exponent: 1 = proportional, 0 = uniform
+
+
+def corpus_mixture(
+    docs: DataFrame, by: str = "source", alpha: float = MIXTURE_ALPHA
+) -> DataFrame:
+    """Temperature-scaled corpus mixing weights: per group,
+    (group, n_docs, n_tokens, token_share, weight) with
+    weight ∝ token_share^alpha renormalized to sum 1 — the standard
+    mixture re-balancing of multilingual/multi-source training recipes
+    (alpha<1 up-weights small sources; alpha=1 is proportional sampling).
+
+    One map-side-combined aggregation over the corpus, then the per-group
+    normalizations join a BROADCAST one-row totals frame — output rows =
+    |groups| (tiny at any corpus scale)."""
+    t = tokens_col()
+    per = docs.groupBy(F.col(by).alias("grp")).agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.size(t)).cast("long").alias("n_tokens"),
+    )
+    totals = per.agg(
+        F.sum("n_tokens").cast("long").alias("tot_tokens"),
+        F.sum(F.pow(F.col("n_tokens").cast("double"), F.lit(alpha))).alias(
+            "tot_pow"
+        ),
+    )
+    return (
+        per.crossJoin(F.broadcast(totals))
+        .select(
+            "grp",
+            "n_docs",
+            "n_tokens",
+            F.round(F.col("n_tokens") / F.col("tot_tokens"), 6).alias(
+                "token_share"
+            ),
+            F.round(
+                F.pow(F.col("n_tokens").cast("double"), F.lit(alpha))
+                / F.col("tot_pow"),
+                6,
+            ).alias("weight"),
+        )
+    )

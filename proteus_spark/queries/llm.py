@@ -1470,3 +1470,29 @@ def llm_dedup_cluster_stats(spark, sf_dir):
         (F.count("*") * F.first("csize")).cast("long").alias("n_docs"),
         (F.count("*") * (F.first("csize") - 1)).cast("long").alias("n_removable"),
     )
+
+
+def _mixture_oracle() -> str:
+    a = TXT.MIXTURE_ALPHA
+    return f"""
+    WITH per AS (
+      SELECT source AS grp,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source),
+    tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot_tokens,
+                   sum(pow(CAST(n_tokens AS DOUBLE), {a})) AS tot_pow
+            FROM per)
+    SELECT grp, n_docs, n_tokens,
+           round(CAST(n_tokens AS DOUBLE) / tot_tokens, 6) AS token_share,
+           round(pow(CAST(n_tokens AS DOUBLE), {a}) / tot_pow, 6) AS weight
+    FROM per, tot
+    """
+
+
+@register("llm_corpus_mixture", oracle=_mixture_oracle, tags=("llm", "text"))
+def llm_corpus_mixture(spark, sf_dir):
+    """Temperature-scaled mixing weights per source (alpha=0.5 up-weights
+    small sources): one aggregation pass + broadcast totals — the data-mixing
+    companion to `llm_weighted_sample` (llmops.text.corpus_mixture)."""
+    return TXT.corpus_mixture(load(spark, sf_dir, "documents"))
