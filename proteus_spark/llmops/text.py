@@ -763,3 +763,38 @@ def corpus_mixture(
             ).alias("weight"),
         )
     )
+
+
+def unigram_perplexity(docs: DataFrame) -> DataFrame:
+    """Unigram-LM perplexity per document: (doc_id, n_tokens, avg_logp,
+    ppl) — the CCNet-style quality signal (score each doc under a language
+    model; outliers are boilerplate/gibberish). The LM here is the
+    corpus's own MLE unigram model, so the operator is self-contained and
+    exactly reproducible by the oracle; swapping in an external vocab
+    table changes nothing structural.
+
+    Scale shape: one explode + one vocab aggregation (map-side combined);
+    token probabilities join back BROADCAST (a unigram vocab is tiny next
+    to the corpus — ~millions of rows; were it larger, the same plan runs
+    as a shuffle join where the hot-token skew is exactly what AQE's
+    skew-join handles). Per-doc reduction is one more map-side-combined
+    aggregation. No zero probabilities by construction (every scored
+    token is in the vocab), so no smoothing constant to tune."""
+    toks = docs.select("doc_id", F.explode(tokens_col()).alias("w"))
+    vocab = toks.groupBy("w").agg(F.count("*").alias("c"))
+    totals = vocab.agg(F.sum("c").alias("n_total"))
+    probs = (
+        vocab.crossJoin(F.broadcast(totals))
+        .select("w", (F.col("c") / F.col("n_total")).alias("p"))
+    )
+    logp_sum = F.sum(F.log("p"))
+    n = F.count("*")
+    return (
+        toks.join(F.broadcast(probs), "w")
+        .groupBy("doc_id")
+        .agg(
+            n.cast("long").alias("n_tokens"),
+            F.round(logp_sum / n, 6).alias("avg_logp"),
+            F.round(F.exp(-logp_sum / n), 6).alias("ppl"),
+        )
+    )

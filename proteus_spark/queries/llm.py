@@ -1496,3 +1496,26 @@ def llm_corpus_mixture(spark, sf_dir):
     small sources): one aggregation pass + broadcast totals — the data-mixing
     companion to `llm_weighted_sample` (llmops.text.corpus_mixture)."""
     return TXT.corpus_mixture(load(spark, sf_dir, "documents"))
+
+
+_PPL_ORACLE = """
+    WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                  FROM documents),
+    vocab AS (SELECT w, count(*) AS c FROM toks GROUP BY w),
+    tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_total FROM vocab)
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+           round(sum(ln(CAST(c AS DOUBLE) / n_total)) / count(*), 6)
+             AS avg_logp,
+           round(exp(-sum(ln(CAST(c AS DOUBLE) / n_total)) / count(*)), 6)
+             AS ppl
+    FROM toks JOIN vocab USING (w), tot
+    GROUP BY doc_id
+    """
+
+
+@register("llm_perplexity_score", oracle=_PPL_ORACLE, tags=("llm", "text"))
+def llm_perplexity_score(spark, sf_dir):
+    """Unigram-LM perplexity per doc (CCNet-style quality filter): corpus
+    MLE unigram model, per-token log-probs joined broadcast, one map-side
+    reduction per doc (llmops.text.unigram_perplexity)."""
+    return TXT.unigram_perplexity(load(spark, sf_dir, "documents"))
