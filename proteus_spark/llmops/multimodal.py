@@ -9,9 +9,11 @@ decode/feature-extraction runs as Arrow-batched ``mapInPandas`` — the
 Spark-side plumbing (schema, batch shape, partition parallelism) is real.
 Library-backed codecs (PIL/librosa/ffmpeg) are stubbed behind
 NotImplementedError because those libraries are not in this environment;
-the PPM (P6) path (``ppm_assets``/``resize_ppm``) is a WORKING
-decoder+resizer — P6 needs no library — so one image modality runs end
-to end and oracle-checks byte-for-byte.
+two modalities run END TO END anyway because their formats need no
+library: the PPM (P6) image path (``ppm_assets``/``resize_ppm``,
+decode → pool → re-encode) and the WAV (RIFF 8-bit PCM) audio path
+(``wav_assets``/``audio_features``, chunk-walk decode → windowed
+amplitude/energy/RMS), both oracle-checked byte-for-byte.
 """
 
 from __future__ import annotations
@@ -272,3 +274,118 @@ def sample_frames(
             )
 
     return assets.mapInPandas(_frames_batch, schema=FRAMES_SCHEMA)
+
+
+WAV_N_SAMPLES = 1024  # fixed payload size -> the 44-byte RIFF header is constant
+WAV_WINDOW = 256      # feature window -> 4 windows per asset
+WAV_RATE = 8000
+
+
+def _wav_header(n_samples: int, rate: int = WAV_RATE) -> bytes:
+    """Canonical 44-byte RIFF/WAVE header for 8-bit mono PCM — 8-bit PCM
+    is a legal WAV encoding that needs no codec library (the audio
+    counterpart of the PPM trick)."""
+    import struct
+
+    return (
+        b"RIFF"
+        + struct.pack("<I", 36 + n_samples)
+        + b"WAVEfmt "
+        + struct.pack("<IHHIIHH", 16, 1, 1, rate, rate * 1, 1, 8)
+        + b"data"
+        + struct.pack("<I", n_samples)
+    )
+
+
+def wav_assets(docs: DataFrame, n_samples: int = WAV_N_SAMPLES) -> DataFrame:
+    """Synthesize REAL WAV (RIFF, 8-bit mono PCM) audio JVM-side: constant
+    header + ``n_samples`` unsigned-8-bit samples taken from the (padded)
+    printable-ASCII document text — one character == one sample byte, so
+    the oracle can replay every sample with per-character codepoint
+    arithmetic (exactly the PPM construction, ppm_assets above)."""
+    header = _wav_header(n_samples)
+    ascii_text = F.regexp_replace("text", "[^ -~]", "")
+    body = F.encode(
+        F.substring(F.rpad(ascii_text, n_samples, "x"), 1, n_samples), "utf-8"
+    )
+    return docs.select(
+        "doc_id",
+        F.concat(F.lit(header), body).alias("payload"),
+        F.lit("audio/wav").alias("modality"),
+    )
+
+
+def audio_features(assets: DataFrame, window: int = WAV_WINDOW) -> DataFrame:
+    """REAL audio decode → windowed feature extraction for PCM WAV assets:
+    (doc_id, win_idx, n_samples, sum_amp, sum_sq_dev, rms).
+
+    The decoder walks the RIFF chunk list (validates magic, fmt codec =
+    1/PCM, 8-bit mono), reinterprets the data chunk with numpy, and
+    reduces fixed windows to amplitude sums, squared deviation from the
+    unsigned-PCM midpoint (128), and RMS — the framing/energy pass every
+    audio pipeline starts with (VAD, silence trim, loudness norm).
+    Integer sums make the result bit-reproducible by a SQL oracle; rms is
+    the sqrt of an exact integer ratio, identical in both engines.
+    Arrow-batched mapInPandas, one-to-many (asset -> windows), partition
+    parallel; a compressed codec (mp3/opus via ffmpeg) would plug into
+    ``_decode`` with the same surrounding contract."""
+
+    def _batches(batches):
+        import struct as _struct
+
+        import numpy as _np
+        import pandas as _pd
+
+        def _decode(payload: bytes) -> _np.ndarray:
+            b = bytes(payload)
+            if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+                raise NotImplementedError("only RIFF/WAVE decodes here")
+            i, fmt, data = 12, None, None
+            while i + 8 <= len(b):
+                cid = b[i : i + 4]
+                size = _struct.unpack("<I", b[i + 4 : i + 8])[0]
+                if cid == b"fmt ":
+                    fmt = _struct.unpack("<HHIIHH", b[i + 8 : i + 24])
+                elif cid == b"data":
+                    data = b[i + 8 : i + 8 + size]
+                i += 8 + size + (size & 1)
+            if fmt is None or data is None:
+                raise ValueError("missing fmt/data chunk")
+            codec, channels, _rate, _br, _align, bits = fmt
+            if (codec, channels, bits) != (1, 1, 8):
+                raise NotImplementedError(
+                    "only 8-bit mono PCM decodes without a codec library"
+                )
+            return _np.frombuffer(data, dtype=_np.uint8)
+
+        for pdf in batches:
+            ids, wins, ns, sums, sqs, rms = [], [], [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                x = _decode(payload).astype(_np.int64)
+                nwin = len(x) // window
+                w = x[: nwin * window].reshape(nwin, window)
+                dev = w - 128
+                s, q = w.sum(axis=1), (dev * dev).sum(axis=1)
+                for k in range(nwin):
+                    ids.append(doc_id)
+                    wins.append(k)
+                    ns.append(window)
+                    sums.append(int(s[k]))
+                    sqs.append(int(q[k]))
+                    rms.append(round(float(_np.sqrt(q[k] / window)), 6))
+            yield _pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "win_idx": wins,
+                    "n_samples": ns,
+                    "sum_amp": sums,
+                    "sum_sq_dev": sqs,
+                    "rms": rms,
+                }
+            )
+
+    return assets.mapInPandas(
+        _batches,
+        schema="doc_id long, win_idx long, n_samples long, "
+        "sum_amp long, sum_sq_dev long, rms double",
+    )

@@ -1519,3 +1519,38 @@ def llm_perplexity_score(spark, sf_dir):
     MLE unigram model, per-token log-probs joined broadcast, one map-side
     reduction per doc (llmops.text.unigram_perplexity)."""
     return TXT.unigram_perplexity(load(spark, sf_dir, "documents"))
+
+
+def _wav_oracle() -> str:
+    n, w = M.WAV_N_SAMPLES, M.WAV_WINDOW
+    return f"""
+    WITH padded AS (
+      SELECT doc_id,
+             substr(rpad(regexp_replace(text, '[^ -~]', '', 'g'), {n}, 'x'),
+                    1, {n}) AS p
+      FROM documents),
+    samples AS (
+      SELECT doc_id, CAST((u.i - 1) // {w} AS BIGINT) AS win_idx,
+             ascii(substr(p, u.i, 1)) AS s
+      FROM padded, generate_series(1, {n}) AS u(i))
+    SELECT doc_id, win_idx,
+           CAST(count(*) AS BIGINT) AS n_samples,
+           CAST(sum(s) AS BIGINT) AS sum_amp,
+           CAST(sum((s - 128) * (s - 128)) AS BIGINT) AS sum_sq_dev,
+           round(sqrt(CAST(sum((s - 128) * (s - 128)) AS DOUBLE) / {w}), 6)
+             AS rms
+    FROM samples GROUP BY doc_id, win_idx
+    """
+
+
+@register("llm_multimodal_wav", oracle=_wav_oracle, tags=("llm", "multimodal"))
+def llm_multimodal_wav(spark, sf_dir):
+    """WORKING audio modality end-to-end: REAL RIFF/WAVE (8-bit mono PCM)
+    assets synthesized JVM-side, decoded by walking the RIFF chunk list,
+    reduced to windowed amplitude/energy/RMS features in an Arrow-batched
+    one-to-many mapInPandas — the audio counterpart of the PPM image
+    pipeline (llmops.multimodal.wav_assets / audio_features); every value
+    integer-derived and replayed by the oracle with per-character
+    codepoint arithmetic."""
+    assets = M.wav_assets(load(spark, sf_dir, "documents"))
+    return M.audio_features(assets)

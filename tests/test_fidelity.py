@@ -394,3 +394,39 @@ def test_parameterized_query_binding(spark, sf_dir):
     assert other == eng.query(
         "SELECT count(*) AS n FROM lineitem WHERE l_orderkey = 2"
     ).collect()
+
+
+def test_wav_assets_are_valid_wav_files(spark, sf_dir):
+    """The synthesized audio payloads must be REAL WAV files: the stdlib
+    `wave` reader (an independent RIFF implementation) must accept them
+    and report the declared format."""
+    import io
+    import wave
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(3)
+    rows = M.wav_assets(docs).collect()
+    assert rows
+    for r in rows:
+        with wave.open(io.BytesIO(bytes(r["payload"]))) as w:
+            assert w.getnchannels() == 1
+            assert w.getsampwidth() == 1  # 8-bit
+            assert w.getframerate() == M.WAV_RATE
+            assert w.getnframes() == M.WAV_N_SAMPLES
+
+
+def test_audio_features_rejects_non_pcm8(spark):
+    """A 16-bit WAV must hit the NotImplementedError seam where a real
+    codec (ffmpeg/librosa) would plug in — not silently mis-decode."""
+    import struct
+
+    import pytest as _pytest
+
+    hdr = (
+        b"RIFF" + struct.pack("<I", 36 + 4) + b"WAVEfmt "
+        + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+        + b"data" + struct.pack("<I", 4) + b"\x00\x01\x00\x02"
+    )
+    df = spark.createDataFrame([(1, bytearray(hdr))], "doc_id long, payload binary")
+    with _pytest.raises(Exception) as exc:
+        M.audio_features(df).collect()
+    assert "NotImplementedError" in str(exc.value) or "codec" in str(exc.value)
