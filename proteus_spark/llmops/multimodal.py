@@ -9,11 +9,13 @@ decode/feature-extraction runs as Arrow-batched ``mapInPandas`` — the
 Spark-side plumbing (schema, batch shape, partition parallelism) is real.
 Library-backed codecs (PIL/librosa/ffmpeg) are stubbed behind
 NotImplementedError because those libraries are not in this environment;
-two modalities run END TO END anyway because their formats need no
+three modalities run END TO END anyway because their formats need no
 library: the PPM (P6) image path (``ppm_assets``/``resize_ppm``,
-decode → pool → re-encode) and the WAV (RIFF 8-bit PCM) audio path
+decode → pool → re-encode), the WAV (RIFF 8-bit PCM) audio path
 (``wav_assets``/``audio_features``, chunk-walk decode → windowed
-amplitude/energy/RMS), both oracle-checked byte-for-byte.
+amplitude/energy/RMS), and the concatenated-P6 video path
+(``video_assets``/``video_frame_features``, frame-walk demux →
+keyframe-sampled channel means) — all oracle-checked byte-for-byte.
 """
 
 from __future__ import annotations
@@ -388,4 +390,107 @@ def audio_features(assets: DataFrame, window: int = WAV_WINDOW) -> DataFrame:
         _batches,
         schema="doc_id long, win_idx long, n_samples long, "
         "sum_amp long, sum_sq_dev long, rms double",
+    )
+
+
+VID_FRAMES = 6     # frames per synthesized clip
+VID_EVERY = 2      # keyframe stride: sample every 2nd frame
+VID_SIDE = PPM_SIDE
+
+
+def video_assets(docs: DataFrame, frames: int = VID_FRAMES, side: int = VID_SIDE) -> DataFrame:
+    """Synthesize REAL multi-frame video clips as concatenated PPM (P6)
+    frames — the uncompressed-video container shape (an MJPEG/Y4M stream
+    is exactly 'repeated self-describing frames'); no codec needed, so
+    the frame walk below is a WORKING demuxer. Frame f's pixels start at
+    text offset f*side*side*3 (padded), so the oracle replays any pixel
+    with codepoint arithmetic."""
+    header = f"P6\n{side} {side}\n255\n".encode()
+    n = side * side * 3
+    ascii_text = F.regexp_replace("text", "[^ -~]", "")
+    padded = F.rpad(ascii_text, n * frames, "x")
+    body = F.concat(
+        *[
+            F.concat(
+                F.lit(header), F.encode(F.substring(padded, f * n + 1, n), "utf-8")
+            )
+            for f in range(frames)
+        ]
+    )
+    return docs.select(
+        "doc_id",
+        body.alias("payload"),
+        F.lit("video/ppm-seq").alias("modality"),
+    )
+
+
+def video_frame_features(assets: DataFrame, every_n: int = VID_EVERY) -> DataFrame:
+    """WORKING video demux + keyframe sampling: walk the concatenated-P6
+    stream frame by frame (each frame's header declares its own size —
+    the demuxer loop every container format requires), keep every
+    ``every_n``-th frame, and reduce it to per-channel integer means:
+    (doc_id, frame_idx, width, height, mean_r, mean_g, mean_b).
+
+    One-to-many Arrow-batched mapInPandas (clip -> sampled frames),
+    partition-parallel; an ffmpeg keyframe extractor plugs into the walk
+    with the same surrounding contract. Integer sums // pixel count keep
+    the oracle bit-exact."""
+
+    def _batches(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        def _parse_frame(b: bytes, i: int):
+            if b[i : i + 2] != b"P6":
+                raise NotImplementedError("only P6 frame streams demux here")
+            fields, j = [], i + 2
+            while len(fields) < 3:
+                while b[j : j + 1].isspace():
+                    j += 1
+                k = j
+                while not b[k : k + 1].isspace():
+                    k += 1
+                fields.append(int(b[j:k]))
+                j = k
+            j += 1
+            w, h, _maxval = fields
+            return w, h, j, j + w * h * 3
+
+        for pdf in batches:
+            ids, idxs, ws, hs, mr, mg, mb = [], [], [], [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(payload)
+                i = frame_idx = 0
+                while i < len(b):
+                    w, h, start, end = _parse_frame(b, i)
+                    if frame_idx % every_n == 0:
+                        px = _np.frombuffer(
+                            b, dtype=_np.uint8, count=w * h * 3, offset=start
+                        ).astype(_np.int64).reshape(-1, 3)
+                        sums = px.sum(axis=0) // (w * h)
+                        ids.append(doc_id)
+                        idxs.append(frame_idx)
+                        ws.append(w)
+                        hs.append(h)
+                        mr.append(int(sums[0]))
+                        mg.append(int(sums[1]))
+                        mb.append(int(sums[2]))
+                    i = end
+                    frame_idx += 1
+            yield _pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "frame_idx": idxs,
+                    "width": ws,
+                    "height": hs,
+                    "mean_r": mr,
+                    "mean_g": mg,
+                    "mean_b": mb,
+                }
+            )
+
+    return assets.mapInPandas(
+        _batches,
+        schema="doc_id long, frame_idx long, width int, height int, "
+        "mean_r long, mean_g long, mean_b long",
     )

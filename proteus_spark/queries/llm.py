@@ -1554,3 +1554,45 @@ def llm_multimodal_wav(spark, sf_dir):
     codepoint arithmetic."""
     assets = M.wav_assets(load(spark, sf_dir, "documents"))
     return M.audio_features(assets)
+
+
+def _video_oracle() -> str:
+    side, frames, every = M.VID_SIDE, M.VID_FRAMES, M.VID_EVERY
+    n = side * side * 3
+    px = side * side
+    rows = []
+    for f in range(0, frames, every):
+        chans = []
+        for c in range(3):
+            terms = " + ".join(
+                f"ascii(substr(p, {f * n + k * 3 + c + 1}, 1))"
+                for k in range(px)
+            )
+            chans.append(f"CAST(({terms}) // {px} AS BIGINT)")
+        rows.append(
+            f"SELECT doc_id, CAST({f} AS BIGINT) AS frame_idx, "
+            f"{side} AS width, {side} AS height, "
+            f"{chans[0]} AS mean_r, {chans[1]} AS mean_g, {chans[2]} AS mean_b "
+            "FROM padded"
+        )
+    union = "\n    UNION ALL\n    ".join(rows)
+    return f"""
+    WITH padded AS (
+      SELECT doc_id,
+             rpad(regexp_replace(text, '[^ -~]', '', 'g'), {n * frames}, 'x')
+               AS p
+      FROM documents)
+    {union}
+    """
+
+
+@register("llm_multimodal_video", oracle=_video_oracle, tags=("llm", "multimodal"))
+def llm_multimodal_video(spark, sf_dir):
+    """WORKING video modality: clips synthesized as concatenated P6
+    frames (the uncompressed repeated-frame container shape), demuxed
+    frame-by-frame (each frame's own header declares its size), every 2nd
+    frame kept and reduced to per-channel integer means — one-to-many
+    mapInPandas, oracle replays each sampled pixel with codepoint
+    arithmetic (llmops.multimodal.video_assets / video_frame_features)."""
+    assets = M.video_assets(load(spark, sf_dir, "documents"))
+    return M.video_frame_features(assets)
