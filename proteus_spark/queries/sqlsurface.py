@@ -1229,3 +1229,31 @@ def events_gap_fill_hourly(spark, sf_dir):
         F.col("dec_sum").cast("double").alias("hour_value"),
         F.last("dec_sum", ignorenulls=True).over(w).cast("double").alias("filled_value"),
     )
+
+
+register_sql(
+    "events_transition_matrix",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts_ns, event_id) AS next_type
+      FROM events_ns),
+    pairs AS (
+      SELECT event_type AS prev_type, next_type,
+             CAST(count(*) AS BIGINT) AS n
+      FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2)
+    SELECT prev_type, next_type, n,
+           round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY prev_type), 6)
+             AS prob
+    FROM pairs
+    """,
+    spark_prelude=EVENTS_PRELUDE,
+    oracle_prelude=EVENTS_NS_ORACLE,
+    tags=("event-time", "window"),
+    doc="First-order Markov transition matrix over per-user event "
+    "sequences: consecutive-type pairs via lead() on bounded per-user "
+    "partitions, counts + row-normalized probabilities (the path-analysis "
+    "rollup funnel tools start from). Output |types|^2 rows; the heavy "
+    "lifting is one key-partitioned window + one map-side-combined count.",
+)
