@@ -1596,3 +1596,38 @@ def llm_multimodal_video(spark, sf_dir):
     arithmetic (llmops.multimodal.video_assets / video_frame_features)."""
     assets = M.video_assets(load(spark, sf_dir, "documents"))
     return M.video_frame_features(assets)
+
+
+def _containment_capped_oracle() -> str:
+    return (
+        "WITH "
+        + _SHINGLE_CTE
+        + f""",
+    rare AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 50),
+    shc AS (SELECT sh.doc_id, sh.s FROM sh JOIN rare USING (s)),
+    cnt AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS ni
+      FROM shc a JOIN shc b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT ida, idb,
+           CAST(ni AS DOUBLE) / least(ca.n, cb.n) AS containment
+    FROM inter JOIN cnt ca ON ca.doc_id = ida JOIN cnt cb ON cb.doc_id = idb
+    WHERE CAST(ni AS DOUBLE) / least(ca.n, cb.n) >= {D.CONTAINMENT_MIN}
+    """
+    )
+
+
+@register(
+    "llm_dedup_containment_capped",
+    oracle=_containment_capped_oracle,
+    tags=("llm", "dedup"),
+)
+def llm_dedup_containment_capped(spark, sf_dir):
+    """Containment with the hot-shingle cap (max_doc_freq=50) — the scale
+    path for shingle-dense corpora, mirroring `llm_dedup_ngram_capped`:
+    shingles in >50 docs contribute quadratic join fan-out but little
+    subset signal, so they drop before pairing; the cap's effect on
+    results is itself hash-checked (identical cap in the oracle)."""
+    sh = D.shingles(load(spark, sf_dir, "documents"))
+    return D.containment_pairs(sh, D.CONTAINMENT_MIN, max_doc_freq=50)
