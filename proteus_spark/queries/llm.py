@@ -1631,3 +1631,48 @@ def llm_dedup_containment_capped(spark, sf_dir):
     results is itself hash-checked (identical cap in the oracle)."""
     sh = D.shingles(load(spark, sf_dir, "documents"))
     return D.containment_pairs(sh, D.CONTAINMENT_MIN, max_doc_freq=50)
+
+
+def _lsh_recall_oracle() -> str:
+    return f"""
+    WITH exact AS ({_ngram_oracle()}),
+    lsh AS ({_minhash_oracle()}),
+    hit AS (SELECT ida, idb FROM lsh JOIN exact USING (ida, idb))
+    SELECT CAST((SELECT count(*) FROM exact) AS BIGINT) AS n_exact,
+           CAST((SELECT count(*) FROM lsh) AS BIGINT) AS n_lsh,
+           CAST((SELECT count(*) FROM hit) AS BIGINT) AS n_hit,
+           round(CAST((SELECT count(*) FROM hit) AS DOUBLE)
+                 / (SELECT count(*) FROM exact), 6) AS recall,
+           round(CAST((SELECT count(*) FROM hit) AS DOUBLE)
+                 / (SELECT count(*) FROM lsh), 6) AS precision
+    """
+
+
+@register("llm_lsh_recall_report", oracle=_lsh_recall_oracle, tags=("llm", "dedup"))
+def llm_lsh_recall_report(spark, sf_dir):
+    """Approximation-quality report for the LSH dedup pipeline: pair-level
+    recall/precision of MinHash-LSH (banded candidates + exact verify)
+    against the exact co-shingle Jaccard baseline — the measurement every
+    production near-dup deployment publishes before trusting the banding
+    parameters. Both pipelines are deterministic, so the report itself is
+    hash-checked (the oracle recomputes both sides). Precision is 1.0 by
+    construction (candidates are exact-verified); recall quantifies the
+    banding's false-negative rate."""
+    docs = load(spark, sf_dir, "documents")
+    exact = D.jaccard_pairs(D.shingles(docs), 0.8).select("ida", "idb")
+    lsh = D.minhash_lsh_dedup(docs, 0.8).select("ida", "idb")
+    hit = lsh.join(exact, ["ida", "idb"])
+    n_exact = exact.agg(F.count("*").cast("long").alias("n_exact"))
+    n_lsh = lsh.agg(F.count("*").cast("long").alias("n_lsh"))
+    n_hit = hit.agg(F.count("*").cast("long").alias("n_hit"))
+    return (
+        n_exact.crossJoin(F.broadcast(n_lsh))
+        .crossJoin(F.broadcast(n_hit))
+        .select(
+            "n_exact",
+            "n_lsh",
+            "n_hit",
+            F.round(F.col("n_hit") / F.col("n_exact"), 6).alias("recall"),
+            F.round(F.col("n_hit") / F.col("n_lsh"), 6).alias("precision"),
+        )
+    )
