@@ -1257,3 +1257,33 @@ register_sql(
     "rollup funnel tools start from). Output |types|^2 rows; the heavy "
     "lifting is one key-partitioned window + one map-side-combined count.",
 )
+
+
+register_sql(
+    "scd2_temporal_join",
+    """
+    WITH hist AS (
+      SELECT user_id, value AS dim_value, ts_ns AS valid_from,
+             COALESCE(lead(ts_ns) OVER (PARTITION BY user_id
+                                        ORDER BY ts_ns, event_id),
+                      9223372036854775807) AS valid_to
+      FROM events_ns WHERE event_type = 'purchase')
+    SELECT f.event_id, f.user_id,
+           CAST(f.ts_ns AS BIGINT) AS fact_ts_ns,
+           round(h.dim_value, 4) AS dim_value_asof
+    FROM events_ns f JOIN hist h
+      ON f.user_id = h.user_id
+     AND f.ts_ns >= h.valid_from AND f.ts_ns < h.valid_to
+    WHERE f.event_type = 'click'
+    """,
+    spark_prelude=EVENTS_PRELUDE,
+    oracle_prelude=EVENTS_NS_ORACLE,
+    tags=("cdc", "scd2", "join"),
+    doc="Temporal (point-in-interval) join: each click fact enriched with "
+    "the user's purchase-derived dimension value VALID AT the fact's event "
+    "time — the standard SCD2 consumption pattern. The join is equi on "
+    "user_id with the interval predicate evaluated inside the matched key "
+    "group (per-user history is bounded, so the range scan per fact is "
+    "tiny); facts before the user's first change simply drop, exactly like "
+    "a dimension lookup miss.",
+)
