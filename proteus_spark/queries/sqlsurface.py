@@ -1287,3 +1287,32 @@ register_sql(
     "tiny); facts before the user's first change simply drop, exactly like "
     "a dimension lookup miss.",
 )
+
+
+register_sql(
+    "basket_part_pairs",
+    """
+    WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pc AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_orders
+           FROM items GROUP BY 1),
+    pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             CAST(count(*) AS BIGINT) AS support
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2)
+    SELECT part_a, part_b, support,
+           round(CAST(support AS DOUBLE) / pa.n_orders, 6) AS conf_a_b,
+           round(CAST(support AS DOUBLE) / pb.n_orders, 6) AS conf_b_a
+    FROM pairs JOIN pc pa ON pa.l_partkey = part_a
+               JOIN pc pb ON pb.l_partkey = part_b
+    ORDER BY support DESC, part_a, part_b LIMIT 20
+    """,
+    tags=("join", "aggregate"),
+    doc="Market-basket co-occurrence mining: part pairs sharing an order, "
+    "with support and both direction confidences (the association-rule "
+    "primitives). The self-join fans out within ORDER groups only "
+    "(baskets are small — bounded fan-out, never corpus-quadratic), "
+    "counts combine map-side, and the top-20 pick is "
+    "TakeOrderedAndProject with full tie-breaks.",
+)
