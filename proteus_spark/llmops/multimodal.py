@@ -364,17 +364,19 @@ def audio_features(assets: DataFrame, window: int = WAV_WINDOW) -> DataFrame:
             ids, wins, ns, sums, sqs, rms = [], [], [], [], [], []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 x = _decode(payload).astype(_np.int64)
-                nwin = len(x) // window
-                w = x[: nwin * window].reshape(nwin, window)
-                dev = w - 128
-                s, q = w.sum(axis=1), (dev * dev).sum(axis=1)
-                for k in range(nwin):
+                # partial final window KEPT (n_samples = its actual count)
+                # — matches the oracle's (i-1)//window grouping, which
+                # emits a short last group when len is not a multiple
+                for k, start in enumerate(range(0, len(x), window)):
+                    seg = x[start : start + window]
+                    dev = seg - 128
+                    q = int((dev * dev).sum())
                     ids.append(doc_id)
                     wins.append(k)
-                    ns.append(window)
-                    sums.append(int(s[k]))
-                    sqs.append(int(q[k]))
-                    rms.append(round(float(_np.sqrt(q[k] / window)), 6))
+                    ns.append(len(seg))
+                    sums.append(int(seg.sum()))
+                    sqs.append(q)
+                    rms.append(round(float(_np.sqrt(q / len(seg))), 6))
             yield _pd.DataFrame(
                 {
                     "doc_id": ids,
@@ -443,17 +445,24 @@ def video_frame_features(assets: DataFrame, every_n: int = VID_EVERY) -> DataFra
         def _parse_frame(b: bytes, i: int):
             if b[i : i + 2] != b"P6":
                 raise NotImplementedError("only P6 frame streams demux here")
+            # bounds-checked header walk: a truncated header must raise,
+            # not spin — b[k:k+1] is b'' past EOF and b''.isspace() is
+            # False, so an unguarded token scan would loop forever
             fields, j = [], i + 2
             while len(fields) < 3:
-                while b[j : j + 1].isspace():
+                while j < len(b) and b[j : j + 1].isspace():
                     j += 1
                 k = j
-                while not b[k : k + 1].isspace():
+                while k < len(b) and not b[k : k + 1].isspace():
                     k += 1
+                if k == j or k >= len(b):
+                    raise ValueError("truncated P6 frame header")
                 fields.append(int(b[j:k]))
                 j = k
             j += 1
             w, h, _maxval = fields
+            if j + w * h * 3 > len(b):
+                raise ValueError("truncated P6 frame body")
             return w, h, j, j + w * h * 3
 
         for pdf in batches:

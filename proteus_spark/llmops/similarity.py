@@ -171,18 +171,7 @@ def embedding_near_dup_pairs(
         F.col(vec_col).alias("vec"),
         norm(F.col(vec_col)).alias("vnorm"),
     )
-    bandvals = srp_bands(F.col("vec"), bits=bits, bands=bands)
-    banded = v.select(
-        "vid",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(j).alias("band"), bv.alias("bval"))
-                    for j, bv in bandvals
-                ]
-            )
-        ).alias("bb"),
-    ).select("vid", F.col("bb.band").alias("band"), F.col("bb.bval").alias("bval"))
+    banded = srp_banded(v, "vid", "vid", bits=bits, bands=bands, vec_col="vec")
     a = banded.select(F.col("vid").alias("a_id"), "band", "bval")
     b = banded.select(F.col("vid").alias("b_id"), "band", "bval")
     cand = (
@@ -519,6 +508,31 @@ def pq_topk(
 RADIUS_THRESHOLD = 0.2
 
 
+def srp_banded(
+    df: DataFrame,
+    id_col: str,
+    out_id: str,
+    bits: int = SRP_BITS,
+    bands: int = SRP_BANDS,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Explode a vector frame to its SRP band rows: (out_id, band, bval).
+    The shared candidate-generation currency of embedding_near_dup_pairs
+    and radius_search — one codegen projection + explode, no shuffle."""
+    bandvals = srp_bands(F.col(vec_col), bits=bits, bands=bands)
+    return df.select(
+        F.col(id_col).alias(out_id),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(j).alias("band"), bv.alias("bval"))
+                    for j, bv in bandvals
+                ]
+            )
+        ).alias("bb"),
+    ).select(out_id, F.col("bb.band").alias("band"), F.col("bb.bval").alias("bval"))
+
+
 def radius_search(
     vectors: DataFrame,
     queries: DataFrame,
@@ -539,29 +553,8 @@ def radius_search(
     cosine verification. Recall < 1 by design (banding misses some
     in-radius vectors); the oracle reproduces the identical candidate set,
     so the approximation itself is hash-checked."""
-    bandvals_n = srp_bands(F.col(vec_col), bits=bits, bands=bands)
-    nb = vectors.select(
-        F.col(id_col).alias("nid"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(j).alias("band"), bv.alias("bval"))
-                    for j, bv in bandvals_n
-                ]
-            )
-        ).alias("bb"),
-    ).select("nid", F.col("bb.band").alias("band"), F.col("bb.bval").alias("bval"))
-    qb = queries.select(
-        F.col(id_col).alias("qid"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(j).alias("band"), bv.alias("bval"))
-                    for j, bv in srp_bands(F.col(vec_col), bits=bits, bands=bands)
-                ]
-            )
-        ).alias("bb"),
-    ).select("qid", F.col("bb.band").alias("band"), F.col("bb.bval").alias("bval"))
+    nb = srp_banded(vectors, id_col, "nid", bits=bits, bands=bands, vec_col=vec_col)
+    qb = srp_banded(queries, id_col, "qid", bits=bits, bands=bands, vec_col=vec_col)
     cand = (
         nb.join(F.broadcast(qb), ["band", "bval"])
         .filter(F.col("qid") != F.col("nid"))

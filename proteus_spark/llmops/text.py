@@ -741,11 +741,24 @@ def corpus_mixture(
         F.count("*").cast("long").alias("n_docs"),
         F.sum(F.size(t)).cast("long").alias("n_tokens"),
     )
+    # tot_pow as a sequential fold in group order (not F.sum of doubles):
+    # keeps the normalizer bit-identical to the oracle's ordered
+    # list_reduce regardless of partition-dependent accumulation order
     totals = per.agg(
         F.sum("n_tokens").cast("long").alias("tot_tokens"),
-        F.sum(F.pow(F.col("n_tokens").cast("double"), F.lit(alpha))).alias(
-            "tot_pow"
-        ),
+        F.sort_array(
+            F.collect_list(F.struct(F.col("grp"), F.col("n_tokens")))
+        ).alias("_arr"),
+    ).select(
+        "tot_tokens",
+        F.aggregate(
+            F.transform(
+                "_arr",
+                lambda x: F.pow(x["n_tokens"].cast("double"), F.lit(alpha)),
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        ).alias("tot_pow"),
     )
     return (
         per.crossJoin(F.broadcast(totals))
@@ -780,21 +793,39 @@ def unigram_perplexity(docs: DataFrame) -> DataFrame:
     skew-join handles). Per-doc reduction is one more map-side-combined
     aggregation. No zero probabilities by construction (every scored
     token is in the vocab), so no smoothing constant to tune."""
-    toks = docs.select("doc_id", F.explode(tokens_col()).alias("w"))
+    toks = docs.select(
+        "doc_id", F.posexplode(tokens_col()).alias("pos", "w")
+    )
     vocab = toks.groupBy("w").agg(F.count("*").alias("c"))
     totals = vocab.agg(F.sum("c").alias("n_total"))
     probs = (
         vocab.crossJoin(F.broadcast(totals))
         .select("w", (F.col("c") / F.col("n_total")).alias("p"))
     )
-    logp_sum = F.sum(F.log("p"))
-    n = F.count("*")
-    return (
+    # Per-doc log-prob sum as a SEQUENTIAL FOLD in token-position order,
+    # not F.sum: an unordered double sum accumulates in partition-dependent
+    # order while the oracle sums in scan order, and the ~1e-13 wobble can
+    # flip round(.,6) at a boundary. Both engines fold the same ordered
+    # list left-to-right (the _dot_sql convention), so the doubles are
+    # bit-identical. Per-doc lists are bounded by doc length.
+    per = (
         toks.join(F.broadcast(probs), "w")
         .groupBy("doc_id")
         .agg(
-            n.cast("long").alias("n_tokens"),
-            F.round(logp_sum / n, 6).alias("avg_logp"),
-            F.round(F.exp(-logp_sum / n), 6).alias("ppl"),
+            F.sort_array(
+                F.collect_list(F.struct(F.col("pos"), F.col("p")))
+            ).alias("arr")
         )
+    )
+    logp_sum = F.aggregate(
+        F.transform("arr", lambda x: F.log(x["p"])),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    n = F.size("arr")
+    return per.select(
+        "doc_id",
+        n.cast("long").alias("n_tokens"),
+        F.round(logp_sum / n, 6).alias("avg_logp"),
+        F.round(F.exp(-logp_sum / n), 6).alias("ppl"),
     )

@@ -597,8 +597,10 @@ def llm_dedup_simhash_pairs(spark, sf_dir):
     return D.simhash_pairs(load(spark, sf_dir, "documents"))
 
 
-def _embed_neardup_oracle() -> str:
-    bits, bands, thr = S.SRP_BITS, S.SRP_BANDS, S.SRP_THRESHOLD
+def _srp_banded_sql(bits: int, bands: int) -> str:
+    """DuckDB mirror of llmops.similarity.srp_banded: one UNION ALL branch
+    per band, sign bits packed little-endian per band — shared by the
+    near-dup and radius oracles so the banding algebra cannot drift."""
     r = bits // bands
     selects = []
     for j in range(bands):
@@ -610,7 +612,12 @@ def _embed_neardup_oracle() -> str:
             f"SELECT vec_id AS vid, embedding AS vec, {j} AS band, {bval} AS bval"
             " FROM embeddings"
         )
-    banded = " UNION ALL ".join(selects)
+    return " UNION ALL ".join(selects)
+
+
+def _embed_neardup_oracle() -> str:
+    bits, bands, thr = S.SRP_BITS, S.SRP_BANDS, S.SRP_THRESHOLD
+    banded = _srp_banded_sql(bits, bands)
     return f"""
     WITH banded AS ({banded}),
     cand AS (
@@ -1398,18 +1405,7 @@ def llm_gopher_filter(spark, sf_dir):
 
 def _radius_oracle() -> str:
     bits, bands, thr = S.SRP_BITS, S.SRP_BANDS, S.RADIUS_THRESHOLD
-    r = bits // bands
-    selects = []
-    for j in range(bands):
-        bval = " + ".join(
-            f"(CASE WHEN embedding[{j * r + m + 1}] >= 0 THEN 1 ELSE 0 END) * {1 << m}"
-            for m in range(r)
-        )
-        selects.append(
-            f"SELECT vec_id AS vid, embedding AS vec, {j} AS band, {bval} AS bval"
-            " FROM embeddings"
-        )
-    banded = " UNION ALL ".join(selects)
+    banded = _srp_banded_sql(bits, bands)
     return f"""
     WITH banded AS ({banded}),
     cand AS (
@@ -1434,13 +1430,21 @@ def llm_sim_radius(spark, sf_dir):
 def _cluster_stats_oracle() -> str:
     # component assignment (same recursive closure as _components_oracle),
     # then the run-report rollup: clusters by size, docs removable
-    return (
-        _components_oracle()
-        .replace(
-            """SELECT CAST(v AS BIGINT) AS doc_id, CAST(min(r) AS BIGINT) AS component
-FROM reach GROUP BY v
-""",
-            """, comp AS (
+    base = _components_oracle()
+    needle = (
+        "SELECT CAST(v AS BIGINT) AS doc_id,"
+        " CAST(min(r) AS BIGINT) AS component\nFROM reach GROUP BY v\n"
+    )
+    # str.replace silently no-ops if the needle drifts out of sync with
+    # _components_oracle's final SELECT — fail loudly instead of shipping
+    # the components query under this oracle's name
+    if needle not in base:
+        raise AssertionError(
+            "_components_oracle final SELECT changed; update _cluster_stats_oracle"
+        )
+    return base.replace(
+        needle,
+        """, comp AS (
   SELECT v AS doc_id, min(r) AS component FROM reach GROUP BY v),
 sizes AS (
   SELECT component, count(*) AS csize FROM comp GROUP BY component)
@@ -1450,7 +1454,6 @@ SELECT CAST(csize AS BIGINT) AS cluster_size,
        CAST(count(*) * (csize - 1) AS BIGINT) AS n_removable
 FROM sizes GROUP BY csize
 """,
-        )
     )
 
 
@@ -1481,7 +1484,8 @@ def _mixture_oracle() -> str:
              CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
       FROM documents GROUP BY source),
     tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot_tokens,
-                   sum(pow(CAST(n_tokens AS DOUBLE), {a})) AS tot_pow
+                   list_reduce(list(pow(CAST(n_tokens AS DOUBLE), {a})
+                                    ORDER BY grp), (x, y) -> x + y) AS tot_pow
             FROM per)
     SELECT grp, n_docs, n_tokens,
            round(CAST(n_tokens AS DOUBLE) / tot_tokens, 6) AS token_share,
@@ -1498,18 +1502,26 @@ def llm_corpus_mixture(spark, sf_dir):
     return TXT.corpus_mixture(load(spark, sf_dir, "documents"))
 
 
+# per-doc log-prob totals as ORDERED sequential folds (list ORDER BY pos,
+# list_reduce left fold) — mirrors the Spark side's position-ordered
+# F.aggregate so the doubles are bit-identical (see unigram_perplexity)
 _PPL_ORACLE = """
-    WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
-                  FROM documents),
+    WITH toks AS (
+      SELECT doc_id, s.pos AS pos, s.w AS w FROM (
+        SELECT doc_id,
+               unnest([{'pos': i, 'w': t[i]}
+                       FOR i IN generate_series(1, len(t))]) AS s
+        FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents))),
     vocab AS (SELECT w, count(*) AS c FROM toks GROUP BY w),
-    tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_total FROM vocab)
-    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
-           round(sum(ln(CAST(c AS DOUBLE) / n_total)) / count(*), 6)
-             AS avg_logp,
-           round(exp(-sum(ln(CAST(c AS DOUBLE) / n_total)) / count(*)), 6)
-             AS ppl
-    FROM toks JOIN vocab USING (w), tot
-    GROUP BY doc_id
+    tot AS (SELECT CAST(sum(c) AS BIGINT) AS n_total FROM vocab),
+    per AS (
+      SELECT doc_id,
+             list(ln(CAST(c AS DOUBLE) / n_total) ORDER BY pos) AS lp
+      FROM toks JOIN vocab USING (w), tot GROUP BY doc_id)
+    SELECT doc_id, CAST(len(lp) AS BIGINT) AS n_tokens,
+           round(list_reduce(lp, (x, y) -> x + y) / len(lp), 6) AS avg_logp,
+           round(exp(-list_reduce(lp, (x, y) -> x + y) / len(lp)), 6) AS ppl
+    FROM per
     """
 
 
@@ -1537,7 +1549,7 @@ def _wav_oracle() -> str:
            CAST(count(*) AS BIGINT) AS n_samples,
            CAST(sum(s) AS BIGINT) AS sum_amp,
            CAST(sum((s - 128) * (s - 128)) AS BIGINT) AS sum_sq_dev,
-           round(sqrt(CAST(sum((s - 128) * (s - 128)) AS DOUBLE) / {w}), 6)
+           round(sqrt(CAST(sum((s - 128) * (s - 128)) AS DOUBLE) / count(*)), 6)
              AS rms
     FROM samples GROUP BY doc_id, win_idx
     """
@@ -1659,20 +1671,32 @@ def llm_lsh_recall_report(spark, sf_dir):
     construction (candidates are exact-verified); recall quantifies the
     banding's false-negative rate."""
     docs = load(spark, sf_dir, "documents")
-    exact = D.jaccard_pairs(D.shingles(docs), 0.8).select("ida", "idb")
-    lsh = D.minhash_lsh_dedup(docs, 0.8).select("ida", "idb")
-    hit = lsh.join(exact, ["ida", "idb"])
-    n_exact = exact.agg(F.count("*").cast("long").alias("n_exact"))
-    n_lsh = lsh.agg(F.count("*").cast("long").alias("n_lsh"))
-    n_hit = hit.agg(F.count("*").cast("long").alias("n_hit"))
-    return (
-        n_exact.crossJoin(F.broadcast(n_lsh))
-        .crossJoin(F.broadcast(n_hit))
-        .select(
-            "n_exact",
-            "n_lsh",
-            "n_hit",
-            F.round(F.col("n_hit") / F.col("n_exact"), 6).alias("recall"),
-            F.round(F.col("n_hit") / F.col("n_lsh"), 6).alias("precision"),
-        )
+    exact = (
+        D.jaccard_pairs(D.shingles(docs), 0.8)
+        .select("ida", "idb")
+        .withColumn("in_exact", F.lit(1))
+    )
+    lsh = (
+        D.minhash_lsh_dedup(docs, 0.8)
+        .select("ida", "idb")
+        .withColumn("in_lsh", F.lit(1))
+    )
+    # ONE full-outer join + one aggregation: each expensive pipeline
+    # (shingle self-join / minhash-band-verify) is evaluated exactly once
+    # — referencing the uncached frames from separate count branches would
+    # run both pipelines twice (Spark does not dedup common subplans)
+    both = exact.join(lsh, ["ida", "idb"], "full_outer")
+    counts = both.agg(
+        F.sum(F.coalesce("in_exact", F.lit(0))).cast("long").alias("n_exact"),
+        F.sum(F.coalesce("in_lsh", F.lit(0))).cast("long").alias("n_lsh"),
+        F.sum(
+            F.coalesce("in_exact", F.lit(0)) * F.coalesce("in_lsh", F.lit(0))
+        ).cast("long").alias("n_hit"),
+    )
+    return counts.select(
+        "n_exact",
+        "n_lsh",
+        "n_hit",
+        F.round(F.col("n_hit") / F.col("n_exact"), 6).alias("recall"),
+        F.round(F.col("n_hit") / F.col("n_lsh"), 6).alias("precision"),
     )

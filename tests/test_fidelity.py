@@ -430,3 +430,17 @@ def test_audio_features_rejects_non_pcm8(spark):
     with _pytest.raises(Exception) as exc:
         M.audio_features(df).collect()
     assert "NotImplementedError" in str(exc.value) or "codec" in str(exc.value)
+
+
+def test_video_demux_rejects_truncated_frame(spark):
+    """A clip ending mid-header or mid-body must RAISE (bounds-checked
+    walk), never hang the executor task."""
+    import pytest as _pytest
+
+    for payload in (b"P6\n8", b"P6\n8 8\n255\n" + b"x" * 10):
+        df = spark.createDataFrame(
+            [(1, bytearray(payload))], "doc_id long, payload binary"
+        )
+        with _pytest.raises(Exception) as exc:
+            M.video_frame_features(df).collect()
+        assert "truncated" in str(exc.value) or "ValueError" in str(exc.value)
