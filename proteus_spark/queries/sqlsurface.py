@@ -1316,3 +1316,56 @@ register_sql(
     "counts combine map-side, and the top-20 pick is "
     "TakeOrderedAndProject with full tie-breaks.",
 )
+
+
+_DECILES = [round(0.1 * i, 1) for i in range(1, 10)]
+
+
+@register(
+    "customer_value_deciles",
+    oracle=f"""
+    WITH spend AS (
+      SELECT o_custkey,
+             CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                  AS DECIMAL(38,2)) AS DOUBLE) AS spend
+      FROM orders GROUP BY o_custkey),
+    b AS (SELECT quantile_cont(spend, {_DECILES}) AS bs FROM spend),
+    assigned AS (
+      SELECT o_custkey, spend,
+             1 + len(list_filter(bs, x -> x <= spend)) AS decile
+      FROM spend, b)
+    SELECT CAST(decile AS BIGINT) AS decile,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           min(spend) AS min_spend, max(spend) AS max_spend
+    FROM assigned GROUP BY decile
+    """,
+    tags=("aggregate", "window"),
+)
+def customer_value_deciles(spark, sf_dir):
+    """Scale-safe global decile bucketing of customer lifetime spend: the
+    NAIVE form (ntile(10) OVER (ORDER BY spend)) funnels every row
+    through ONE task; this form computes the 9 exact interpolated decile
+    boundaries as a single broadcast row (Spark percentile == DuckDB
+    quantile_cont) and assigns buckets in a codegen projection — two
+    aggregations and zero wide windows, the 100 TB quantile-bucketing
+    shape. Spend sums in DECIMAL so both engines agree bit-for-bit."""
+    orders = load(spark, sf_dir, "orders")
+    spend = orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("decimal(38,2)")
+        .cast("double")
+        .alias("spend")
+    )
+    arr = ", ".join(str(d) for d in _DECILES)
+    bounds = spend.agg(F.expr(f"percentile(spend, array({arr}))").alias("bs"))
+    assigned = spend.crossJoin(F.broadcast(bounds)).select(
+        "spend",
+        (
+            F.lit(1) + F.size(F.filter("bs", lambda b: b <= F.col("spend")))
+        ).cast("long").alias("decile"),
+    )
+    return assigned.groupBy("decile").agg(
+        F.count("*").cast("long").alias("n_customers"),
+        F.min("spend").alias("min_spend"),
+        F.max("spend").alias("max_spend"),
+    )

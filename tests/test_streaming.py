@@ -925,3 +925,35 @@ def test_history_view_scd2_intervals_and_replay_dedup(spark):
     finally:
         view.stop()
         cdc.cleanup(src)
+
+
+def test_history_view_log_complete_under_compaction(spark):
+    """Append-only history state under many micro-batches (long bucket
+    chains -> size-tiered compaction fires): the collapsed log must equal
+    the distinct input exactly — compaction folds replays only, never
+    loses or fabricates change records."""
+    from proteus_spark.streaming.views import HistoryView
+
+    rows = [(i % 7, i, i * 10, float(i)) for i in range(300)]
+    df = spark.createDataFrame(
+        rows, "user_id int, event_id int, ts_ns long, value double"
+    )
+    src = cdc.stage_stream(spark, df, chunks=10)
+    view = HistoryView(
+        spark, src.subscribe(), key="user_id", order_col="ts_ns",
+        id_col="event_id", name="t_hist_compact", n_buckets=4,
+    ).start()
+    try:
+        view.await_catch_up()
+        got = {
+            (r["user_id"], r["event_id"], r["ts_ns"], r["value"])
+            for r in view.log().collect()
+        }
+        assert got == set(rows)
+        # every change carries an interval; currents = one per key
+        hist = view.history().collect()
+        assert len(hist) == 300
+        assert sum(r["is_current"] for r in hist) == 7
+    finally:
+        view.stop()
+        cdc.cleanup(src)
