@@ -422,3 +422,11 @@ def test_radius_search_broadcasts_query_bands(q):
     assert "BroadcastHashJoin" in p
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_deciles_no_global_window(q):
+    """Quantile bucketing must not plan a global ranking window (the
+    single-task ntile shape); boundaries ride a broadcast."""
+    p = q("customer_value_deciles")
+    assert "Window" not in p
+    assert "BroadcastExchange" in p
