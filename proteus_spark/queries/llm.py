@@ -1700,3 +1700,72 @@ def llm_lsh_recall_report(spark, sf_dir):
         F.round(F.col("n_hit") / F.col("n_exact"), 6).alias("recall"),
         F.round(F.col("n_hit") / F.col("n_lsh"), 6).alias("precision"),
     )
+
+
+def _langid_confusion_oracle() -> str:
+    return f"""
+    WITH g AS ({_langid_oracle()})
+    SELECT lang, lang_guess, CAST(count(*) AS BIGINT) AS n,
+           round(CAST(count(*) AS DOUBLE)
+                 / sum(count(*)) OVER (PARTITION BY lang), 6) AS frac
+    FROM g GROUP BY lang, lang_guess
+    """
+
+
+@register("llm_langid_confusion", oracle=_langid_confusion_oracle, tags=("llm", "text"))
+def llm_langid_confusion(spark, sf_dir):
+    """Classifier evaluation rollup: label x prediction confusion matrix
+    for the language-ID heuristic, with per-label row fractions — the
+    quality report a pipeline publishes for any tagging stage. Output is
+    |labels| x |predictions| rows; one aggregation plus a window over
+    those tiny groups."""
+    from pyspark.sql import Window as _W
+
+    g = TXT.lang_id(load(spark, sf_dir, "documents"))
+    counts = g.groupBy("lang", "lang_guess").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    tot = F.sum("n").over(_W.partitionBy("lang"))
+    return counts.select(
+        "lang", "lang_guess", "n", F.round(F.col("n") / tot, 6).alias("frac")
+    )
+
+
+ZIPF_TOP = 50
+
+
+def _zipf_oracle() -> str:
+    return f"""
+    WITH toks AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+    vc AS (SELECT w, CAST(count(*) AS BIGINT) AS n FROM toks GROUP BY w),
+    top AS (SELECT * FROM vc ORDER BY n DESC, w LIMIT {ZIPF_TOP})
+    SELECT w, n,
+           CAST(row_number() OVER (ORDER BY n DESC, w) AS BIGINT) AS rnk,
+           round(CAST(n AS DOUBLE) * row_number() OVER (ORDER BY n DESC, w)
+                 / (SELECT max(n) FROM top), 6) AS zipf_ratio
+    FROM top
+    """
+
+
+@register("llm_token_zipf", oracle=_zipf_oracle, tags=("llm", "text"))
+def llm_token_zipf(spark, sf_dir):
+    """Zipf rank-frequency check over the vocabulary: top-50 tokens with
+    rank and n*rank/max_n (≈1 under a Zipfian corpus; big deviations flag
+    template/boilerplate skew). Vocab count is one map-side-combined
+    aggregation; the top-50 pick is TakeOrderedAndProject; the ranking
+    window runs over 50 rows only."""
+    toks = load(spark, sf_dir, "documents").select(
+        F.explode(TXT.tokens_col()).alias("w")
+    )
+    vc = toks.groupBy("w").agg(F.count("*").cast("long").alias("n"))
+    top = vc.orderBy(F.desc("n"), F.asc("w")).limit(ZIPF_TOP)
+    w_rank = W.orderBy(F.desc("n"), F.asc("w"))
+    mx = F.max("n").over(W.partitionBy())
+    return top.select(
+        "w",
+        "n",
+        F.row_number().over(w_rank).cast("long").alias("rnk"),
+        F.round(
+            F.col("n").cast("double") * F.row_number().over(w_rank) / mx, 6
+        ).alias("zipf_ratio"),
+    )
