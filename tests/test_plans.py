@@ -430,3 +430,21 @@ def test_deciles_no_global_window(q):
     p = q("customer_value_deciles")
     assert "Window" not in p
     assert "BroadcastExchange" in p
+
+
+def test_perplexity_broadcast_vocab_no_cartesian(q):
+    """Perplexity must join token stream to vocab via broadcast (no
+    sort-merge shuffle of the exploded stream against the vocab) and
+    never plan a cartesian."""
+    p = q("llm_perplexity_score")
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_transition_matrix_windows_keyed_by_user(q):
+    """The lead() window must partition by user_id — an unpartitioned
+    window here would single-task the whole event table."""
+    p = q("events_transition_matrix")
+    flat = p.replace(" ", "")
+    assert "lead(" in flat
+    assert "windowspecdefinition(user_id" in flat
