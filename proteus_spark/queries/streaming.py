@@ -853,3 +853,99 @@ def stream_scd2_asof(spark, sf_dir):
         view.stop()
         cdc.cleanup(src)
     return out
+
+
+@register(
+    "stream_join_view_deletes",
+    oracle="""
+    WITH rev AS (
+      SELECT l_orderkey AS o_orderkey,
+             round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue
+      FROM lineitem WHERE l_orderkey % 13 != 0 GROUP BY l_orderkey
+    ),
+    o AS (SELECT o_orderkey, o_totalprice FROM orders
+          WHERE o_orderkey % 13 != 0)
+    SELECT COALESCE(o.o_orderkey, r.o_orderkey) AS o_orderkey,
+           COALESCE(o.o_totalprice, 0.0) AS o_totalprice,
+           COALESCE(r.revenue, 0.0) AS revenue
+    FROM o FULL OUTER JOIN rev r USING (o_orderkey)
+    """,
+    tags=("streaming", "join", "cdc"),
+)
+def stream_join_view_deletes(spark, sf_dir):
+    """JoinQPU with DELETE tombstones, live: orders stream inserts every
+    key, then a FINAL micro-batch deletes every o_orderkey % 13 == 0 key
+    (staged deterministically — the tombstone file carries the latest
+    mtime, so the file source triggers it after every insert batch; the
+    revenue stream carries no rows for deleted keys, so no revival race).
+    The coalesce merge kills all rows at-or-below the tombstone's version
+    and full-key deletion removes the row (the delete semantics the
+    reference's JoinQPU never shipped — join.go:393-456 upserts only).
+    Final state == batch keyed merge excluding deleted keys."""
+    import os
+    import shutil
+    import tempfile
+    import time
+
+    from proteus_spark.streaming.views import JoinView
+
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    dead = F.col("o_orderkey") % 13 == 0
+    inserts = orders.withColumn("_op", F.lit(None).cast("string"))
+    tombs = (
+        orders.filter(dead)
+        .select("o_orderkey")
+        .withColumn("o_totalprice", F.lit(None).cast("double"))
+        .withColumn("_op", F.lit("DELETE"))
+    )
+    # manual staging: insert chunks first, the tombstone file strictly
+    # last (mtime-ordered file source => deletes land in the final batch)
+    tmpdir = tempfile.mkdtemp(prefix="proteus_cdc_jdel_")
+    scratch = tempfile.mkdtemp(prefix="proteus_cdc_jdel_scratch_")
+    now = time.time()
+    for i, frame in enumerate(
+        [inserts.repartition(3), tombs.coalesce(1)], start=1
+    ):
+        cdir = os.path.join(scratch, f"c{i}")
+        frame.write.parquet(cdir)
+        for j, f in enumerate(sorted(os.listdir(cdir))):
+            if f.endswith(".parquet"):
+                dst = os.path.join(tmpdir, f"{i:04d}_{j}.parquet")
+                shutil.move(os.path.join(cdir, f), dst)
+                os.utime(dst, (now + i, now + i))
+    shutil.rmtree(scratch, ignore_errors=True)
+    src_l = cdc.CDCSource(spark=spark, path=tmpdir, name=os.path.basename(tmpdir))
+    src_l._tmp.append(tmpdir)
+
+    rev = (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 13 != 0)
+        .groupBy(F.col("l_orderkey").alias("o_orderkey"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("revenue")
+        )
+    )
+    src_r = cdc.stage_stream(spark, rev, chunks=3)
+    view = JoinView(
+        spark,
+        src_l.subscribe(),
+        src_r.subscribe(),
+        key="o_orderkey",
+        name="stream_join_view_deletes",
+        defaults={"o_totalprice": 0.0, "revenue": 0.0},
+    ).start()
+    try:
+        view.await_catch_up()
+        snap = view.snapshot().select(
+            "o_orderkey",
+            "o_totalprice",
+            F.round("revenue", 4).alias("revenue"),
+        )
+        out = spark.createDataFrame(snap.collect(), snap.schema)
+    finally:
+        view.stop()
+        cdc.cleanup(src_l)
+        cdc.cleanup(src_r)
+    return out
