@@ -244,44 +244,51 @@ def _import_all() -> None:
 
 # Verification-priority order. External harnesses that budget their checks
 # walk queries() in dict order (first ~50), so the window rotates per round:
-# round 1+2 verified the breadth-first set (reference parity + one query
-# per operator family — all green in CORRECTNESS_r01/r02); round 3 swaps in
-# (a) every query never externally checked, (b) queries whose
-# implementation changed this round, (c) new round-3 queries, and (d) a
-# refresh of the r1-only-verified set. Queries rotated OUT remain covered
-# by the local DuckDB oracle gate (tests/test_oracle_gate.py runs ALL
-# oracled queries) — see ROTATION.md for the manifest.
+# rounds 1-3 verified 103/153 registered queries (hash-green rows across
+# CORRECTNESS_r01/r02/r03). Round 4 fronts EVERY remaining oracled
+# never-verified query (45 of them — post-window-freeze round-3 additions)
+# plus llm_dedup_embedding (implementation changed in r3, outside the r3
+# window) and 4 refresh slots. Queries rotated OUT remain covered by the
+# local DuckDB oracle gate (tests/test_oracle_gate.py runs ALL oracled
+# queries on every pytest) — see ROTATION.md for the manifest.
+#
+# HARD RULE (CORRECTNESS_r03 evidence): the driver records a RED
+# `err: "no_oracle"` row for any window entry without an oracle — it does
+# NOT fall back to rows-only checks. The first 50 names here must all have
+# oracles; tests/test_oracle_gate.py::test_priority_window_all_oracled
+# enforces this structurally.
 PRIORITY: tuple[str, ...] = (
-    # -- never externally verified before round 3 ------------------------
-    # core reference parity: streaming JoinQPU (join.go:302-350), the
-    # confs/router.toml sharded-index deployment, the sum-stories.toml
-    # flagship DAG
-    "stream_join_view", "ref_topology_ycsb", "stream_lobsters_pipeline",
-    # TPC-H completion pack
-    "tpch_q8", "tpch_q9", "tpch_q11", "tpch_q13", "tpch_q15", "tpch_q16",
-    "tpch_q17", "tpch_q20", "tpch_q21", "tpch_q22",
-    # events analytics
-    "events_funnel", "events_cohort_retention",
+    # -- never externally verified (oracled, post-r3-freeze additions) ----
+    # reference parity + infra operators
+    "salted_join_orders", "ref_mv_substitution", "ref_vectorclock_join",
+    "ref_index_zorder", "dq_validate_orders", "dq_skew_report",
+    # sketch / rollup family
+    "agg_bloom_probe", "agg_histogram_sketch", "agg_grouping_sets",
+    "agg_countmin_terms",
+    # events analytics long tail
+    "events_anomaly_zscore", "events_ewma_daily", "events_gap_fill_hourly",
+    "events_transition_matrix",
+    # SCD2 / temporal family
+    "scd2_user_value_history", "scd2_temporal_join",
+    "stream_scd2_history", "stream_scd2_asof",
+    # windowing / reshaping
+    "window_rank_family", "unpivot_lineitem_measures",
+    "basket_part_pairs", "customer_value_deciles",
     # training-data pipeline long tail
-    "llm_train_split", "llm_weighted_sample", "llm_doc_repetition",
-    "llm_dedup_ngram_capped", "llm_dedup_components_lsh",
-    "llm_sim_ivf_kmeans", "llm_embed_norms",
-    "llm_multimodal_extract", "llm_multimodal_frames",
+    "llm_tfidf_topterms", "llm_sample_k_per_group", "llm_inverted_index",
+    "llm_text_normalize", "llm_dedup_keep_longest", "llm_dedup_editdistance",
+    "llm_multimodal_ppm", "llm_bpe_top_merges", "llm_dedup_incremental",
+    "llm_dedup_containment", "llm_dedup_containment_capped",
+    "llm_gopher_filter", "llm_sim_radius", "llm_dedup_cluster_stats",
+    "llm_corpus_mixture", "llm_perplexity_score", "llm_multimodal_wav",
+    "llm_multimodal_video", "llm_lsh_recall_report", "llm_langid_confusion",
+    "llm_token_zipf",
     # streaming long tail
-    "stream_windowed_watermark", "stream_dedup_ingest",
-    # -- implementation changed in round 3 -> re-verify ------------------
-    # (bucketed incremental view state; two-phase brute-force top-k;
-    # sink-path sessionization)
-    "stream_sum_view", "stream_sum_view_cdc", "stream_sessionize_stateful",
-    "llm_sim_bruteforce",
-    # -- new in round 3 --------------------------------------------------
-    "stream_sum_view_deletes", "ref_ts_projection", "llm_sim_ivf_nprobe2",
-    "stream_sum_view_debezium", "llm_decontaminate", "llm_chunk_documents",
-    "llm_pii_scrub", "llm_pack_sequences", "stream_interval_join",
-    "stream_static_enrich", "ref_mock_datasource",
-    # -- r1-only-verified refresh (green in CORRECTNESS_r01, never r2) ---
-    "tpch_q2", "tpch_q3", "tpch_q4", "tpch_q5", "tpch_q6", "tpch_q7",
-    "tpch_q12", "tpch_q14", "semi_join_exists",
+    "stream_session_window_native", "stream_join_view_deletes",
+    # -- implementation changed in round 3, outside the r3 window ---------
+    "llm_dedup_embedding",
+    # -- refresh slots (r2-green, unchanged; yield to new r4 queries) -----
+    "tpch_q1", "tpch_q18", "llm_dedup_minhash_lsh", "tpch_q10",
 )
 
 

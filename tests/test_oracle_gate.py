@@ -35,6 +35,19 @@ def test_rows_only_runs(spark, sf_dir, name):
     assert df.count() >= 0
 
 
+def test_priority_window_all_oracled():
+    """The external driver verifies queries()' FIRST 50 entries and records
+    a RED `err: no_oracle` row for any of them lacking an oracle (it does
+    NOT fall back to rows-only — proven by CORRECTNESS_r03). Make that
+    mistake structurally impossible: every PRIORITY window slot must name a
+    registered query that carries an oracle."""
+    window = list(registry._ordered())[:50]
+    missing = [n for n in registry.PRIORITY[:50] if n not in registry.QUERIES]
+    assert not missing, f"PRIORITY names unregistered queries: {missing}"
+    unoracled = [n for n in window if registry.QUERIES[n].resolve_oracle() is None]
+    assert not unoracled, f"oracle-less queries in the driver window: {unoracled}"
+
+
 def test_entry_smoke(spark):
     import __spark_entry__ as e
 
