@@ -362,10 +362,46 @@ def stream_sessionize_stateful(spark, sf_dir):
 
 @register(
     "stream_windowed_watermark",
-    # rows-only by nature: which late events are dropped depends on
-    # micro-batch arrival order (watermark advancement is a streaming
-    # runtime property), which no batch SQL oracle can express. The unit
-    # test pins the drop/keep semantics deterministically.
+    # The drop set IS deterministic here: arrival order is a fixed
+    # multiplicative scramble of event_id, chunks are ntile(4) of that
+    # order with staged strictly-increasing mtimes, and subscribe() takes
+    # one file per micro-batch. Spark's late filter lags one batch behind
+    # the progress-reported watermark (measured: the watermark computed
+    # from batch B's event-time stats is first APPLIED in batch B+2 —
+    # batch B+1 is planned before B's stats commit), so the filter
+    # watermark for chunk c is max(event-time ms over chunks <= c-2) -
+    # 10 min, and a row is dropped iff its window end (ms) <= that. The
+    # oracle replays the same per-chunk watermark advance in SQL.
+    oracle="""
+    WITH arr AS (
+      SELECT event_type, value,
+             epoch_ns(ts) // 1000000 AS ms,
+             date_trunc('hour', ts) AS wstart,
+             ntile(4) OVER (ORDER BY (event_id * 2654435761) % 4294967296,
+                            event_id) AS chunk
+      FROM events
+    ), horizon AS (
+      SELECT chunk, max(ms) AS mx FROM arr GROUP BY chunk
+    ), wm AS (
+      SELECT chunk,
+             coalesce(max(mx) OVER (ORDER BY chunk
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 2 PRECEDING) - 600000,
+               0) AS wm_ms
+      FROM horizon
+    ), kept AS (
+      SELECT a.event_type, a.value, a.wstart
+      FROM arr a JOIN wm USING (chunk)
+      WHERE epoch_ms(a.wstart + INTERVAL 1 HOUR) > wm.wm_ms
+    )
+    SELECT strftime(wstart, '%Y-%m-%d %H:%M:%S') AS window_start,
+           strftime(wstart + INTERVAL 1 HOUR, '%Y-%m-%d %H:%M:%S')
+             AS window_end,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(value), 4) AS value_sum
+    FROM kept
+    GROUP BY 1, 2, 3
+    """,
     tags=("streaming", "event-time"),
 )
 def stream_windowed_watermark(spark, sf_dir):
@@ -374,19 +410,35 @@ def stream_windowed_watermark(spark, sf_dir):
     state store evicts windows older than the horizon and beyond-horizon
     stragglers are dropped by policy (the late-data story the reference
     lacks entirely — SURVEY §2.9, qpuapi.proto:113-116). Returns the final
-    per-window per-type counts/sums."""
+    per-window per-type counts/sums.
+
+    Replay is deliberately OUT of event-time order (a Knuth multiplicative
+    scramble of event_id fixes the arrival order) so real late-data drops
+    occur, and deterministically so: batch B's watermark is
+    max(event-ms over chunks < B) - 10 min, making the kept set — and
+    therefore the oracle — exactly computable."""
     from proteus_spark.streaming.windows import tumbling_agg_stream
 
     # watermarks require TIMESTAMP (with timezone), not NTZ
     ev = events_with_ts(spark, sf_dir).select(
-        F.col("ts").cast("timestamp").alias("ts"), "event_type", "value"
+        F.col("ts").cast("timestamp").alias("ts"),
+        "event_type",
+        "value",
+        # bijective on [0, 2^32): deterministic shuffled arrival order
+        ((F.col("event_id") * F.lit(2654435761)) % F.lit(4294967296)).alias(
+            "_arrival"
+        ),
+        "event_id",
     )
     import shutil
     import tempfile
 
-    src = cdc.stage_stream(spark, ev, chunks=4)
+    src = cdc.stage_stream(spark, ev, chunks=4, order_col="_arrival")
     out = tumbling_agg_stream(
-        src.subscribe(), ts_col="ts", window="1 hour", watermark="10 minutes"
+        src.subscribe(max_files_per_trigger=1),
+        ts_col="ts",
+        window="1 hour",
+        watermark="10 minutes",
     )
     outdir = tempfile.mkdtemp(prefix="proteus_watermark_out_")
 
@@ -416,8 +468,12 @@ def stream_windowed_watermark(spark, sf_dir):
                 ).alias("_s")
             )
             .select(
-                "window_start",
-                F.col("_s.window_end").alias("window_end"),
+                F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias(
+                    "window_start"
+                ),
+                F.date_format(F.col("_s.window_end"), "yyyy-MM-dd HH:mm:ss").alias(
+                    "window_end"
+                ),
                 "event_type",
                 F.col("_s.n").alias("n"),
                 F.round(F.col("_s.value_sum"), 4).alias("value_sum"),

@@ -287,8 +287,11 @@ PRIORITY: tuple[str, ...] = (
     "stream_session_window_native", "stream_join_view_deletes",
     # -- implementation changed in round 3, outside the r3 window ---------
     "llm_dedup_embedding",
+    # -- newly ORACLED in round 4 (was rows-only; drew err no_oracle in r3;
+    # now deterministic-replay + SQL watermark simulation) ----------------
+    "stream_windowed_watermark",
     # -- refresh slots (r2-green, unchanged; yield to new r4 queries) -----
-    "tpch_q1", "tpch_q18", "llm_dedup_minhash_lsh", "tpch_q10",
+    "tpch_q1", "tpch_q18", "llm_dedup_minhash_lsh",
 )
 
 
