@@ -541,10 +541,18 @@ def radius_search(
     bands: int = SRP_BANDS,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    exclude_self: bool = True,
 ) -> DataFrame:
     """Cosine radius (threshold) search, query-set vs corpus: (qid, nid,
     sim) for every corpus vector within ``threshold`` cosine of a query —
     the retrieval dual of top-k (fixed quality bar, variable result size).
+
+    ``exclude_self`` drops pairs where qid == nid. It assumes queries are
+    DRAWN FROM the corpus (one id namespace) — the shape the registered
+    ``llm_sim_radius`` query uses. Pass ``exclude_self=False`` when the
+    query table is independent of the corpus: with two unrelated id
+    namespaces, a colliding id would otherwise silently drop a true
+    in-radius result.
 
     Scale shape: the corpus is SRP-banded once (codegen, no shuffle) and
     candidates come from an equi-join of corpus bands against the
@@ -555,12 +563,10 @@ def radius_search(
     so the approximation itself is hash-checked."""
     nb = srp_banded(vectors, id_col, "nid", bits=bits, bands=bands, vec_col=vec_col)
     qb = srp_banded(queries, id_col, "qid", bits=bits, bands=bands, vec_col=vec_col)
-    cand = (
-        nb.join(F.broadcast(qb), ["band", "bval"])
-        .filter(F.col("qid") != F.col("nid"))
-        .select("qid", "nid")
-        .distinct()
-    )
+    cand = nb.join(F.broadcast(qb), ["band", "bval"])
+    if exclude_self:
+        cand = cand.filter(F.col("qid") != F.col("nid"))
+    cand = cand.select("qid", "nid").distinct()
     qv = queries.select(
         F.col(id_col).alias("vq_id"),
         F.col(vec_col).alias("qvec"),

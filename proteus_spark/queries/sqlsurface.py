@@ -1329,7 +1329,8 @@ _DECILES = [round(0.1 * i, 1) for i in range(1, 10)]
              CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
                   AS DECIMAL(38,2)) AS DOUBLE) AS spend
       FROM orders GROUP BY o_custkey),
-    b AS (SELECT quantile_cont(spend, {_DECILES}) AS bs FROM spend),
+    b AS (SELECT list_transform(quantile_cont(spend, {_DECILES}),
+                                x -> round(x, 4)) AS bs FROM spend),
     assigned AS (
       SELECT o_custkey, spend,
              1 + len(list_filter(bs, x -> x <= spend)) AS decile
@@ -1342,13 +1343,20 @@ _DECILES = [round(0.1 * i, 1) for i in range(1, 10)]
     tags=("aggregate", "window"),
 )
 def customer_value_deciles(spark, sf_dir):
-    """Scale-safe global decile bucketing of customer lifetime spend: the
-    NAIVE form (ntile(10) OVER (ORDER BY spend)) funnels every row
-    through ONE task; this form computes the 9 exact interpolated decile
-    boundaries as a single broadcast row (Spark percentile == DuckDB
-    quantile_cont) and assigns buckets in a codegen projection — two
-    aggregations and zero wide windows, the 100 TB quantile-bucketing
-    shape. Spend sums in DECIMAL so both engines agree bit-for-bit."""
+    """Global decile bucketing of customer lifetime spend without the
+    NAIVE form's single-task window (ntile(10) OVER (ORDER BY spend)
+    funnels every row through ONE task): compute the 9 interpolated decile
+    boundaries as a single broadcast row and assign buckets in a codegen
+    projection — two aggregations and zero wide windows. Boundaries are
+    rounded to 4 decimals on BOTH engines before the <= comparison: Spark
+    and DuckDB use algebraically-equal but differently-associated
+    interpolation expressions (lower*(1-d)+higher*d vs
+    lower+d*(higher-lower)), so unrounded boundaries can differ by an ulp
+    and flip an exactly-on-boundary spend by one decile. Spend sums in
+    DECIMAL so both engines agree bit-for-bit. Note Spark's exact
+    percentile() buffers all distinct spends in the final aggregation
+    task — fine at customer-key cardinality; for a true 100 TB arbitrary-
+    cardinality shape swap in approx_percentile (same plan otherwise)."""
     orders = load(spark, sf_dir, "orders")
     spend = orders.groupBy("o_custkey").agg(
         F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
@@ -1357,7 +1365,11 @@ def customer_value_deciles(spark, sf_dir):
         .alias("spend")
     )
     arr = ", ".join(str(d) for d in _DECILES)
-    bounds = spend.agg(F.expr(f"percentile(spend, array({arr}))").alias("bs"))
+    bounds = spend.agg(
+        F.expr(
+            f"transform(percentile(spend, array({arr})), x -> round(x, 4))"
+        ).alias("bs")
+    )
     assigned = spend.crossJoin(F.broadcast(bounds)).select(
         "spend",
         (

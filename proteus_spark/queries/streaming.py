@@ -938,11 +938,6 @@ def stream_join_view_deletes(spark, sf_dir):
     and full-key deletion removes the row (the delete semantics the
     reference's JoinQPU never shipped — join.go:393-456 upserts only).
     Final state == batch keyed merge excluding deleted keys."""
-    import os
-    import shutil
-    import tempfile
-    import time
-
     from proteus_spark.streaming.views import JoinView
 
     orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
@@ -954,24 +949,14 @@ def stream_join_view_deletes(spark, sf_dir):
         .withColumn("o_totalprice", F.lit(None).cast("double"))
         .withColumn("_op", F.lit("DELETE"))
     )
-    # manual staging: insert chunks first, the tombstone file strictly
-    # last (mtime-ordered file source => deletes land in the final batch)
-    tmpdir = tempfile.mkdtemp(prefix="proteus_cdc_jdel_")
-    scratch = tempfile.mkdtemp(prefix="proteus_cdc_jdel_scratch_")
-    now = time.time()
-    for i, frame in enumerate(
-        [inserts.repartition(3), tombs.coalesce(1)], start=1
-    ):
-        cdir = os.path.join(scratch, f"c{i}")
-        frame.write.parquet(cdir)
-        for j, f in enumerate(sorted(os.listdir(cdir))):
-            if f.endswith(".parquet"):
-                dst = os.path.join(tmpdir, f"{i:04d}_{j}.parquet")
-                shutil.move(os.path.join(cdir, f), dst)
-                os.utime(dst, (now + i, now + i))
-    shutil.rmtree(scratch, ignore_errors=True)
-    src_l = cdc.CDCSource(spark=spark, path=tmpdir, name=os.path.basename(tmpdir))
-    src_l._tmp.append(tmpdir)
+    # tombstone-last staging: insert files carry earlier mtimes than the
+    # single tombstone file, and the 1-file-per-trigger subscribe below
+    # guarantees the DELETE batch can never coalesce with an insert batch
+    # for the same key (the staging invariant the delete semantics rely on)
+    src_l = cdc.stage_files(
+        spark, [inserts.repartition(3), tombs.coalesce(1)],
+        prefix="proteus_cdc_jdel_",
+    )
 
     rev = (
         load(spark, sf_dir, "lineitem")
@@ -986,8 +971,8 @@ def stream_join_view_deletes(spark, sf_dir):
     src_r = cdc.stage_stream(spark, rev, chunks=3)
     view = JoinView(
         spark,
-        src_l.subscribe(),
-        src_r.subscribe(),
+        src_l.subscribe(max_files_per_trigger=1),
+        src_r.subscribe(max_files_per_trigger=1),
         key="o_orderkey",
         name="stream_join_view_deletes",
         defaults={"o_totalprice": 0.0, "revenue": 0.0},

@@ -127,30 +127,53 @@ def stage_stream(
     is approximately time-ordered, and replaying random subsets would
     advance the watermark past data that 'arrives' later, dropping it by
     (correct) late-data policy."""
-    tmpdir = tempfile.mkdtemp(prefix=prefix)
-    if order_col is None:
-        df.repartition(chunks).write.mode("overwrite").parquet(tmpdir)
-    else:
-        import time
-
+    if order_col is not None:
         from pyspark.sql.window import Window
 
         chunked = df.withColumn(
             "_chunk", F.ntile(chunks).over(Window.orderBy(order_col))
         )
-        scratch = tempfile.mkdtemp(prefix=prefix + "scratch_")
-        now = time.time()
-        for i in range(1, chunks + 1):
-            cdir = os.path.join(scratch, f"c{i}")
-            chunked.filter(F.col("_chunk") == i).drop("_chunk").coalesce(
-                1
-            ).write.parquet(cdir)
-            for j, f in enumerate(sorted(os.listdir(cdir))):
-                if f.endswith(".parquet"):
-                    dst = os.path.join(tmpdir, f"{i:04d}_{j}.parquet")
-                    shutil.move(os.path.join(cdir, f), dst)
-                    os.utime(dst, (now + i, now + i))
-        shutil.rmtree(scratch, ignore_errors=True)
+        return stage_files(
+            spark,
+            [
+                chunked.filter(F.col("_chunk") == i).drop("_chunk").coalesce(1)
+                for i in range(1, chunks + 1)
+            ],
+            prefix=prefix,
+        )
+    tmpdir = tempfile.mkdtemp(prefix=prefix)
+    df.repartition(chunks).write.mode("overwrite").parquet(tmpdir)
+    src = CDCSource(spark=spark, path=tmpdir, name=os.path.basename(tmpdir))
+    src._tmp.append(tmpdir)
+    return src
+
+
+def stage_files(
+    spark: SparkSession,
+    frames: list[DataFrame],
+    prefix: str = "proteus_cdc_",
+) -> CDCSource:
+    """Stage an EXPLICIT ordered list of DataFrames as parquet files whose
+    mtimes strictly increase in list order, so a mtime-ordered file source
+    replays all of frame i's files before any of frame i+1's. This is the
+    reusable form of 'tombstone-last' staging: callers that need an
+    ordering invariant (e.g. DELETE records must land after the inserts
+    they kill) pass the delete frame last and subscribe with
+    ``max_files_per_trigger=1``. Caller (or cleanup) removes the dir."""
+    import time
+
+    tmpdir = tempfile.mkdtemp(prefix=prefix)
+    scratch = tempfile.mkdtemp(prefix=prefix + "scratch_")
+    now = time.time()
+    for i, frame in enumerate(frames, start=1):
+        cdir = os.path.join(scratch, f"c{i}")
+        frame.write.parquet(cdir)
+        for j, f in enumerate(sorted(os.listdir(cdir))):
+            if f.endswith(".parquet"):
+                dst = os.path.join(tmpdir, f"{i:04d}_{j}.parquet")
+                shutil.move(os.path.join(cdir, f), dst)
+                os.utime(dst, (now + i, now + i))
+    shutil.rmtree(scratch, ignore_errors=True)
     src = CDCSource(spark=spark, path=tmpdir, name=os.path.basename(tmpdir))
     src._tmp.append(tmpdir)
     return src

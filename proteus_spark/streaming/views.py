@@ -174,7 +174,12 @@ class _BucketedState:
         # are what get evicted, so reads past the retention window raise.
         self.manifests: list[dict[int, tuple[int, ...]]] = []
         self.schema: T.StructType | None = None  # stored schema (no _bucket)
-        self._du_cache: dict[str, int] = {}
+        # (version, bucket) -> bytes written, recorded AT COMMIT (one flat
+        # listing of each just-written bucket dir) and persisted in the
+        # manifest. Compaction-trigger sizing reads THIS map, never the
+        # filesystem — a per-commit walk of historic chain dirs is a LIST
+        # storm on an object store.
+        self.sizes: dict[tuple[int, int], int] = {}
 
     # -- addressing --------------------------------------------------------
     @property
@@ -230,21 +235,32 @@ class _BucketedState:
         return self.merge.collapse(self._read_raw(paths), self.key)
 
     # -- writes ------------------------------------------------------------
-    def _du(self, path: str) -> int:
-        """Bytes under ``path``, memoized: version dirs are immutable once
-        committed, so each (version, bucket) dir is walked at most once —
-        without this, compaction-trigger checks re-walk every chain dir on
-        every commit and driver time creeps with chain length."""
-        if path not in self._du_cache:
-            total = 0
-            for root, _dirs, files in os.walk(path):
-                for f in files:
+    def _dir_bytes(self, path: str) -> int:
+        """One flat listing of a just-written bucket dir (partitionBy lays
+        part files directly in ``_bucket=N/``). Called once per (version,
+        bucket) at commit time — the same listing Spark's commit protocol
+        already did — and on legacy recovery for manifests that predate
+        size tracking. Never called on the trigger-check hot path."""
+        total = 0
+        try:
+            for f in os.listdir(path):
+                fp = os.path.join(path, f)
+                if os.path.isfile(fp):
                     try:
-                        total += os.path.getsize(os.path.join(root, f))
+                        total += os.path.getsize(fp)
                     except OSError:
                         pass
-            self._du_cache[path] = total
-        return self._du_cache[path]
+        except OSError:
+            pass
+        return total
+
+    def _size(self, v: int, b: int) -> int:
+        """Bytes of bucket ``b``'s slice in version dir ``v`` — from the
+        commit-time record; falls back to (and memoizes) a one-off listing
+        only for chains recovered from pre-size-tracking manifests."""
+        if (v, b) not in self.sizes:
+            self.sizes[(v, b)] = self._dir_bytes(self._bdir(v, b))
+        return self.sizes[(v, b)]
 
     def commit_delta(self, delta: DataFrame | None, touched: list[int]) -> int:
         """Append ``delta`` (this batch's rows, WITH ``_bucket``) as the
@@ -265,10 +281,8 @@ class _BucketedState:
                 if len(chain) >= self.max_chain:
                     compact.add(b)
                     continue
-                base = self._du(self._bdir(chain[0], b))
-                pending = sum(
-                    self._du(self._bdir(cv, b)) for cv in chain[1:]
-                )
+                base = self._size(chain[0], b)
+                pending = sum(self._size(cv, b) for cv in chain[1:])
                 # size-tiered trigger (ratio 0.5): rewrite costs <= ~3x
                 # what the pending deltas brought in -> amortized O(delta)
                 if base > 0 and pending >= base * 0.5:
@@ -319,6 +333,8 @@ class _BucketedState:
             written = {
                 b for b in touched if os.path.isdir(self._bdir(v, b))
             }
+            for b in written:
+                self.sizes[(v, b)] = self._dir_bytes(self._bdir(v, b))
         m = prev
         for b in touched:
             if b in written:
@@ -353,6 +369,15 @@ class _BucketedState:
                     # state can't serve the empty-result paths (read/
                     # changes_since at an all-empty or no-news bound)
                     "schema": self.schema.json() if self.schema else None,
+                    # byte sizes of every (version, bucket) slice this
+                    # manifest references: compaction-trigger sizing after
+                    # recovery reads these instead of listing the store
+                    "sizes": {
+                        f"{cv}:{b}": self.sizes[(cv, b)]
+                        for b, chain in m.items()
+                        for cv in chain
+                        if (cv, b) in self.sizes
+                    },
                 },
                 f,
             )
@@ -379,6 +404,10 @@ class _BucketedState:
                     }
                     if isinstance(raw, dict) and raw.get("schema"):
                         schemas[int(mt.group(1))] = raw["schema"]
+                    if isinstance(raw, dict):
+                        for k, nbytes in (raw.get("sizes") or {}).items():
+                            cv, b = k.split(":")
+                            self.sizes[(int(cv), int(b))] = int(nbytes)
         self.manifests = []
         v = 0
         while v in found:  # highest contiguous prefix = committed history
@@ -457,12 +486,11 @@ class _BucketedState:
         start = getattr(self, "_evicted_to", 0)
         for v in range(start, keep_from):
             if v not in referenced:
-                vdir = self._vdir(v)
-                shutil.rmtree(vdir, ignore_errors=True)
-                # drop memoized sizes for the removed dirs — the cache
+                shutil.rmtree(self._vdir(v), ignore_errors=True)
+                # drop size records for the removed version — the map
                 # would otherwise accrete dead entries forever
-                for p in [k for k in self._du_cache if k.startswith(vdir)]:
-                    self._du_cache.pop(p, None)
+                for key in [k for k in self.sizes if k[0] == v]:
+                    self.sizes.pop(key, None)
         # a still-referenced version below keep_from must stay scannable
         self._evicted_to = min(
             keep_from,
