@@ -54,13 +54,17 @@ def main() -> None:
             names.append(n)
 
     timings: dict[str, float] = {}
+    all_runs: dict[str, list[float]] = {}
     for name in names:
-        # Best-of-2 per query: single-shot numbers on a shared VM swing
+        # Best-of-3 per query: single-shot numbers on a shared VM swing
         # 2-5x with host contention; the minimum is the reproducible cost
-        # of the plan. Caches are cleared between queries so no run
-        # benefits from a predecessor's materialized state.
+        # of the plan, and the full run array ships in the JSON so a
+        # regression can be told apart from host noise (spread >> min
+        # means contention, not a plan change). Caches are cleared between
+        # queries so no run benefits from a predecessor's materialized
+        # state.
         runs = []
-        for _ in range(2):
+        for _ in range(3):
             spark.catalog.clearCache()
             t0 = time.perf_counter()
             df = fns[name](spark, sf_dir)
@@ -69,6 +73,7 @@ def main() -> None:
             df.write.mode("overwrite").format("noop").save()
             runs.append(time.perf_counter() - t0)
         timings[name] = round(min(runs), 4)
+        all_runs[name] = [round(r, 4) for r in runs]
         print(
             f"# {name}: {min(runs):.3f}s (runs: {[round(r, 3) for r in runs]})",
             file=sys.stderr,
@@ -88,6 +93,9 @@ def main() -> None:
                 "value": round(sum(timings.values()), 4),
                 "unit": "sec",
                 "queries": timings,
+                # per-query run arrays (3 timed runs each): min vs spread
+                # separates real plan regressions from host contention
+                "runs": all_runs,
                 "sf": sf_val,
                 "parity": parity,
             }

@@ -116,6 +116,26 @@ def parse_envelope(
     )
 
 
+def decode_records(
+    records: DataFrame,
+    row_schema: T.StructType,
+    key_cols: list[str],
+    value_col: str,
+) -> DataFrame:
+    """The shared transport→parse seam: BOTH transports route through this.
+
+    A Kafka source yields (key BINARY, value BINARY, topic, partition,
+    offset, timestamp, ...); a text file stream yields (value STRING). The
+    envelope is the ``value`` payload either way — cast to string (a no-op
+    for the file transport) and parse. Keeping one seam means the Kafka
+    leg differs from the tested file leg ONLY in source construction; the
+    contract test feeds a Kafka-shaped frame (binary value + topic/
+    partition/offset columns) through here and asserts byte-identical
+    output with the file-shaped frame."""
+    lines = records.select(F.col("value").cast("string").alias("value"))
+    return parse_envelope(lines, row_schema, key_cols, value_col)
+
+
 def stream_envelopes(
     spark: SparkSession,
     path: str,
@@ -125,15 +145,41 @@ def stream_envelopes(
     max_files_per_trigger: int = 1,
 ) -> DataFrame:
     """File-stream transport for envelope JSONL under ``path`` → canonical
-    delta stream. Swap the first two lines for ``readStream.format("kafka")
-    .option("subscribe", topic)`` + ``CAST(value AS STRING)`` in a real
-    deployment; the parse is identical."""
+    delta stream (the sandbox's test transport — no broker ships here)."""
     lines = (
         spark.readStream.schema(T.StructType([T.StructField("value", T.StringType())]))
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .text(path)
     )
-    return parse_envelope(lines, row_schema, key_cols, value_col)
+    return decode_records(lines, row_schema, key_cols, value_col)
+
+
+def kafka_envelopes(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str,
+    row_schema: T.StructType,
+    key_cols: list[str],
+    value_col: str,
+    starting_offsets: str = "earliest",
+) -> DataFrame:
+    """Kafka transport for Debezium envelopes → the same canonical delta
+    stream (production deployment: Debezium Connect writes the envelope
+    per change to ``topic``; reference side-channel equivalent:
+    mysql.proto:8-37 over the NotifyUpdates RPC, mysql/store.go:117-151).
+
+    Requires the spark-sql-kafka connector jar on the cluster (not shipped
+    in this sandbox, hence untestable end-to-end here); everything after
+    ``.load()`` is ``decode_records`` — the identical parse path the file
+    transport exercises in tests."""
+    records = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+        .load()
+    )
+    return decode_records(records, row_schema, key_cols, value_col)
 
 
 def to_envelopes(

@@ -262,20 +262,30 @@ class _BucketedState:
             self.sizes[(v, b)] = self._dir_bytes(self._bdir(v, b))
         return self.sizes[(v, b)]
 
-    def commit_delta(self, delta: DataFrame | None, touched: list[int]) -> int:
+    def commit_delta(self, delta: DataFrame | None) -> int:
         """Append ``delta`` (this batch's rows, WITH ``_bucket``) as the
         next version. Buckets due for compaction fold chain + delta into
-        a fresh single-version base in the same write; every other touched
-        bucket just extends its chain with the delta rows. Untouched
-        buckets carry their chains forward. Empty-delta batches bump the
-        version with a copied manifest and write nothing."""
+        a fresh single-version base in the same write; every other
+        delta-carrying bucket just extends its chain. Untouched buckets
+        carry their chains forward. None / row-less deltas bump the
+        version with a copied manifest.
+
+        The touched-bucket set is derived FROM the write (one listing of
+        the just-written version dir) — the commit runs exactly one Spark
+        job per micro-batch; there is no separate bucket-discovery pass
+        over the delta. Compaction decisions evaluate every chained bucket
+        against the in-memory size map, which is equivalent to evaluating
+        only the touched set: an untouched bucket's chain and sizes are
+        unchanged since its last touch, so its trigger result cannot have
+        flipped (the one exception — a chain left overdue by a config
+        change across recovery — just compacts one commit earlier, which
+        the amortized bound absorbs)."""
         v = len(self.manifests)
         prev = dict(self.manifests[-1]) if self.manifests else {}
         written: set[int] = set()
         compact: set[int] = set()
-        if delta is not None and touched:
-            for b in touched:
-                chain = prev.get(b, ())
+        if delta is not None:
+            for b, chain in prev.items():
                 if not chain:
                     continue
                 if len(chain) >= self.max_chain:
@@ -321,7 +331,7 @@ class _BucketedState:
                 )
             par = self.spark.sparkContext.defaultParallelism
             (
-                out.repartition(min(len(touched), par), "_bucket")
+                out.repartition(min(self.n_buckets, par), "_bucket")
                 .write.mode("overwrite")
                 .partitionBy("_bucket")
                 .parquet(self._vdir(v))
@@ -330,20 +340,23 @@ class _BucketedState:
                 self.schema = T.StructType(
                     [f for f in out.schema.fields if f.name != "_bucket"]
                 )
-            written = {
-                b for b in touched if os.path.isdir(self._bdir(v, b))
-            }
-            for b in written:
-                self.sizes[(v, b)] = self._dir_bytes(self._bdir(v, b))
+            # the write IS the bucket discovery: partitionBy lays one
+            # ``_bucket=N`` dir per bucket that received rows
+            try:
+                for d in os.listdir(self._vdir(v)):
+                    if d.startswith("_bucket="):
+                        b = int(d.split("=", 1)[1])
+                        written.add(b)
+                        self.sizes[(v, b)] = self._dir_bytes(self._bdir(v, b))
+            except OSError:
+                pass
         m = prev
-        for b in touched:
-            if b in written:
-                m[b] = (v,) if b in compact else m.get(b, ()) + (v,)
-            elif b in compact:
-                # compaction folded the bucket to zero live keys (all
-                # deleted): keeping the old chain would resurrect them
-                m.pop(b, None)
-            # else: delta had no rows for this bucket after all — keep chain
+        for b in written:
+            m[b] = (v,) if b in compact else m.get(b, ()) + (v,)
+        for b in compact - written:
+            # compaction folded the bucket to zero live keys (all
+            # deleted): keeping the old chain would resurrect them
+            m.pop(b, None)
         self.manifests.append(m)
         self._persist_manifest(v, m)
         self._evict()
@@ -625,19 +638,13 @@ class SumView:
 
     def _merge(self, delta: DataFrame, epoch: int) -> None:
         # merge POLICY lives in the _state.merge object chosen at
-        # construction (replace / add / coalesce) — not a per-call flag
-        delta = delta.withColumn("_bucket", self._state.bucket_col()).persist()
-        try:
-            # bounded driver probe: <= n_buckets ints, never row data
-            touched = [
-                r[0] for r in delta.select("_bucket").distinct().collect()
-            ]
-            # LSM append: write ONLY the delta rows — no read-modify-write
-            # of existing state on the hot path (merge happens on read /
-            # at per-bucket compaction)
-            self._state.commit_delta(delta if touched else None, touched)
-        finally:
-            delta.unpersist()
+        # construction (replace / add / coalesce) — not a per-call flag.
+        # LSM append: write ONLY the delta rows — no read-modify-write of
+        # existing state on the hot path (merge happens on read / at
+        # per-bucket compaction), and ONE Spark job per batch (the commit
+        # derives touched buckets from its own write)
+        delta = delta.withColumn("_bucket", self._state.bucket_col())
+        self._state.commit_delta(delta)
 
         # downstream QPUs: recompute derived views over the committed state
         # (None until the first non-empty batch commits a schema — an
@@ -815,18 +822,13 @@ class JoinView:
             batch.groupBy(self.key)
             .agg(*aggs)
             .withColumn("_bucket", self._state.bucket_col())
-            .persist()
         )
-        try:
-            touched = [
-                r[0] for r in delta.select("_bucket").distinct().collect()
-            ]
-            # LSM append: delta rows only (tombstones persist as rows with
-            # _op=DELETE until their bucket compacts); the coalesce merge
-            # resolves per-column last-writer-wins + deletes on read
-            self._state.commit_delta(delta if touched else None, touched)
-        finally:
-            delta.unpersist()
+        # LSM append: delta rows only (tombstones persist as rows with
+        # _op=DELETE until their bucket compacts); the coalesce merge
+        # resolves per-column last-writer-wins + deletes on read; one
+        # Spark job per batch (touched buckets come from the commit's
+        # own write)
+        self._state.commit_delta(delta)
         for cb in list(self._subscribers):
             try:
                 cb(delta.drop("_bucket"), epoch)
@@ -950,14 +952,9 @@ class HistoryView:
 
     # -- state maintenance -------------------------------------------------
     def _on_batch(self, batch: DataFrame, epoch: int) -> None:
-        delta = batch.withColumn("_bucket", self._state.bucket_col()).persist()
-        try:
-            touched = [
-                r[0] for r in delta.select("_bucket").distinct().collect()
-            ]
-            self._state.commit_delta(delta if touched else None, touched)
-        finally:
-            delta.unpersist()
+        self._state.commit_delta(
+            batch.withColumn("_bucket", self._state.bucket_col())
+        )
 
     # -- query surface -----------------------------------------------------
     def log(self) -> DataFrame | None:

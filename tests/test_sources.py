@@ -177,6 +177,57 @@ def test_debezium_parse_envelope_flattened(spark):
         5, "UPDATEDELTA", 2.0, 4.0, 9_000_000)
 
 
+def test_debezium_transport_contract_kafka_vs_file(spark):
+    """The Kafka and file transports share ONE parse path (decode_records):
+    a Kafka-shaped record frame (value BINARY plus topic/partition/offset/
+    timestamp columns, exactly what readStream.format('kafka') yields) and
+    a file-shaped frame (value STRING) produce byte-identical canonical
+    deltas. This pins the only part of the Kafka leg the sandbox can't
+    exercise live (no broker ships here): everything after .load() is this
+    tested function."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from proteus_spark.sources.debezium import decode_records
+
+    row_schema = T.StructType(
+        [T.StructField("k", T.LongType()), T.StructField("v", T.DoubleType())]
+    )
+    envelopes = [
+        '{"payload":{"before":null,"after":{"k":1,"v":10.0},"op":"c","ts_ms":1000}}',
+        '{"payload":{"before":{"k":1,"v":10.0},"after":{"k":1,"v":25.0},"op":"u","ts_ms":2000}}',
+        '{"payload":{"before":{"k":2,"v":7.0},"after":null,"op":"d","ts_ms":3000}}',
+    ]
+    file_shaped = spark.createDataFrame([(e,) for e in envelopes], "value string")
+    kafka_shaped = spark.createDataFrame(
+        [
+            (None, e.encode("utf-8"), "dbserver.db.t", i % 2, i, None)
+            for i, e in enumerate(envelopes)
+        ],
+        "key binary, value binary, topic string, partition int, "
+        "offset long, timestamp timestamp",
+    )
+    cols = ["k", "op_type", "old_value", "new_value", "_ts"]
+    via_file = sorted(
+        tuple(r[c] for c in cols)
+        for r in decode_records(file_shaped, row_schema, ["k"], "v").collect()
+    )
+    via_kafka = sorted(
+        tuple(r[c] for c in cols)
+        for r in decode_records(kafka_shaped, row_schema, ["k"], "v").collect()
+    )
+    assert via_file == via_kafka and len(via_file) == 3
+
+    # and the file STREAM transport routes through the same seam: its plan
+    # contains the same from_json parse of a cast value column
+    import inspect
+
+    from proteus_spark.sources import debezium as dz
+
+    assert "decode_records" in inspect.getsource(dz.stream_envelopes)
+    assert "decode_records" in inspect.getsource(dz.kafka_envelopes)
+
+
 def test_python_datasource_mock_batch(spark):
     """Custom Python DataSource (the reference's dataStore extension
     point): partitioned executor-side generation matches the
