@@ -448,3 +448,38 @@ def test_transition_matrix_windows_keyed_by_user(q):
     flat = p.replace(" ", "")
     assert "lead(" in flat
     assert "windowspecdefinition(user_id" in flat
+
+
+def test_q18_single_exchange_partial_agg(q):
+    """Q18's HAVING agg materializes one group per order — at 100x that is
+    15M groups, the one headline query that goes super-linear in the scale
+    sweep. The cost is inherent to the query (the threshold needs every
+    order's GLOBAL quantity sum, so no semi-join can prune before the
+    total exists); what the plan MUST deliver is the minimal shape:
+    - lineitem scan reads exactly (l_orderkey, l_quantity) — 2 of 16 cols;
+    - partial_sum combines map-side, so the single hash exchange carries
+      ~one narrow row per order, not one per lineitem;
+    - the HAVING filter runs straight after the final agg, BEFORE any
+      join (the join probe side is only the >threshold survivors);
+    - top-100 is TakeOrderedAndProject, never a global sort.
+    Sizing note: at 100x the exchange holds ~15M (bigint, decimal) rows
+    ~= 400 MB; spark.sql.shuffle.partitions >= cores keeps per-task state
+    in memory (registry._tune_session sets it to defaultParallelism)."""
+    p = q("tpch_q18")
+    assert "partial_sum(cast(l_quantity" in p
+    assert p.count("hashpartitioning(l_orderkey") == 1
+    assert "ReadSchema: struct<l_orderkey:bigint,l_quantity:double>" in p
+    assert "TakeOrderedAndProject" in p
+    # HAVING filter is applied to the agg output before the orders join:
+    # plan step numbers are post-order (children first), so the Filter on
+    # total_qty must carry a lower step number than every join
+    import re
+
+    fil = re.search(r"\((\d+)\) Filter\nInput[^\n]*\nCondition :[^\n]*total_qty", p)
+    joins = [
+        int(mo.group(1))
+        for mo in re.finditer(
+            r"\((\d+)\) (?:BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin)", p
+        )
+    ]
+    assert fil and joins and int(fil.group(1)) < min(joins), (fil, joins)
