@@ -1769,3 +1769,182 @@ def llm_token_zipf(spark, sf_dir):
             F.col("n").cast("double") * F.row_number().over(w_rank) / mx, 6
         ).alias("zipf_ratio"),
     )
+
+
+# -- exact-substring span dedup (Lee et al. 2022 "Deduplicating Training
+# Data Makes Language Models Better": repeated >= W-token spans across
+# documents are memorization hazards and get excised, not just flagged
+# doc-level). W/S fixed so the window set is deterministic on both engines.
+SUBSTR_W = 20  # span length in tokens
+SUBSTR_S = 10  # stride between window starts (W/2: every repeat >= W tokens
+#                is guaranteed to cover at least one sampled window)
+
+
+def _exact_substring_oracle() -> str:
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), wins AS (
+      SELECT doc_id, array_to_string(t[i:i+{SUBSTR_W - 1}], ' ') AS w
+      FROM toks, unnest(
+        CASE WHEN len(t) >= {SUBSTR_W}
+             THEN generate_series(1, len(t) - {SUBSTR_W - 1}, {SUBSTR_S})
+             ELSE []::BIGINT[] END) AS g(i)
+    ), dup AS (
+      SELECT w FROM wins GROUP BY w HAVING count(DISTINCT doc_id) >= 2
+    ), per AS (
+      SELECT wins.doc_id,
+             count(*) AS n_windows,
+             sum(CASE WHEN dup.w IS NOT NULL THEN 1 ELSE 0 END) AS n_dup
+      FROM wins LEFT JOIN dup ON wins.w = dup.w
+      GROUP BY wins.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(per.n_windows, 0) AS BIGINT) AS n_windows,
+           CAST(coalesce(per.n_dup, 0) AS BIGINT) AS n_dup_windows,
+           round(coalesce(per.n_dup, 0) * 1.0
+                 / greatest(coalesce(per.n_windows, 0), 1), 6) AS dup_frac
+    FROM documents d LEFT JOIN per ON per.doc_id = d.doc_id
+    """
+
+
+@register(
+    "llm_dedup_exact_substring",
+    oracle=_exact_substring_oracle,
+    tags=("llm", "dedup"),
+)
+def llm_dedup_exact_substring(spark, sf_dir):
+    """Exact-substring dedup: per doc, the fraction of sampled W-token
+    windows (W=20, stride 10) whose exact text recurs in ANOTHER document
+    — the span-level repeat signal behind Lee et al.'s excision pass
+    (doc-level Jaccard misses a verbatim paragraph pasted into an
+    otherwise-unique page; this catches it, and the flagged windows ARE
+    the spans to cut). The half-overlap stride guarantees every verbatim
+    repeat of >= W tokens covers at least one sampled window.
+
+    Scale shape: windows explode to ~n_tokens/S rows per doc, the repeat
+    test is ONE hash aggregation on the window key plus an equi-join back
+    — never a pairwise doc comparison, so cost is linear in corpus tokens.
+    The window key here is the literal 20-token string so the DuckDB
+    oracle groups identically; a production run shuffles xxhash64(window)
+    (8 bytes vs ~120) with the same plan. Reference scope: content
+    dedup is beyond the reference engine entirely (SURVEY §2 LLM-ops
+    extension)."""
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    starts = F.sequence(
+        F.lit(1), F.size(toks) - (SUBSTR_W - 1), F.lit(SUBSTR_S)
+    )
+    wins = docs.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size(toks) >= SUBSTR_W,
+                F.transform(
+                    starts,
+                    lambda i: F.concat_ws(" ", F.slice(toks, i, SUBSTR_W)),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("w"),
+    )
+    dup = (
+        wins.groupBy("w")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("w", F.lit(1).alias("_dup"))
+    )
+    per = (
+        wins.join(dup, "w", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_windows"),
+            F.sum(F.when(F.col("_dup").isNotNull(), 1).otherwise(0)).alias(
+                "n_dup"
+            ),
+        )
+    )
+    return (
+        docs.select("doc_id")
+        .join(per, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_windows", F.lit(0)).cast("long").alias("n_windows"),
+            F.coalesce("n_dup", F.lit(0)).cast("long").alias("n_dup_windows"),
+            F.round(
+                F.coalesce("n_dup", F.lit(0))
+                / F.greatest(F.coalesce("n_windows", F.lit(0)), F.lit(1)),
+                6,
+            ).alias("dup_frac"),
+        )
+    )
+
+
+# -- token-budget corpus selection: fill each source's training budget with
+# its highest-value documents (the curation step between mixture weighting
+# and sequence packing: corpus_mixture says HOW MUCH of each source,
+# this picks WHICH documents make the cut).
+BUDGET_FRAC = 0.5  # per-source token budget as a fraction of source tokens
+
+
+def _token_budget_oracle() -> str:
+    return f"""
+    WITH t AS (
+      SELECT doc_id, source,
+             len(string_split(text, ' ')) AS n_tokens
+      FROM documents
+    ), c AS (
+      SELECT doc_id, source, n_tokens,
+             sum(n_tokens) OVER (
+               PARTITION BY source ORDER BY n_tokens DESC, doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS cum_tokens,
+             sum(n_tokens) OVER (PARTITION BY source) AS tot
+      FROM t
+    )
+    SELECT doc_id, source,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(cum_tokens AS BIGINT) AS cum_tokens
+    FROM c WHERE cum_tokens <= {BUDGET_FRAC} * tot
+    """
+
+
+@register(
+    "llm_token_budget_sample",
+    oracle=_token_budget_oracle,
+    tags=("llm", "text"),
+)
+def llm_token_budget_sample(spark, sf_dir):
+    """Per-source token-budget selection: rank each source's documents
+    (longest first, doc_id tiebreak — stand-in for a quality score) and
+    keep the prefix whose cumulative token count fits the source's budget
+    (50% of its tokens). This is the curation step a 100 TB pretraining
+    run does between mixture weighting (llm_corpus_mixture decides how
+    much of each source) and packing (llm_pack_sequences lays the
+    survivors out): deterministic, budget-exact, resumable.
+
+    Scale shape: ONE window pass partitioned by source — parallel across
+    sources, and each source's scan is a single ordered sweep. A corpus
+    where one source dominates turns that partition into a straggler; the
+    fix at that shape is the two-phase distributed prefix sum
+    llm_pack_sequences already implements (per-partition subtotals, P-row
+    driver fold, broadcast offsets) applied per source."""
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    w_cum = (
+        W.partitionBy("source")
+        .orderBy(F.desc("n_tokens"), F.asc("doc_id"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    w_tot = W.partitionBy("source")
+    return (
+        docs.select(
+            "doc_id",
+            "source",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.sum("n_tokens").over(w_cum).cast("long").alias("cum_tokens"),
+            F.sum("n_tokens").over(w_tot).alias("_tot"),
+        )
+        .filter(F.col("cum_tokens") <= BUDGET_FRAC * F.col("_tot"))
+        .drop("_tot")
+    )

@@ -290,8 +290,10 @@ PRIORITY: tuple[str, ...] = (
     # -- newly ORACLED in round 4 (was rows-only; drew err no_oracle in r3;
     # now deterministic-replay + SQL watermark simulation) ----------------
     "stream_windowed_watermark",
-    # -- refresh slots (r2-green, unchanged; yield to new r4 queries) -----
-    "tpch_q1", "tpch_q18", "llm_dedup_minhash_lsh",
+    # -- new round-4 operators (pre-verified at sf0.001 + sf0.01) ---------
+    "llm_dedup_exact_substring", "llm_token_budget_sample",
+    # -- refresh slot (r2-green, unchanged) -------------------------------
+    "tpch_q18",
 )
 
 

@@ -450,6 +450,26 @@ def test_transition_matrix_windows_keyed_by_user(q):
     assert "windowspecdefinition(user_id" in flat
 
 
+def test_exact_substring_no_pairwise_join(q):
+    """Span-level repeat detection must be a hash aggregation on the
+    window key + equi-join back — linear in corpus tokens. A pairwise
+    doc-to-doc shape (cartesian or non-equi join) would be quadratic."""
+    p = q("llm_dedup_exact_substring")
+    assert "CartesianProduct" not in p
+    assert "count(distinct doc_id" in p.replace("#", " ").lower() or "partial_count" in p
+    # the documents scan feeds only doc_id + text into the window explode
+    assert "struct<doc_id:bigint,text:string>" in p
+
+
+def test_token_budget_window_keyed_by_source(q):
+    """The cumulative-tokens window must partition by source — an
+    unpartitioned cumsum would single-task the corpus."""
+    p = q("llm_token_budget_sample")
+    flat = p.replace(" ", "")
+    assert "windowspecdefinition(source" in flat
+    assert "CartesianProduct" not in p
+
+
 def test_q18_single_exchange_partial_agg(q):
     """Q18's HAVING agg materializes one group per order — at 100x that is
     15M groups, the one headline query that goes super-linear in the scale
