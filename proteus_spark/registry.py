@@ -292,8 +292,7 @@ PRIORITY: tuple[str, ...] = (
     "stream_windowed_watermark",
     # -- new round-4 operators (pre-verified at sf0.001 + sf0.01) ---------
     "llm_dedup_exact_substring", "llm_token_budget_sample",
-    # -- refresh slot (r2-green, unchanged) -------------------------------
-    "tpch_q18",
+    "stream_decontaminate",
 )
 
 
