@@ -1811,7 +1811,7 @@ def _exact_substring_oracle() -> str:
 @register(
     "llm_dedup_exact_substring",
     oracle=_exact_substring_oracle,
-    tags=("llm", "dedup"),
+    tags=("llm", "dedup", "bench"),
 )
 def llm_dedup_exact_substring(spark, sf_dir):
     """Exact-substring dedup: per doc, the fraction of sampled W-token
