@@ -486,6 +486,50 @@ def test_stream_dedup_ttl_readmits(spark, tmp_path):
         q.stop()
 
 
+def test_jdbc_state_mirror_live_derby(spark, sf_dir, tmp_path):
+    """The reference's database state sink (mysql_backend.go:147-254
+    writeState UPSERT), LIVE against the embedded Derby engine Spark
+    ships: a streaming SumView's changed-group deltas MERGE into a real
+    JDBC table per micro-batch (bulk staging write + one set-based MERGE,
+    not the reference's per-row loop), and the mirrored table converges to
+    the view's own snapshot == the batch GROUP BY."""
+    from proteus_spark.registry import load as _load
+    from proteus_spark.sources import cdc as _cdc
+    from proteus_spark.streaming.jdbc_sink import JDBCStateMirror
+
+    db = str(tmp_path / "mirrordb")
+    ev = _load(spark, sf_dir, "events").select("user_id", "value")
+    src = _cdc.stage_stream(spark, ev, chunks=3)
+    view = SumView(
+        spark, src.subscribe(), group_by="user_id", agg_attr="value",
+        name="t_jdbc_mirror", mode="append",
+    )
+    mirror = JDBCStateMirror(
+        spark,
+        url=f"jdbc:derby:{db};create=true",
+        table="SUM_STATE",
+        key_col="user_id",
+        val_cols=["value_sum"],
+        driver="org.apache.derby.jdbc.EmbeddedDriver",
+    )
+    view.subscribe(mirror.on_delta)
+    view.start()
+    try:
+        view.await_catch_up()
+        got = {
+            r["user_id"]: round(r["value_sum"], 4)
+            for r in mirror.read().collect()
+        }
+        exp = {
+            r["user_id"]: round(r["s"], 4)
+            for r in ev.groupBy("user_id").agg(F.sum("value").alias("s")).collect()
+        }
+        assert got == exp
+    finally:
+        view.stop()
+        _cdc.cleanup(src)
+
+
 def test_lsm_uniform_delta_writes_o_delta_bytes(spark):
     """The failure the bucket-REWRITE design had: a uniform 1000-key delta
     touches every bucket, and rewriting touched buckets meant rewriting
