@@ -470,6 +470,68 @@ def test_token_budget_window_keyed_by_source(q):
     assert "CartesianProduct" not in p
 
 
+# Queries where a BroadcastNestedLoopJoin is INTENTIONAL: a one-row (or
+# query-set-sized) frame — global totals, decile boundaries, corpus stats,
+# calendar bounds, the ANN query set — broadcast against the big side.
+# BNLJ with a tiny build side is a map-side scalar join, not a blow-up.
+_BNLJ_OK = {
+    "dq_skew_report",          # broadcast global key stats (1 row)
+    "events_gap_fill_hourly",  # broadcast calendar bounds (1 row)
+    "customer_value_deciles",  # broadcast decile boundary array (1 row)
+    "tpch_q22",                # broadcast global avg acctbal (1 row)
+    "llm_bm25_search",         # broadcast corpus stats (1 row)
+    "llm_tfidf_topterms",      # broadcast doc count (1 row)
+    "llm_sim_bruteforce",      # broadcast query set vs corpus (by design)
+    "llm_sim_ivf",             # broadcast probed-centroid set
+    "llm_sim_ivf_nprobe2",     # broadcast probed-centroid set
+    "llm_sim_ivf_kmeans",      # broadcast learned-centroid set
+    "llm_corpus_mixture",      # broadcast corpus totals (1 row)
+    "llm_perplexity_score",    # broadcast vocab-size scalar (1 row)
+}
+
+
+def test_no_cartesian_product_in_any_batch_query(spark, sf_dir):
+    """Global anti-pattern audit: every registered batch query's physical
+    plan must be free of CartesianProduct (quadratic row-pairing), and any
+    BroadcastNestedLoopJoin must be on the explicit whitelist of
+    intentional tiny-broadcast joins above. A new query that accidentally
+    cross-joins (missed join key, non-equi predicate on two big sides)
+    fails here before it ever ships."""
+    from proteus_spark import registry
+
+    registry._import_all()
+    offenders: dict[str, list[str]] = {}
+    for name, spec in registry.QUERIES.items():
+        if "streaming" in spec.tags or name.startswith("stream_"):
+            continue  # stream queries RUN pipelines on call — covered by
+            # their own oracles; their batch sub-plans appear elsewhere
+        p = plan(spec.fn(spark, sf_dir))
+        hits = [k for k in ("CartesianProduct",) if k in p]
+        if "BroadcastNestedLoopJoin" in p and name not in _BNLJ_OK:
+            hits.append("BroadcastNestedLoopJoin (not whitelisted)")
+        if hits:
+            offenders[name] = hits
+    assert not offenders, offenders
+
+
+def test_no_row_at_a_time_python_udfs_in_package():
+    """The package-wide 'UDFs are the slow path' contract: no F.udf /
+    @udf row-at-a-time Python UDF anywhere in proteus_spark — all
+    Python-side compute goes through Arrow-batched mapInPandas /
+    applyInPandasWithState."""
+    import pathlib
+
+    import proteus_spark
+
+    root = pathlib.Path(proteus_spark.__file__).parent
+    hits = []
+    for f in root.rglob("*.py"):
+        src = f.read_text()
+        if "F.udf(" in src or "@udf" in src or "functions.udf(" in src:
+            hits.append(str(f))
+    assert not hits, hits
+
+
 def test_q18_single_exchange_partial_agg(q):
     """Q18's HAVING agg materializes one group per order — at 100x that is
     15M groups, the one headline query that goes super-linear in the scale
