@@ -1381,3 +1381,111 @@ def customer_value_deciles(spark, sf_dir):
         F.min("spend").alias("min_spend"),
         F.max("spend").alias("max_spend"),
     )
+
+
+# -- bounded-iteration PageRank over the part co-purchase graph -------------
+PR_D = 0.85  # damping
+PR_ITERS = 3  # fixed iteration count => deterministic, SQL-expressible
+PR_TOP = 20
+
+
+def _pagerank_oracle() -> str:
+    it = """
+    r{k} AS (
+      SELECT n.part, round((1 - {d}) + {d} * coalesce(s.acc, 0.0), 9) AS pr
+      FROM nodes n LEFT JOIN (
+        SELECT e.dst AS part, sum(r{p}.pr / deg.outdeg) AS acc
+        FROM edges e
+        JOIN r{p} ON r{p}.part = e.src
+        JOIN deg ON deg.part = e.src
+        GROUP BY e.dst
+      ) s ON s.part = n.part
+    )"""
+    rounds = ",".join(
+        it.format(k=k, p=k - 1, d=PR_D) for k in range(1, PR_ITERS + 1)
+    )
+    return f"""
+    WITH pairs AS (
+      SELECT DISTINCT a.l_orderkey, a.l_partkey AS src, b.l_partkey AS dst
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+    ), edges AS (
+      SELECT src, dst FROM pairs GROUP BY src, dst
+    ), nodes AS (
+      SELECT DISTINCT src AS part FROM edges
+    ), deg AS (
+      SELECT src AS part, count(*) AS outdeg FROM edges GROUP BY src
+    ), r0 AS (
+      SELECT part, 1.0 AS pr FROM nodes
+    ), {rounds}
+    SELECT part, pr AS pagerank
+    FROM r{PR_ITERS}
+    ORDER BY pr DESC, part LIMIT {PR_TOP}
+    """
+
+
+@register(
+    "graph_pagerank_parts",
+    oracle=_pagerank_oracle,
+    tags=("graph", "join", "aggregate"),
+)
+def graph_pagerank_parts(spark, sf_dir):
+    """PageRank (damping 0.85, 3 unrolled power iterations) over the part
+    co-purchase graph: parts are nodes, an edge links parts bought in the
+    same order. Iterative graph analytics expressed DECLARATIVELY — each
+    iteration is one equi-join + aggregation Catalyst plans like any
+    other, unrolled a fixed number of times so the result is
+    deterministic and batch-SQL-checkable (the reference has no graph
+    surface at all; the engine's other iterative op, dup_components, runs
+    to convergence with lineage checkpoints — that is the 100 TB pattern
+    to follow when iteration count must be dynamic: localCheckpoint
+    between rounds, one scalar convergence probe per round).
+
+    Scale shape: edges come from within-order pairing (bounded basket
+    fan-out, never corpus-quadratic — same as basket_part_pairs), every
+    iteration shuffles on the SAME key (part id — a real cluster
+    co-partitions once and reuses), the per-iteration contribution rounds
+    to 9 decimals on both engines so fp summation-order differences
+    cannot compound across iterations, and the top-20 pick is
+    TakeOrderedAndProject."""
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_orderkey").alias("l_orderkey"),
+            F.col("a.l_partkey").alias("src"),
+            F.col("b.l_partkey").alias("dst"),
+        )
+        .distinct()
+    )
+    edges = pairs.select("src", "dst").distinct()
+    nodes = edges.select(F.col("src").alias("part")).distinct()
+    deg = edges.groupBy(F.col("src").alias("part")).agg(
+        F.count("*").alias("outdeg")
+    )
+    rank = nodes.select("part", F.lit(1.0).alias("pr"))
+    for _ in range(PR_ITERS):
+        contrib = (
+            edges.join(rank, edges.src == rank.part)
+            .join(deg, edges.src == deg.part)
+            .groupBy(F.col("dst").alias("part"))
+            .agg(F.sum(F.col("pr") / F.col("outdeg")).alias("acc"))
+        )
+        rank = nodes.join(contrib, "part", "left").select(
+            "part",
+            F.round(
+                F.lit(1 - PR_D) + F.lit(PR_D) * F.coalesce("acc", F.lit(0.0)),
+                9,
+            ).alias("pr"),
+        )
+    return (
+        rank.orderBy(F.desc("pr"), F.asc("part"))
+        .limit(PR_TOP)
+        .select("part", F.col("pr").alias("pagerank"))
+    )

@@ -470,6 +470,15 @@ def test_token_budget_window_keyed_by_source(q):
     assert "CartesianProduct" not in p
 
 
+def test_pagerank_iterations_are_equi_joins(q):
+    """Every unrolled PageRank iteration must shuffle on the part key via
+    equi-joins — the within-order pairing is an equi-join on l_orderkey
+    with a residual !=, never a cartesian; top-20 never global-sorts."""
+    p = q("graph_pagerank_parts")
+    assert "CartesianProduct" not in p
+    assert "TakeOrderedAndProject" in p
+
+
 # Queries where a BroadcastNestedLoopJoin is INTENTIONAL: a one-row (or
 # query-set-sized) frame — global totals, decile boundaries, corpus stats,
 # calendar bounds, the ANN query set — broadcast against the big side.
