@@ -180,6 +180,12 @@ class _BucketedState:
         # filesystem — a per-commit walk of historic chain dirs is a LIST
         # storm on an object store.
         self.sizes: dict[tuple[int, int], int] = {}
+        # highest micro-batch epoch ever committed (persisted in the
+        # manifest, restored by recover): foreachBatch re-delivers the
+        # in-flight epoch after a restart, and re-applying it would
+        # double-count additive merges — the guard makes commits
+        # exactly-once per epoch.
+        self.last_epoch: int = -1
 
     # -- addressing --------------------------------------------------------
     @property
@@ -262,7 +268,7 @@ class _BucketedState:
             self.sizes[(v, b)] = self._dir_bytes(self._bdir(v, b))
         return self.sizes[(v, b)]
 
-    def commit_delta(self, delta: DataFrame | None) -> int:
+    def commit_delta(self, delta: DataFrame | None, epoch: int | None = None) -> int:
         """Append ``delta`` (this batch's rows, WITH ``_bucket``) as the
         next version. Buckets due for compaction fold chain + delta into
         a fresh single-version base in the same write; every other
@@ -279,7 +285,17 @@ class _BucketedState:
         unchanged since its last touch, so its trigger result cannot have
         flipped (the one exception — a chain left overdue by a config
         change across recovery — just compacts one commit earlier, which
-        the amortized bound absorbs)."""
+        the amortized bound absorbs).
+
+        ``epoch``: the micro-batch id. A commit whose epoch is <= the last
+        committed epoch is a foreachBatch REPLAY (post-restart
+        re-delivery) and is skipped — without this, an additive merge
+        (CDC mode) double-counts the replayed batch. Exactly-once, per
+        epoch, surviving restarts (the epoch rides the manifest)."""
+        if epoch is not None:
+            if epoch <= self.last_epoch:
+                return self.version  # replayed batch: already applied
+            self.last_epoch = epoch
         v = len(self.manifests)
         prev = dict(self.manifests[-1]) if self.manifests else {}
         written: set[int] = set()
@@ -391,6 +407,8 @@ class _BucketedState:
                         for cv in chain
                         if (cv, b) in self.sizes
                     },
+                    # exactly-once guard survives restarts
+                    "epoch": self.last_epoch,
                 },
                 f,
             )
@@ -421,6 +439,10 @@ class _BucketedState:
                         for k, nbytes in (raw.get("sizes") or {}).items():
                             cv, b = k.split(":")
                             self.sizes[(int(cv), int(b))] = int(nbytes)
+                        if raw.get("epoch") is not None:
+                            self.last_epoch = max(
+                                self.last_epoch, int(raw["epoch"])
+                            )
         self.manifests = []
         v = 0
         while v in found:  # highest contiguous prefix = committed history
@@ -642,9 +664,10 @@ class SumView:
         # LSM append: write ONLY the delta rows — no read-modify-write of
         # existing state on the hot path (merge happens on read / at
         # per-bucket compaction), and ONE Spark job per batch (the commit
-        # derives touched buckets from its own write)
+        # derives touched buckets from its own write; replayed epochs are
+        # skipped — exactly-once for the additive CDC merge)
         delta = delta.withColumn("_bucket", self._state.bucket_col())
-        self._state.commit_delta(delta)
+        self._state.commit_delta(delta, epoch=epoch)
 
         # downstream QPUs: recompute derived views over the committed state
         # (None until the first non-empty batch commits a schema — an
@@ -827,8 +850,8 @@ class JoinView:
         # _op=DELETE until their bucket compacts); the coalesce merge
         # resolves per-column last-writer-wins + deletes on read; one
         # Spark job per batch (touched buckets come from the commit's
-        # own write)
-        self._state.commit_delta(delta)
+        # own write); replayed epochs are skipped
+        self._state.commit_delta(delta, epoch=epoch)
         for cb in list(self._subscribers):
             try:
                 cb(delta.drop("_bucket"), epoch)
@@ -953,7 +976,8 @@ class HistoryView:
     # -- state maintenance -------------------------------------------------
     def _on_batch(self, batch: DataFrame, epoch: int) -> None:
         self._state.commit_delta(
-            batch.withColumn("_bucket", self._state.bucket_col())
+            batch.withColumn("_bucket", self._state.bucket_col()),
+            epoch=epoch,
         )
 
     # -- query surface -----------------------------------------------------

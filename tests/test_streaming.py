@@ -530,6 +530,61 @@ def test_jdbc_state_mirror_live_derby(spark, sf_dir, tmp_path):
         _cdc.cleanup(src)
 
 
+def test_lsm_epoch_replay_is_idempotent(spark):
+    """foreachBatch re-delivers the in-flight epoch after a restart; the
+    additive CDC merge would double-count it. The commit's epoch guard
+    must skip a replayed epoch (no version bump, no state change) and
+    accept the next one."""
+    view = SumView(
+        spark, stream=None, group_by="k", agg_attr="new_value",
+        name="t_lsm_replay", mode="cdc", n_buckets=2,
+    )
+    try:
+        b = spark.createDataFrame(
+            [(1, None, 1.0)], "k bigint, old_value double, new_value double"
+        )
+        view._on_cdc_batch(b, 0)
+        v_after_first = view._state.version
+        view._on_cdc_batch(b, 0)  # replay of epoch 0
+        assert view._state.version == v_after_first
+        snap = {r["k"]: r["new_value_sum"] for r in view.snapshot().collect()}
+        assert snap == {1: 1.0}, snap
+        view._on_cdc_batch(b, 1)  # genuinely new epoch applies
+        snap = {r["k"]: r["new_value_sum"] for r in view.snapshot().collect()}
+        assert snap == {1: 2.0}, snap
+    finally:
+        view.stop()
+
+
+def test_lsm_epoch_guard_survives_recovery(spark, tmp_path):
+    """The exactly-once guard must hold ACROSS restarts: a recovered state
+    remembers the last committed epoch (it rides the manifest) and still
+    rejects a replay of it."""
+    from proteus_spark.streaming.views import _AddMerge, _BucketedState
+
+    root = str(tmp_path / "state")
+    st = _BucketedState(
+        spark, root, key="k", merge=_AddMerge(sum_col="v"), n_buckets=2
+    )
+    d = spark.createDataFrame([(1, 1.0)], "k bigint, v double").withColumn(
+        "_bucket", st.bucket_col()
+    )
+    st.commit_delta(d, epoch=0)
+    st.commit_delta(d, epoch=1)
+
+    st2 = _BucketedState(
+        spark, root, key="k", merge=_AddMerge(sum_col="v"), n_buckets=2
+    )
+    assert st2.recover() == st.version
+    assert st2.last_epoch == 1
+    v_before = st2.version
+    st2.commit_delta(d, epoch=1)  # replay after restart: skipped
+    assert st2.version == v_before
+    st2.commit_delta(d, epoch=2)  # next epoch applies
+    got = {r["k"]: r["v"] for r in st2.read().drop("_bucket").collect()}
+    assert got == {1: 3.0}, got
+
+
 def test_lsm_uniform_delta_writes_o_delta_bytes(spark):
     """The failure the bucket-REWRITE design had: a uniform 1000-key delta
     touches every bucket, and rewriting touched buckets meant rewriting
