@@ -68,6 +68,7 @@ def brute_force_topk(
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    metric: str = "cosine",
 ) -> DataFrame:
     """Exact top-k neighbors per query: (qid, nid, sim, rank).
 
@@ -75,7 +76,14 @@ def brute_force_topk(
     corpus partition scores its rows against every query independently —
     the per-query ranking is two-phase (see ``_two_phase_topk``), so no
     single task ever sorts a corpus-sized row set.
+
+    ``metric``: 'cosine' (angle — dedup/retrieval over normalized text
+    embeddings) or 'dot' (maximum inner product — the scoring mode of
+    recommender / reward models where vector MAGNITUDE carries signal;
+    ranking differs from cosine whenever norms vary).
     """
+    if metric not in ("cosine", "dot"):
+        raise ValueError(f"unknown metric: {metric}")
     # norms are projected BEFORE the join: an array fold inlined into the
     # similarity expression is re-evaluated per (row x query) pair, so the
     # corpus-side norm would be folded |queries| times per row. Same fold
@@ -90,16 +98,11 @@ def brute_force_topk(
         F.col(vec_col).alias("nvec"),
         norm(F.col(vec_col)).alias("nnorm"),
     )
-    scored = (
-        v.join(F.broadcast(q), F.col("nid") != F.col("qid"))
-        .withColumn(
-            "sim",
-            F.round(
-                dot(F.col("qvec"), F.col("nvec"))
-                / (F.col("qnorm") * F.col("nnorm")),
-                6,
-            ),
-        )
+    raw = dot(F.col("qvec"), F.col("nvec"))
+    if metric == "cosine":
+        raw = raw / (F.col("qnorm") * F.col("nnorm"))
+    scored = v.join(F.broadcast(q), F.col("nid") != F.col("qid")).withColumn(
+        "sim", F.round(raw, 6)
     )
     return _two_phase_topk(scored, k)
 

@@ -666,6 +666,49 @@ def llm_sim_bruteforce(spark, sf_dir):
     return S.brute_force_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
 
 
+def _mips_oracle() -> str:
+    # corpus side carries a deterministic per-id magnitude (the testdata
+    # embeddings are unit-norm, which would make MIPS == cosine): the item
+    # 'popularity' weight a recommender's item tower would have learned
+    return f"""
+    WITH q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 10),
+    v AS (SELECT vec_id,
+                 list_transform(embedding,
+                                x -> x * (1 + (vec_id % 7) / 10.0)) AS nvec
+          FROM embeddings),
+    scored AS (
+      SELECT qid, v.vec_id AS nid,
+             round({_dot_sql('qvec', 'nvec')}, 6) AS sim
+      FROM v JOIN q ON v.vec_id != qid)
+    SELECT qid, nid, sim, CAST(rn AS BIGINT) AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn
+          FROM scored)
+    WHERE rn <= 5
+    """
+
+
+@register("llm_sim_mips", oracle=_mips_oracle, tags=("llm", "similarity"))
+def llm_sim_mips(spark, sf_dir):
+    """Maximum-inner-product top-5 per query (vec_id < 10): the retrieval
+    mode of recommender / reward-model scoring, where vector MAGNITUDE
+    carries signal. The testdata embeddings are unit-norm, so the corpus
+    side is given a deterministic per-id magnitude (1 + id%7/10 — the
+    popularity weight an item tower would have learned); the resulting
+    ranking genuinely differs from the cosine brute force. Same two-phase
+    broadcast-queries scan (norm-augmentation reduces MIPS to cosine for
+    the LSH scale path: append sqrt(M^2 - |v|^2) as an extra dim and
+    reuse srp_banded as-is)."""
+    emb = load(spark, sf_dir, "embeddings")
+    w = F.lit(1.0) + (F.col("vec_id") % 7) / F.lit(10.0)
+    corpus = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x * w).alias("embedding"),
+    )
+    return S.brute_force_topk(
+        corpus, emb.filter(F.col("vec_id") < 10), k=5, metric="dot"
+    )
+
+
 def _ivf_oracle() -> str:
     cos_vc = _cos_sql("vec", "cvec")
     cos_qn = _cos_sql("qvec", "nvec")
