@@ -1054,3 +1054,77 @@ def stream_decontaminate(spark, sf_dir):
     finally:
         sh_e.unpersist()
         shutil.rmtree(outdir, ignore_errors=True)
+
+
+@register(
+    "stream_ann_ingest",
+    # oracle = the batch IVF assignment (same centroid rule as llm_sim_ivf:
+    # centroids are the vec_id < 10 vectors; nearest by cosine, tie ->
+    # lowest centroid id)
+    oracle="""
+    WITH c AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+               WHERE vec_id < 10),
+    v AS (SELECT vec_id, embedding AS vec FROM embeddings),
+    scored AS (
+      SELECT v.vec_id, c.cid,
+             round(list_inner_product(v.vec, c.cvec)
+                   / (sqrt(list_inner_product(v.vec, v.vec))
+                      * sqrt(list_inner_product(c.cvec, c.cvec))), 6) AS sim
+      FROM v CROSS JOIN c)
+    SELECT vec_id, CAST(bucket AS BIGINT) AS bucket FROM (
+      SELECT vec_id, cid AS bucket,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY sim DESC, cid) AS rn
+      FROM scored)
+    WHERE rn = 1
+    """,
+    tags=("streaming", "llm", "similarity"),
+)
+def stream_ann_ingest(spark, sf_dir):
+    """Vector-index maintenance ON INGEST: embeddings replayed as 4
+    micro-batches; each batch assigns its vectors to the nearest IVF
+    centroid (broadcast centroid set, codegen cosine) and appends the
+    assignments to the index table — the §2.5 index-delta-maintenance
+    story applied to the vector index, and the shape a live embedding
+    pipeline runs so new vectors are searchable at the NEXT query without
+    any bulk rebuild (IVF bucket search over the table stays valid after
+    every batch). Converged assignment == the batch IVF build (the
+    oracle). Note the oracle's CROSS JOIN is corpus x 10 centroids —
+    bounded fan-out, the standard IVF assignment cost."""
+    import shutil
+    import tempfile
+
+    from proteus_spark.llmops.similarity import ivf_assign
+
+    emb = load(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < 10).cache()
+    centroids.count()  # materialize the (broadcast-sized) centroid set once
+
+    src = cdc.stage_stream(spark, emb, chunks=4)
+    outdir = tempfile.mkdtemp(prefix="proteus_ann_ingest_")
+
+    def on_batch(batch, epoch):
+        ivf_assign(batch, centroids).select("vec_id", "bucket").write.mode(
+            "append"
+        ).parquet(outdir)
+
+    query = (
+        src.subscribe(max_files_per_trigger=1)
+        .writeStream.outputMode("append")
+        .foreachBatch(on_batch)
+        .queryName("stream_ann_ingest")
+        .start()
+    )
+    try:
+        query.processAllAvailable()
+    finally:
+        query.stop()
+        cdc.cleanup(src)
+    try:
+        out = spark.read.parquet(outdir).select(
+            "vec_id", F.col("bucket").cast("long").alias("bucket")
+        )
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        centroids.unpersist()
+        shutil.rmtree(outdir, ignore_errors=True)
