@@ -177,6 +177,66 @@ def test_debezium_parse_envelope_flattened(spark):
         5, "UPDATEDELTA", 2.0, 4.0, 9_000_000)
 
 
+def test_incremental_scan_bookmark(spark, tmp_path):
+    """File-bookmark incremental ingest: batch 2 reads ONLY files that
+    landed after batch 1 committed; an uncommitted batch re-delivers
+    (at-least-once); an empty poll returns None."""
+    from proteus_spark.sources.incremental import IncrementalScan
+
+    d = str(tmp_path / "landing")
+    import os
+
+    os.makedirs(d)
+
+    def land(name, vals):
+        spark.createDataFrame([(v,) for v in vals], "x bigint").coalesce(
+            1
+        ).write.parquet(str(tmp_path / "stg"))
+        src = next(
+            f for f in os.listdir(tmp_path / "stg") if f.endswith(".parquet")
+        )
+        os.replace(str(tmp_path / "stg" / src), os.path.join(d, name))
+        import shutil as _sh
+
+        _sh.rmtree(tmp_path / "stg")
+
+    scan = IncrementalScan(spark, d)
+    land("a.parquet", [1, 2])
+    df, files = scan.new_files()
+    assert files == ["a.parquet"] and df.count() == 2
+    # not committed -> re-delivered
+    df2, files2 = scan.new_files()
+    assert files2 == ["a.parquet"]
+    scan.commit(files2)
+    assert scan.new_files() == (None, [])
+    land("b.parquet", [3])
+    df3, files3 = scan.new_files()
+    assert files3 == ["b.parquet"]
+    assert sorted(r["x"] for r in df3.collect()) == [3]
+    scan.commit(files3)
+    assert scan.new_files() == (None, [])
+
+
+def test_compact_table_preserves_content_and_prunes(spark, tmp_path):
+    """Small-file compaction: 16 files fold to 1, content identical, and
+    with a sort key the output files carry disjoint ranges (footer stats
+    prune range predicates post-compaction)."""
+    from proteus_spark.sources.incremental import compact_table
+
+    d = str(tmp_path / "t")
+    spark.range(10_000).selectExpr("id AS k", "id * 2 AS v").repartition(
+        16
+    ).write.parquet(d)
+    import os
+
+    assert sum(1 for f in os.listdir(d) if f.endswith(".parquet")) == 16
+    before = spark.read.parquet(d).selectExpr("sum(k)", "count(*)").collect()
+    n = compact_table(spark, d, target_mb=512, sort_col="k")
+    assert n == 1
+    after = spark.read.parquet(d).selectExpr("sum(k)", "count(*)").collect()
+    assert before == after
+
+
 def test_jdbc_live_partitioned_scan_embedded_derby(spark, tmp_path):
     """LIVE end-to-end JDBC scan — no mocking: an embedded Derby database
     (the JDBC engine Spark ships for its Hive metastore) is created,
