@@ -1991,3 +1991,44 @@ def llm_token_budget_sample(spark, sf_dir):
         .filter(F.col("cum_tokens") <= BUDGET_FRAC * F.col("_tot"))
         .drop("_tot")
     )
+
+
+@register(
+    "llm_multimodal_png",
+    # closed-form oracle: the synthesized pixel pattern is
+    # (doc_id + 2c + 3x + 5y) % 256 over w = 16 + id%9, h = 12 + id%7, so
+    # per-channel integer sums are computable WITHOUT touching bytes — an
+    # independent end-to-end check of the entire PNG codec path
+    # (zlib inflate + all five scanline-filter reversals).
+    oracle="""
+    WITH dims AS (
+      SELECT doc_id, 16 + doc_id % 9 AS w, 12 + doc_id % 7 AS h
+      FROM documents
+    ), grid AS (
+      SELECT d.doc_id, d.w, d.h, x.i AS x, y.i AS y
+      FROM dims d,
+           unnest(generate_series(0, d.w - 1)) AS x(i),
+           unnest(generate_series(0, d.h - 1)) AS y(i)
+    )
+    SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+           CAST(sum((doc_id + 0 + 3*x + 5*y) % 256) AS BIGINT) AS r_sum,
+           CAST(sum((doc_id + 2 + 3*x + 5*y) % 256) AS BIGINT) AS g_sum,
+           CAST(sum((doc_id + 4 + 3*x + 5*y) % 256) AS BIGINT) AS b_sum
+    FROM grid GROUP BY 1, 2, 3
+    """,
+    tags=("llm", "multimodal"),
+)
+def llm_multimodal_png(spark, sf_dir):
+    """REAL compressed-image codec end-to-end, stdlib only: genuine PNGs
+    (zlib IDAT, CRCed chunks, rows cycling through ALL FIVE scanline
+    filters — None/Sub/Up/Average/Paeth) are synthesized per document and
+    decoded back to exact per-channel pixel sums in Arrow-batched
+    mapInPandas. Unlike the PPM/WAV raw-byte modalities this exercises an
+    entropy-coded format; unlike the stubbed JPEG seams it needs no
+    external library. The oracle recomputes the sums from the generating
+    formula — it never sees the bytes, so a bug anywhere in the codec
+    (compression, chunk framing, filter reversal) hash-fails."""
+    from proteus_spark.llmops.multimodal import png_assets, png_stats
+
+    docs = load(spark, sf_dir, "documents")
+    return png_stats(png_assets(docs))
