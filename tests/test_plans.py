@@ -491,6 +491,7 @@ _BNLJ_OK = {
     "llm_bm25_search",         # broadcast corpus stats (1 row)
     "llm_tfidf_topterms",      # broadcast doc count (1 row)
     "llm_sim_bruteforce",      # broadcast query set vs corpus (by design)
+    "llm_sim_mips",            # broadcast query set vs corpus (by design)
     "llm_sim_ivf",             # broadcast probed-centroid set
     "llm_sim_ivf_nprobe2",     # broadcast probed-centroid set
     "llm_sim_ivf_kmeans",      # broadcast learned-centroid set
