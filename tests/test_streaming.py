@@ -3,6 +3,7 @@ freshness metrics, mock source parity."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from proteus_spark.sources import cdc
@@ -324,6 +325,89 @@ def test_stateful_sessionize_out_of_order_convergence(spark, sf_dir):
         .collect()
     }
     assert final == batch_ans
+
+
+@pytest.mark.parametrize("chunks,mult", [(2, 2654435761), (5, 40503), (6, 2654435761)])
+def test_watermark_lag_model_holds_across_replays(spark, sf_dir, chunks, mult):
+    """The stream_windowed_watermark oracle encodes a MEASURED model of
+    Spark's watermark application: the watermark computed from batch B's
+    event-time stats first filters batch B+2. This property test re-runs
+    the same pipeline under DIFFERENT chunk counts and arrival scrambles
+    and checks the model still predicts the kept set exactly — if a Spark
+    upgrade changes the lag, this fails before the oracle silently
+    drifts."""
+    from pyspark.sql import functions as F
+
+    from proteus_spark.registry import events_with_ts
+    from proteus_spark.sources import cdc as _cdc
+    from proteus_spark.streaming.windows import tumbling_agg_stream
+
+    ev = events_with_ts(spark, sf_dir).select(
+        F.col("ts").cast("timestamp").alias("ts"),
+        "event_type",
+        "value",
+        ((F.col("event_id") * F.lit(mult)) % F.lit(4294967296)).alias("_arr"),
+        "event_id",
+    )
+    src = _cdc.stage_stream(spark, ev, chunks=chunks, order_col="_arr")
+    out = tumbling_agg_stream(
+        src.subscribe(max_files_per_trigger=1),
+        ts_col="ts", window="1 hour", watermark="10 minutes",
+    )
+    rows = []
+    q = (
+        out.writeStream.outputMode("update")
+        .foreachBatch(lambda b, e: rows.extend(
+            (r["window_start"], r["event_type"], r["n"]) for r in b.collect()
+        ))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+        _cdc.cleanup(src)
+    # converged per-(window, type) count = last emission; model predicts it
+    got = {}
+    for w, t, n in rows:
+        got[(w, t)] = n
+
+    import duckdb
+
+    con = duckdb.connect()
+    import os as _os
+
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{_os.path.join(sf_dir, 'events.parquet')}')"
+    )
+    exp = {
+        (w, t): n
+        for w, t, n in con.execute(f"""
+        WITH arr AS (
+          SELECT event_type, epoch_ns(ts) // 1000000 AS ms,
+                 date_trunc('hour', ts) AS wstart,
+                 ntile({chunks}) OVER (
+                   ORDER BY (event_id * {mult}) % 4294967296, event_id
+                 ) AS chunk
+          FROM events
+        ), horizon AS (SELECT chunk, max(ms) AS mx FROM arr GROUP BY chunk),
+        wm AS (
+          SELECT chunk, coalesce(max(mx) OVER (ORDER BY chunk
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 2 PRECEDING) - 600000, 0)
+            AS wm_ms
+          FROM horizon
+        )
+        SELECT strftime(a.wstart, '%Y-%m-%d %H:%M:%S'), a.event_type,
+               CAST(count(*) AS BIGINT)
+        FROM arr a JOIN wm USING (chunk)
+        WHERE epoch_ms(a.wstart + INTERVAL 1 HOUR) > wm.wm_ms
+        GROUP BY 1, 2
+        """).fetchall()
+    }
+    con.close()
+    got_str = {(w.strftime("%Y-%m-%d %H:%M:%S"), t): n for (w, t), n in got.items()}
+    assert got_str == exp
 
 
 def test_watermark_drops_late_events(spark, tmp_path):
