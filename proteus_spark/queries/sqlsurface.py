@@ -1489,3 +1489,52 @@ def graph_pagerank_parts(spark, sf_dir):
         .limit(PR_TOP)
         .select("part", F.col("pr").alias("pagerank"))
     )
+
+
+register_sql(
+    "events_ab_lift",
+    """
+    WITH assigned AS (
+      SELECT user_id,
+             CASE WHEN user_id % 2 = 0 THEN 'treatment' ELSE 'control' END
+               AS arm,
+             CAST(max(CASE WHEN event_type = 'purchase' AND value > 150
+                           THEN 1 ELSE 0 END)
+                  AS BIGINT) AS converted
+      FROM events GROUP BY user_id
+    ), per_arm AS (
+      SELECT arm, CAST(count(*) AS BIGINT) AS n_users,
+             CAST(sum(converted) AS BIGINT) AS n_converted,
+             round(CAST(sum(converted) AS DOUBLE) / count(*), 6)
+               AS conv_rate
+      FROM assigned GROUP BY arm
+    ), wide AS (
+      SELECT max(CASE WHEN arm = 'treatment' THEN conv_rate END) AS p_t,
+             max(CASE WHEN arm = 'control' THEN conv_rate END) AS p_c,
+             max(CASE WHEN arm = 'treatment' THEN n_users END) AS n_t,
+             max(CASE WHEN arm = 'control' THEN n_users END) AS n_c,
+             max(CASE WHEN arm = 'treatment' THEN n_converted END) AS c_t,
+             max(CASE WHEN arm = 'control' THEN n_converted END) AS c_c
+      FROM per_arm
+    )
+    SELECT n_t, n_c, c_t, c_c,
+           round(p_t, 6) AS rate_treatment,
+           round(p_c, 6) AS rate_control,
+           round(p_t - p_c, 6) AS abs_lift,
+           round((p_t - p_c) /
+                 sqrt(CAST(c_t + c_c AS DOUBLE) / (n_t + n_c)
+                      * (1 - CAST(c_t + c_c AS DOUBLE) / (n_t + n_c))
+                      * (CAST(1 AS DOUBLE) / n_t
+                         + CAST(1 AS DOUBLE) / n_c)), 6) AS z_score
+    FROM wide
+    """,
+    tags=("aggregate", "analytics"),
+    doc="A/B-test lift analysis: deterministic hash assignment (user_id "
+    "parity stands in for the assignment hash), per-arm conversion "
+    "rates (conversion = any purchase over 150), absolute lift, and the "
+    "two-proportion pooled z-score — the "
+    "experimentation readout every event pipeline serves. Two "
+    "aggregations (per-user collapse, per-arm rollup) and a one-row "
+    "final projection; the per-user collapse combines map-side and the "
+    "arm rollup is 2 groups, so the plan is scan-bound at any scale.",
+)
