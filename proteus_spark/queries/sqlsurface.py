@@ -1451,29 +1451,35 @@ def graph_pagerank_parts(spark, sf_dir):
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     a = li.alias("a")
     b = li.alias("b")
-    pairs = (
+    # edge table is CACHED: all three iterations (plus deg/nodes) re-read
+    # it, and without the cache each iteration replays the lineitem
+    # self-join + distinct (measured at sf0.1: 7.6s -> ~3s best-of-2). The
+    # distinct edge set is part-pair-sized — far smaller than lineitem —
+    # so the cache is cheap; bench clears caches between runs. On a real
+    # cluster this is where localCheckpoint also truncates iteration
+    # lineage (see dup_components).
+    edges = (
         a.join(
             b,
             (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
             & (F.col("a.l_partkey") != F.col("b.l_partkey")),
         )
         .select(
-            F.col("a.l_orderkey").alias("l_orderkey"),
             F.col("a.l_partkey").alias("src"),
             F.col("b.l_partkey").alias("dst"),
         )
         .distinct()
+        .cache()
     )
-    edges = pairs.select("src", "dst").distinct()
-    nodes = edges.select(F.col("src").alias("part")).distinct()
-    deg = edges.groupBy(F.col("src").alias("part")).agg(
-        F.count("*").alias("outdeg")
-    )
+    nodes = edges.select(F.col("src").alias("part")).distinct().cache()
+    # outdeg folds INTO the cached edge table once — saves a join per
+    # iteration (every iteration then needs exactly one join + one agg)
+    deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    edges_w = edges.join(deg, "src").cache()
     rank = nodes.select("part", F.lit(1.0).alias("pr"))
     for _ in range(PR_ITERS):
         contrib = (
-            edges.join(rank, edges.src == rank.part)
-            .join(deg, edges.src == deg.part)
+            edges_w.join(rank, edges_w.src == rank.part)
             .groupBy(F.col("dst").alias("part"))
             .agg(F.sum(F.col("pr") / F.col("outdeg")).alias("acc"))
         )
