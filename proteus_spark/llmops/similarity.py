@@ -354,7 +354,12 @@ def pq_train(emb: DataFrame, m: int = PQ_M, k: int = PQ_K, seed: int = 42):
     from pyspark.ml.functions import array_to_vector
 
     emb = emb.select("vec_id", _unit(F.col("embedding")).alias("embedding"))
-    dim = len(emb.select("embedding").first()[0])
+    head = emb.select("embedding").first()
+    if head is None:
+        # an empty TRAINING corpus is a pipeline bug upstream — surface it
+        # as a clear error, not a cryptic NoneType subscript
+        raise ValueError("pq_train: cannot train codebooks on an empty corpus")
+    dim = len(head[0])
     sub = dim // m
     # cap codes to corpus size (tiny fixtures): k clusters need >= k points,
     # and k ~ n/8 keeps each code cell populated enough to mean something

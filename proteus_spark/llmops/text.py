@@ -604,6 +604,12 @@ def pack_sequences(docs: DataFrame, budget: int = PACK_BUDGET) -> DataFrame:
     )
     par = docs.sparkSession.sparkContext.defaultParallelism
     lo, hi = toks.agg(F.min("doc_id"), F.max("doc_id")).collect()[0]
+    if lo is None:  # empty corpus: nothing to pack
+        return toks.select(
+            "doc_id", "n_tokens",
+            F.lit(0).cast("long").alias("tok_offset"),
+            F.lit(0).cast("long").alias("bin_id"),
+        )
     width = max(1, (int(hi) - int(lo)) // par + 1)
     bucket = F.floor((F.col("doc_id") - F.lit(int(lo))) / width).cast("int")
     r = toks.withColumn("_pid", bucket)

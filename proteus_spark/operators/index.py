@@ -185,6 +185,14 @@ class ZOrderIndex2D:
         self.attr_a, self.attr_b, self.key, self.path = attr_a, attr_b, key, path
         self.a_bounds, self.b_bounds, self.bits = a_bounds, b_bounds, bits
         self._spark = df.sparkSession
+        # remember the stored schema: an EMPTY build writes no partition
+        # dirs, and a schema-less read of that dir fails inference instead
+        # of returning the empty relation the caller expects
+        from pyspark.sql import types as _T
+
+        self._schema = _T.StructType(
+            list(df.schema.fields) + [_T.StructField(self.Z_COL, _T.LongType())]
+        )
         z = self._interleave(
             self._code(F.col(attr_a), a_bounds), self._code(F.col(attr_b), b_bounds)
         )
@@ -232,7 +240,7 @@ class ZOrderIndex2D:
                 for j in range(self._cell(b_lb, self.b_bounds), self._cell(b_ub, self.b_bounds) + 1)
             }
         )
-        df = self._spark.read.parquet(self.path)
+        df = self._spark.read.schema(self._schema).parquet(self.path)
         out = df.filter(F.col(self.Z_COL).isin(zs)).filter(
             (F.col(self.attr_a) >= a_lb)
             & (F.col(self.attr_a) < a_ub)

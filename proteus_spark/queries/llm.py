@@ -820,6 +820,10 @@ def llm_sim_ivf_kmeans(spark, sf_dir):
     from pyspark.ml.functions import array_to_vector, vector_to_array
 
     emb = load(spark, sf_dir, "embeddings")
+    if emb.isEmpty():
+        raise ValueError(
+            "llm_sim_ivf_kmeans: cannot train a quantizer on an empty corpus"
+        )
     feats = emb.select(
         "vec_id", array_to_vector(F.col("embedding").cast("array<double>")).alias("features")
     )
