@@ -2036,3 +2036,109 @@ def llm_multimodal_png(spark, sf_dir):
 
     docs = load(spark, sf_dir, "documents")
     return png_stats(png_assets(docs))
+
+
+def _excise_oracle() -> str:
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), wins AS (
+      SELECT doc_id, i, array_to_string(t[i:i+{SUBSTR_W - 1}], ' ') AS w
+      FROM toks, unnest(
+        CASE WHEN len(t) >= {SUBSTR_W}
+             THEN generate_series(1, len(t) - {SUBSTR_W - 1}, {SUBSTR_S})
+             ELSE []::BIGINT[] END) AS g(i)
+    ), dup AS (
+      SELECT w FROM wins GROUP BY w HAVING count(DISTINCT doc_id) >= 2
+    ), dstart AS (
+      SELECT wins.doc_id, wins.i FROM wins JOIN dup ON wins.w = dup.w
+    ), tokpos AS (
+      SELECT doc_id, t[g.pos] AS tok, g.pos
+      FROM toks, unnest(generate_series(1, len(t))) AS g(pos)
+    ), kept AS (
+      SELECT tp.doc_id, tp.tok, tp.pos
+      FROM tokpos tp
+      WHERE NOT EXISTS (
+        SELECT 1 FROM dstart d
+        WHERE d.doc_id = tp.doc_id
+          AND tp.pos BETWEEN d.i AND d.i + {SUBSTR_W - 1})
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
+           coalesce(k.clean_hash, md5('')) AS clean_hash
+    FROM documents d LEFT JOIN (
+      SELECT doc_id, count(*) AS n_kept,
+             md5(string_agg(tok, ' ' ORDER BY pos)) AS clean_hash
+      FROM kept GROUP BY doc_id) k ON k.doc_id = d.doc_id
+    """
+
+
+@register(
+    "llm_dedup_excise",
+    oracle=_excise_oracle,
+    tags=("llm", "dedup"),
+)
+def llm_dedup_excise(spark, sf_dir):
+    """Exact-substring EXCISION — the apply step after
+    ``llm_dedup_exact_substring``'s detection: tokens covered by any
+    cross-document duplicated window are CUT from the document (Lee et
+    al.'s remedy: remove the repeated span, keep the unique remainder,
+    instead of dropping whole documents). Output is (doc_id, n_kept,
+    clean_hash) with the cleaned text shipped as a digest.
+
+    Scale shape: the duplicated-window starts per doc collapse to one
+    SMALL array column (windows are strided, so |starts| <= n_tokens/10),
+    and the cut itself is a codegen array filter — position t survives
+    iff no flagged window covers it — with zero extra shuffle beyond the
+    detection pass the query shares with exact_substring."""
+    docs = load(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    starts = F.sequence(
+        F.lit(1), F.size(toks) - (SUBSTR_W - 1), F.lit(SUBSTR_S)
+    )
+    wins = docs.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size(toks) >= SUBSTR_W,
+                F.transform(
+                    starts,
+                    lambda i: F.struct(
+                        i.alias("i"),
+                        F.concat_ws(" ", F.slice(toks, i, SUBSTR_W)).alias("w"),
+                    ),
+                ),
+            ).otherwise(F.array().cast("array<struct<i:int,w:string>>"))
+        ).alias("_s"),
+    ).select("doc_id", "_s.i", "_s.w")
+    dup = (
+        wins.groupBy("w")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("w")
+    )
+    dstarts = (
+        wins.join(dup, "w")
+        .groupBy("doc_id")
+        .agg(F.collect_set("i").alias("_cut"))
+    )
+    joined = docs.join(dstarts, "doc_id", "left").select(
+        "doc_id",
+        toks.alias("_t"),
+        F.coalesce("_cut", F.array().cast("array<int>")).alias("_cut"),
+    )
+    # position pos (1-based) survives iff NO flagged window [s, s+W-1]
+    # covers it — a pure codegen array filter, no shuffle
+    kept = F.filter(
+        "_t",
+        lambda tok, idx: ~F.exists(
+            "_cut",
+            lambda s: (F.lit(idx) + 1 >= s)
+            & (F.lit(idx) + 1 <= s + F.lit(SUBSTR_W - 1)),
+        ),
+    )
+    return joined.select(
+        "doc_id",
+        F.size(kept).cast("long").alias("n_kept"),
+        F.md5(F.encode(F.concat_ws(" ", kept), "utf-8")).alias("clean_hash"),
+    )
