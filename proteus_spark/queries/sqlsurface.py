@@ -1546,3 +1546,54 @@ register_sql(
     "final projection; the per-user collapse combines map-side and the "
     "arm rollup is 2 groups, so the plan is scan-bound at any scale.",
 )
+
+
+register_sql(
+    "dq_profile_orders",
+    """
+    WITH base AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(count(o_custkey) AS BIGINT) AS nn_custkey,
+             CAST(count(DISTINCT o_custkey) AS BIGINT) AS nd_custkey,
+             CAST(count(o_orderstatus) AS BIGINT) AS nn_status,
+             CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS nd_status,
+             CAST(count(o_totalprice) AS BIGINT) AS nn_price,
+             CAST(count(DISTINCT o_totalprice) AS BIGINT) AS nd_price,
+             round(min(o_totalprice), 4) AS min_price,
+             round(max(o_totalprice), 4) AS max_price,
+             CAST(count(o_orderdate) AS BIGINT) AS nn_date,
+             CAST(count(DISTINCT o_orderdate) AS BIGINT) AS nd_date,
+             CAST(year(min(o_orderdate)) * 10000
+                  + month(min(o_orderdate)) * 100
+                  + day(min(o_orderdate)) AS DOUBLE) AS min_date,
+             CAST(year(max(o_orderdate)) * 10000
+                  + month(max(o_orderdate)) * 100
+                  + day(max(o_orderdate)) AS DOUBLE) AS max_date
+      FROM orders
+    )
+    SELECT col, n_rows, n_nulls, n_distinct, min_val, max_val FROM (
+      SELECT 'o_custkey' AS col, n_rows, n_rows - nn_custkey AS n_nulls,
+             nd_custkey AS n_distinct,
+             CAST(NULL AS DOUBLE) AS min_val,
+             CAST(NULL AS DOUBLE) AS max_val FROM base
+      UNION ALL
+      SELECT 'o_orderstatus', n_rows, n_rows - nn_status, nd_status,
+             CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE) FROM base
+      UNION ALL
+      SELECT 'o_totalprice', n_rows, n_rows - nn_price, nd_price,
+             min_price, max_price FROM base
+      UNION ALL
+      SELECT 'o_orderdate', n_rows, n_rows - nn_date, nd_date,
+             min_date, max_date FROM base
+    )
+    """,
+    tags=("dq", "aggregate"),
+    doc="Table profile — the pre-flight every pipeline runs before "
+    "trusting a new drop: per-column row/null/distinct counts plus "
+    "min/max for the ordered columns, computed in ONE aggregation pass "
+    "over the table (the unpivot to one-row-per-column happens on the "
+    "single profile row, not the data). Count-distinct aggregates "
+    "expand to one pass per distinct-column set under Spark's expand "
+    "operator — still a single scan; at extreme widths swap in "
+    "approx_count_distinct per column to collapse the expansion.",
+)

@@ -470,6 +470,21 @@ def test_token_budget_window_keyed_by_source(q):
     assert "CartesianProduct" not in p
 
 
+def test_q21_semi_anti_self_joins(q):
+    """Q21's canonical shape: the 'another supplier also shipped' /
+    'no other supplier was late' conditions are a LeftSemi and a LeftAnti
+    lineitem self-join — set-membership joins that never duplicate probe
+    rows — feeding one partial+final count aggregation and a top-100
+    TakeOrderedAndProject. A correlated-subquery rewrite that degenerated
+    into per-row re-scans (or a cartesian) fails here."""
+    p = q("tpch_q21")
+    assert "LeftSemi" in p
+    assert "LeftAnti" in p
+    assert "CartesianProduct" not in p
+    assert "TakeOrderedAndProject" in p
+    assert "partial_count" in p
+
+
 def test_pagerank_iterations_are_equi_joins(q):
     """Every unrolled PageRank iteration must shuffle on the part key via
     equi-joins — the within-order pairing is an equi-join on l_orderkey
