@@ -563,6 +563,7 @@ class SumView:
         derived: dict[str, Callable[[DataFrame], DataFrame]] | None = None,
         n_buckets: int = 32,
         retain: int = 8,
+        root: str | None = None,
     ):
         self.spark = spark
         self.name = name
@@ -572,7 +573,14 @@ class SumView:
         self.mode = mode
         self.derived = derived or {}
         self._stream = stream
-        self._root = tempfile.mkdtemp(prefix=f"proteus_view_{name}_")
+        # ``root``: pin the state+checkpoint location so the view can be
+        # STOPPED AND RESTARTED in place — the new instance recovers the
+        # LSM manifest (including the exactly-once epoch high-water mark)
+        # and Spark's checkpoint resumes the source offsets; a batch that
+        # committed to state but not to the offset log is re-delivered and
+        # deduped by the epoch guard. Default: fresh temp dir per view.
+        self._root = root or tempfile.mkdtemp(prefix=f"proteus_view_{name}_")
+        os.makedirs(self._root, exist_ok=True)
         self._ckpt = os.path.join(self._root, "_checkpoint")
         # append mode: update-mode agg emits NEW totals -> latest row wins;
         # cdc mode: raw contributions -> running sum (commutative)
@@ -585,6 +593,8 @@ class SumView:
             spark, self._root, key=group_by, merge=merge,
             n_buckets=n_buckets, retain=retain,
         )
+        if root is not None:
+            self._state.recover()
         self._retain = retain
         self._snap_lock = threading.Lock()
         self._snap_cache = None
