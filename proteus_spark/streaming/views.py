@@ -792,19 +792,24 @@ class JoinView:
         defaults: dict[str, float] | None = None,
         n_buckets: int = 32,
         retain: int = 8,
+        root: str | None = None,
     ):
         self.spark = spark
         self.name = name
         self.key = key
         self.defaults = defaults or {}
         self._stream = left.unionByName(right, allowMissingColumns=True)
-        self._root = tempfile.mkdtemp(prefix=f"proteus_view_{name}_")
+        # root pins state+checkpoint for restart-in-place (see SumView)
+        self._root = root or tempfile.mkdtemp(prefix=f"proteus_view_{name}_")
+        os.makedirs(self._root, exist_ok=True)
         self._ckpt = os.path.join(self._root, "_checkpoint")
         self._state = _BucketedState(
             spark, self._root, key=key,
             merge=_CoalesceMerge(defaults=self.defaults),
             n_buckets=n_buckets, retain=retain,
         )
+        if root is not None:
+            self._state.recover()
         self._subscribers: list[Callable[[DataFrame, int], None]] = []
         self._snap_lock = threading.Lock()
         self._snap_cache = None
@@ -946,6 +951,7 @@ class HistoryView:
         name: str = "history_view",
         n_buckets: int = 32,
         retain: int = 8,
+        root: str | None = None,
     ):
         self.spark = spark
         self.name = name
@@ -953,12 +959,16 @@ class HistoryView:
         self.order_col = order_col
         self.id_col = id_col
         self._stream = stream
-        self._root = tempfile.mkdtemp(prefix=f"proteus_view_{name}_")
+        # root pins state+checkpoint for restart-in-place (see SumView)
+        self._root = root or tempfile.mkdtemp(prefix=f"proteus_view_{name}_")
+        os.makedirs(self._root, exist_ok=True)
         self._ckpt = os.path.join(self._root, "_checkpoint")
         self._state = _BucketedState(
             spark, self._root, key=key, merge=_DistinctMerge(),
             n_buckets=n_buckets, retain=retain,
         )
+        if root is not None:
+            self._state.recover()
         self._query = None
 
     # -- lifecycle ---------------------------------------------------------
