@@ -671,6 +671,72 @@ def test_view_restart_resumes_and_converges(spark, sf_dir, tmp_path):
         cdc.cleanup(src)
 
 
+def test_join_view_restart_resumes_and_converges(spark, sf_dir, tmp_path):
+    """JoinView restart-in-place: kill the two-stream keyed-merge view
+    after at least one commit, rebuild over the same root, and the
+    converged snapshot equals the batch merge — the coalesce merge's
+    per-column last-writer state survives the restart."""
+    import time as _time
+
+    from proteus_spark.registry import load as _load
+    from proteus_spark.streaming.views import JoinView
+
+    root = str(tmp_path / "jvroot")
+    orders = _load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    rev = (
+        _load(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_orderkey").alias("o_orderkey"))
+        .agg(F.round(F.sum("l_extendedprice"), 4).alias("revenue"))
+    )
+    src_l = cdc.stage_stream(spark, orders, chunks=3)
+    src_r = cdc.stage_stream(spark, rev, chunks=3)
+
+    def mk_view():
+        return JoinView(
+            spark,
+            src_l.subscribe(max_files_per_trigger=1),
+            src_r.subscribe(max_files_per_trigger=1),
+            key="o_orderkey",
+            name="t_jv_restart",
+            defaults={"o_totalprice": 0.0, "revenue": 0.0},
+            root=root,
+        )
+
+    v1 = mk_view().start()
+    try:
+        deadline = _time.time() + 60
+        while v1._state.version < 1 and _time.time() < deadline:
+            _time.sleep(0.2)
+        assert v1._state.version >= 1
+    finally:
+        v1.stop(cleanup=False)
+
+    v2 = mk_view()
+    assert v2._state.version >= 1
+    v2.start()
+    try:
+        v2.await_catch_up()
+        got = {
+            r["o_orderkey"]: (r["o_totalprice"], round(r["revenue"], 4))
+            for r in v2.snapshot().collect()
+        }
+        exp_rows = (
+            orders.join(rev, "o_orderkey", "full")
+            .select(
+                "o_orderkey",
+                F.coalesce("o_totalprice", F.lit(0.0)).alias("p"),
+                F.round(F.coalesce("revenue", F.lit(0.0)), 4).alias("r"),
+            )
+            .collect()
+        )
+        exp = {r["o_orderkey"]: (r["p"], r["r"]) for r in exp_rows}
+        assert got == exp
+    finally:
+        v2.stop()
+        cdc.cleanup(src_l)
+        cdc.cleanup(src_r)
+
+
 def test_lsm_epoch_replay_is_idempotent(spark):
     """foreachBatch re-delivers the in-flight epoch after a restart; the
     additive CDC merge would double-count it. The commit's epoch guard
