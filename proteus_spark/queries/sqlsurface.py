@@ -1597,3 +1597,80 @@ register_sql(
     "operator — still a single scan; at extreme widths swap in "
     "approx_count_distinct per column to collapse the expansion.",
 )
+
+
+_ATTR_WINDOW_NS = 7 * 24 * 3600 * 1_000_000_000  # 7-day lookback
+
+
+@register(
+    "events_attribution",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, event_type, value, epoch_ns(ts) AS ns, event_id
+      FROM events
+    ), w AS (
+      SELECT *,
+             last_value(CASE WHEN event_type <> 'purchase'
+                             THEN event_type END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ns, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS touch,
+             last_value(CASE WHEN event_type <> 'purchase'
+                             THEN ns END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ns, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS touch_ns
+      FROM e)
+    SELECT CASE WHEN touch IS NOT NULL
+                 AND ns - touch_ns <= {_ATTR_WINDOW_NS}
+                THEN touch ELSE 'direct' END AS channel,
+           CAST(count(*) AS BIGINT) AS n_purchases,
+           round(sum(value), 4) AS attributed_revenue
+    FROM w WHERE event_type = 'purchase' GROUP BY 1
+    """,
+    tags=("events", "window", "analytics"),
+)
+def events_attribution(spark, sf_dir):
+    """Last-touch revenue attribution: each purchase credits the user's
+    most recent preceding non-purchase touch within a 7-day lookback
+    (older or absent -> 'direct') — the marketing readout between funnel
+    counting and A/B lift. One bounded per-user window pass (last non-null
+    over rows-preceding — never a self-join per purchase) + a 5-group
+    rollup; deterministic under the (ts, event_id) tie-break."""
+    from pyspark.sql.window import Window
+
+    ev = events_with_ts(spark, sf_dir).select(
+        "user_id", "event_type", "value", "ts_ns", "event_id"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_ns", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.last(
+        F.when(F.col("event_type") != "purchase", F.col("event_type")),
+        ignorenulls=True,
+    ).over(w)
+    touch_ns = F.last(
+        F.when(F.col("event_type") != "purchase", F.col("ts_ns")),
+        ignorenulls=True,
+    ).over(w)
+    attributed = (
+        ev.withColumn("_touch", touch)
+        .withColumn("_touch_ns", touch_ns)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.when(
+                F.col("_touch").isNotNull()
+                & (F.col("ts_ns") - F.col("_touch_ns") <= _ATTR_WINDOW_NS),
+                F.col("_touch"),
+            )
+            .otherwise(F.lit("direct"))
+            .alias("channel"),
+            "value",
+        )
+    )
+    return attributed.groupBy("channel").agg(
+        F.count("*").cast("long").alias("n_purchases"),
+        F.round(F.sum("value"), 4).alias("attributed_revenue"),
+    )
