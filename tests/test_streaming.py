@@ -614,6 +614,43 @@ def test_jdbc_state_mirror_live_derby(spark, sf_dir, tmp_path):
         _cdc.cleanup(src)
 
 
+def test_stage_files_orders_frames_by_mtime(spark):
+    """stage_files' contract: all of frame i's files carry strictly
+    earlier mtimes than frame i+1's, so an mtime-ordered file source
+    replays frames in list order — the invariant tombstone-last staging
+    depends on."""
+    import os
+
+    frames = [
+        spark.createDataFrame([(1, "a")], "k bigint, v string").coalesce(1),
+        spark.createDataFrame([(2, "b"), (3, "c")], "k bigint, v string")
+        .repartition(2),
+        spark.createDataFrame([(4, "d")], "k bigint, v string").coalesce(1),
+    ]
+    src = cdc.stage_files(spark, frames)
+    try:
+        files = sorted(
+            f for f in os.listdir(src.path) if f.endswith(".parquet")
+        )
+        # file names encode the frame index; mtimes must be monotone in it
+        mtimes = [
+            (f.split("_")[0], os.path.getmtime(os.path.join(src.path, f)))
+            for f in files
+        ]
+        by_frame: dict = {}
+        for frame_id, mt in mtimes:
+            by_frame.setdefault(frame_id, []).append(mt)
+        ordered = sorted(by_frame)
+        assert len(ordered) == 3
+        for earlier, later in zip(ordered, ordered[1:]):
+            assert max(by_frame[earlier]) < min(by_frame[later])
+        # and the staged data round-trips completely
+        got = sorted(r["k"] for r in spark.read.parquet(src.path).collect())
+        assert got == [1, 2, 3, 4]
+    finally:
+        cdc.cleanup(src)
+
+
 def test_view_restart_resumes_and_converges(spark, sf_dir, tmp_path):
     """Full restart honesty, end-to-end: a CDC sum view is KILLED midway
     through its replay, then a fresh instance over the SAME root recovers
