@@ -63,15 +63,21 @@ def main() -> None:
         # means contention, not a plan change). Caches are cleared between
         # queries so no run benefits from a predecessor's materialized
         # state.
+        # One UNTIMED warm-up run first: per-query codegen class-loading,
+        # JIT, and page-cache effects contaminated round-4's flagship
+        # number (ref_lobsters_topk runs [6.48, 2.46, 1.62] still falling
+        # at best-of-3 cutoff while r3 measured 0.89). The warm-up absorbs
+        # first-execution costs; the 3 timed runs then measure the plan.
         runs = []
-        for _ in range(3):
+        for i in range(4):
             spark.catalog.clearCache()
             t0 = time.perf_counter()
             df = fns[name](spark, sf_dir)
             # noop sink forces full evaluation of every output column
             # (count() alone would let Catalyst prune the projection).
             df.write.mode("overwrite").format("noop").save()
-            runs.append(time.perf_counter() - t0)
+            if i > 0:
+                runs.append(time.perf_counter() - t0)
         timings[name] = round(min(runs), 4)
         all_runs[name] = [round(r, 4) for r in runs]
         print(
@@ -186,6 +192,14 @@ def _parity_metrics_inner(spark, sf_dir: str) -> dict:
             "batches": report.get("batches"),
             "rows": report.get("rows"),
             "staleness": staleness_report(live),
+            # The view runs the DEFAULT micro-batch trigger (no interval):
+            # notification latency == batch processing time (4-chunk file
+            # replay + LSM commit), so p50 tracks host speed, not a
+            # configured cadence. Measured band across rounds 2-4:
+            # 2045 / 2338 / 2306 ms. Treat p50 inside [1700, 2700] as
+            # cadence noise; outside it as a real freshness change.
+            "trigger": "default micro-batch (no processingTime interval)",
+            "expected_p50_band_ms": [1700, 2700],
         }
     except Exception as exc:  # parity metrics must never fail the bench
         return {"error": str(exc)[:200]}

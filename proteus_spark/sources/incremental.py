@@ -85,7 +85,14 @@ def compact_table(
     footer min/max stats prune range predicates post-compaction (the
     poor-man's OPTIMIZE ... ZORDER for the 1-D case; the 2-D Morton
     variant lives in operators/index.py). Content is preserved exactly;
-    the swap is write-to-scratch + atomic directory replace."""
+    the swap is write-to-scratch + atomic directory replace.
+
+    Only data files (``*.parquet``, ``_SUCCESS``) participate in the swap —
+    sidecars such as IncrementalScan's ``_bookmark.json`` stay in place.
+    Note that compaction rewrites file NAMES: a scan bookmarking this
+    directory will re-deliver the rewritten files as new. Either compact
+    only directories no IncrementalScan is bookmarking, or ``commit()`` the
+    post-compaction file list to the bookmark before the next poll."""
     df = spark.read.parquet(path)
     total = sum(
         os.path.getsize(os.path.join(path, f))
@@ -102,7 +109,9 @@ def compact_table(
     out.write.mode("overwrite").parquet(scratch)
     old = tempfile.mkdtemp(prefix="proteus_compact_old_")
     for f in os.listdir(path):
-        shutil.move(os.path.join(path, f), os.path.join(old, f))
+        # swap only data files; sidecars (_bookmark.json etc.) stay put
+        if f.endswith(".parquet") or f == "_SUCCESS" or f.endswith(".crc"):
+            shutil.move(os.path.join(path, f), os.path.join(old, f))
     for f in os.listdir(scratch):
         shutil.move(os.path.join(scratch, f), os.path.join(path, f))
     shutil.rmtree(old, ignore_errors=True)

@@ -81,11 +81,18 @@ class JDBCStateMirror:
         )
         con = self._connect()
         try:
-            con.createStatement().executeUpdate(
-                f'CREATE TABLE "{self.table}" ({cols})'
-            )
-        except Exception:
-            pass  # table exists — idempotent across restarts
+            # Idempotent across restarts — but only the table-already-exists
+            # case is benign. Check existence via DatabaseMetaData first so a
+            # genuine failure (bad URL, permissions, unmappable type) raises
+            # HERE instead of surfacing later as a confusing MERGE error.
+            meta = con.getMetaData()
+            rs = meta.getTables(None, None, self.table, None)
+            exists = rs.next()
+            rs.close()
+            if not exists:
+                con.createStatement().executeUpdate(
+                    f'CREATE TABLE "{self.table}" ({cols})'
+                )
         finally:
             con.close()
         self._created = True

@@ -292,10 +292,8 @@ class _BucketedState:
         re-delivery) and is skipped — without this, an additive merge
         (CDC mode) double-counts the replayed batch. Exactly-once, per
         epoch, surviving restarts (the epoch rides the manifest)."""
-        if epoch is not None:
-            if epoch <= self.last_epoch:
-                return self.version  # replayed batch: already applied
-            self.last_epoch = epoch
+        if epoch is not None and epoch <= self.last_epoch:
+            return self.version  # replayed batch: already applied
         v = len(self.manifests)
         prev = dict(self.manifests[-1]) if self.manifests else {}
         written: set[int] = set()
@@ -374,12 +372,25 @@ class _BucketedState:
             # deleted): keeping the old chain would resurrect them
             m.pop(b, None)
         self.manifests.append(m)
-        self._persist_manifest(v, m)
+        self._persist_manifest(v, m, epoch=epoch)
+        # Advance the exactly-once high-water mark only AFTER the commit's
+        # write + manifest publish succeeded. Advancing it up front would
+        # make a mid-commit failure (transient executor/IO error) followed
+        # by an in-process restart silently SKIP the re-delivered epoch —
+        # the batch would be lost from state, while the durable-recovery
+        # path (fresh object, manifest never persisted) replays correctly.
+        if epoch is not None:
+            self.last_epoch = epoch
         self._evict()
         return v
 
     # -- durability --------------------------------------------------------
-    def _persist_manifest(self, v: int, m: dict[int, tuple[int, ...]]) -> None:
+    def _persist_manifest(
+        self,
+        v: int,
+        m: dict[int, tuple[int, ...]],
+        epoch: int | None = None,
+    ) -> None:
         """Write the version's manifest as a tiny JSON next to the data —
         the state's commit log. Without it the bucket->chain mapping lives
         only in driver memory and a driver restart orphans every committed
@@ -407,8 +418,10 @@ class _BucketedState:
                         for cv in chain
                         if (cv, b) in self.sizes
                     },
-                    # exactly-once guard survives restarts
-                    "epoch": self.last_epoch,
+                    # exactly-once guard survives restarts; this commit's
+                    # epoch rides the manifest even though the in-memory
+                    # high-water mark only advances after the publish
+                    "epoch": self.last_epoch if epoch is None else epoch,
                 },
                 f,
             )

@@ -17,6 +17,16 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# Measured (Spark 4.1): the watermark computed from batch B's event-time
+# stats is first APPLIED as the late filter in batch B+2 — batch B+1 is
+# planned before B's stats commit. This is a Spark-runtime internal, so it
+# lives in exactly one place: the stream_windowed_watermark DuckDB oracle
+# and the cross-replay property test
+# (tests/test_streaming.py::test_watermark_lag_model_holds_across_replays)
+# both derive their window frame from this constant. Re-validate on any
+# Spark version bump — the property test fails first if the lag changes.
+WATERMARK_APPLY_LAG_BATCHES = 2
+
 
 def tumbling_agg_stream(
     stream: DataFrame,

@@ -381,29 +381,21 @@ def test_watermark_lag_model_holds_across_replays(spark, sf_dir, chunks, mult):
         f"CREATE VIEW events AS SELECT * FROM "
         f"read_parquet('{_os.path.join(sf_dir, 'events.parquet')}')"
     )
+    # the kept-set model comes from the SAME helper the registry oracle
+    # uses (one shared WATERMARK_APPLY_LAG_BATCHES constant — ADVICE r4)
+    from proteus_spark.queries.streaming import watermark_kept_cte_sql
+
     exp = {
         (w, t): n
-        for w, t, n in con.execute(f"""
-        WITH arr AS (
-          SELECT event_type, epoch_ns(ts) // 1000000 AS ms,
-                 date_trunc('hour', ts) AS wstart,
-                 ntile({chunks}) OVER (
-                   ORDER BY (event_id * {mult}) % 4294967296, event_id
-                 ) AS chunk
-          FROM events
-        ), horizon AS (SELECT chunk, max(ms) AS mx FROM arr GROUP BY chunk),
-        wm AS (
-          SELECT chunk, coalesce(max(mx) OVER (ORDER BY chunk
-            ROWS BETWEEN UNBOUNDED PRECEDING AND 2 PRECEDING) - 600000, 0)
-            AS wm_ms
-          FROM horizon
-        )
-        SELECT strftime(a.wstart, '%Y-%m-%d %H:%M:%S'), a.event_type,
+        for w, t, n in con.execute(
+            watermark_kept_cte_sql(chunks=chunks, mult=mult)
+            + """
+        SELECT strftime(wstart, '%Y-%m-%d %H:%M:%S'), event_type,
                CAST(count(*) AS BIGINT)
-        FROM arr a JOIN wm USING (chunk)
-        WHERE epoch_ms(a.wstart + INTERVAL 1 HOUR) > wm.wm_ms
+        FROM kept
         GROUP BY 1, 2
-        """).fetchall()
+        """
+        ).fetchall()
     }
     con.close()
     got_str = {(w.strftime("%Y-%m-%d %H:%M:%S"), t): n for (w, t), n in got.items()}
