@@ -599,3 +599,49 @@ def radius_search(
         .filter(F.col("sim") >= threshold)
         .select("qid", "nid", "sim")
     )
+
+
+def mips_banded_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    bits: int = SRP_BITS,
+    bands: int = SRP_BANDS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Banded (LSH-bucketed) maximum-inner-product top-k — the SCALE path
+    for MIPS retrieval (the exact two-phase scan in ``brute_force_topk``
+    with metric='dot' is the recall baseline).
+
+    The classic reduction (Bachrach et al., RecSys'14) appends
+    sqrt(M^2 - |v|^2) to each corpus vector (M = max corpus norm) and a 0
+    to each query, making corpus norms constant so cosine-LSH ranks by
+    inner product. Under the deterministic AXIS-ALIGNED sign projection
+    used throughout this module the reduction simplifies further:
+    positive scaling preserves every coordinate's sign and the augmented
+    dimension is always non-negative (it can contribute no sign bit), so
+    the augmented vector's band signature EQUALS the raw vector's. The
+    implementation therefore bands the (magnitude-carrying) corpus
+    directly, generates candidates from a (band, band-value) equi-join
+    against the BROADCAST query bands — never all-pairs — and verifies
+    only candidates with the exact inner product. Recall < 1 by design;
+    the DuckDB oracle reproduces the identical candidate set, and the
+    registered recall report measures it against the exact baseline.
+    """
+    nb = srp_banded(vectors, id_col, "nid", bits=bits, bands=bands, vec_col=vec_col)
+    qb = srp_banded(queries, id_col, "qid", bits=bits, bands=bands, vec_col=vec_col)
+    cand = (
+        nb.join(F.broadcast(qb), ["band", "bval"])
+        .filter(F.col("qid") != F.col("nid"))
+        .select("qid", "nid")
+        .distinct()
+    )
+    qv = queries.select(F.col(id_col).alias("vq_id"), F.col(vec_col).alias("qvec"))
+    nv = vectors.select(F.col(id_col).alias("vn_id"), F.col(vec_col).alias("nvec"))
+    scored = (
+        cand.join(nv, F.col("nid") == F.col("vn_id"))
+        .join(F.broadcast(qv), F.col("qid") == F.col("vq_id"))
+        .withColumn("sim", F.round(dot(F.col("qvec"), F.col("nvec")), 6))
+    )
+    return _two_phase_topk(scored, k)
