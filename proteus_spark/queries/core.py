@@ -23,7 +23,7 @@ from proteus_spark.operators import (
     topk,
     union_router,
 )
-from proteus_spark.registry import load, register
+from proteus_spark.registry import load, register, spill
 
 
 # ---------------------------------------------------------------------------
@@ -620,7 +620,9 @@ def ref_index_zorder(spark, sf_dir):
             a_bounds=(0.0, 16.0), b_bounds=(0.0, 500.0),
         )
         out = idx.lookup_box(2, 8, 100.0, 160.0)
-        return spark.createDataFrame(out.collect(), out.schema)
+        # the index dir is cleaned in finally: spill the result to a
+        # harness-owned parquet path instead of a driver collect()
+        return spill(out)
     finally:
         shutil.rmtree(path, ignore_errors=True)
 

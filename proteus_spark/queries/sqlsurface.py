@@ -237,12 +237,12 @@ register_sql(
     doc="EXCEPT.",
 )
 
-register_sql(
-    "distinct_segments",
-    "SELECT DISTINCT c_mktsegment, c_nationkey FROM customer",
-    tags=("setops",),
-    doc="DISTINCT (hash aggregate, map-side partial distinct).",
-)
+# distinct_segments RETIRED in round 5 (VERDICT r4 #8 registry hygiene):
+# a bare two-column DISTINCT adds no information beyond the DISTINCT
+# shapes already inside setops_except/intersect and a dozen dedup
+# queries, and every registered query costs a rotation slot. The operator
+# itself (hash aggregate, map-side partial distinct) stays covered by
+# those queries' plans.
 
 
 # ---------------------------------------------------------------------------
@@ -1390,9 +1390,18 @@ PR_ITERS = 3  # fixed iteration count => deterministic, SQL-expressible
 PR_TOP = 20
 
 
-def _pagerank_oracle() -> str:
+def _pagerank_oracle_sql(iters: int) -> str:
+    """Unrolled power-iteration PageRank oracle over the part co-purchase
+    graph: the iteration template is shared between the fixed-3 demo query
+    and the run-to-convergence variant (which unrolls PR_CONV_UNROLL
+    rounds — past the fixpoint every further round is a no-op, so the
+    static unroll equals the dynamic loop's answer)."""
+    # AS MATERIALIZED is load-bearing: DuckDB otherwise INLINES each
+    # iteration CTE into the next, and optimizer time explodes
+    # exponentially with depth (measured: 10 rounds 0.2s, 14 rounds 1.8s,
+    # 40 rounds does not finish; materialized, 40 rounds run in 0.6s)
     it = """
-    r{k} AS (
+    r{k} AS MATERIALIZED (
       SELECT n.part, round((1 - {d}) + {d} * coalesce(s.acc, 0.0), 9) AS pr
       FROM nodes n LEFT JOIN (
         SELECT e.dst AS part, sum(r{p}.pr / deg.outdeg) AS acc
@@ -1402,9 +1411,7 @@ def _pagerank_oracle() -> str:
         GROUP BY e.dst
       ) s ON s.part = n.part
     )"""
-    rounds = ",".join(
-        it.format(k=k, p=k - 1, d=PR_D) for k in range(1, PR_ITERS + 1)
-    )
+    rounds = ",".join(it.format(k=k, p=k - 1, d=PR_D) for k in range(1, iters + 1))
     return f"""
     WITH pairs AS (
       SELECT DISTINCT a.l_orderkey, a.l_partkey AS src, b.l_partkey AS dst
@@ -1420,9 +1427,13 @@ def _pagerank_oracle() -> str:
       SELECT part, 1.0 AS pr FROM nodes
     ), {rounds}
     SELECT part, pr AS pagerank
-    FROM r{PR_ITERS}
+    FROM r{iters}
     ORDER BY pr DESC, part LIMIT {PR_TOP}
     """
+
+
+def _pagerank_oracle() -> str:
+    return _pagerank_oracle_sql(PR_ITERS)
 
 
 @register(
@@ -1449,16 +1460,29 @@ def graph_pagerank_parts(spark, sf_dir):
     to 9 decimals on both engines so fp summation-order differences
     cannot compound across iterations, and the top-20 pick is
     TakeOrderedAndProject."""
+    edges_w, nodes = _pagerank_graph(spark, sf_dir)
+    rank = nodes.select("part", F.lit(1.0).alias("pr"))
+    for _ in range(PR_ITERS):
+        rank = _pagerank_step(edges_w, nodes, rank)
+    return (
+        rank.orderBy(F.desc("pr"), F.asc("part"))
+        .limit(PR_TOP)
+        .select("part", F.col("pr").alias("pagerank"))
+    )
+
+
+def _pagerank_graph(spark, sf_dir):
+    """Build the cached (edges+outdeg, nodes) pair both PageRank variants
+    iterate over. The edge table is CACHED: every iteration (plus
+    deg/nodes) re-reads it, and without the cache each iteration replays
+    the lineitem self-join + distinct (measured at sf0.1: 7.6s -> ~3s
+    best-of-2). The distinct edge set is part-pair-sized — far smaller
+    than lineitem — so the cache is cheap; bench clears caches between
+    runs. On a real cluster this is where localCheckpoint also truncates
+    iteration lineage (see dup_components)."""
     li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     a = li.alias("a")
     b = li.alias("b")
-    # edge table is CACHED: all three iterations (plus deg/nodes) re-read
-    # it, and without the cache each iteration replays the lineitem
-    # self-join + distinct (measured at sf0.1: 7.6s -> ~3s best-of-2). The
-    # distinct edge set is part-pair-sized — far smaller than lineitem —
-    # so the cache is cheap; bench clears caches between runs. On a real
-    # cluster this is where localCheckpoint also truncates iteration
-    # lineage (see dup_components).
     edges = (
         a.join(
             b,
@@ -1477,20 +1501,100 @@ def graph_pagerank_parts(spark, sf_dir):
     # iteration (every iteration then needs exactly one join + one agg)
     deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
     edges_w = edges.join(deg, "src").cache()
-    rank = nodes.select("part", F.lit(1.0).alias("pr"))
-    for _ in range(PR_ITERS):
-        contrib = (
-            edges_w.join(rank, edges_w.src == rank.part)
-            .groupBy(F.col("dst").alias("part"))
-            .agg(F.sum(F.col("pr") / F.col("outdeg")).alias("acc"))
+    return edges_w, nodes
+
+
+def _pagerank_step(edges_w, nodes, rank):
+    """One power iteration: ONE equi-join (edges x ranks, shuffled on the
+    part id both sides already hash by) + ONE aggregation with map-side
+    partial sums, then the damping update. Per-iteration round(9) on both
+    engines keeps fp summation-order differences from compounding."""
+    contrib = (
+        edges_w.join(rank, edges_w.src == rank.part)
+        .groupBy(F.col("dst").alias("part"))
+        .agg(F.sum(F.col("pr") / F.col("outdeg")).alias("acc"))
+    )
+    return nodes.join(contrib, "part", "left").select(
+        "part",
+        F.round(
+            F.lit(1 - PR_D) + F.lit(PR_D) * F.coalesce("acc", F.lit(0.0)),
+            9,
+        ).alias("pr"),
+    )
+
+
+# run-to-convergence variant: the oracle statically unrolls this many
+# rounds; the Spark loop must detect its (period-<=2) fixpoint within the
+# same bound. Empirical fixpoint entry: iter 15 at sf0.001, ~26 at sf0.01
+# (where two parts then 2-cycle by one 1e-9 grid step forever — see
+# graph_pagerank_converged's docstring).
+PR_CONV_UNROLL = 40
+
+
+def _pagerank_converged_oracle() -> str:
+    return _pagerank_oracle_sql(PR_CONV_UNROLL)
+
+
+@register(
+    "graph_pagerank_converged",
+    oracle=_pagerank_converged_oracle,
+    tags=("graph", "join", "aggregate", "iterative"),
+)
+def graph_pagerank_converged(spark, sf_dir):
+    """PageRank run to CONVERGENCE — the production shape of
+    graph_pagerank_parts (VERDICT r4 #6: iterative operators are the one
+    class the reference's QPU model cannot express at all; dynamic
+    iteration is a Spark-native upgrade).
+
+    Convergence detection must respect the quantized dynamics: each
+    iteration rounds to 9 decimals (so the two engines cannot drift), and
+    a rounded contraction can land in a PERIOD-2 cycle instead of an exact
+    fixpoint — measured at sf0.01, two parts oscillate by exactly one 1e-9
+    grid step forever. The probe therefore tests r_N == r_{N-2} (catches
+    both the exact fixpoint and the 2-cycle), one scalar count per round —
+    never a full-result collect — with localCheckpoint(eager) truncating
+    lineage each round (the dup_components pattern; without it the plan
+    doubles per iteration). On period-2 convergence at N, the loop runs
+    (PR_CONV_UNROLL - N) % 2 extra iterations so the answer equals the
+    oracle's static PR_CONV_UNROLL-round unroll regardless of which cycle
+    state N landed on.
+
+    Scale shape: per round, ONE edges-x-ranks equi-join + ONE partial-sum
+    aggregation, shuffling on the same part-id key every round (a real
+    cluster co-partitions once and reuses); the probe joins two node-sized
+    rank vectors. Rounds needed tracks the graph's spectral gap, not its
+    size."""
+    edges_w, nodes = _pagerank_graph(spark, sf_dir)
+    rank = nodes.select("part", F.lit(1.0).alias("pr")).localCheckpoint(
+        eager=True
+    )
+    prev2 = None  # rank from two iterations ago
+    n_done = PR_CONV_UNROLL
+    for it in range(1, PR_CONV_UNROLL + 1):
+        new = _pagerank_step(edges_w, nodes, rank).localCheckpoint(eager=True)
+        if prev2 is not None:
+            changed = (
+                new.alias("n")
+                .join(prev2.alias("o"), "part")
+                .filter(F.col("n.pr") != F.col("o.pr"))
+                .count()
+            )
+            if changed == 0:
+                n_done = it
+                prev2, rank = rank, new
+                break
+        prev2, rank = rank, new
+    else:
+        raise AssertionError(
+            f"PageRank did not reach a period-<=2 fixpoint within "
+            f"{PR_CONV_UNROLL} rounds — raise PR_CONV_UNROLL (oracle "
+            f"unrolls the same bound)"
         )
-        rank = nodes.join(contrib, "part", "left").select(
-            "part",
-            F.round(
-                F.lit(1 - PR_D) + F.lit(PR_D) * F.coalesce("acc", F.lit(0.0)),
-                9,
-            ).alias("pr"),
-        )
+    # parity alignment with the static unroll: if the cycle has period 2
+    # and the oracle's round count differs from ours mod 2, one more step
+    # lands on the oracle's cycle state (a no-op at an exact fixpoint)
+    if (PR_CONV_UNROLL - n_done) % 2:
+        rank = _pagerank_step(edges_w, nodes, rank)
     return (
         rank.orderBy(F.desc("pr"), F.asc("part"))
         .limit(PR_TOP)

@@ -9,41 +9,17 @@ of micro-batches must converge to the batch answer.
 
 from __future__ import annotations
 
-import atexit
-import shutil
-import tempfile
-
 from pyspark.sql import functions as F
 
 from proteus_spark.operators import keyed_merge_join, topk
-from proteus_spark.registry import events_with_ts, load, register
+from proteus_spark.registry import events_with_ts, load, register, spill
 from proteus_spark.sources import cdc
 from proteus_spark.streaming.stateful import sessionize_stream
 from proteus_spark.streaming.views import SumView
 
 
-def _spill(df):
-    """Materialize a view snapshot WITHOUT a driver round-trip.
-
-    The streaming harness must hand the caller a DataFrame that outlives
-    the view's temp dirs (cleaned in each query's ``finally``). The old
-    pattern — a collect() + createDataFrame round-trip — pulled
-    the whole snapshot through driver memory, a bottleneck shape the
-    codebase otherwise bans (VERDICT r4 "What's wrong" #1). Instead the
-    snapshot spills to a harness-owned parquet path (executor-parallel
-    write, never driver-resident) and the caller gets a plain scan of it.
-    The path is atexit-cleaned: it must survive until the external driver
-    finishes collecting the returned DataFrame, so cleanup is
-    end-of-process, not end-of-query."""
-    path = tempfile.mkdtemp(prefix="proteus_snap_")
-    atexit.register(shutil.rmtree, path, ignore_errors=True)
-    df.write.mode("overwrite").parquet(path)
-    spark = df.sparkSession
-    try:
-        return spark.read.parquet(path)
-    except Exception:
-        # zero-row snapshot: parquet wrote no data files to infer from
-        return spark.createDataFrame([], df.schema)
+# snapshot materialization without a driver round-trip — see registry.spill
+_spill = spill
 
 
 @register(
@@ -72,6 +48,59 @@ def stream_sum_view(spark, sf_dir):
             "user_id", F.round("value_sum", 4).alias("value_sum")
         )
         out = _spill(out)
+    finally:
+        view.stop()
+        cdc.cleanup(src)
+    return out
+
+
+@register(
+    "stream_sum_view_timetravel",
+    # chunk i = i-th ntile of event_id order (stage_stream order_col) and
+    # one file per trigger -> batch k commits state version k; version 1
+    # therefore holds exactly chunks 1-2, version 3 all four — both
+    # reproducible as plain ntile filters in SQL
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, value, ntile(4) OVER (ORDER BY event_id) AS chunk
+      FROM events
+    )
+    SELECT 1 AS as_of_version, user_id, round(sum(value), 4) AS value_sum
+    FROM ordered WHERE chunk <= 2 GROUP BY user_id
+    UNION ALL
+    SELECT 3 AS as_of_version, user_id, round(sum(value), 4) AS value_sum
+    FROM ordered GROUP BY user_id
+    """,
+    tags=("streaming", "time-travel"),
+)
+def stream_sum_view_timetravel(spark, sf_dir):
+    """Commit-version TIME TRAVEL over the LSM state (lakehouse
+    merge-on-read semantics on the engine's own store): the view's
+    manifest log keeps every version's bucket->chain mapping, so
+    ``snapshot_at(v)`` reads the state exactly as committed by micro-batch
+    v — the VECTORCLOCK tsPredicate bound the reference declares but never
+    implemented (qpu.proto:74-95; SURVEY §2.9). Replay is 4 deterministic
+    event_id-ordered chunks, one per micro-batch; the query returns the
+    mid-replay state (version 1 = chunks 1-2) UNION the final state
+    (version 3), both oracle-checked — proving intermediate versions stay
+    readable and exact after later commits and compactions."""
+    ev = load(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    src = cdc.stage_stream(spark, ev, chunks=4, order_col="event_id")
+    view = SumView(
+        spark, src.subscribe(), group_by="user_id", agg_attr="value",
+        name="stream_sum_view_timetravel", mode="append",
+    ).start()
+    try:
+        view.await_catch_up()
+
+        def tagged(version):
+            return view.snapshot_at(version).select(
+                F.lit(version).alias("as_of_version"),
+                "user_id",
+                F.round("value_sum", 4).alias("value_sum"),
+            )
+
+        out = _spill(tagged(1).unionByName(tagged(3)))
     finally:
         view.stop()
         cdc.cleanup(src)

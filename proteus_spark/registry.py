@@ -153,6 +153,32 @@ def load(
     return df
 
 
+def spill(df: DataFrame) -> DataFrame:
+    """Materialize a query-harness result WITHOUT a driver round-trip.
+
+    Harness queries that build state in temp dirs (streaming views, durable
+    indexes) must return a DataFrame that outlives those dirs' cleanup. The
+    banned shape is ``spark.createDataFrame(df.collect(), df.schema)`` — a
+    full result pull through driver memory (VERDICT r4). Instead the result
+    spills to a harness-owned parquet path (executor-parallel write) and
+    the caller gets a plain scan. The path is atexit-cleaned: it must
+    survive until the external driver finishes collecting the returned
+    DataFrame, so cleanup is end-of-process, not end-of-query."""
+    import atexit
+    import shutil
+    import tempfile
+
+    path = tempfile.mkdtemp(prefix="proteus_spill_")
+    atexit.register(shutil.rmtree, path, ignore_errors=True)
+    df.write.mode("overwrite").parquet(path)
+    spark = df.sparkSession
+    try:
+        return spark.read.parquet(path)
+    except Exception:
+        # zero-row result: parquet wrote no data files to infer from
+        return spark.createDataFrame([], df.schema)
+
+
 def events_with_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events with ``ts`` as TimestampNTZ plus ``ts_ns`` epoch-nanos long —
     the queryable-time view of the stream table. Handles both testdata
@@ -287,12 +313,17 @@ PRIORITY: tuple[str, ...] = (
     "ref_lobsters_topk", "ref_sum_view", "ref_join_merge",
     "llm_dedup_minhash_lsh", "llm_dedup_simhash", "events_sessionization",
     "asof_join_latest_order", "tpch_q1", "tpch_q10", "tpch_q18",
-    "tpch_q19", "agg_full", "llm_dedup_ngram_jaccard", "llm_bm25_search",
-    "llm_sim_ivf", "range_join_events",
-    # -- new round-5 operators (pre-verified at sf0.001 + sf0.01; took the
-    # last two r2-only refresh slots — events_tumbling_hourly and
-    # groupby_having stay locally gated) ---------------------------------
-    "llm_sim_mips_banded", "llm_sim_mips_recall",
+    "tpch_q19", "agg_full", "llm_bm25_search",
+    # ref_index_zorder: r4-green but its harness materialization changed
+    # in round 5 (spill instead of collect) -> re-verify; takes
+    # range_join_events' refresh slot
+    "ref_index_zorder",
+    # -- new round-5 operators (each pre-verified at sf0.001 + sf0.01;
+    # they took r2-only refresh slots — events_tumbling_hourly,
+    # groupby_having, range_join_events, llm_dedup_ngram_jaccard,
+    # llm_sim_ivf stay locally gated and rotate back in round 6) ---------
+    "llm_sim_mips_banded", "llm_sim_mips_recall", "graph_pagerank_converged",
+    "stream_sum_view_timetravel",
 )
 
 

@@ -99,8 +99,16 @@ class JDBCStateMirror:
 
     # -- the sink ------------------------------------------------------------
     def on_delta(self, delta: DataFrame, epoch: int) -> None:
+        """Apply one micro-batch delta. Deltas may carry JoinView's
+        tombstone marker (``_op = 'DELETE'`` on keys removed from state):
+        tombstoned keys are DELETED from the mirror in the SAME set-based
+        MERGE statement that upserts the rest — still one DB round-trip
+        per batch. (The reference's state sink only ever upserts,
+        mysql_backend.go:147-254; a mirror that ignored tombstones would
+        hold dead keys forever.)"""
+        has_op = "_op" in delta.columns
         cols = [self.key_col, *self.val_cols]
-        out = delta.select(*cols)
+        out = delta.select(*cols, *(["_op"] if has_op else []))
         self._ensure_target(out.schema)
         # bulk load the batch delta through Spark's parallel JDBC writer
         writer = out.write.format("jdbc").options(
@@ -109,18 +117,35 @@ class JDBCStateMirror:
         if self.driver:
             writer = writer.option("driver", self.driver)
         writer.mode("overwrite").save()
-        # one set-based MERGE: the DB applies the whole delta as an upsert
+        # one set-based MERGE: the DB applies the whole delta — deletes
+        # first (clause order resolves the MATCHED ambiguity), then
+        # upserts. A NULL _op compares unknown to 'DELETE', so non-
+        # tombstone rows fall through to the update/insert clauses.
         sets = ", ".join(f'"{c}" = s."{c}"' for c in self.val_cols)
         collist = ", ".join(f'"{c}"' for c in cols)
         vals = ", ".join(f's."{c}"' for c in cols)
-        con = self._connect()
-        try:
-            con.createStatement().executeUpdate(
+        if has_op:
+            # Spark's JDBC writer maps StringType to Derby CLOB, which is
+            # not directly comparable to a char literal — cast to VARCHAR
+            op = 'CAST(s."_op" AS VARCHAR(16))'
+            stmt = (
+                f'MERGE INTO "{self.table}" t USING "{self._staging}" s '
+                f'ON t."{self.key_col}" = s."{self.key_col}" '
+                f"WHEN MATCHED AND {op} = 'DELETE' THEN DELETE "
+                f"WHEN MATCHED THEN UPDATE SET {sets} "
+                f"WHEN NOT MATCHED AND ({op} IS NULL OR {op} <> 'DELETE') "
+                f"THEN INSERT ({collist}) VALUES ({vals})"
+            )
+        else:
+            stmt = (
                 f'MERGE INTO "{self.table}" t USING "{self._staging}" s '
                 f'ON t."{self.key_col}" = s."{self.key_col}" '
                 f"WHEN MATCHED THEN UPDATE SET {sets} "
                 f"WHEN NOT MATCHED THEN INSERT ({collist}) VALUES ({vals})"
             )
+        con = self._connect()
+        try:
+            con.createStatement().executeUpdate(stmt)
         finally:
             con.close()
 

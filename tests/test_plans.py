@@ -558,6 +558,40 @@ def test_no_row_at_a_time_python_udfs_in_package():
     assert not hits, hits
 
 
+def test_pagerank_iteration_shape_and_checkpoint_truncation(spark, sf_dir):
+    """The convergence-PageRank contract (VERDICT r4 #6): each round is
+    one EQUI-join + one hash aggregation (never a cartesian/BNLJ), and
+    localCheckpoint truncates lineage — a step built on a checkpointed
+    rank vector plans as a scan of the checkpoint RDD, not as a replay of
+    all prior iterations (without truncation the plan doubles per round
+    and analysis time explodes)."""
+    from proteus_spark.queries.sqlsurface import (
+        _pagerank_graph,
+        _pagerank_step,
+    )
+
+    edges_w, nodes = _pagerank_graph(spark, sf_dir)
+    rank0 = nodes.select("part", F.lit(1.0).alias("pr")).localCheckpoint(
+        eager=True
+    )
+    step = _pagerank_step(edges_w, nodes, rank0)
+    p = plan(step)
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "HashAggregate" in p  # partial + final contribution sums
+    # the checkpointed rank enters the plan as an RDD scan — lineage cut
+    assert "ExistingRDD" in p or "Scan ExistingRDD" in p
+    # truncation, demonstrated: round 2 planned off a CHECKPOINTED round-1
+    # rank enters as an RDD scan and stays near round-1's size, while the
+    # same round 2 planned off the raw (uncheckpointed) round-1 lineage
+    # replays round 1 inside the plan and is strictly larger
+    step1 = _pagerank_step(edges_w, nodes, rank0)
+    p2_ckpt = plan(_pagerank_step(edges_w, nodes, step1.localCheckpoint(eager=True)))
+    p2_raw = plan(_pagerank_step(edges_w, nodes, step1))
+    assert "ExistingRDD" in p2_ckpt
+    assert p2_raw.count("\n") > p2_ckpt.count("\n")
+
+
 def test_no_driver_collect_roundtrip_in_query_harness():
     """VERDICT r4 'What's wrong' #1: the streaming query harness used to
     materialize view snapshots via ``spark.createDataFrame(df.collect(),
