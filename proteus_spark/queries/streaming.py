@@ -268,6 +268,88 @@ def stream_sum_view_debezium(spark, sf_dir):
 
 
 @register(
+    "stream_sum_view_minilog",
+    oracle="""
+    SELECT user_id,
+           round(sum(CASE WHEN event_id % 7 = 0 THEN 0.0
+                          WHEN event_id % 5 = 0 THEN value * 2
+                          ELSE value END), 4) AS new_value_sum
+    FROM events GROUP BY user_id
+    """,
+    tags=("streaming", "cdc", "broker"),
+)
+def stream_sum_view_minilog(spark, sf_dir):
+    """Broker-transport CDC end-to-end: the same Debezium change feed as
+    stream_sum_view_debezium, but PRODUCED into an embedded partitioned
+    log (records keyed by user_id — hash-partitioned, per-key order
+    preserved within a partition, Kafka's data model) and CONSUMED by the
+    ``proteus_log`` Spark 4 Python streaming DataSource: driver plans
+    rate-limited per-partition offset ranges per micro-batch, executors
+    fetch them, offsets ride the streaming checkpoint. Decode goes through
+    the SAME ``decode_records`` seam as the file and Kafka transports; the
+    CDC sum view's commutative delta apply absorbs the cross-partition
+    interleaving — converged state == the batch CASE sum (sources/
+    minilog.py documents exactly what still needs a real broker)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from proteus_spark.sources import debezium as dbz
+    from proteus_spark.sources import minilog
+
+    ev = load(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    row_schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    cols = ["event_id", "user_id", "value"]
+    ts_ms = F.col("event_id") + F.lit(1_700_000_000_000)
+    inserts = dbz.to_envelopes(ev, cols, F.lit("c"), ts_ms, key_col="user_id")
+    upd_row = F.struct(
+        F.col("event_id"), F.col("user_id"), (F.col("value") * 2).alias("value")
+    )
+    updates = dbz.to_envelopes(
+        ev.filter((F.col("event_id") % 5 == 0) & (F.col("event_id") % 7 != 0)),
+        cols,
+        F.lit("u"),
+        ts_ms,
+        update_row=upd_row,
+        key_col="user_id",
+    )
+    deletes = dbz.to_envelopes(
+        ev.filter(F.col("event_id") % 7 == 0), cols, F.lit("d"), ts_ms,
+        key_col="user_id",
+    )
+    feed = inserts.unionByName(updates).unionByName(deletes)
+
+    topic = tempfile.mkdtemp(prefix="proteus_minilog_")
+    minilog.stage_topic(feed, topic, partitions=4, key_col="key")
+    deltas = minilog.consume_envelopes(
+        spark, topic, row_schema, key_cols=["user_id"], value_col="value",
+        partitions=4, max_records_per_trigger=2000,
+    )
+    view = SumView(
+        spark, deltas, group_by="user_id", agg_attr="new_value",
+        name="stream_sum_view_minilog", mode="cdc",
+    ).start()
+    try:
+        view.await_catch_up()
+        snap = view.snapshot()
+        out = snap.select(
+            "user_id", F.round("new_value_sum", 4).alias("new_value_sum")
+        )
+        out = _spill(out)
+    finally:
+        view.stop()
+        shutil.rmtree(topic, ignore_errors=True)
+    return out
+
+
+@register(
     "stream_lobsters_pipeline",
     oracle="""
     WITH rev AS (

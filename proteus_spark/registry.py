@@ -313,7 +313,7 @@ PRIORITY: tuple[str, ...] = (
     "ref_lobsters_topk", "ref_sum_view", "ref_join_merge",
     "llm_dedup_minhash_lsh", "llm_dedup_simhash", "events_sessionization",
     "asof_join_latest_order", "tpch_q1", "tpch_q10", "tpch_q18",
-    "tpch_q19", "agg_full", "llm_bm25_search",
+    "tpch_q19", "agg_full",
     # ref_index_zorder: r4-green but its harness materialization changed
     # in round 5 (spill instead of collect) -> re-verify; takes
     # range_join_events' refresh slot
@@ -323,7 +323,7 @@ PRIORITY: tuple[str, ...] = (
     # groupby_having, range_join_events, llm_dedup_ngram_jaccard,
     # llm_sim_ivf stay locally gated and rotate back in round 6) ---------
     "llm_sim_mips_banded", "llm_sim_mips_recall", "graph_pagerank_converged",
-    "stream_sum_view_timetravel",
+    "stream_sum_view_timetravel", "stream_sum_view_minilog",
 )
 
 

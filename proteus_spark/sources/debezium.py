@@ -188,26 +188,33 @@ def to_envelopes(
     op_col,
     ts_ms_col,
     update_row=None,
+    key_col: str | None = None,
 ) -> DataFrame:
     """Encode rows AS Debezium envelope JSON strings (column ``value``) —
     the test-side generator that stages a deterministic binlog. ``op_col``
     is a Column producing c/u/d/r per row; ``update_row`` is the after
     image for 'u' rows (a struct Column; the unmodified row is the before
     image). before = row for u/d, NULL for c/r; after = NULL for d —
-    Debezium's documented envelope shape."""
+    Debezium's documented envelope shape.
+
+    ``key_col``: also emit that column (stringified) as ``key`` beside
+    ``value`` — the record key a broker producer partitions on (Debezium
+    Connect keys change events by primary key for exactly this reason)."""
     row = F.struct(*[F.col(c) for c in row_cols])
     upd = update_row if update_row is not None else row
-    return df.withColumn("_op_tmp", op_col).select(
-        F.to_json(
+    value = F.to_json(
+        F.struct(
             F.struct(
-                F.struct(
-                    F.when(F.col("_op_tmp").isin("u", "d"), row).alias("before"),
-                    F.when(F.col("_op_tmp") == "u", upd)
-                    .when(F.col("_op_tmp").isin("c", "r"), row)
-                    .alias("after"),
-                    F.col("_op_tmp").alias("op"),
-                    ts_ms_col.cast("long").alias("ts_ms"),
-                ).alias("payload")
-            )
-        ).alias("value")
-    )
+                F.when(F.col("_op_tmp").isin("u", "d"), row).alias("before"),
+                F.when(F.col("_op_tmp") == "u", upd)
+                .when(F.col("_op_tmp").isin("c", "r"), row)
+                .alias("after"),
+                F.col("_op_tmp").alias("op"),
+                ts_ms_col.cast("long").alias("ts_ms"),
+            ).alias("payload")
+        )
+    ).alias("value")
+    out = df.withColumn("_op_tmp", op_col)
+    if key_col is not None:
+        return out.select(F.col(key_col).cast("string").alias("key"), value)
+    return out.select(value)

@@ -1,0 +1,263 @@
+"""Embedded partitioned log — the broker-shaped transport leg, live.
+
+The reference consumes its MySQL binlog side-channel as an ordered op feed
+(mysql.proto:8-37 over NotifyUpdates, mysql/store.go:117-151); the
+production Spark counterpart is a Kafka topic consumed with the
+spark-sql-kafka connector (`sources.debezium.kafka_envelopes`). No broker
+or connector jar ships in this sandbox, so rounds 1-4 could test only the
+file-stream transport plus a frame-level contract test. This module closes
+most of the remaining distance with an EMBEDDED log that keeps Kafka's
+actual data model and consumption protocol:
+
+- a topic = N partitions; a record is (key, value); the PRODUCER assigns
+  partition = hash(key) % N, so per-key order is preserved within a
+  partition and nothing is ordered across partitions — exactly Kafka's
+  guarantee, and exactly what the CDC views' commutative delta apply
+  assumes;
+- every partition is an append-only segment addressed by OFFSET; consumers
+  track per-partition offsets, resume from them after restart, and re-read
+  committed ranges deterministically (the log is immutable);
+- the consumer is a real Spark 4 Python streaming DataSource
+  (``DataSourceStreamReader`` — the partitioned, executor-side API, not
+  the driver-side Simple variant): the DRIVER plans offset ranges per
+  micro-batch (``latestOffset`` with a per-trigger rate limit, like
+  maxOffsetsPerTrigger) and EXECUTORS fetch their partition's range —
+  the same division of labor as the Kafka source itself. Offsets ride
+  Spark's streaming checkpoint, so a restarted query resumes without loss
+  or duplication (tested).
+
+What still genuinely needs a broker: network fetch, consumer-group
+rebalance, and unclean-leader edge cases. Everything else — partitioning,
+offset bookkeeping, restart resume, rate limiting, and the Debezium
+envelope parse (shared ``decode_records`` seam) — is exercised for real
+here.
+
+Scale notes: segments are one file per partition laid down by a
+DISTRIBUTED Spark write (the parallel producer); offsets are line indices.
+``latestOffset`` counts lines driver-side per trigger — fine for a test
+log; a production embedded log would frame fixed-size segments with an
+offset index (the protocol above is unchanged by that swap).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+FORMAT_NAME = "proteus_log"
+
+
+def stage_topic(
+    df: DataFrame, path: str, partitions: int = 4, key_col: str = "key"
+) -> dict[int, int]:
+    """Lay a (key, value) DataFrame down as a partitioned topic under
+    ``path`` — the distributed producer. Partition = pmod(xxhash64(key),
+    N) computed JVM-side; each partition value lands in exactly one task
+    (repartition on the partition column), so ``partitionBy`` writes ONE
+    segment file per partition dir and offsets (line indices) are
+    well-defined. Returns {partition: record_count} (the end offsets)."""
+    keyed = df.select(
+        F.col(key_col).cast("string").alias("key"),
+        F.col("value").cast("string").alias("value"),
+    ).withColumn(
+        "p", F.pmod(F.xxhash64(F.col(key_col).cast("string")), F.lit(partitions))
+    )
+    # one JSON line per record keeps (key, value) together in a text
+    # segment; the consumer splits it back out
+    framed = keyed.select(
+        "p", F.to_json(F.struct("key", "value")).alias("rec")
+    )
+    (
+        framed.repartition(partitions, "p")
+        .write.mode("overwrite")
+        .partitionBy("p")
+        .text(path)
+    )
+    return end_offsets(path, partitions)
+
+
+def _segment_files(path: str, p: int) -> list[str]:
+    d = os.path.join(path, f"p={p}")
+    try:
+        return sorted(
+            os.path.join(d, f)
+            for f in os.listdir(d)
+            if f.startswith("part-") and not f.endswith(".crc")
+        )
+    except OSError:
+        return []
+
+
+def end_offsets(path: str, partitions: int) -> dict[int, int]:
+    """Per-partition record counts — the log-end offsets."""
+    out = {}
+    for p in range(partitions):
+        n = 0
+        for f in _segment_files(path, p):
+            with open(f, "rb") as fh:
+                n += sum(1 for _ in fh)
+        out[p] = n
+    return out
+
+
+def register_log_datasource(spark: SparkSession) -> str:
+    """Register the ``proteus_log`` streaming format (idempotent); returns
+    the format name.
+
+    ``spark.readStream.format("proteus_log").option("path", ...)
+    .option("partitions", N).option("maxRecordsPerTrigger", R).load()``
+    yields Kafka-wire-shaped rows (key string, value string, partition
+    int, offset long) — ``sources.debezium.decode_records`` consumes them
+    unchanged.
+
+    Classes are defined INSIDE this factory so cloudpickle ships them BY
+    VALUE to executor workers (module-level classes pickle by reference
+    and break when the driver runs from a foreign cwd)."""
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceStreamReader,
+        InputPartition,
+    )
+
+    class _LogRange(InputPartition):
+        def __init__(self, path: str, p: int, start: int, end: int):
+            self.path = path
+            self.p = p
+            self.start = start
+            self.end = end
+
+    class LogStreamReader(DataSourceStreamReader):
+        def __init__(self, options):
+            self.path = options.get("path")
+            if not self.path:
+                raise ValueError("proteus_log requires option 'path'")
+            self.partitions_n = int(options.get("partitions", 4))
+            self.max_per_trigger = int(
+                options.get("maxRecordsPerTrigger", 10_000)
+            )
+
+        # -- driver-side offset planning --------------------------------
+        def _ends(self) -> dict[int, int]:
+            # inline end_offsets (self-contained for pickling)
+            out = {}
+            for p in range(self.partitions_n):
+                d = os.path.join(self.path, f"p={p}")
+                n = 0
+                try:
+                    files = sorted(
+                        os.path.join(d, f)
+                        for f in os.listdir(d)
+                        if f.startswith("part-") and not f.endswith(".crc")
+                    )
+                except OSError:
+                    files = []
+                for f in files:
+                    with open(f, "rb") as fh:
+                        n += sum(1 for _ in fh)
+                out[p] = n
+            return out
+
+        def initialOffset(self) -> dict:
+            return {str(p): 0 for p in range(self.partitions_n)}
+
+        def latestOffset(self) -> dict:
+            # rate-limited advance from the last planned end (the
+            # maxOffsetsPerTrigger model): each trigger takes at most
+            # max_per_trigger records per partition
+            ends = self._ends()
+            base = getattr(self, "_last_end", None)
+            if base is None:
+                base = {str(p): 0 for p in range(self.partitions_n)}
+            nxt = {
+                str(p): min(
+                    ends.get(p, 0), base.get(str(p), 0) + self.max_per_trigger
+                )
+                for p in range(self.partitions_n)
+            }
+            self._last_end = nxt
+            return nxt
+
+        def partitions(self, start: dict, end: dict):
+            # on restart Spark hands the checkpointed offsets straight to
+            # partitions() — seed the rate-limit base from them
+            if getattr(self, "_last_end", None) is None:
+                self._last_end = dict(end)
+            return [
+                _LogRange(self.path, p, start.get(str(p), 0), end.get(str(p), 0))
+                for p in range(self.partitions_n)
+                if end.get(str(p), 0) > start.get(str(p), 0)
+            ]
+
+        # -- executor-side fetch ----------------------------------------
+        def read(self, partition):
+            import json as _json
+
+            d = os.path.join(partition.path, f"p={partition.p}")
+            try:
+                files = sorted(
+                    os.path.join(d, f)
+                    for f in os.listdir(d)
+                    if f.startswith("part-") and not f.endswith(".crc")
+                )
+            except OSError:
+                files = []
+            off = 0
+            for fpath in files:
+                with open(fpath, "r") as fh:
+                    for line in fh:
+                        if off >= partition.end:
+                            return
+                        if off >= partition.start:
+                            rec = _json.loads(line)
+                            yield (
+                                rec.get("key"),
+                                rec.get("value"),
+                                partition.p,
+                                off,
+                            )
+                        off += 1
+
+        def commit(self, end: dict) -> None:
+            pass  # the log is immutable; nothing to acknowledge
+
+    class LogDataSource(DataSource):
+        @classmethod
+        def name(cls) -> str:
+            return "proteus_log"
+
+        def schema(self) -> str:
+            return "key string, value string, partition int, offset bigint"
+
+        def streamReader(self, schema):
+            return LogStreamReader(self.options)
+
+    spark.dataSource.register(LogDataSource)
+    return FORMAT_NAME
+
+
+def consume_envelopes(
+    spark: SparkSession,
+    path: str,
+    row_schema,
+    key_cols: list[str],
+    value_col: str,
+    partitions: int = 4,
+    max_records_per_trigger: int = 10_000,
+) -> DataFrame:
+    """Broker-transport counterpart of ``debezium.stream_envelopes`` /
+    ``kafka_envelopes``: consume Debezium envelopes from an embedded
+    partitioned log and decode through the SAME ``decode_records`` seam —
+    the transports differ only in source construction."""
+    from proteus_spark.sources.debezium import decode_records
+
+    register_log_datasource(spark)
+    records = (
+        spark.readStream.format(FORMAT_NAME)
+        .option("path", path)
+        .option("partitions", str(partitions))
+        .option("maxRecordsPerTrigger", str(max_records_per_trigger))
+        .load()
+    )
+    return decode_records(records, row_schema, key_cols, value_col)
