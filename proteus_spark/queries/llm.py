@@ -704,9 +704,9 @@ def llm_sim_mips(spark, sf_dir):
     side is given a deterministic per-id magnitude (1 + id%7/10 — the
     popularity weight an item tower would have learned); the resulting
     ranking genuinely differs from the cosine brute force. Same two-phase
-    broadcast-queries scan (norm-augmentation reduces MIPS to cosine for
-    the LSH scale path: append sqrt(M^2 - |v|^2) as an extra dim and
-    reuse srp_banded as-is)."""
+    broadcast-queries scan — this is the exact RECALL BASELINE; the
+    shipped scale path is llm_sim_mips_banded (similarity.mips_banded_topk)
+    with llm_sim_mips_recall measuring it against this query."""
     emb = load(spark, sf_dir, "embeddings")
     w = F.lit(1.0) + (F.col("vec_id") % 7) / F.lit(10.0)
     corpus = emb.select(
