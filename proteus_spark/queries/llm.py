@@ -751,7 +751,9 @@ def _mips_banded_oracle() -> str:
 
 
 @register(
-    "llm_sim_mips_banded", oracle=_mips_banded_oracle, tags=("llm", "similarity")
+    "llm_sim_mips_banded",
+    oracle=_mips_banded_oracle,
+    tags=("llm", "similarity", "bench"),
 )
 def llm_sim_mips_banded(spark, sf_dir):
     """Banded MIPS retrieval — llm_sim_mips's SCALE path (VERDICT r4 #5):

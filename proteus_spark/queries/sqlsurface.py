@@ -1570,9 +1570,15 @@ def graph_pagerank_converged(spark, sf_dir):
     )
     prev2 = None  # rank from two iterations ago
     n_done = PR_CONV_UNROLL
+    # probes before the contraction has plausibly settled are pure cost
+    # (one count job each); starting late is always CORRECT — a fixpoint/
+    # 2-cycle entered earlier still satisfies r_N == r_{N-2} at the first
+    # probe, just detected a round later (measured fixpoints: 15 at
+    # sf0.001, ~28 at sf0.01; probing from 12 saves ~11 jobs, ~4s)
+    probe_from = 12
     for it in range(1, PR_CONV_UNROLL + 1):
         new = _pagerank_step(edges_w, nodes, rank).localCheckpoint(eager=True)
-        if prev2 is not None:
+        if prev2 is not None and it >= probe_from:
             changed = (
                 new.alias("n")
                 .join(prev2.alias("o"), "part")

@@ -506,3 +506,27 @@ def test_minilog_restart_resumes_from_checkpoint_offsets(spark, tmp_path):
     by_po = {}
     for p, o, v in rows:
         assert by_po.setdefault((p, o), v) == v
+
+
+def test_minilog_empty_topic_streams_zero_rows(spark, tmp_path):
+    """An empty topic (no partition dirs yet) must stream cleanly: zero
+    batches with rows, offsets stay at 0, no crash — a consumer can start
+    before its producer, the normal broker deployment order."""
+    from proteus_spark.sources import minilog
+
+    topic = str(tmp_path / "empty_topic")
+    minilog.register_log_datasource(spark)
+    rows: list = []
+    q = (
+        spark.readStream.format("proteus_log")
+        .option("path", topic)
+        .option("partitions", "4")
+        .load()
+        .writeStream.outputMode("append")
+        .foreachBatch(lambda b, e: rows.extend(b.collect()))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    assert rows == []
+    assert minilog.end_offsets(topic, 4) == {0: 0, 1: 0, 2: 0, 3: 0}
