@@ -645,3 +645,108 @@ def mips_banded_topk(
         .withColumn("sim", F.round(dot(F.col("qvec"), F.col("nvec")), 6))
     )
     return _two_phase_topk(scored, k)
+
+
+def knn_classify(
+    labeled: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """k-NN majority-vote classification over an embedding corpus —
+    the semantic-filter / quality-classifier shape of a curation pipeline
+    (label a few exemplars, propagate to the corpus by similarity).
+
+    (qid, pred_label, votes): each query's k cosine-nearest LABELED
+    vectors vote; majority wins, ties break to the smaller label.
+    Scale shape: the labeled corpus never shuffles — queries broadcast
+    into the scored scan (brute_force_topk's two-phase ranking), the vote
+    is a k-row-per-query aggregation. Swap brute_force_topk for
+    mips_banded_topk/ivf_topk when the corpus outgrows a full scan; the
+    vote algebra is unchanged."""
+    nn = brute_force_topk(labeled, queries, k=k, id_col=id_col, vec_col=vec_col)
+    lab = labeled.select(
+        F.col(id_col).alias("nid"), F.col(label_col).alias("_nlabel")
+    )
+    votes = (
+        nn.join(lab, "nid")
+        .groupBy("qid", "_nlabel")
+        .agg(F.count(F.lit(1)).alias("votes"))
+    )
+    w = W.partitionBy("qid").orderBy(F.desc("votes"), F.asc("_nlabel"))
+    return (
+        votes.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") == 1)
+        .select(
+            "qid",
+            F.col("_nlabel").cast("long").alias("pred_label"),
+            F.col("votes").cast("long").alias("votes"),
+        )
+    )
+
+
+def class_margins(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Embedding-space quality audit: per-label centroid separation.
+
+    For every vector: cosine to its OWN label centroid minus the best
+    cosine to any OTHER centroid (the nearest-centroid margin — positive
+    means a nearest-centroid classifier gets it right). Returns per-label
+    (label, n, mean_margin, frac_separable).
+
+    Scale shape: centroids come from ONE posexplode + (label, pos)
+    aggregation (map-side partial avg, shuffle carries |labels| x dim
+    rows); the tiny centroid table broadcasts back across the corpus scan.
+    Centroid components round to 6 decimals BEFORE the cosine so the
+    engine's partial-aggregation order and the oracle's sequential avg
+    cannot diverge downstream."""
+    cents = (
+        vectors.select(label_col, F.posexplode(vec_col).alias("pos", "x"))
+        .groupBy(label_col, "pos")
+        .agg(F.round(F.avg("x"), 6).alias("m"))
+        .groupBy(label_col)
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                lambda s: s["m"],
+            ).alias("cvec")
+        )
+        .select(F.col(label_col).alias("clabel"), "cvec")
+    )
+    scored = (
+        vectors.select(
+            F.col(id_col).alias("vid"),
+            F.col(label_col).alias("vlabel"),
+            F.col(vec_col).alias("vec"),
+            norm(F.col(vec_col)).alias("vnorm"),
+        )
+        .join(F.broadcast(cents.withColumn("cnorm", norm(F.col("cvec")))), how="cross")
+        .withColumn(
+            "sim",
+            F.round(
+                dot(F.col("vec"), F.col("cvec"))
+                / (F.col("vnorm") * F.col("cnorm")),
+                6,
+            ),
+        )
+    )
+    margins = scored.groupBy("vid", "vlabel").agg(
+        F.round(
+            F.max(F.when(F.col("vlabel") == F.col("clabel"), F.col("sim")))
+            - F.max(F.when(F.col("vlabel") != F.col("clabel"), F.col("sim"))),
+            6,
+        ).alias("margin")
+    )
+    return margins.groupBy(F.col("vlabel").cast("long").alias("label")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("margin"), 6).alias("mean_margin"),
+        F.round(
+            F.avg((F.col("margin") > 0).cast("double")), 6
+        ).alias("frac_separable"),
+    )

@@ -850,6 +850,96 @@ def llm_sim_mips_recall(spark, sf_dir):
     )
 
 
+def _knn_classify_oracle() -> str:
+    return f"""
+    WITH lab AS (SELECT vec_id, embedding, label FROM embeddings
+                 WHERE vec_id % 17 != 0),
+    q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings
+          WHERE vec_id % 17 = 0),
+    nn AS (
+      SELECT qid, lbl FROM (
+        SELECT qid, v.label AS lbl,
+               row_number() OVER (PARTITION BY qid
+                 ORDER BY round({_cos_sql('qvec', 'v.embedding')}, 6) DESC,
+                          v.vec_id) AS rn
+        FROM lab v JOIN q ON v.vec_id != qid)
+      WHERE rn <= 5),
+    votes AS (SELECT qid, lbl, count(*) AS nv FROM nn GROUP BY qid, lbl)
+    SELECT qid, CAST(lbl AS BIGINT) AS pred_label, CAST(nv AS BIGINT) AS votes
+    FROM (SELECT *, row_number() OVER (PARTITION BY qid
+                                       ORDER BY nv DESC, lbl) AS rn
+          FROM votes)
+    WHERE rn = 1
+    """
+
+
+@register(
+    "llm_knn_classify", oracle=_knn_classify_oracle, tags=("llm", "similarity")
+)
+def llm_knn_classify(spark, sf_dir):
+    """k-NN majority-vote classification: vectors with vec_id % 17 == 0
+    play the unlabeled queries, the rest are the labeled corpus; each
+    query's 5 cosine-nearest neighbors vote, ties to the smaller label —
+    the label-propagation / semantic-filter shape of a curation pipeline
+    (label a few exemplars, classify the corpus by similarity). The
+    labeled corpus never shuffles (queries broadcast); at retrieval scale
+    the same vote runs over mips_banded/ivf candidates."""
+    emb = load(spark, sf_dir, "embeddings")
+    return S.knn_classify(
+        emb.filter(F.col("vec_id") % 17 != 0),
+        emb.filter(F.col("vec_id") % 17 == 0),
+        k=5,
+    )
+
+
+def _class_margins_oracle() -> str:
+    cos = _cos_sql("v.embedding", "c.cvec")
+    return f"""
+    WITH pos AS (
+      SELECT v.label, g.pos, CAST(v.embedding[g.pos] AS DOUBLE) AS x
+      FROM embeddings v,
+           (SELECT unnest(generate_series(1, 64)) AS pos) g),
+    cent AS (
+      SELECT label AS clabel, list(m ORDER BY pos) AS cvec
+      FROM (SELECT label, pos, round(avg(x), 6) AS m
+            FROM pos GROUP BY label, pos)
+      GROUP BY clabel),
+    scored AS (
+      SELECT v.vec_id AS vid, v.label AS vlabel, c.clabel,
+             round({cos}, 6) AS sim
+      FROM embeddings v CROSS JOIN cent c),
+    margins AS (
+      SELECT vid, vlabel,
+             round(max(CASE WHEN vlabel = clabel THEN sim END)
+                   - max(CASE WHEN vlabel != clabel THEN sim END), 6)
+               AS margin
+      FROM scored GROUP BY vid, vlabel)
+    SELECT CAST(vlabel AS BIGINT) AS label,
+           CAST(count(*) AS BIGINT) AS n,
+           round(avg(margin), 6) AS mean_margin,
+           round(avg(CASE WHEN margin > 0 THEN 1.0 ELSE 0.0 END), 6)
+             AS frac_separable
+    FROM margins GROUP BY vlabel
+    """
+
+
+@register(
+    "llm_embed_class_margins",
+    oracle=_class_margins_oracle,
+    tags=("llm", "similarity", "audit"),
+)
+def llm_embed_class_margins(spark, sf_dir):
+    """Embedding-space quality audit: per-label nearest-centroid margins
+    (cosine to own-label centroid minus best other-centroid cosine) —
+    the linear-probe-style sanity report a pipeline runs before trusting
+    an embedding column for dedup/retrieval/classification. Centroids
+    from one posexplode + (label, pos) partial-avg aggregation, broadcast
+    back across the corpus scan; components rounded before the cosine so
+    partial-aggregation order cannot diverge from the oracle."""
+    emb = load(spark, sf_dir, "embeddings")
+    return S.class_margins(emb)
+
+
 def _ivf_oracle() -> str:
     cos_vc = _cos_sql("vec", "cvec")
     cos_qn = _cos_sql("qvec", "nvec")

@@ -508,6 +508,8 @@ _BNLJ_OK = {
     "llm_sim_bruteforce",      # broadcast query set vs corpus (by design)
     "llm_sim_mips",            # broadcast query set vs corpus (by design)
     "llm_sim_mips_recall",     # exact-baseline side broadcasts queries
+    "llm_knn_classify",        # broadcast query set vs labeled corpus
+    "llm_embed_class_margins", # broadcast 10-centroid table vs corpus
     "llm_sim_ivf",             # broadcast probed-centroid set
     "llm_sim_ivf_nprobe2",     # broadcast probed-centroid set
     "llm_sim_ivf_kmeans",      # broadcast learned-centroid set
