@@ -1334,3 +1334,73 @@ def test_history_view_log_complete_under_compaction(spark):
     finally:
         view.stop()
         cdc.cleanup(src)
+
+
+def test_minilog_cdc_view_restart_exactly_once(spark, sf_dir, tmp_path):
+    """The full broker-pipeline crash contract, live: a CDC sum view
+    consuming Debezium envelopes from the embedded partitioned log is
+    KILLED mid-log, then a fresh instance over the SAME root + checkpoint
+    resumes — minilog offsets from Spark's checkpoint, LSM state + epoch
+    high-water mark from the manifest, any re-delivered batch deduped by
+    the epoch guard — and the converged snapshot equals the batch answer.
+    Exactly-once across BOTH the source-offset and state-commit layers."""
+    import time as _time
+
+    from pyspark.sql import types as T
+
+    from proteus_spark.registry import load as _load
+    from proteus_spark.sources import debezium as dbz
+    from proteus_spark.sources import minilog
+
+    ev = _load(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    feed = dbz.to_envelopes(
+        ev, ["event_id", "user_id", "value"], F.lit("c"),
+        F.col("event_id") + F.lit(1_700_000_000_000), key_col="user_id",
+    )
+    topic = str(tmp_path / "topic")
+    minilog.stage_topic(feed, topic, partitions=4)
+    row_schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    root = str(tmp_path / "viewroot")
+
+    def mk_view():
+        deltas = minilog.consume_envelopes(
+            spark, topic, row_schema, key_cols=["user_id"],
+            value_col="value", partitions=4,
+            max_records_per_trigger=60,  # many small batches -> mid-log kill
+        )
+        return SumView(
+            spark, deltas, group_by="user_id", agg_attr="new_value",
+            name="t_minilog_restart", mode="cdc", root=root,
+        )
+
+    v1 = mk_view().start()
+    try:
+        deadline = _time.time() + 60
+        while v1._state.version < 1 and _time.time() < deadline:
+            _time.sleep(0.2)
+        assert v1._state.version >= 1
+    finally:
+        v1.stop(cleanup=False)
+
+    v2 = mk_view()
+    assert v2._state.version >= 1  # recovered from the manifest, not reset
+    v2.start()
+    try:
+        v2.await_catch_up()
+        got = {
+            r["user_id"]: round(r["new_value_sum"], 4)
+            for r in v2.snapshot().collect()
+        }
+        exp = {
+            r["user_id"]: round(r["s"], 4)
+            for r in ev.groupBy("user_id").agg(F.sum("value").alias("s")).collect()
+        }
+        assert got == exp
+    finally:
+        v2.stop()
