@@ -350,6 +350,64 @@ def stream_sum_view_minilog(spark, sf_dir):
 
 
 @register(
+    "stream_cdf_export_roundtrip",
+    oracle="""
+    SELECT user_id, round(sum(value), 4) AS value_sum
+    FROM events GROUP BY user_id
+    """,
+    tags=("streaming", "cdf", "broker"),
+)
+def stream_cdf_export_roundtrip(spark, sf_dir):
+    """Change-data-feed EXPORT, end to end: a live sum view publishes
+    every delta batch (changed groups, NEW totals) to an embedded-log
+    topic via minilog.cdf_exporter — per-epoch segment files, distributed
+    write, replayed epochs dropped (the producer-side exactly-once guard
+    matching the LSM's). A downstream consumer then reconstructs the
+    view's state from the FEED ALONE by last-writer-wins on the stamped
+    epoch per key (keys are hash-partitioned so per-key feed order is
+    total) — and the reconstruction equals the batch GROUP BY. This is
+    the 'view feeds downstream systems through a broker' deployment the
+    reference serves with per-row RPC pushes (responseStream.go)."""
+    import shutil
+    import tempfile
+
+    from proteus_spark.sources import minilog
+
+    ev = load(spark, sf_dir, "events").select("user_id", "value")
+    src = cdc.stage_stream(spark, ev, chunks=4)
+    topic = tempfile.mkdtemp(prefix="proteus_cdf_")
+    view = SumView(
+        spark, src.subscribe(), group_by="user_id", agg_attr="value",
+        name="stream_cdf_export", mode="append",
+    )
+    view.subscribe(minilog.cdf_exporter(topic, partitions=4, key_col="user_id"))
+    view.start()
+    try:
+        view.await_catch_up()
+    finally:
+        view.stop()
+        cdc.cleanup(src)
+    try:
+        rec = spark.read.text(topic).select(
+            F.from_json(
+                "value", "key string, value string, epoch long"
+            ).alias("r")
+        )
+        rows = rec.select(
+            F.from_json("r.value", "user_id long, value_sum double").alias("v"),
+            F.col("r.epoch").alias("epoch"),
+        )
+        mirror = (
+            rows.groupBy(F.col("v.user_id").alias("user_id"))
+            .agg(F.max_by(F.col("v.value_sum"), F.col("epoch")).alias("vs"))
+            .select("user_id", F.round("vs", 4).alias("value_sum"))
+        )
+        return _spill(mirror)
+    finally:
+        shutil.rmtree(topic, ignore_errors=True)
+
+
+@register(
     "stream_lobsters_pipeline",
     oracle="""
     WITH rev AS (

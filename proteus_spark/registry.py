@@ -311,7 +311,7 @@ PRIORITY: tuple[str, ...] = (
     # -- r2-only refreshes (bench-flagship + implementation-adjacent
     # first; new round-5 operators displace from the END of this group) --
     "ref_lobsters_topk", "ref_sum_view", "ref_join_merge",
-    "llm_dedup_minhash_lsh", "events_sessionization",
+    "llm_dedup_minhash_lsh",
     "asof_join_latest_order", "tpch_q1", "tpch_q10", "tpch_q18",
     "tpch_q19",
     # ref_index_zorder: r4-green but its harness materialization changed
@@ -325,6 +325,7 @@ PRIORITY: tuple[str, ...] = (
     "llm_sim_mips_banded", "llm_sim_mips_recall", "graph_pagerank_converged",
     "stream_sum_view_timetravel", "stream_sum_view_minilog",
     "llm_knn_classify", "llm_embed_class_margins",
+    "stream_cdf_export_roundtrip",
 )
 
 

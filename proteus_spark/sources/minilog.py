@@ -62,7 +62,7 @@ def stage_topic(
         F.col(key_col).cast("string").alias("key"),
         F.col("value").cast("string").alias("value"),
     ).withColumn(
-        "p", F.pmod(F.xxhash64(F.col(key_col).cast("string")), F.lit(partitions))
+        "p", F.pmod(F.xxhash64(F.col("key")), F.lit(partitions))
     )
     # one JSON line per record keeps (key, value) together in a text
     # segment; the consumer splits it back out
@@ -261,3 +261,101 @@ def consume_envelopes(
         .load()
     )
     return decode_records(records, row_schema, key_cols, value_col)
+
+
+def append_epoch(
+    df: DataFrame,
+    path: str,
+    epoch: int,
+    partitions: int = 4,
+    key_col: str = "key",
+) -> bool:
+    """Append one micro-batch's records to the topic as epoch-named
+    segments — the PRODUCER side of a change-data-feed export (a view's
+    subscriber publishes its deltas; downstream systems consume them with
+    the ``proteus_log`` source instead of querying the view).
+
+    Layout contract: files sort as ``part-0...`` (initial bulk load,
+    stage_topic) then ``part-e{epoch:08d}-...`` ascending — segment order
+    IS append order, so consumer offsets stay stable as epochs accrue and
+    last-writer-wins reconstruction can order by the epoch stamped inside
+    each record. The write is a DISTRIBUTED partitionBy text job into a
+    staging dir; publication is per-file renames (metadata ops; an
+    object-store deployment would copy-then-commit a manifest instead).
+
+    Exactly-once per epoch: a replayed foreachBatch epoch (segments for it
+    already published) is dropped wholesale — returns False. Mirrors the
+    LSM commit guard; together they make the view AND its exported feed
+    replay-safe."""
+    import shutil
+    import tempfile
+
+    for p in range(partitions):
+        d = os.path.join(path, f"p={p}")
+        try:
+            if any(
+                f.startswith(f"part-e{epoch:08d}") for f in os.listdir(d)
+            ):
+                return False  # replayed epoch: already published
+        except OSError:
+            pass
+    keyed = df.select(
+        F.col(key_col).cast("string").alias("key"),
+        F.col("value").cast("string").alias("value"),
+    ).withColumn(
+        "p", F.pmod(F.xxhash64(F.col("key")), F.lit(partitions))
+    )
+    framed = keyed.select(
+        "p",
+        F.to_json(F.struct("key", "value", F.lit(epoch).alias("epoch"))).alias(
+            "rec"
+        ),
+    )
+    staging = tempfile.mkdtemp(prefix="proteus_log_stage_")
+    try:
+        (
+            framed.repartition(partitions, "p")
+            .write.mode("overwrite")
+            .partitionBy("p")
+            .text(staging)
+        )
+        for p in range(partitions):
+            sdir = os.path.join(staging, f"p={p}")
+            try:
+                files = sorted(
+                    f
+                    for f in os.listdir(sdir)
+                    if f.startswith("part-") and not f.endswith(".crc")
+                )
+            except OSError:
+                continue
+            ddir = os.path.join(path, f"p={p}")
+            os.makedirs(ddir, exist_ok=True)
+            for j, f in enumerate(files):
+                os.replace(
+                    os.path.join(sdir, f),
+                    os.path.join(ddir, f"part-e{epoch:08d}-{j:04d}.txt"),
+                )
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)
+    return True
+
+
+def cdf_exporter(
+    path: str,
+    partitions: int = 4,
+    key_col: str = "key",
+):
+    """Subscriber-callback factory: ``view.subscribe(cdf_exporter(topic))``
+    publishes every delta batch to the topic (records = the delta rows
+    JSON-encoded, keyed by ``key_col``, epoch-stamped for LWW replay)."""
+
+    def _cb(delta: DataFrame, epoch: int) -> None:
+        cols = [c for c in delta.columns]
+        rec = delta.select(
+            F.col(key_col),
+            F.to_json(F.struct(*[F.col(c) for c in cols])).alias("value"),
+        )
+        append_epoch(rec, path, epoch, partitions=partitions, key_col=key_col)
+
+    return _cb

@@ -530,3 +530,33 @@ def test_minilog_empty_topic_streams_zero_rows(spark, tmp_path):
     q.stop()
     assert rows == []
     assert minilog.end_offsets(topic, 4) == {0: 0, 1: 0, 2: 0, 3: 0}
+
+
+def test_minilog_append_epoch_replay_is_dropped(spark, tmp_path):
+    """Producer-side exactly-once: re-publishing an epoch whose segments
+    already exist is a wholesale no-op (returns False, no duplicate
+    records) — the guard that makes a replayed foreachBatch export safe,
+    mirroring the LSM commit's epoch high-water mark."""
+    from pyspark.sql import functions as F
+
+    from proteus_spark.sources import minilog
+
+    topic = str(tmp_path / "topic")
+    df = spark.range(50).select(
+        (F.col("id") % 7).cast("string").alias("key"),
+        F.col("id").cast("string").alias("value"),
+    )
+    assert minilog.append_epoch(df, topic, epoch=0) is True
+    first = minilog.end_offsets(topic, 4)
+    assert sum(first.values()) == 50
+    # replay the same epoch: dropped wholesale
+    assert minilog.append_epoch(df, topic, epoch=0) is False
+    assert minilog.end_offsets(topic, 4) == first
+    # a NEW epoch appends, and its segments sort after epoch 0's
+    assert minilog.append_epoch(df.limit(10), topic, epoch=1) is True
+    assert sum(minilog.end_offsets(topic, 4).values()) == 60
+    import os
+
+    for p in range(4):
+        files = [os.path.basename(f) for f in minilog._segment_files(topic, p)]
+        assert files == sorted(files)
