@@ -42,6 +42,12 @@ GRACEFUL = [
     "llm_token_budget_sample",
     "events_ab_lift",
     "graph_pagerank_parts",
+    # round-5 additions (verified empty-clean when they landed)
+    "graph_pagerank_converged",
+    "llm_knn_classify",
+    "llm_embed_class_margins",
+    "llm_sim_mips_banded",
+    "llm_sim_mips_recall",
 ]
 
 
