@@ -140,7 +140,14 @@ def register_log_datasource(spark: SparkSession) -> str:
 
         # -- driver-side offset planning --------------------------------
         def _ends(self) -> dict[int, int]:
-            # inline end_offsets (self-contained for pickling)
+            # Per-segment line counts memoized by (size, mtime): segments
+            # are immutable once published, so only NEW files are ever
+            # read — latestOffset costs O(new data) per trigger, not
+            # O(log). (The production swap is a framed segment + offset
+            # index; the protocol is unchanged.)
+            cache = getattr(self, "_count_cache", None)
+            if cache is None:
+                cache = self._count_cache = {}
             out = {}
             for p in range(self.partitions_n):
                 d = os.path.join(self.path, f"p={p}")
@@ -154,8 +161,15 @@ def register_log_datasource(spark: SparkSession) -> str:
                 except OSError:
                     files = []
                 for f in files:
-                    with open(f, "rb") as fh:
-                        n += sum(1 for _ in fh)
+                    try:
+                        st = os.stat(f)
+                        key = (f, st.st_size, st.st_mtime_ns)
+                    except OSError:
+                        continue
+                    if key not in cache:
+                        with open(f, "rb") as fh:
+                            cache[key] = sum(1 for _ in fh)
+                    n += cache[key]
                 out[p] = n
             return out
 
