@@ -122,11 +122,16 @@ def register_log_datasource(spark: SparkSession) -> str:
     )
 
     class _LogRange(InputPartition):
-        def __init__(self, path: str, p: int, start: int, end: int):
+        def __init__(self, path, p, start, end, file_counts):
             self.path = path
             self.p = p
             self.start = start
             self.end = end
+            # [(segment file, line count)] in offset order, from the
+            # driver's memoized planning pass: lets the executor SEEK past
+            # whole segments below its range instead of re-scanning the
+            # partition from offset 0 every micro-batch
+            self.file_counts = file_counts
 
     class LogStreamReader(DataSourceStreamReader):
         def __init__(self, options):
@@ -144,14 +149,18 @@ def register_log_datasource(spark: SparkSession) -> str:
             # are immutable once published, so only NEW files are ever
             # read — latestOffset costs O(new data) per trigger, not
             # O(log). (The production swap is a framed segment + offset
-            # index; the protocol is unchanged.)
+            # index; the protocol is unchanged.) Also keeps the per-file
+            # count list that partitions() ships to executors for
+            # whole-segment seeking.
             cache = getattr(self, "_count_cache", None)
             if cache is None:
                 cache = self._count_cache = {}
+            self._file_counts = {}
             out = {}
             for p in range(self.partitions_n):
                 d = os.path.join(self.path, f"p={p}")
                 n = 0
+                fcs = []
                 try:
                     files = sorted(
                         os.path.join(d, f)
@@ -169,7 +178,9 @@ def register_log_datasource(spark: SparkSession) -> str:
                     if key not in cache:
                         with open(f, "rb") as fh:
                             cache[key] = sum(1 for _ in fh)
+                    fcs.append((f, cache[key]))
                     n += cache[key]
+                self._file_counts[p] = fcs
                 out[p] = n
             return out
 
@@ -198,8 +209,16 @@ def register_log_datasource(spark: SparkSession) -> str:
             # partitions() — seed the rate-limit base from them
             if getattr(self, "_last_end", None) is None:
                 self._last_end = dict(end)
+            if not hasattr(self, "_file_counts"):
+                self._ends()  # restart: rebuild the per-file count lists
             return [
-                _LogRange(self.path, p, start.get(str(p), 0), end.get(str(p), 0))
+                _LogRange(
+                    self.path,
+                    p,
+                    start.get(str(p), 0),
+                    end.get(str(p), 0),
+                    self._file_counts.get(p, []),
+                )
                 for p in range(self.partitions_n)
                 if end.get(str(p), 0) > start.get(str(p), 0)
             ]
@@ -208,17 +227,13 @@ def register_log_datasource(spark: SparkSession) -> str:
         def read(self, partition):
             import json as _json
 
-            d = os.path.join(partition.path, f"p={partition.p}")
-            try:
-                files = sorted(
-                    os.path.join(d, f)
-                    for f in os.listdir(d)
-                    if f.startswith("part-") and not f.endswith(".crc")
-                )
-            except OSError:
-                files = []
             off = 0
-            for fpath in files:
+            for fpath, count in partition.file_counts:
+                if off + count <= partition.start:
+                    off += count  # whole segment below the range: skip
+                    continue
+                if off >= partition.end:
+                    return
                 with open(fpath, "r") as fh:
                     for line in fh:
                         if off >= partition.end:
