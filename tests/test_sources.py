@@ -560,3 +560,84 @@ def test_minilog_append_epoch_replay_is_dropped(spark, tmp_path):
     for p in range(4):
         files = [os.path.basename(f) for f in minilog._segment_files(topic, p)]
         assert files == sorted(files)
+
+
+@pytest.mark.parametrize("partitions,nkeys", [(1, 1), (3, 2), (5, 40)])
+def test_minilog_consume_equals_produced_multiset(
+    spark, tmp_path, partitions, nkeys
+):
+    """Shape sweep: single-partition topics, more partitions than keys
+    (some partitions empty forever), and high key fan-out all deliver the
+    exact produced multiset with dense offsets."""
+    from pyspark.sql import functions as F
+
+    from proteus_spark.sources import minilog
+
+    df = spark.range(120).select(
+        (F.col("id") % nkeys).cast("string").alias("key"),
+        F.col("id").cast("string").alias("value"),
+    )
+    topic = str(tmp_path / "topic")
+    ends = minilog.stage_topic(df, topic, partitions=partitions)
+    assert sum(ends.values()) == 120
+    minilog.register_log_datasource(spark)
+    rows: list = []
+    q = (
+        spark.readStream.format("proteus_log")
+        .option("path", topic)
+        .option("partitions", str(partitions))
+        .option("maxRecordsPerTrigger", "37")
+        .load()
+        .writeStream.outputMode("append")
+        .foreachBatch(lambda b, e: rows.extend(
+            (r["partition"], r["offset"], r["value"]) for r in b.collect()
+        ))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    assert sorted(v for _, _, v in rows) == sorted(str(i) for i in range(120))
+    # offsets dense per partition
+    by_p: dict = {}
+    for p, o, _ in rows:
+        by_p.setdefault(p, []).append(o)
+    for p, offs in by_p.items():
+        assert sorted(offs) == list(range(len(offs)))
+
+
+def test_minilog_two_independent_consumers_fan_out(spark, tmp_path):
+    """Broker fan-out: two consumers with separate checkpoints each read
+    the FULL topic independently (consuming is non-destructive; offsets
+    are per-consumer state, not log state)."""
+    from pyspark.sql import functions as F
+
+    from proteus_spark.sources import minilog
+
+    df = spark.range(90).select(
+        (F.col("id") % 9).cast("string").alias("key"),
+        F.col("id").cast("string").alias("value"),
+    )
+    topic = str(tmp_path / "topic")
+    minilog.stage_topic(df, topic, partitions=4)
+    minilog.register_log_datasource(spark)
+
+    def consume(ckpt):
+        rows: list = []
+        q = (
+            spark.readStream.format("proteus_log")
+            .option("path", topic)
+            .option("partitions", "4")
+            .load()
+            .writeStream.outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .foreachBatch(lambda b, e: rows.extend(r["value"] for r in b.collect()))
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        return rows
+
+    a = consume(str(tmp_path / "ckpt_a"))
+    b = consume(str(tmp_path / "ckpt_b"))
+    exp = sorted(str(i) for i in range(90))
+    assert sorted(a) == exp and sorted(b) == exp
