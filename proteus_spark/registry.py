@@ -60,19 +60,25 @@ def register(name: str, oracle=None, tags: tuple[str, ...] = (), doc: str = ""):
 # above it (with few row groups) the file is effectively unsplittable and
 # every scan-side stage would run near-serial.
 _DENSIFY_MIN_ROWS = 50_000
-_split_cache: dict[str, int] = {}
+_split_cache: dict[str, tuple[int, int]] = {}
 
 
-def _unsplittable_rows(path: str) -> int:
-    """Rows trapped in the LARGEST single parquet row group under ``path``.
+def _scan_shape(path: str) -> tuple[int, int]:
+    """(rows in the LARGEST single parquet row group, total row-group
+    count) under ``path``.
 
     Parquet splits at row-group boundaries only: a million-row single-group
     file is one Spark task no matter what maxPartitionBytes says. Real lake
     writers emit ~128 MB multi-group files, but defensive engines must
     handle the degenerate shape (single-group dumps, gzip-ish unsplittable
-    inputs) — the footer read is a few KB of driver-side IO, cached."""
+    inputs) — the footer read is a few KB of driver-side IO, cached. The
+    row-group COUNT is the scan's maximum parallelism: densify must fire
+    only when that is below the cluster's, never on an already-well-split
+    source (measured at a 100x replica laid out as 32 multi-group files:
+    densify's extra roundRobin exchange carried all 60M filtered rows for
+    zero scan-parallelism gain)."""
     if path not in _split_cache:
-        worst = 0
+        worst, groups = 0, 0
         try:
             import pyarrow.parquet as pq
 
@@ -83,12 +89,17 @@ def _unsplittable_rows(path: str) -> int:
             )
             for f in files:
                 md = pq.ParquetFile(f).metadata
+                groups += md.num_row_groups
                 for i in range(md.num_row_groups):
                     worst = max(worst, md.row_group(i).num_rows)
         except Exception:
-            worst = 0  # unreadable footer -> assume splittable, no exchange
-        _split_cache[path] = worst
+            worst, groups = 0, 0  # unreadable footer -> assume splittable
+        _split_cache[path] = (worst, groups)
     return _split_cache[path]
+
+
+def _unsplittable_rows(path: str) -> int:
+    return _scan_shape(path)[0]
 
 
 def _tune_session(spark: SparkSession) -> None:
@@ -148,8 +159,15 @@ def load(
     _tune_session(spark)
     path = os.path.join(sf_dir, f"{name}.parquet")
     df = spark.read.parquet(path)
-    if densify and _unsplittable_rows(path) >= _DENSIFY_MIN_ROWS:
-        df = df.repartition(spark.sparkContext.defaultParallelism)
+    if densify:
+        worst, groups = _scan_shape(path)
+        par = spark.sparkContext.defaultParallelism
+        # fire only when the scan is BOTH dense (big row groups) and
+        # under-parallel for this cluster — a well-laid-out source (>=
+        # par/2 row groups) already scans wide, and the extra roundRobin
+        # exchange would carry the whole filtered table for nothing
+        if worst >= _DENSIFY_MIN_ROWS and groups < max(2, par // 2):
+            df = df.repartition(par)
     return df
 
 

@@ -641,3 +641,50 @@ def test_minilog_two_independent_consumers_fan_out(spark, tmp_path):
     b = consume(str(tmp_path / "ckpt_b"))
     exp = sorted(str(i) for i in range(90))
     assert sorted(a) == exp and sorted(b) == exp
+
+
+def test_densify_fires_on_dumps_not_on_well_split_sources(spark, tmp_path):
+    """The densify trigger must consider available SCAN parallelism, not
+    just row-group size: a single-group dump (driver-testdata shape) gets
+    the repartition; a source already laid out as many multi-group files
+    (real lake-writer shape) must NOT pay an extra full-table exchange —
+    measured at a 100x replica, that needless roundRobin carried all 60M
+    filtered rows (tpch_q1 20.2s -> 11.7s once skipped)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from proteus_spark import registry
+
+    par = spark.sparkContext.defaultParallelism
+    n = registry._DENSIFY_MIN_ROWS + 1
+
+    # shape A: one file, one huge row group — the degenerate dump
+    d_a = tmp_path / "dump"; d_a.mkdir()
+    t = pa.table({"x": list(range(n))})
+    pq.write_table(t, str(d_a / "a.parquet"), row_group_size=n)
+
+    # shape B: >= par/2 files, EACH with one >=threshold row group — the
+    # groups count (not group size) must be what disarms the trigger
+    d_b = tmp_path / "split"; d_b.mkdir()
+    files = max(2, par // 2)
+    for i in range(files):
+        chunk = pa.table({"x": list(range(i * n, i * n + n))})
+        pq.write_table(chunk, str(d_b / f"b{i}.parquet"), row_group_size=n)
+
+    def parts(path):
+        registry._split_cache.pop(str(path), None)
+        df = spark.read.parquet(str(path))
+        worst, groups = registry._scan_shape(str(path))
+        return worst, groups
+
+    worst_a, groups_a = parts(d_a)
+    assert worst_a >= registry._DENSIFY_MIN_ROWS and groups_a == 1
+    # dump: condition fires
+    assert worst_a >= registry._DENSIFY_MIN_ROWS and groups_a < max(2, par // 2)
+    worst_b, groups_b = parts(d_b)
+    assert worst_b >= registry._DENSIFY_MIN_ROWS  # groups ARE big...
+    assert groups_b >= max(2, par // 2)  # ...but the scan is already wide
+    # well-split: condition must NOT fire even though groups are big
+    assert not (
+        worst_b >= registry._DENSIFY_MIN_ROWS and groups_b < max(2, par // 2)
+    )
