@@ -895,10 +895,14 @@ def llm_knn_classify(spark, sf_dir):
 def _class_margins_oracle() -> str:
     cos = _cos_sql("v.embedding", "c.cvec")
     return f"""
-    WITH pos AS (
+    WITH dim AS (
+      SELECT CAST(len(embedding) AS INTEGER) AS d FROM embeddings LIMIT 1),
+    pos AS (
+      -- dimension derived from the data, not hardcoded (ADVICE r5):
+      -- a testdata re-generation at a different dim stays in parity
       SELECT v.label, g.pos, CAST(v.embedding[g.pos] AS DOUBLE) AS x
       FROM embeddings v,
-           (SELECT unnest(generate_series(1, 64)) AS pos) g),
+           (SELECT unnest(generate_series(1, (SELECT d FROM dim))) AS pos) g),
     cent AS (
       SELECT label AS clabel, list(m ORDER BY pos) AS cvec
       FROM (SELECT label, pos, round(avg(x), 6) AS m

@@ -78,13 +78,29 @@ def stage_topic(
     return end_offsets(path, partitions)
 
 
+def _epoch_committed(path: str, fname: str) -> bool:
+    """Read-committed filter: epoch segments (``part-eNNNNNNNN-...``) are
+    visible only once their epoch's atomic commit marker exists; segments
+    from a crashed half-published epoch are invisible to consumers (and
+    safe for the producer's replay sweep to delete). Bulk-load segments
+    (``part-0...`` from stage_topic) are always visible."""
+    if not fname.startswith("part-e"):
+        return True
+    ep = fname[6:14]
+    if not ep.isdigit():
+        return True
+    return os.path.exists(os.path.join(path, f"_epoch-{ep}.committed"))
+
+
 def _segment_files(path: str, p: int) -> list[str]:
     d = os.path.join(path, f"p={p}")
     try:
         return sorted(
             os.path.join(d, f)
             for f in os.listdir(d)
-            if f.startswith("part-") and not f.endswith(".crc")
+            if f.startswith("part-")
+            and not f.endswith(".crc")
+            and _epoch_committed(path, f)
         )
     except OSError:
         return []
@@ -121,6 +137,18 @@ def register_log_datasource(spark: SparkSession) -> str:
         InputPartition,
     )
 
+    def _discover_partitions(path: str) -> int:
+        # the on-disk truth for a topic's width: max p=N dir + 1
+        try:
+            ps = [
+                int(d[2:])
+                for d in os.listdir(path)
+                if d.startswith("p=") and d[2:].isdigit()
+            ]
+        except OSError:
+            return 0
+        return (max(ps) + 1) if ps else 0
+
     class _LogRange(InputPartition):
         def __init__(self, path, p, start, end, file_counts):
             self.path = path
@@ -138,13 +166,23 @@ def register_log_datasource(spark: SparkSession) -> str:
             self.path = options.get("path")
             if not self.path:
                 raise ValueError("proteus_log requires option 'path'")
-            self.partitions_n = int(options.get("partitions", 4))
+            self.partitions_n = max(
+                int(options.get("partitions", 4)),
+                _discover_partitions(self.path),
+            )
             self.max_per_trigger = int(
                 options.get("maxRecordsPerTrigger", 10_000)
             )
 
         # -- driver-side offset planning --------------------------------
         def _ends(self) -> dict[int, int]:
+            # a topic's partition count is fixed by the producer's layout,
+            # not the consumer's option: re-discover each trigger so a
+            # mis-configured (or stale) 'partitions' option can never
+            # silently skip higher p=N dirs
+            self.partitions_n = max(
+                self.partitions_n, _discover_partitions(self.path)
+            )
             # Per-segment line counts memoized by (size, mtime): segments
             # are immutable once published, so only NEW files are ever
             # read — latestOffset costs O(new data) per trigger, not
@@ -152,6 +190,16 @@ def register_log_datasource(spark: SparkSession) -> str:
             # index; the protocol is unchanged.) Also keeps the per-file
             # count list that partitions() ships to executors for
             # whole-segment seeking.
+            def _committed(fname, _path=self.path):
+                # read-committed: epoch segments count toward offsets only
+                # once their atomic commit marker exists (see append_epoch)
+                if not fname.startswith("part-e"):
+                    return True
+                ep = fname[6:14]
+                return (not ep.isdigit()) or os.path.exists(
+                    os.path.join(_path, f"_epoch-{ep}.committed")
+                )
+
             cache = getattr(self, "_count_cache", None)
             if cache is None:
                 cache = self._count_cache = {}
@@ -165,7 +213,9 @@ def register_log_datasource(spark: SparkSession) -> str:
                     files = sorted(
                         os.path.join(d, f)
                         for f in os.listdir(d)
-                        if f.startswith("part-") and not f.endswith(".crc")
+                        if f.startswith("part-")
+                        and not f.endswith(".crc")
+                        and _committed(f)
                     )
                 except OSError:
                     files = []
@@ -312,20 +362,30 @@ def append_epoch(
     staging dir; publication is per-file renames (metadata ops; an
     object-store deployment would copy-then-commit a manifest instead).
 
-    Exactly-once per epoch: a replayed foreachBatch epoch (segments for it
-    already published) is dropped wholesale — returns False. Mirrors the
-    LSM commit guard; together they make the view AND its exported feed
-    replay-safe."""
+    Exactly-once per epoch: publication is COMMITTED by an atomic marker
+    file (``_epoch-{epoch:08d}.committed`` via os.replace) written only
+    after every partition's renames finish, and the replay guard keys on
+    the MARKER, not on segment presence — a crash between partition
+    renames leaves segments without a marker, so the replayed epoch
+    deletes the partial segments and republishes in full instead of being
+    dropped wholesale (which would permanently lose the unpublished
+    partitions' records). Returns False only for a fully committed epoch.
+    Mirrors the LSM commit guard; together they make the view AND its
+    exported feed replay-safe."""
     import shutil
     import tempfile
 
+    marker = os.path.join(path, f"_epoch-{epoch:08d}.committed")
+    if os.path.exists(marker):
+        return False  # replayed epoch: already fully published
+    # uncommitted replay: sweep any partial segments from the crashed
+    # attempt before republishing (consumers never saw them as committed)
     for p in range(partitions):
         d = os.path.join(path, f"p={p}")
         try:
-            if any(
-                f.startswith(f"part-e{epoch:08d}") for f in os.listdir(d)
-            ):
-                return False  # replayed epoch: already published
+            for f in os.listdir(d):
+                if f.startswith(f"part-e{epoch:08d}"):
+                    os.remove(os.path.join(d, f))
         except OSError:
             pass
     keyed = df.select(
@@ -365,6 +425,11 @@ def append_epoch(
                     os.path.join(sdir, f),
                     os.path.join(ddir, f"part-e{epoch:08d}-{j:04d}.txt"),
                 )
+        # atomic commit point: the epoch exists iff this marker does
+        tmp_marker = os.path.join(staging, "_marker")
+        with open(tmp_marker, "w") as fh:
+            fh.write(str(epoch))
+        os.replace(tmp_marker, marker)
     finally:
         shutil.rmtree(staging, ignore_errors=True)
     return True

@@ -688,3 +688,123 @@ def test_densify_fires_on_dumps_not_on_well_split_sources(spark, tmp_path):
     assert not (
         worst_b >= registry._DENSIFY_MIN_ROWS and groups_b < max(2, par // 2)
     )
+
+
+def test_minilog_partial_epoch_crash_recovers_all_records(spark, tmp_path):
+    """Crash between partition renames (ADVICE r5): an epoch published to
+    only SOME partitions has no commit marker, so (a) consumers never see
+    the partial segments, and (b) the replayed epoch republishes IN FULL
+    instead of being dropped — no records are permanently lost."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from proteus_spark.sources import minilog
+
+    topic = str(tmp_path / "topic")
+    df = spark.range(80).select(
+        F.col("id").cast("string").alias("key"),
+        F.col("id").cast("string").alias("value"),
+    )
+    assert minilog.append_epoch(df, topic, epoch=0) is True
+    committed = minilog.end_offsets(topic, 4)
+    assert sum(committed.values()) == 80
+
+    # simulate the crash: epoch 1's segments land in SOME partitions but
+    # the process dies before the marker write
+    assert minilog.append_epoch(df, topic, epoch=1) is True
+    os.remove(os.path.join(topic, "_epoch-00000001.committed"))
+    removed = 0
+    for p in (2, 3):
+        d = os.path.join(topic, f"p={p}")
+        for f in os.listdir(d):
+            if f.startswith("part-e00000001"):
+                os.remove(os.path.join(d, f))
+                removed += 1
+    assert removed > 0  # the crash scenario is real in this layout
+
+    # uncommitted segments are invisible to consumers (read-committed)
+    assert minilog.end_offsets(topic, 4) == committed
+
+    # the replayed epoch republishes in full — every record present once
+    assert minilog.append_epoch(df, topic, epoch=1) is True
+    assert sum(minilog.end_offsets(topic, 4).values()) == 160
+    # and a second replay of the now-committed epoch is dropped
+    assert minilog.append_epoch(df, topic, epoch=1) is False
+    assert sum(minilog.end_offsets(topic, 4).values()) == 160
+
+
+def test_minilog_consumer_discovers_partitions_beyond_option(spark, tmp_path):
+    """A consumer configured with FEWER partitions than the topic has on
+    disk must still read the higher p=N dirs (ADVICE r5): partition count
+    is the producer's layout truth, discovered by globbing p=* dirs."""
+    from pyspark.sql import functions as F
+
+    from proteus_spark.sources import minilog
+
+    df = spark.range(100).select(
+        F.col("id").cast("string").alias("key"),
+        F.col("id").cast("string").alias("value"),
+    )
+    topic = str(tmp_path / "topic")
+    minilog.stage_topic(df, topic, partitions=6)
+    minilog.register_log_datasource(spark)
+    rows: list = []
+    q = (
+        spark.readStream.format("proteus_log")
+        .option("path", topic)
+        .option("partitions", "2")  # stale/misconfigured: fewer than disk
+        .load()
+        .writeStream.outputMode("append")
+        .foreachBatch(
+            lambda b, e: rows.extend(r["value"] for r in b.collect())
+        )
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    assert sorted(rows) == sorted(str(i) for i in range(100))
+
+
+def test_spill_dir_count_is_bounded(spark):
+    """Repeated harness runs in one process must not accrete spill dirs
+    monotonically (VERDICT r5): spills live under ONE session root and the
+    oldest are reclaimed beyond the FIFO cap."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from proteus_spark import registry
+
+    for i in range(registry._SPILL_KEEP + 20):
+        out = registry.spill(
+            spark.range(3).select((F.col("id") + i).alias("v"))
+        )
+        assert out.count() == 3
+    assert registry._spill_root is not None
+    live = [
+        d
+        for d in os.listdir(registry._spill_root)
+        if os.path.isdir(os.path.join(registry._spill_root, d))
+    ]
+    assert len(live) <= registry._SPILL_KEEP
+    # the newest spill is still readable (bound reclaims OLDEST first)
+    assert out.count() == 3
+
+
+def test_spill_zero_rows_returns_empty_with_schema(spark):
+    """The zero-row spill path returns an empty frame with the original
+    schema — and ONLY that case; real read failures are not masked."""
+    from pyspark.sql import functions as F
+
+    from proteus_spark import registry
+
+    src = spark.range(5).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+    ).filter(F.col("k") < 0)
+    out = registry.spill(src)
+    assert out.count() == 0
+    # parquet round-trips drop non-null flags; names+types must hold
+    assert [(f.name, f.dataType) for f in out.schema] == [
+        (f.name, f.dataType) for f in src.schema
+    ]
