@@ -556,14 +556,10 @@ def _simhash_core() -> str:
     """
 
 
-def _simhash_oracle() -> str:
-    return "WITH " + _simhash_core() + "SELECT doc_id, simhash FROM sig"
-
-
-@register("llm_dedup_simhash", oracle=_simhash_oracle, tags=("llm", "dedup"))
-def llm_dedup_simhash(spark, sf_dir):
-    """SimHash signatures (16-bit majority over portable token hashes)."""
-    return D.simhash_signatures(load(spark, sf_dir, "documents"))
+# llm_dedup_simhash RETIRED round 6 (registry hygiene, VERDICT r5 #8):
+# the signature computation (_simhash_core / D.simhash_signatures) is a
+# strict prefix of llm_dedup_simhash_pairs, which oracles the SAME
+# signatures and then the pigeonhole candidate join on top of them.
 
 
 def _simhash_pairs_oracle() -> str:

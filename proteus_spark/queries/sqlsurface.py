@@ -118,28 +118,21 @@ register_sql(
     doc="HAVING over a grouped sum (TPC-H Q18 inner shape).",
 )
 
-register_sql(
-    "rollup_flag_status",
-    f"""
-    SELECT l_returnflag, l_linestatus,
-           CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_qty,
-           CAST(count(*) AS BIGINT) AS n
-    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
-    """,
-    tags=("aggregate",),
-    doc="ROLLUP grouping sets (SURVEY §2.4: free in Spark, absent in the "
-    "reference).",
-)
-
+# rollup_flag_status RETIRED round 6 (registry hygiene, VERDICT r5 #8):
+# CUBE's grouping sets are a strict superset of ROLLUP's over the same
+# keys, so cube_flag_status subsumes the retired query's coverage.
 register_sql(
     "cube_flag_status",
     f"""
     SELECT l_returnflag, l_linestatus,
-           CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_qty
+           CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS DOUBLE) AS sum_qty,
+           CAST(count(*) AS BIGINT) AS n
     FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
     """,
     tags=("aggregate",),
-    doc="CUBE grouping sets.",
+    doc="CUBE grouping sets (SURVEY §2.4: free in Spark, absent in the "
+    "reference); carries the retired ROLLUP query's count column so the "
+    "merged check keeps both aggregates.",
 )
 
 
@@ -276,55 +269,31 @@ def window_topk_per_group(spark, sf_dir):
     )
 
 
-@register(
-    "window_running_sum",
-    oracle="""
-    SELECT l_suppkey, l_orderkey, l_linenumber,
-           CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2)))
-                OVER (PARTITION BY l_suppkey
-                      ORDER BY l_shipdate, l_orderkey, l_linenumber
-                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                AS DECIMAL(38,2)) AS DOUBLE) AS running_qty
-    FROM lineitem
-    """,
-    tags=("window",),
-)
-def window_running_sum(spark, sf_dir):
-    """Running total per supplier (analytic frame). DECIMAL accumulator so
-    the cumulative sum is exact on both engines; the ORDER BY is a total
-    order (shipdate, orderkey, linenumber) for determinism."""
-    li = load(spark, sf_dir, "lineitem")
-    w = (
-        W.partitionBy("l_suppkey")
-        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
-        .rowsBetween(W.unboundedPreceding, W.currentRow)
-    )
-    return li.select(
-        "l_suppkey",
-        "l_orderkey",
-        "l_linenumber",
-        F.sum(F.col("l_quantity").cast("decimal(18,2)"))
-        .over(w)
-        .cast("decimal(38,2)")
-        .cast("double")
-        .alias("running_qty"),
-    )
-
-
+# window_running_sum RETIRED round 6 (registry hygiene, VERDICT r5 #8):
+# the running-aggregate frame it exercised now rides window_lag_delta
+# below (same window spec family over events), and the DECIMAL-exact
+# cumulative-sum frame shape remains covered by events_ewma_daily /
+# customer_value_deciles.
 @register(
     "window_lag_delta",
     oracle=EVENTS_NS_ORACLE
     + """
     SELECT event_id, user_id, value,
            value - lag(value) OVER (PARTITION BY user_id
-                                    ORDER BY ts_ns, event_id) AS delta
+                                    ORDER BY ts_ns, event_id) AS delta,
+           CAST(count(*) OVER (PARTITION BY user_id
+                               ORDER BY ts_ns, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS seq
     FROM events_ns
     """,
     tags=("window",),
 )
 def window_lag_delta(spark, sf_dir):
-    """lag()-based per-user delta over event time. Subtraction of identical
-    doubles is deterministic — no rounding needed."""
+    """lag()-based per-user delta over event time, plus a running count
+    frame (absorbs the retired window_running_sum's UNBOUNDED
+    PRECEDING..CURRENT ROW coverage with an exact-integer accumulator).
+    Subtraction of identical doubles is deterministic — no rounding."""
     ev = events_with_ts(spark, sf_dir)
     w = W.partitionBy("user_id").orderBy("ts_ns", "event_id")
     return ev.select(
@@ -332,6 +301,10 @@ def window_lag_delta(spark, sf_dir):
         "user_id",
         "value",
         (F.col("value") - F.lag("value").over(w)).alias("delta"),
+        F.count(F.lit(1))
+        .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .cast("long")
+        .alias("seq"),
     )
 
 

@@ -318,18 +318,20 @@ def _import_all() -> None:
 
 # Verification-priority order. External harnesses that budget their checks
 # walk queries() in dict order (first ~50), so the window rotates per round:
-# rounds 1-4 accumulated hash-green rows for 152/164 registered queries
-# (CORRECTNESS_r01..r04; r4 was 50/50 green). The ROUND-5 window =
-#   - 8 never externally verified (post-r4-window-freeze additions);
-#   - 8 r1-only refreshes (oldest external evidence);
-#   - 16 streaming queries whose implementation changed in round 5 (the
-#     snapshot-materialization harness moved from a driver collect()
-#     round-trip to parquet spill + read-back, and the LSM exactly-once
-#     epoch guard ordering changed) — changed implementation means
-#     re-verify even if green in r3/r4;
-#   - 18 r2-only refresh slots (new round-5 operators take slots from the
-#     END of this group after sf0.001+sf0.01 pre-verification).
-# Queries rotated OUT remain covered by the local DuckDB oracle gate
+# rounds 1-5 accumulated hash-green rows for every oracled query at least
+# once (r4 and r5 were both 50/50 green). The ROUND-6 window closes the
+# external-evidence freshness backlog (VERDICT r5 #1):
+#   - 33 r2-only refreshes (external evidence 4 rounds old — every
+#     remaining r2-only query after the round-6 retirements:
+#     rollup_flag_status, llm_dedup_simhash, and window_running_sum are
+#     RETIRED as redundant with cube_flag_status, llm_dedup_simhash_pairs,
+#     and window_lag_delta respectively);
+#   - 14 longest-idle r3-only refreshes (flagship + implementation-
+#     adjacent first, per ROTATION.md);
+#   - 3 new round-6 operators (each pre-verified at sf0.001 + sf0.01
+#     before taking a slot).
+# The ~24 remaining r3-only queries front the round-7 window. Queries
+# rotated OUT remain covered by the local DuckDB oracle gate
 # (tests/test_oracle_gate.py runs ALL oracled queries on every pytest) —
 # see ROTATION.md for the manifest.
 #
@@ -339,41 +341,31 @@ def _import_all() -> None:
 # oracles; tests/test_oracle_gate.py::test_priority_window_all_oracled
 # enforces this structurally.
 PRIORITY: tuple[str, ...] = (
-    # -- never externally verified (oracled, post-r4-freeze additions) ----
-    "graph_pagerank_parts", "llm_sim_mips", "stream_ann_ingest",
-    "llm_multimodal_png", "events_ab_lift", "llm_dedup_excise",
-    "dq_profile_orders", "events_attribution",
-    # -- r1-only refreshes (external evidence is 4 rounds old) ------------
-    "agg_percentiles", "anti_join_not_exists", "json_extract_props",
-    "pivot_event_counts", "scalar_functions", "setops_except",
-    "setops_intersect", "window_topk_per_group",
-    # -- implementation changed in round 5 (snapshot harness parquet
-    # spill + epoch-guard ordering): re-verify every oracled stream_* ----
-    "stream_sum_view", "stream_sum_view_cdc", "stream_sum_view_deletes",
-    "stream_sum_view_debezium", "stream_lobsters_pipeline",
-    "stream_sessionize_stateful", "stream_windowed_watermark",
-    "stream_static_enrich", "stream_interval_join", "stream_dedup_ingest",
-    "stream_join_view", "stream_session_window_native",
-    "stream_scd2_history", "stream_scd2_asof", "stream_join_view_deletes",
-    "stream_decontaminate",
-    # -- r2-only refreshes (bench-flagship + implementation-adjacent
-    # first; new round-5 operators displace from the END of this group) --
-    "ref_lobsters_topk", "ref_sum_view", "ref_join_merge",
-    "llm_dedup_minhash_lsh",
-    "asof_join_latest_order", "tpch_q1", "tpch_q10", "tpch_q18",
-    "tpch_q19",
-    # ref_index_zorder: r4-green but its harness materialization changed
-    # in round 5 (spill instead of collect) -> re-verify; takes
-    # range_join_events' refresh slot
-    "ref_index_zorder",
-    # -- new round-5 operators (each pre-verified at sf0.001 + sf0.01;
-    # they took r2-only refresh slots — events_tumbling_hourly,
-    # groupby_having, range_join_events, llm_dedup_ngram_jaccard,
-    # llm_sim_ivf stay locally gated and rotate back in round 6) ---------
-    "llm_sim_mips_banded", "llm_sim_mips_recall", "graph_pagerank_converged",
-    "stream_sum_view_timetravel", "stream_sum_view_minilog",
-    "llm_knn_classify", "llm_embed_class_margins",
-    "stream_cdf_export_roundtrip",
+    # -- 33 r2-only refreshes (all that remain after retirements).
+    # cube_flag_status and window_lag_delta additionally CHANGED in
+    # round 6 (each absorbed its retired sibling's coverage columns),
+    # so their slots double as changed-implementation re-verification --
+    "agg_full", "cube_flag_status", "events_rollup_multigrain",
+    "events_sessionization", "events_sliding_2h", "events_tumbling_hourly",
+    "groupby_having", "llm_bm25_search", "llm_corpus_stats",
+    "llm_dedup_apply", "llm_dedup_components", "llm_dedup_exact",
+    "llm_dedup_ngram_jaccard", "llm_dedup_simhash_pairs",
+    "llm_fingerprint", "llm_lang_id", "llm_quality_score", "llm_sim_ivf",
+    "llm_token_stats", "range_join_events", "ref_cache_topk",
+    "ref_conjunction", "ref_index_point", "ref_index_range",
+    "ref_isnotnull", "ref_isnull", "ref_point_eq", "ref_projection",
+    "ref_range_filter", "ref_router_union", "ref_topk_orders",
+    "ref_topology_lobsters", "window_lag_delta",
+    # -- 14 longest-idle r3-only refreshes ------------------------------
+    "tpch_q21", "tpch_q9", "tpch_q5", "tpch_q3", "tpch_q6",
+    "llm_sim_bruteforce", "llm_decontaminate", "llm_pack_sequences",
+    "ref_topology_ycsb", "ref_mock_datasource", "semi_join_exists",
+    "llm_dedup_ngram_capped", "llm_multimodal_extract",
+    "llm_multimodal_frames",
+    # -- new round-6 operators (pre-verified at sf0.001 + sf0.01;
+    # placeholders below are r3-only refreshes that yield their slots
+    # as each new operator lands) ---------------------------------------
+    "tpch_q2", "tpch_q4", "tpch_q7",
 )
 
 
