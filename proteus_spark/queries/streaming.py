@@ -1346,3 +1346,102 @@ def stream_ann_ingest(spark, sf_dir):
     finally:
         centroids.unpersist()
         shutil.rmtree(outdir, ignore_errors=True)
+
+
+@register(
+    "stream_view_dag_via_log",
+    oracle="""
+    WITH rev AS (
+      SELECT l_orderkey AS o_orderkey,
+             round(sum(l_extendedprice * (1 - l_discount)), 4) AS vote_sum
+      FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT o.o_orderkey AS o_orderkey, o.o_orderpriority AS title,
+           COALESCE(r.vote_sum, 0.0) AS vote_sum
+    FROM orders o LEFT JOIN rev r USING (o_orderkey)
+    """,
+    tags=("streaming", "cdf", "broker", "pipeline"),
+)
+def stream_view_dag_via_log(spark, sf_dir):
+    """The reference's QPU DAG with the TRANSPORT included: an upstream
+    sum view (votes per story) publishes its delta batches to an embedded
+    log topic via ``cdf_exporter``, and a DOWNSTREAM JoinView consumes
+    that exported feed — not the upstream's snapshot — merging it with a
+    live stories stream. This is how the reference composes operators
+    (sum.go:90-103 feeding join.go:111-143 over a subscription channel),
+    here with a durable broker hop in between: the downstream does not
+    share state, memory, or even a lineage edge with the upstream; only
+    the topic connects them.
+
+    Ordering: the feed carries each changed key's NEW TOTAL per epoch;
+    keys are hash-partitioned so per-key feed order is total, and the
+    consumer's per-partition OFFSET is the arrival order — the JoinView
+    collapses each micro-batch by max_by(value, offset) (order_col), so a
+    rate-limited batch holding several epochs of one key applies
+    deterministic last-writer-wins. Both views run CONCURRENTLY; the
+    upstream's catch-up gate guarantees every epoch is committed to the
+    topic before the downstream's catch-up gate drains it. Converged
+    downstream state == batch orders LEFT JOIN revenue."""
+    import shutil
+    import tempfile
+
+    from proteus_spark.sources import minilog
+    from proteus_spark.streaming.views import JoinView
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("vote"),
+    )
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_orderpriority").alias("title")
+    )
+
+    topic = tempfile.mkdtemp(prefix="proteus_dag_topic_")
+    src_votes = cdc.stage_stream(spark, li, chunks=4)
+    up = SumView(
+        spark, src_votes.subscribe(), group_by="l_orderkey",
+        agg_attr="vote", name="dag_sum_upstream", mode="append",
+    )
+    up.subscribe(
+        minilog.cdf_exporter(topic, partitions=4, key_col="l_orderkey")
+    )
+
+    minilog.register_log_datasource(spark)
+    feed = (
+        spark.readStream.format(minilog.FORMAT_NAME)
+        .option("path", topic)
+        .option("partitions", "4")
+        .option("maxRecordsPerTrigger", "5000")
+        .load()
+    )
+    left = feed.select(
+        F.from_json("value", "l_orderkey long, vote_sum double").alias("v"),
+        F.col("offset").alias("_seq"),
+    ).select(
+        F.col("v.l_orderkey").alias("o_orderkey"),
+        F.col("v.vote_sum").alias("vote_sum"),
+        "_seq",
+    )
+    src_orders = cdc.stage_stream(spark, orders, chunks=2)
+    right = src_orders.subscribe().withColumn("_seq", F.lit(0).cast("long"))
+
+    down = JoinView(
+        spark, left, right, key="o_orderkey", name="dag_join_downstream",
+        defaults={"vote_sum": 0.0}, order_col="_seq",
+    )
+    up.start()
+    down.start()
+    try:
+        up.await_catch_up()    # every delta epoch committed to the topic
+        down.await_catch_up()  # downstream drains the feed + stories
+        snap = down.snapshot().filter(F.col("title").isNotNull()).select(
+            "o_orderkey", "title", F.round("vote_sum", 4).alias("vote_sum")
+        )
+        out = _spill(snap)
+    finally:
+        down.stop()
+        up.stop()
+        cdc.cleanup(src_votes)
+        cdc.cleanup(src_orders)
+        shutil.rmtree(topic, ignore_errors=True)
+    return out

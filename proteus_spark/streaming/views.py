@@ -806,11 +806,20 @@ class JoinView:
         n_buckets: int = 32,
         retain: int = 8,
         root: str | None = None,
+        order_col: str | None = None,
     ):
         self.spark = spark
         self.name = name
         self.key = key
         self.defaults = defaults or {}
+        # ``order_col``: when the transport supplies a per-key total order
+        # (a CDF feed's epoch stamp, a vector clock), the within-batch
+        # collapse becomes DETERMINISTIC last-writer-wins by that order
+        # instead of the reference's arbitrary-arrival ``last`` — required
+        # when one micro-batch can hold several versions of a key (e.g. a
+        # rate-limited log consumer pulling multiple exported epochs at
+        # once). The column is consumed by the collapse and never stored.
+        self.order_col = order_col
         self._stream = left.unionByName(right, allowMissingColumns=True)
         # root pins state+checkpoint for restart-in-place (see SumView)
         self._root = root or tempfile.mkdtemp(prefix=f"proteus_view_{name}_")
@@ -860,15 +869,30 @@ class JoinView:
     # -- state maintenance -------------------------------------------------
     def _on_batch(self, batch: DataFrame, epoch: int) -> None:
         has_op = "_op" in batch.columns
-        cols = [c for c in batch.columns if c not in (self.key, "_op")]
+        cols = [
+            c
+            for c in batch.columns
+            if c not in (self.key, "_op", self.order_col)
+        ]
         # collapse the batch: one row per key, last non-null per attribute
         # (arrival order within a batch is arbitrary — matching the
-        # reference's unordered apply, join.go:352-379); the optional
-        # ``_op`` column marks DELETE tombstones — a key whose last record
-        # in the batch is a DELETE is removed from state
-        aggs = [F.last(c, ignorenulls=True).alias(c) for c in cols]
-        if has_op:
-            aggs.append(F.last("_op", ignorenulls=False).alias("_op"))
+        # reference's unordered apply, join.go:352-379) — or, with
+        # order_col, the row with the HIGHEST order among non-null values
+        # (deterministic LWW when the transport stamps a per-key order);
+        # the optional ``_op`` column marks DELETE tombstones — a key
+        # whose last record in the batch is a DELETE is removed from state
+        if self.order_col is not None:
+            oc = F.col(self.order_col)
+            aggs = [
+                F.max_by(F.col(c), F.when(F.col(c).isNotNull(), oc)).alias(c)
+                for c in cols
+            ]
+            if has_op:
+                aggs.append(F.max_by(F.col("_op"), oc).alias("_op"))
+        else:
+            aggs = [F.last(c, ignorenulls=True).alias(c) for c in cols]
+            if has_op:
+                aggs.append(F.last("_op", ignorenulls=False).alias("_op"))
         delta = (
             batch.groupBy(self.key)
             .agg(*aggs)

@@ -1404,3 +1404,103 @@ def test_minilog_cdc_view_restart_exactly_once(spark, sf_dir, tmp_path):
         assert got == exp
     finally:
         v2.stop()
+
+
+def test_view_dag_via_log_downstream_restart_exactly_once(spark, sf_dir, tmp_path):
+    """The QPU-DAG crash contract ACROSS the broker hop: an upstream sum
+    view exports its delta epochs to a topic; the downstream JoinView
+    consuming that feed is KILLED mid-consumption, then a fresh instance
+    over the SAME root + checkpoint resumes — feed offsets from Spark's
+    checkpoint, join state + epoch high-water mark from the LSM manifest —
+    and the converged downstream equals the batch join. Extends
+    test_minilog_cdc_view_restart_exactly_once one DAG edge further."""
+    import time as _time
+
+    from proteus_spark.registry import load as _load
+    from proteus_spark.sources import cdc as _cdc
+    from proteus_spark.sources import minilog
+    from proteus_spark.streaming.views import JoinView, SumView
+
+    li = _load(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("vote"),
+    )
+    orders = _load(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_orderpriority").alias("title")
+    )
+    topic = str(tmp_path / "topic")
+
+    # upstream leg: run to completion, exporting every delta epoch
+    src_votes = _cdc.stage_stream(spark, li, chunks=4)
+    up = SumView(
+        spark, src_votes.subscribe(), group_by="l_orderkey",
+        agg_attr="vote", name="t_dag_up", mode="append",
+    )
+    up.subscribe(minilog.cdf_exporter(topic, partitions=4, key_col="l_orderkey"))
+    up.start()
+    try:
+        up.await_catch_up()
+    finally:
+        up.stop()
+        _cdc.cleanup(src_votes)
+    assert sum(minilog.end_offsets(topic, 4).values()) > 0
+
+    minilog.register_log_datasource(spark)
+    root = str(tmp_path / "downroot")
+    src_orders = _cdc.stage_stream(spark, orders, chunks=2)
+
+    def mk_down():
+        feed = (
+            spark.readStream.format(minilog.FORMAT_NAME)
+            .option("path", topic)
+            .option("partitions", "4")
+            .option("maxRecordsPerTrigger", "40")  # many batches -> mid-feed kill
+            .load()
+        )
+        left = feed.select(
+            F.from_json("value", "l_orderkey long, vote_sum double").alias("v"),
+            F.col("offset").alias("_seq"),
+        ).select(
+            F.col("v.l_orderkey").alias("o_orderkey"),
+            F.col("v.vote_sum").alias("vote_sum"),
+            "_seq",
+        )
+        right = src_orders.subscribe().withColumn(
+            "_seq", F.lit(0).cast("long")
+        )
+        return JoinView(
+            spark, left, right, key="o_orderkey", name="t_dag_down",
+            defaults={"vote_sum": 0.0}, order_col="_seq", root=root,
+        )
+
+    d1 = mk_down().start()
+    try:
+        deadline = _time.time() + 60
+        while d1._state.version < 1 and _time.time() < deadline:
+            _time.sleep(0.2)
+        assert d1._state.version >= 1
+    finally:
+        d1.stop(cleanup=False)
+
+    d2 = mk_down()
+    assert d2._state.version >= 1  # recovered from the manifest, not reset
+    d2.start()
+    try:
+        d2.await_catch_up()
+        got = {
+            r["o_orderkey"]: (r["title"], round(r["vote_sum"], 4))
+            for r in d2.snapshot()
+            .filter(F.col("title").isNotNull())
+            .collect()
+        }
+        exp_rev = li.groupBy("l_orderkey").agg(F.sum("vote").alias("s"))
+        exp = {
+            r["o_orderkey"]: (r["title"], round(r["s"] or 0.0, 4))
+            for r in orders.join(
+                exp_rev, orders.o_orderkey == exp_rev.l_orderkey, "left"
+            ).collect()
+        }
+        assert got == exp
+    finally:
+        d2.stop()
+        _cdc.cleanup(src_orders)
