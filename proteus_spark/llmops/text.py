@@ -835,3 +835,90 @@ def unigram_perplexity(docs: DataFrame) -> DataFrame:
         F.round(logp_sum / n, 6).alias("avg_logp"),
         F.round(F.exp(-logp_sum / n), 6).alias("ppl"),
     )
+
+
+def bpe_merge_pass(toks: DataFrame, a: str, b: str, col: str = "t") -> DataFrame:
+    """One BPE merge application: replace every greedy-leftmost adjacent
+    occurrence of (a, b) in each token array with the concatenated symbol
+    a||b. Pure Catalyst higher-order fold (F.aggregate) — the carry/emit
+    state machine runs JVM-side per row, no shuffle, no UDF; overlapping
+    occurrences (only possible when a == b) resolve leftmost-first exactly
+    like a sequential BPE trainer."""
+    merged = a + b
+
+    def step(s, x):
+        acc, carry = s.getField("acc"), s.getField("carry")
+        is_merge = carry.isNotNull() & (carry == F.lit(a)) & (x == F.lit(b))
+        flushed = F.when(carry.isNull(), acc).otherwise(
+            F.array_append(acc, carry)
+        )
+        return F.when(
+            is_merge,
+            F.struct(
+                F.array_append(acc, F.lit(merged)).alias("acc"),
+                F.lit(None).cast("string").alias("carry"),
+            ),
+        ).otherwise(
+            F.struct(flushed.alias("acc"), x.alias("carry"))
+        )
+
+    def finish(s):
+        acc, carry = s.getField("acc"), s.getField("carry")
+        return F.when(carry.isNull(), acc).otherwise(
+            F.array_append(acc, carry)
+        )
+
+    zero = F.struct(
+        F.expr("CAST(array() AS array<string>)").alias("acc"),
+        F.lit(None).cast("string").alias("carry"),
+    )
+    return toks.withColumn(col, F.aggregate(F.col(col), zero, step, finish))
+
+
+def bpe_adjacent_pairs(toks: DataFrame, col: str = "t") -> DataFrame:
+    """(a, b) rows for every ADJACENT token pair — zero-shuffle arrays_zip
+    of each array with its own tail (never a self-join)."""
+    return toks.select(
+        F.explode(
+            F.arrays_zip(
+                F.slice(col, 1, F.greatest(F.size(col) - 1, F.lit(0))),
+                F.expr(f"slice({col}, 2, greatest(size({col}) - 1, 0))"),
+            )
+        ).alias("p")
+    ).select(F.col("p.0").alias("a"), F.col("p.1").alias("b"))
+
+
+def bpe_train(docs: DataFrame, rounds: int = 8) -> DataFrame:
+    """Multi-round BPE tokenizer training: iterate count-pairs -> pick the
+    top merge (ties lexicographic) -> apply it corpus-wide -> recount, for
+    ``rounds`` rounds. Returns the learned merge table
+    (rk, a, b, n) — rank, merged pair, and its count WHEN CHOSEN.
+
+    Scale shape per round: one map-side-combined pair aggregation (the
+    only shuffle) feeding a 1-row top-k; the merge application is a
+    per-row JVM fold. The driver pull is ONE scalar row per round (the
+    chosen merge — the same per-iteration-scalar pattern as the PageRank
+    convergence check); the corpus itself never round-trips.
+    ``localCheckpoint`` after each merge truncates lineage so the plan
+    does not nest ``rounds`` fold expressions deep (the PageRank /
+    dup_components fixpoint pattern)."""
+    spark = docs.sparkSession
+    toks = docs.select(
+        F.regexp_extract_all("text", F.lit(BPE_REGEX), F.lit(0)).alias("t")
+    )
+    rules: list[tuple[int, str, str, int]] = []
+    for r in range(rounds):
+        best = (
+            bpe_adjacent_pairs(toks)
+            .groupBy("a", "b")
+            .agg(F.count("*").cast("long").alias("n"))
+            .orderBy(F.desc("n"), F.asc("a"), F.asc("b"))
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break  # no doc has two adjacent tokens left
+        a, b, n = best[0]["a"], best[0]["b"], best[0]["n"]
+        rules.append((r + 1, a, b, n))
+        toks = bpe_merge_pass(toks, a, b).localCheckpoint(eager=True)
+    return spark.createDataFrame(rules, "rk long, a string, b string, n long")

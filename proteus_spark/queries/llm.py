@@ -2373,3 +2373,95 @@ def llm_dedup_excise(spark, sf_dir):
         F.size(kept).cast("long").alias("n_kept"),
         F.md5(F.encode(F.concat_ws(" ", kept), "utf-8")).alias("clean_hash"),
     )
+
+
+_BPE_TRAIN_ROUNDS = 8
+
+
+def _bpe_train_oracle() -> str:
+    """Static unroll of the BPE training loop: one CTE block per merge
+    round (pairs -> best -> greedy-leftmost apply), every round
+    MATERIALIZED (the r5 DuckDB lesson — inlined iteration CTEs explode
+    optimizer time exponentially). The greedy-apply is relational: a
+    position matches when (tok, next tok) equals the round's best pair;
+    islands of CONSECUTIVE matches (possible only when a = b) keep every
+    odd member (leftmost-first non-overlap); a kept position emits the
+    merged symbol and swallows its right neighbour."""
+    parts = [
+        f"""toks_0 AS MATERIALIZED (
+      SELECT doc_id, regexp_extract_all(text, '{TXT.BPE_REGEX}') AS t
+      FROM documents)"""
+    ]
+    for r in range(_BPE_TRAIN_ROUNDS):
+        parts.append(f"""pairs_{r} AS MATERIALIZED (
+      SELECT t[i] AS a, t[i + 1] AS b
+      FROM (SELECT doc_id, unnest(generate_series(1, len(t) - 1)) AS i, t
+            FROM toks_{r}))""")
+        parts.append(f"""best_{r} AS MATERIALIZED (
+      SELECT a, b, CAST(count(*) AS BIGINT) AS n
+      FROM pairs_{r} GROUP BY a, b
+      ORDER BY n DESC, a ASC, b ASC LIMIT 1)""")
+        parts.append(f"""m_{r} AS MATERIALIZED (
+      SELECT doc_id, i, tok,
+             CASE WHEN tok = (SELECT a FROM best_{r})
+                       AND lead(tok) OVER (PARTITION BY doc_id ORDER BY i)
+                           = (SELECT b FROM best_{r})
+                  THEN 1 ELSE 0 END AS mtch
+      FROM (SELECT doc_id, unnest(generate_series(1, len(t))) AS i,
+                   t[unnest(generate_series(1, len(t)))] AS tok
+            FROM toks_{r}))""")
+        parts.append(f"""k_{r} AS MATERIALIZED (
+      SELECT doc_id, i, tok,
+             CASE WHEN mtch = 1 AND
+                  (row_number() OVER (PARTITION BY doc_id, mtch, grp
+                                      ORDER BY i)) % 2 = 1
+                  THEN 1 ELSE 0 END AS keep
+      FROM (SELECT *,
+                   i - row_number() OVER (PARTITION BY doc_id, mtch
+                                          ORDER BY i) AS grp
+            FROM m_{r}))""")
+        parts.append(f"""toks_{r + 1} AS MATERIALIZED (
+      SELECT doc_id, list(newtok ORDER BY i) AS t
+      FROM (SELECT doc_id, i,
+                   CASE WHEN keep = 1
+                        THEN (SELECT a FROM best_{r})
+                             || (SELECT b FROM best_{r})
+                        ELSE tok END AS newtok,
+                   lag(keep) OVER (PARTITION BY doc_id ORDER BY i)
+                     AS prevkeep
+            FROM k_{r})
+      WHERE coalesce(prevkeep, 0) = 0
+      GROUP BY doc_id)""")
+    rules = "\n      UNION ALL ".join(
+        f"SELECT {r + 1} AS rk, a, b, n FROM best_{r}"
+        for r in range(_BPE_TRAIN_ROUNDS)
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(parts)
+        + f"""
+    SELECT CAST(rk AS BIGINT) AS rk, a, b, n FROM (
+      {rules})
+    """
+    )
+
+
+@register(
+    "llm_bpe_train_rounds",
+    oracle=_bpe_train_oracle,
+    tags=("llm", "text", "iterative"),
+)
+def llm_bpe_train_rounds(spark, sf_dir):
+    """Multi-round BPE tokenizer TRAINING (not just one ranked round):
+    iterate count-adjacent-pairs -> take the top merge (ties
+    lexicographic) -> apply it greedy-leftmost corpus-wide -> recount,
+    for 8 rounds; returns the learned merge table. Each round is one
+    map-side-combined pair aggregation plus a per-row JVM fold
+    (F.aggregate higher-order function — no UDF, no shuffle for the
+    apply), with localCheckpoint lineage truncation per round; only the
+    chosen 1-row merge crosses to the driver per round. Later rounds
+    genuinely consume earlier merges (merged symbols re-pair with their
+    neighbours), which a single-round ranking cannot express."""
+    return TXT.bpe_train(
+        load(spark, sf_dir, "documents"), rounds=_BPE_TRAIN_ROUNDS
+    )

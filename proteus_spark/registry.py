@@ -365,8 +365,8 @@ PRIORITY: tuple[str, ...] = (
     # -- new round-6 operators (pre-verified at sf0.001 + sf0.01;
     # placeholders below are r3-only refreshes that yield their slots
     # as each new operator lands) ---------------------------------------
-    "stream_view_dag_via_log",
-    "tpch_q4", "tpch_q7",
+    "stream_view_dag_via_log", "llm_bpe_train_rounds",
+    "tpch_q7",
 )
 
 
