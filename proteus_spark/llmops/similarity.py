@@ -750,3 +750,81 @@ def class_margins(
             F.avg((F.col("margin") > 0).cast("double")), 6
         ).alias("frac_separable"),
     )
+
+
+def ivf_seed_centroids(
+    vectors: DataFrame,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic IVF seed quantizer: the ``id < k`` vectors, components
+    rounded to 6 decimals so every later centroid generation (per-bucket
+    averages, also rounded 6) compares exactly against it: (cid, cvec)."""
+    return vectors.filter(F.col(id_col) < k).select(
+        F.col(id_col).alias("cid"),
+        F.transform(
+            F.col(vec_col), lambda x: F.round(x.cast("double"), 6)
+        ).alias("cvec"),
+    )
+
+
+def ivf_recluster_epoch(
+    index: DataFrame, prev_centroids: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """One IVF centroid-refresh epoch over the live index table — the
+    periodic maintenance an ingest-updated vector index needs once drift
+    accumulates (VERDICT r5 #5). ``index``: (vec_id, embedding, bucket);
+    ``prev_centroids``: (cid, cvec) rounded-6.
+
+    Step 1 — recompute: centroid = per-bucket mean of its CURRENT members
+    (one posexplode + (bucket, pos) map-side partial avg, shuffle carries
+    |buckets| x dim rows; components rounded to 6 before use, the
+    class_margins determinism rule).
+    Step 2 — moved-bucket reassignment: only vectors whose bucket's
+    centroid CHANGED (array compare vs prev, new buckets count as moved)
+    re-score against the full refreshed centroid set (broadcast, codegen
+    cosine, deterministic argmax); unmoved buckets' vectors keep their
+    assignment untouched — the O(moved) maintenance policy, not a bulk
+    rebuild. Iterated to quiescence this is Lloyd's algorithm seeded by
+    the ingest-time assignment.
+
+    Returns (new_index, new_centroids)."""
+    cents = (
+        index.select("bucket", F.posexplode("embedding").alias("pos", "x"))
+        .groupBy("bucket", "pos")
+        .agg(F.round(F.avg(F.col("x").cast("double")), 6).alias("m"))
+        .groupBy("bucket")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                lambda s: s["m"],
+            ).alias("cvec")
+        )
+        .select(F.col("bucket").alias("cid"), "cvec")
+    )
+    moved = (
+        cents.join(
+            prev_centroids.select("cid", F.col("cvec").alias("pvec")),
+            "cid",
+            "left",
+        )
+        .filter(F.col("pvec").isNull() | (F.col("cvec") != F.col("pvec")))
+        .select("cid")
+    )
+    to_move = index.join(
+        F.broadcast(moved), index["bucket"] == moved["cid"], "left_semi"
+    )
+    kept = index.join(
+        F.broadcast(moved), index["bucket"] == moved["cid"], "left_anti"
+    )
+    reassigned = ivf_assign(
+        to_move.select("vec_id", "embedding"),
+        cents.select(
+            F.col("cid").alias("vec_id"), F.col("cvec").alias("embedding")
+        ),
+    )
+    new_index = kept.select("vec_id", "embedding", "bucket").unionByName(
+        reassigned.select("vec_id", "embedding", "bucket")
+    )
+    return new_index, cents

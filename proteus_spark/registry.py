@@ -366,7 +366,7 @@ PRIORITY: tuple[str, ...] = (
     # placeholders below are r3-only refreshes that yield their slots
     # as each new operator lands) ---------------------------------------
     "stream_view_dag_via_log", "llm_bpe_train_rounds",
-    "tpch_q7",
+    "stream_ann_recluster",
 )
 
 

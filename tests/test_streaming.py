@@ -1504,3 +1504,107 @@ def test_view_dag_via_log_downstream_restart_exactly_once(spark, sf_dir, tmp_pat
     finally:
         d2.stop()
         _cdc.cleanup(src_orders)
+
+
+def test_ivf_recluster_recall_recovers_after_drift(spark):
+    """VERDICT r5 #5 'done' criterion: after drifted vectors arrive, a
+    STATIC quantizer splits the drifted cluster across buckets (nprobe=1
+    recall degrades); the periodic centroid-refresh epochs consolidate it
+    and recall recovers. Deterministic geometry: two base clusters on
+    axes e0/e1, a drifted cluster on the e0+e1 diagonal whose tiny
+    ±0.01 tip flips the static bucket while its neighborhood structure
+    lives in the tip-insensitive v[2] coordinate — so static assignment
+    tears every query from ~half its true neighbors, and the refreshed
+    centroids (which converge one bucket onto the whole drifted mass)
+    restore them."""
+    import math
+
+    from proteus_spark.llmops.similarity import (
+        brute_force_topk,
+        ivf_assign,
+        ivf_recluster_epoch,
+        ivf_seed_centroids,
+        ivf_topk,
+    )
+
+    D = 8
+
+    def unit(v):
+        n = math.sqrt(sum(x * x for x in v))
+        return [x / n for x in v]
+
+    rows = []
+    for i in range(4):  # seeds on axes e0..e3
+        v = [0.0] * D
+        v[i] = 1.0
+        rows.append((i, v))
+    for j in range(20):  # base clusters near e0 and e1
+        v = [0.0] * D
+        v[0] = 1.0
+        v[4] = 0.05 * (j % 5 + 1)
+        rows.append((4 + j, unit(v)))
+        w = [0.0] * D
+        w[1] = 1.0
+        w[5] = 0.05 * (j % 5 + 1)
+        rows.append((24 + j, unit(w)))
+    for j in range(40):  # drifted diagonal cluster, 70/30 tip bias
+        tip = 0.01 if j % 10 < 7 else -0.01
+        v = [0.0] * D
+        v[0] = 1.0 + tip
+        v[1] = 1.0 - tip
+        v[2] = 0.35 * (j % 8) / 7.0
+        rows.append((100 + j, unit(v)))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    c0 = ivf_seed_centroids(emb, k=4)
+
+    def cav(c):
+        return c.select(
+            F.col("cid").alias("vec_id"), F.col("cvec").alias("embedding")
+        )
+
+    idx = ivf_assign(emb, cav(c0)).localCheckpoint(eager=True)
+    # static quantizer tears the drifted cluster across two buckets
+    split = {
+        r["bucket"]: r["count"]
+        for r in idx.filter(F.col("vec_id") >= 100)
+        .groupBy("bucket")
+        .count()
+        .collect()
+    }
+    assert len(split) >= 2, split
+
+    cents = c0
+    for _ in range(3):
+        idx, cents = ivf_recluster_epoch(idx, cents)
+        idx = idx.localCheckpoint(eager=True)
+        cents = cents.localCheckpoint(eager=True)
+    # refreshed: the whole drifted mass consolidates into one bucket
+    split2 = {
+        r["bucket"]: r["count"]
+        for r in idx.filter(F.col("vec_id") >= 100)
+        .groupBy("bucket")
+        .count()
+        .collect()
+    }
+    assert len(split2) == 1, split2
+
+    queries = emb.filter(
+        (F.col("vec_id") >= 100) & (F.col("vec_id") % 4 == 0)
+    )
+    exact = brute_force_topk(emb, queries, k=5).select("qid", "nid")
+    total = exact.count()
+
+    def recall(c):
+        approx = ivf_topk(emb, cav(c), queries, k=5, nprobe=1)
+        return (
+            approx.select("qid", "nid")
+            .join(exact, ["qid", "nid"], "left_semi")
+            .count()
+            / total
+        )
+
+    r_static, r_refreshed = recall(c0), recall(cents)
+    assert r_static < 0.8, r_static        # drift degraded the static index
+    assert r_refreshed > 0.95, r_refreshed  # refresh recovered it
+    assert r_refreshed > r_static
