@@ -9,6 +9,8 @@ of micro-batches must converge to the batch answer.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import functions as F
 
 from proteus_spark.operators import keyed_merge_join, topk
@@ -1407,11 +1409,19 @@ def stream_view_dag_via_log(spark, sf_dir):
     )
 
     minilog.register_log_datasource(spark)
+    # Per-partition per-trigger rate cap. 5000 gives a genuinely
+    # multi-trigger replay at the driver's sf0.01; at replica scale the
+    # feed grows with |changed keys| x epochs and a FIXED cap degenerates
+    # into thousands of fixed-overhead micro-batches (measured: 625s at
+    # 30x vs 84s with the cap scaled) — raising maxRecordsPerTrigger is
+    # the deployment knob, exactly as with the Kafka source, so the scale
+    # sweep sets it via env. Converged state is cap-independent.
+    cap = os.environ.get("PROTEUS_DAG_MAX_RECORDS_PER_TRIGGER", "5000")
     feed = (
         spark.readStream.format(minilog.FORMAT_NAME)
         .option("path", topic)
         .option("partitions", "4")
-        .option("maxRecordsPerTrigger", "5000")
+        .option("maxRecordsPerTrigger", cap)
         .load()
     )
     left = feed.select(

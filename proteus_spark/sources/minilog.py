@@ -26,11 +26,17 @@ actual data model and consumption protocol:
   Spark's streaming checkpoint, so a restarted query resumes without loss
   or duplication (tested).
 
-What still genuinely needs a broker: network fetch, consumer-group
-rebalance, and unclean-leader edge cases. Everything else — partitioning,
-offset bookkeeping, restart resume, rate limiting, and the Debezium
-envelope parse (shared ``decode_records`` seam) — is exercised for real
-here.
+Round 6 adds the two remaining protocol layers a broker-less sandbox can
+exercise for real: exactly-once epoch publication via ATOMIC commit
+markers with read-committed consumers (``append_epoch`` /
+``_epoch_committed``), and consumer-GROUP coordination — deterministic
+partition assignment over sorted members, generation-bumping rebalance,
+group-scoped committed offsets, and stale-generation zombie fencing
+(``ConsumerGroup``). What still genuinely needs a broker: network fetch,
+heartbeat-driven liveness (eviction here is explicit), and
+unclean-leader edge cases. Everything else — partitioning, offset
+bookkeeping, restart resume, rate limiting, and the Debezium envelope
+parse (shared ``decode_records`` seam) — is exercised for real here.
 
 Scale notes: segments are one file per partition laid down by a
 DISTRIBUTED Spark write (the parallel producer); offsets are line indices.
@@ -104,6 +110,21 @@ def _segment_files(path: str, p: int) -> list[str]:
         )
     except OSError:
         return []
+
+
+def _discover_partitions(path: str) -> int:
+    """On-disk truth for a topic's width: max p=N dir + 1. (The stream
+    reader factory carries its own by-value copy so executor pickling
+    never references module scope.)"""
+    try:
+        ps = [
+            int(d[2:])
+            for d in os.listdir(path)
+            if d.startswith("p=") and d[2:].isdigit()
+        ]
+    except OSError:
+        return 0
+    return (max(ps) + 1) if ps else 0
 
 
 def end_offsets(path: str, partitions: int) -> dict[int, int]:
@@ -453,3 +474,170 @@ def cdf_exporter(
         append_epoch(rec, path, epoch, partitions=partitions, key_col=key_col)
 
     return _cb
+
+
+class RebalanceError(RuntimeError):
+    """Raised when a member acts on a superseded generation — the caller
+    must re-poll (which re-reads the assignment) before continuing."""
+
+
+class ConsumerGroup:
+    """Kafka-style consumer-group coordination over an embedded topic —
+    the group-membership/rebalance leg of the broker protocol
+    (mysql/store.go:117-151's feed has exactly one consumer; a production
+    deployment shares a topic across a consumer GROUP).
+
+    Semantics replicated from Kafka's group coordinator:
+
+    - each partition is owned by EXACTLY ONE live member; assignment is
+      deterministic range-partitioning over the sorted member ids;
+    - membership changes (join/leave/crash-eviction) bump a GENERATION;
+      members detect the new generation at the next ``poll`` and pick up
+      their new assignment — the rebalance;
+    - committed offsets belong to the GROUP, not the member
+      (``offsets/p=N`` files, atomic ``os.replace``): after a rebalance
+      the new owner resumes from wherever the group last committed, so
+      records are neither lost nor re-delivered across the handoff;
+    - STALE-GENERATION FENCING: a member that missed a rebalance gets
+      ``RebalanceError`` from ``commit`` (and ``poll``) instead of
+      silently double-committing a partition it no longer owns — Kafka's
+      zombie-fencing rule.
+
+    What still needs a real broker: liveness via heartbeats/session
+    timeouts (here ``evict`` is explicit), and network fetch. The
+    coordination state machine — assignment, generations, group offsets,
+    fencing — is exercised for real."""
+
+    def __init__(self, topic: str, group_dir: str, member_id: str,
+                 partitions: int | None = None):
+        self.topic = topic
+        self.group_dir = group_dir
+        self.member_id = member_id
+        self.partitions_n = partitions or max(1, _discover_partitions(topic))
+        os.makedirs(os.path.join(group_dir, "members"), exist_ok=True)
+        os.makedirs(os.path.join(group_dir, "offsets"), exist_ok=True)
+        self._generation = -1  # not yet joined
+
+    # -- membership ------------------------------------------------------
+    def _gen_path(self) -> str:
+        return os.path.join(self.group_dir, "generation")
+
+    def generation(self) -> int:
+        try:
+            with open(self._gen_path()) as fh:
+                return int(fh.read().strip() or 0)
+        except OSError:
+            return 0
+
+    def _bump_generation(self) -> int:
+        g = self.generation() + 1
+        tmp = self._gen_path() + ".tmp"
+        with open(tmp, "w") as fh:
+            fh.write(str(g))
+        os.replace(tmp, self._gen_path())
+        return g
+
+    def members(self) -> list[str]:
+        try:
+            return sorted(os.listdir(os.path.join(self.group_dir, "members")))
+        except OSError:
+            return []
+
+    def join(self) -> "ConsumerGroup":
+        path = os.path.join(self.group_dir, "members", self.member_id)
+        with open(path, "w") as fh:
+            fh.write(self.member_id)
+        self._generation = self._bump_generation()
+        return self
+
+    def leave(self) -> None:
+        try:
+            os.remove(os.path.join(self.group_dir, "members", self.member_id))
+        except OSError:
+            pass
+        self._bump_generation()
+        self._generation = -1
+
+    def evict(self, member_id: str) -> None:
+        """Coordinator-side removal of a dead member (the session-timeout
+        path a broker drives from missed heartbeats)."""
+        try:
+            os.remove(os.path.join(self.group_dir, "members", member_id))
+        except OSError:
+            pass
+        self._bump_generation()
+
+    # -- assignment ------------------------------------------------------
+    def assignment(self) -> list[int]:
+        """This member's owned partitions under the CURRENT generation:
+        round-robin over sorted member ids (deterministic — every member
+        computes the same mapping independently, like Kafka's range
+        assignor)."""
+        mem = self.members()
+        if self.member_id not in mem:
+            return []
+        idx = mem.index(self.member_id)
+        return [p for p in range(self.partitions_n) if p % len(mem) == idx]
+
+    # -- group offsets ---------------------------------------------------
+    def _off_path(self, p: int) -> str:
+        return os.path.join(self.group_dir, "offsets", f"p={p}")
+
+    def committed(self, p: int) -> int:
+        try:
+            with open(self._off_path(p)) as fh:
+                return int(fh.read().strip() or 0)
+        except OSError:
+            return 0
+
+    def _check_generation(self) -> None:
+        g = self.generation()
+        if g != self._generation:
+            self._generation = g  # adopt the new generation...
+            raise RebalanceError(
+                f"generation moved to {g}; assignment changed — re-poll"
+            )
+
+    # -- consumption -----------------------------------------------------
+    def poll(self, max_records: int = 10_000) -> list[tuple[str, str, int, int]]:
+        """Fetch up to ``max_records`` per owned partition from the
+        group's committed offsets: [(key, value, partition, offset)].
+        Raises RebalanceError if the generation moved since the last
+        poll/join (caller retries; the retry sees the new assignment)."""
+        import json as _json
+
+        self._check_generation()
+        out: list[tuple[str, str, int, int]] = []
+        self._fetched: dict[int, int] = {}
+        for p in self.assignment():
+            start = self.committed(p)
+            end = start
+            off = 0
+            for f in _segment_files(self.topic, p):
+                with open(f) as fh:
+                    for line in fh:
+                        if off >= start and end - start < max_records:
+                            rec = _json.loads(line)
+                            out.append(
+                                (rec.get("key"), rec.get("value"), p, off)
+                            )
+                            end = off + 1
+                        off += 1
+            self._fetched[p] = end
+        return out
+
+    def commit(self) -> None:
+        """Commit the last poll's end offsets to the GROUP — fenced: a
+        stale-generation member cannot commit partitions it no longer
+        owns."""
+        self._check_generation()
+        owned = set(self.assignment())
+        for p, end in getattr(self, "_fetched", {}).items():
+            if p not in owned:
+                raise RebalanceError(
+                    f"partition {p} reassigned before commit"
+                )
+            tmp = self._off_path(p) + f".tmp-{self.member_id}"
+            with open(tmp, "w") as fh:
+                fh.write(str(end))
+            os.replace(tmp, self._off_path(p))

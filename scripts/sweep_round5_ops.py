@@ -1,0 +1,257 @@
+"""30x/100x scale sweep for the round-5/6 operators (VERDICT r5 #6).
+
+Builds an N-times replica of the sf0.1 tables each operator reads
+(lineitem / events / embeddings), with per-copy key offsets so state and
+graph cardinality genuinely scale, REPARTITIONED TO 32 FILES before the
+write (the r5 gotcha: a crossJoin-built replica written as one file has
+a handful of huge row groups, scans get ~3-way parallelism, and every
+scan-bound number is garbage). Then times:
+
+- ``llm_sim_mips_banded`` — banded candidates vs broadcast query bands;
+  embeddings perturbed per copy so candidate volume tracks TRUE neighbor
+  growth, not artificial exact-duplicate collisions;
+- ``graph_pagerank_converged`` — dynamic iteration to the quantized
+  fixpoint over the part co-purchase graph (copies are disjoint
+  subgraphs: nodes/edges scale N-times, spectral gap — and so the round
+  count — stays put);
+- ``stream_cdf_export_roundtrip`` — live sum view exporting delta epochs
+  to an embedded topic + downstream reconstruction (4 staged chunks at
+  any scale: batch size grows, batch count doesn't);
+- minilog CDC ingest (the ``stream_sum_view_minilog`` pipeline) with the
+  per-trigger cap SCALED to the log (cap = records/40): holding the
+  sf0.01 cap constant at 100x would measure trigger-count overhead, and
+  the cap is exactly the knob a real deployment raises
+  (``maxRecordsPerTrigger``);
+- ``stream_view_dag_via_log`` (round 6) — the two-view DAG over the
+  exported feed.
+
+Usage (IDLE HOST ONLY — contention skews 3-8x):
+    python scripts/sweep_round5_ops.py --mult 30
+    python scripts/sweep_round5_ops.py --mult 100 --ops mips pagerank
+One JSON line per run on stdout.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+BASE = "/root/testdata/sf0.1"
+
+KEY_OFFSETS = {
+    # per-copy key offsets: every copy is a disjoint key universe, so
+    # group-by state, graph nodes, and vector ids all genuinely scale
+    "lineitem": {"l_orderkey": 10_000_000, "l_partkey": 1_000_000},
+    "orders": {"o_orderkey": 10_000_000},
+    "events": {"event_id": 100_000_000, "user_id": 1_000_000},
+    "embeddings": {"vec_id": 1_000_000},
+}
+
+
+def build_replica(spark, mult: int, tables: list[str], out_root: str) -> str:
+    from pyspark.sql import functions as F
+
+    from proteus_spark.registry import load
+
+    dest = os.path.join(out_root, f"x{mult}")
+    os.makedirs(dest, exist_ok=True)
+    copies = spark.range(mult).select(F.col("id").alias("_copy"))
+    for t in tables:
+        path = os.path.join(dest, f"{t}.parquet")
+        if os.path.exists(path):
+            continue
+        df = load(spark, BASE, t).crossJoin(copies)
+        for col, off in KEY_OFFSETS.get(t, {}).items():
+            df = df.withColumn(col, F.col(col) + F.col("_copy") * off)
+        if t == "embeddings":
+            # perturb each copy so banded-MIPS candidates track true
+            # near-neighbor growth, not exact-duplicate band collisions
+            df = df.withColumn(
+                "embedding",
+                F.transform(
+                    "embedding",
+                    lambda x, i: x
+                    + (
+                        F.col("_copy").cast("double")
+                        * ((F.col("vec_id") + i) % 7 - 3).cast("double")
+                        * 0.001
+                    ).cast("float"),
+                ),
+            )
+        # 32 multi-group files: the scan must be splittable (r5 gotcha)
+        df.drop("_copy").repartition(32).write.mode("overwrite").parquet(path)
+    return dest
+
+
+def timed(fn, runs: int = 2) -> tuple[float, list[float]]:
+    # one untimed warm-up + best-of-N (default 2 at these sizes)
+    fn()
+    ts = []
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        fn()
+        ts.append(round(time.perf_counter() - t0, 2))
+    return min(ts), ts
+
+
+def run_minilog_scaled_cap(spark, sf_dir: str) -> None:
+    """The stream_sum_view_minilog pipeline with maxRecordsPerTrigger
+    scaled to ~40 triggers (the deployment knob; the registered query
+    pins cap=2000 for driver determinism at sf0.01)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from proteus_spark.registry import load
+    from proteus_spark.sources import debezium as dbz
+    from proteus_spark.sources import minilog
+    from proteus_spark.streaming.views import SumView
+
+    ev = load(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    row_schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    cols = ["event_id", "user_id", "value"]
+    ts_ms = F.col("event_id") + F.lit(1_700_000_000_000)
+    inserts = dbz.to_envelopes(ev, cols, F.lit("c"), ts_ms, key_col="user_id")
+    updates = dbz.to_envelopes(
+        ev.filter((F.col("event_id") % 5 == 0) & (F.col("event_id") % 7 != 0)),
+        cols,
+        F.lit("u"),
+        ts_ms,
+        update_row=F.struct(
+            F.col("event_id"), F.col("user_id"),
+            (F.col("value") * 2).alias("value"),
+        ),
+        key_col="user_id",
+    )
+    deletes = dbz.to_envelopes(
+        ev.filter(F.col("event_id") % 7 == 0), cols, F.lit("d"), ts_ms,
+        key_col="user_id",
+    )
+    feed = inserts.unionByName(updates).unionByName(deletes)
+    n_records = feed.count()
+    cap = max(2000, n_records // 40)
+
+    topic = tempfile.mkdtemp(prefix="sweep_minilog_")
+    try:
+        minilog.stage_topic(feed, topic, partitions=4, key_col="key")
+        deltas = minilog.consume_envelopes(
+            spark, topic, row_schema, key_cols=["user_id"],
+            value_col="value", partitions=4, max_records_per_trigger=cap,
+        )
+        view = SumView(
+            spark, deltas, group_by="user_id", agg_attr="new_value",
+            name="sweep_minilog", mode="cdc",
+        ).start()
+        try:
+            view.await_catch_up()
+            view.snapshot().count()
+        finally:
+            view.stop()
+    finally:
+        shutil.rmtree(topic, ignore_errors=True)
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mult", type=int, default=30)
+    ap.add_argument(
+        "--ops", nargs="*",
+        default=["mips", "pagerank", "cdf", "minilog", "dag"],
+    )
+    ap.add_argument("--runs", type=int, default=2)
+    ap.add_argument(
+        "--keep-replica", default=None,
+        help="reuse/keep replica under this dir (default: temp, removed)",
+    )
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .appName("sweep_round5_ops")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.driver.memory", "48g")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from proteus_spark import registry
+
+    qs = registry.all_queries()
+    tables = {
+        "mips": ["embeddings"],
+        "pagerank": ["lineitem"],
+        "cdf": ["events"],
+        "minilog": ["events"],
+        "dag": ["lineitem", "orders"],
+    }
+    needed = sorted({t for op in args.ops for t in tables[op]})
+
+    root = args.keep_replica or tempfile.mkdtemp(prefix="sweep_r5_")
+    try:
+        t0 = time.time()
+        dest = build_replica(spark, args.mult, needed, root)
+        build_s = round(time.time() - t0, 1)
+        # orders has no offset rule: the dag query only needs it as the
+        # static stories side; copy it through unchanged if required
+        if "dag" in args.ops and not os.path.exists(
+            os.path.join(dest, "orders.parquet")
+        ):
+            pass  # handled by build_replica (orders in KEY_OFFSETS-less path)
+
+        results: dict[str, dict] = {}
+        runners = {
+            "mips": lambda: qs["llm_sim_mips_banded"](spark, dest).write.mode(
+                "overwrite"
+            ).format("noop").save(),
+            "pagerank": lambda: qs["graph_pagerank_converged"](
+                spark, dest
+            ).write.mode("overwrite").format("noop").save(),
+            "cdf": lambda: qs["stream_cdf_export_roundtrip"](
+                spark, dest
+            ).count(),
+            "minilog": lambda: run_minilog_scaled_cap(spark, dest),
+            "dag": lambda: qs["stream_view_dag_via_log"](spark, dest).count(),
+        }
+        # DAG feed cap scales with the replica (the deployment knob —
+        # measured 625s at 30x with the fixed sf0.01 cap vs the scaled
+        # cap's single-digit trigger count; converged state unchanged)
+        os.environ["PROTEUS_DAG_MAX_RECORDS_PER_TRIGGER"] = str(
+            max(5000, args.mult * 40_000)
+        )
+        for op in args.ops:
+            best, runs = timed(runners[op], runs=args.runs)
+            results[op] = {"best_sec": best, "runs": runs}
+            print(f"# {op}@{args.mult}x: {best}s {runs}", file=sys.stderr)
+        print(
+            json.dumps(
+                {
+                    "mult": args.mult,
+                    "replica_build_sec": build_s,
+                    "results": results,
+                }
+            )
+        )
+        return 0
+    finally:
+        if args.keep_replica is None:
+            shutil.rmtree(root, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()

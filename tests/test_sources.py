@@ -808,3 +808,113 @@ def test_spill_zero_rows_returns_empty_with_schema(spark):
     assert [(f.name, f.dataType) for f in out.schema] == [
         (f.name, f.dataType) for f in src.schema
     ]
+
+
+def test_consumer_group_splits_partitions_exactly_once(spark, tmp_path):
+    """Two group members own disjoint partition sets that cover the topic;
+    their polls together deliver the exact produced multiset — each
+    partition consumed by exactly one member (the Kafka group
+    contract)."""
+    from pyspark.sql import functions as F
+
+    from proteus_spark.sources import minilog
+
+    df = spark.range(120).select(
+        F.col("id").cast("string").alias("key"),
+        F.col("id").cast("string").alias("value"),
+    )
+    topic = str(tmp_path / "topic")
+    minilog.stage_topic(df, topic, partitions=4)
+    gdir = str(tmp_path / "group")
+
+    a = minilog.ConsumerGroup(topic, gdir, "member-a").join()
+    b = minilog.ConsumerGroup(topic, gdir, "member-b").join()
+    # a joined before b -> a saw generation bump; re-sync via retry
+    import pytest as _pytest
+
+    def poll_retry(m):
+        try:
+            return m.poll()
+        except minilog.RebalanceError:
+            return m.poll()
+
+    ra, rb = poll_retry(a), poll_retry(b)
+    pa = {p for _, _, p, _ in ra}
+    pb = {p for _, _, p, _ in rb}
+    assert pa.isdisjoint(pb)
+    assert set(a.assignment()) | set(b.assignment()) == {0, 1, 2, 3}
+    got = sorted(v for _, v, _, _ in ra + rb)
+    assert got == sorted(str(i) for i in range(120))
+    a.commit()
+    b.commit()
+    # committed offsets belong to the group: a re-poll returns nothing new
+    assert poll_retry(a) == [] and poll_retry(b) == []
+
+
+def test_consumer_group_rebalance_resumes_from_group_offsets(spark, tmp_path):
+    """A member leaves mid-consumption: the survivor's next poll raises
+    RebalanceError, the retry sees the widened assignment and resumes the
+    departed member's partitions from the GROUP's committed offsets — the
+    handoff loses nothing and re-delivers nothing."""
+    from pyspark.sql import functions as F
+
+    from proteus_spark.sources import minilog
+
+    df = spark.range(100).select(
+        F.col("id").cast("string").alias("key"),
+        F.col("id").cast("string").alias("value"),
+    )
+    topic = str(tmp_path / "topic")
+    minilog.stage_topic(df, topic, partitions=4)
+    gdir = str(tmp_path / "group")
+
+    a = minilog.ConsumerGroup(topic, gdir, "member-a").join()
+    b = minilog.ConsumerGroup(topic, gdir, "member-b").join()
+
+    def poll_retry(m, **kw):
+        try:
+            return m.poll(**kw)
+        except minilog.RebalanceError:
+            return m.poll(**kw)
+
+    # b consumes PART of its partitions (rate-limited), commits, leaves
+    rb = poll_retry(b, max_records=10)
+    b.commit()
+    seen = [v for _, v, _, _ in rb]
+    b.leave()
+
+    # survivor rebalances to own everything; resumes b's partitions at
+    # the group's committed offsets
+    ra = poll_retry(a)
+    assert set(a.assignment()) == {0, 1, 2, 3}
+    seen += [v for _, v, _, _ in ra]
+    a.commit()
+    assert sorted(seen) == sorted(str(i) for i in range(100))
+    assert poll_retry(a) == []
+
+
+def test_consumer_group_stale_member_commit_is_fenced(spark, tmp_path):
+    """Zombie fencing: a member that polled under generation G cannot
+    commit after the generation moves — it gets RebalanceError, never a
+    silent double-commit of partitions it no longer owns."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from proteus_spark.sources import minilog
+
+    df = spark.range(40).select(
+        F.col("id").cast("string").alias("key"),
+        F.col("id").cast("string").alias("value"),
+    )
+    topic = str(tmp_path / "topic")
+    minilog.stage_topic(df, topic, partitions=4)
+    gdir = str(tmp_path / "group")
+
+    a = minilog.ConsumerGroup(topic, gdir, "member-a").join()
+    a.poll()
+    # membership changes AFTER the poll (a new member joins)
+    minilog.ConsumerGroup(topic, gdir, "member-b").join()
+    with _pytest.raises(minilog.RebalanceError):
+        a.commit()
+    # nothing was committed for any partition
+    assert all(a.committed(p) == 0 for p in range(4))
