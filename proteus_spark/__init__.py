@@ -38,3 +38,4 @@ TABLES = (
 
 from proteus_spark.session import build_session  # noqa: E402,F401
 from proteus_spark.engine import Engine  # noqa: E402,F401
+from proteus_spark.server import QueryServer  # noqa: E402,F401

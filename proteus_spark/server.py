@@ -1,0 +1,148 @@
+"""HTTP serving surface — the network leg of the client API.
+
+The reference serves gRPC (internal/rpc_server/rpcserver.go:73-98) with
+Go/Java clients (pkg/proteus-go-client/proteus_client.go:29-79); this
+engine is a Python library by design (SURVEY §7.1 maps the client to a
+module API), and this module closes the remaining distance with a thin
+stdlib HTTP wrapper over ``Engine`` — same request/response semantics,
+JSON instead of protobuf:
+
+- ``GET /config`` — schema advertisement (GetConfig,
+  rpcserver.go:141-152): the queryable table list;
+- ``POST /query`` ``{"sql": ...}`` — QueryUnary
+  (rpcserver.go:167-199): stringified attribute-map records;
+- ``POST /query_stream`` ``{"sql": ...}`` — the server-push half of the
+  bidi ``Query`` stream (qpuapi.proto:106-116) as NDJSON chunks: STATE
+  records with strictly-increasing seq ids, then the END_OF_STREAM
+  marker — one JSON object per line, flushed as produced;
+- ``GET /metrics`` — the reference's evaluation surface
+  (metrics.go:78-214): query-latency percentiles + data-transfer bytes.
+
+Transport notes: ``ThreadingHTTPServer`` on an ephemeral port, one
+daemon thread per connection — Spark's driver APIs are thread-safe for
+concurrent actions, so parallel clients execute concurrent Spark jobs
+exactly as parallel gRPC streams do against the reference. Analysis and
+parse errors map to HTTP 400 with the engine's error text (the
+reference surfaces them as gRPC status errors). What a production
+deployment would add: TLS termination and auth in front (both sit
+outside the reference's server too) — or swap this wrapper for Arrow
+Flight, which changes the wire format but none of the Engine calls.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+from proteus_spark.engine import Engine
+
+
+class QueryServer:
+    """Serve an ``Engine`` over HTTP; ``with QueryServer(engine) as url:``
+    yields the base URL (ephemeral port by default)."""
+
+    def __init__(self, engine: Engine, host: str = "127.0.0.1", port: int = 0):
+        self.engine = engine
+        server = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *a):  # quiet: tests/servers own their logs
+                pass
+
+            # -- helpers ------------------------------------------------
+            def _json(self, code: int, obj) -> None:
+                body = json.dumps(obj).encode()
+                self.send_response(code)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def _body(self) -> dict:
+                n = int(self.headers.get("Content-Length", "0"))
+                raw = self.rfile.read(n) if n else b"{}"
+                return json.loads(raw or b"{}")
+
+            # -- routes -------------------------------------------------
+            def do_GET(self):
+                if self.path == "/config":
+                    self._json(200, {"tables": server.engine.tables()})
+                elif self.path == "/metrics":
+                    self._json(
+                        200,
+                        {
+                            "query_latency_ms": server.engine.stats.percentiles(),
+                            "data_transfer": server.engine.stats.data_transfer(),
+                        },
+                    )
+                else:
+                    self._json(404, {"error": f"unknown path {self.path}"})
+
+            def do_POST(self):
+                try:
+                    req = self._body()
+                except (ValueError, json.JSONDecodeError) as exc:
+                    return self._json(400, {"error": f"bad request: {exc}"})
+                sql = req.get("sql")
+                if not sql:
+                    return self._json(400, {"error": "missing 'sql'"})
+                if self.path == "/query":
+                    try:
+                        records = server.engine.query_unary(sql)
+                    except Exception as exc:  # Analysis/Parse -> client error
+                        return self._json(400, {"error": str(exc)[:2000]})
+                    return self._json(200, {"records": records})
+                if self.path == "/query_stream":
+                    # NDJSON chunked stream: records flush as produced —
+                    # the server-push half of the reference's bidi Query
+                    try:
+                        gen = server.engine.query_stream(sql)
+                        first = next(gen, None)  # surface errors pre-headers
+                    except Exception as exc:
+                        return self._json(400, {"error": str(exc)[:2000]})
+                    self.send_response(200)
+                    self.send_header("Content-Type", "application/x-ndjson")
+                    self.end_headers()
+
+                    def emit(item):
+                        seq, rtype, rec = item
+                        line = json.dumps(
+                            {"seq": seq, "type": rtype, "record": rec}
+                        )
+                        self.wfile.write(line.encode() + b"\n")
+                        self.wfile.flush()
+
+                    if first is not None:
+                        emit(first)
+                        for item in gen:
+                            emit(item)
+                    return
+                self._json(404, {"error": f"unknown path {self.path}"})
+
+        self._httpd = ThreadingHTTPServer((host, port), Handler)
+        self._thread: threading.Thread | None = None
+
+    @property
+    def url(self) -> str:
+        h, p = self._httpd.server_address[:2]
+        return f"http://{h}:{p}"
+
+    def start(self) -> "QueryServer":
+        self._thread = threading.Thread(
+            target=self._httpd.serve_forever, daemon=True
+        )
+        self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        self._httpd.shutdown()
+        self._httpd.server_close()
+        if self._thread is not None:
+            self._thread.join(timeout=5)
+
+    def __enter__(self) -> str:
+        return self.start().url
+
+    def __exit__(self, *exc) -> None:
+        self.stop()
