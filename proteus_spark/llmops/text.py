@@ -888,11 +888,16 @@ def bpe_adjacent_pairs(toks: DataFrame, col: str = "t") -> DataFrame:
     ).select(F.col("p.0").alias("a"), F.col("p.1").alias("b"))
 
 
-def bpe_train(docs: DataFrame, rounds: int = 8) -> DataFrame:
+def bpe_train_encode(
+    docs: DataFrame, rounds: int = 8
+) -> tuple[DataFrame, DataFrame]:
     """Multi-round BPE tokenizer training: iterate count-pairs -> pick the
     top merge (ties lexicographic) -> apply it corpus-wide -> recount, for
-    ``rounds`` rounds. Returns the learned merge table
-    (rk, a, b, n) — rank, merged pair, and its count WHEN CHOSEN.
+    ``rounds`` rounds. Returns ``(rules, encoded)``: the learned merge
+    table (rk, a, b, n — rank, merged pair, count WHEN CHOSEN) and the
+    ENCODED corpus (doc_id, n_raw, t) — training progressively applies
+    every merge, so the final token arrays ARE the corpus encoded under
+    the learned tokenizer.
 
     Scale shape per round: one map-side-combined pair aggregation (the
     only shuffle) feeding a 1-row top-k; the merge application is a
@@ -904,8 +909,9 @@ def bpe_train(docs: DataFrame, rounds: int = 8) -> DataFrame:
     dup_components fixpoint pattern)."""
     spark = docs.sparkSession
     toks = docs.select(
-        F.regexp_extract_all("text", F.lit(BPE_REGEX), F.lit(0)).alias("t")
-    )
+        "doc_id",
+        F.regexp_extract_all("text", F.lit(BPE_REGEX), F.lit(0)).alias("t"),
+    ).withColumn("n_raw", F.size("t"))
     rules: list[tuple[int, str, str, int]] = []
     for r in range(rounds):
         best = (
@@ -921,4 +927,12 @@ def bpe_train(docs: DataFrame, rounds: int = 8) -> DataFrame:
         a, b, n = best[0]["a"], best[0]["b"], best[0]["n"]
         rules.append((r + 1, a, b, n))
         toks = bpe_merge_pass(toks, a, b).localCheckpoint(eager=True)
-    return spark.createDataFrame(rules, "rk long, a string, b string, n long")
+    rules_df = spark.createDataFrame(
+        rules, "rk long, a string, b string, n long"
+    )
+    return rules_df, toks
+
+
+def bpe_train(docs: DataFrame, rounds: int = 8) -> DataFrame:
+    """The merge table alone — see ``bpe_train_encode``."""
+    return bpe_train_encode(docs, rounds)[0]

@@ -2378,7 +2378,7 @@ def llm_dedup_excise(spark, sf_dir):
 _BPE_TRAIN_ROUNDS = 8
 
 
-def _bpe_train_oracle() -> str:
+def _bpe_unroll_ctes() -> str:
     """Static unroll of the BPE training loop: one CTE block per merge
     round (pairs -> best -> greedy-leftmost apply), every round
     MATERIALIZED (the r5 DuckDB lesson — inlined iteration CTEs explode
@@ -2386,7 +2386,8 @@ def _bpe_train_oracle() -> str:
     position matches when (tok, next tok) equals the round's best pair;
     islands of CONSECUTIVE matches (possible only when a = b) keep every
     odd member (leftmost-first non-overlap); a kept position emits the
-    merged symbol and swallows its right neighbour."""
+    merged symbol and swallows its right neighbour. Shared by the
+    training-rules oracle and the encode oracle (same merge sequence)."""
     parts = [
         f"""toks_0 AS MATERIALIZED (
       SELECT doc_id, regexp_extract_all(text, '{TXT.BPE_REGEX}') AS t
@@ -2432,13 +2433,16 @@ def _bpe_train_oracle() -> str:
             FROM k_{r})
       WHERE coalesce(prevkeep, 0) = 0
       GROUP BY doc_id)""")
+    return "WITH " + ",\n    ".join(parts)
+
+
+def _bpe_train_oracle() -> str:
     rules = "\n      UNION ALL ".join(
         f"SELECT {r + 1} AS rk, a, b, n FROM best_{r}"
         for r in range(_BPE_TRAIN_ROUNDS)
     )
     return (
-        "WITH "
-        + ",\n    ".join(parts)
+        _bpe_unroll_ctes()
         + f"""
     SELECT CAST(rk AS BIGINT) AS rk, a, b, n FROM (
       {rules})
@@ -2464,4 +2468,46 @@ def llm_bpe_train_rounds(spark, sf_dir):
     neighbours), which a single-round ranking cannot express."""
     return TXT.bpe_train(
         load(spark, sf_dir, "documents"), rounds=_BPE_TRAIN_ROUNDS
+    )
+
+
+def _bpe_encode_oracle() -> str:
+    k = _BPE_TRAIN_ROUNDS
+    return (
+        _bpe_unroll_ctes()
+        + f"""
+    SELECT t0.doc_id,
+           CAST(len(t0.t) AS BIGINT) AS n_raw,
+           CAST(COALESCE(len(tk.t), 0) AS BIGINT) AS n_bpe,
+           CASE WHEN len(t0.t) > 0
+                THEN round(CAST(COALESCE(len(tk.t), 0) AS DOUBLE)
+                           / len(t0.t), 6) END AS compression
+    FROM toks_0 t0 LEFT JOIN toks_{k} tk ON tk.doc_id = t0.doc_id
+    """
+    )
+
+
+@register(
+    "llm_bpe_encode",
+    oracle=_bpe_encode_oracle,
+    tags=("llm", "text", "iterative"),
+)
+def llm_bpe_encode(spark, sf_dir):
+    """Corpus ENCODING under the learned tokenizer — the train→encode
+    pipeline a tokenizer actually runs: training progressively applies
+    every chosen merge, so the final token arrays are the encoded corpus;
+    this reports per-doc raw vs encoded token counts and the compression
+    ratio (the signal that tells you whether 8 merges were worth it).
+    Oracle shares the training unroll's CTE chain, so the merge sequence
+    cannot drift between the rules query and the encode query."""
+    _rules, enc = TXT.bpe_train_encode(
+        load(spark, sf_dir, "documents"), rounds=_BPE_TRAIN_ROUNDS
+    )
+    return enc.select(
+        "doc_id",
+        F.col("n_raw").cast("long").alias("n_raw"),
+        F.size("t").cast("long").alias("n_bpe"),
+        F.when(
+            F.col("n_raw") > 0, F.round(F.size("t") / F.col("n_raw"), 6)
+        ).alias("compression"),
     )
