@@ -1525,60 +1525,12 @@ def llm_multimodal_ppm(spark, sf_dir):
     )
 
 
-_BPE_TOP = 20
-
-
-@register(
-    "llm_bpe_top_merges",
-    oracle=f"""
-    WITH toks AS (
-      SELECT doc_id, regexp_extract_all(text, '{TXT.BPE_REGEX}') AS t
-      FROM documents),
-    pairs AS (
-      SELECT p['a'] AS a, p['b'] AS b FROM (
-        SELECT unnest([{{'a': t[i], 'b': t[i + 1]}}
-                       FOR i IN generate_series(1, len(t) - 1)]) AS p
-        FROM toks)),
-    counts AS (
-      SELECT a, b, CAST(count(*) AS BIGINT) AS n FROM pairs GROUP BY a, b),
-    ranked AS (
-      SELECT *, row_number() OVER (ORDER BY n DESC, a ASC, b ASC) AS rk
-      FROM counts)
-    SELECT a, b, n, CAST(rk AS BIGINT) AS rk
-    FROM ranked WHERE rk <= {_BPE_TOP}
-    """,
-    tags=("llm", "text"),
-)
-def llm_bpe_top_merges(spark, sf_dir):
-    """One BPE-training merge round: count ADJACENT token pairs across the
-    corpus and rank the top merge candidates — the inner step a tokenizer
-    trainer iterates. Scale shape: pairs come from a zero-shuffle
-    arrays_zip of each doc's token array with its tail (never a
-    self-join); ONE map-side-combined aggregation counts them; the final
-    top-20 ranks a vocabulary²-bounded relation, not the corpus. Count
-    ties break lexicographically so the ranking is engine-stable."""
-    docs = load(spark, sf_dir, "documents")
-    toks = docs.select(
-        F.expr(f"regexp_extract_all(text, '{TXT.BPE_REGEX}', 0)").alias("t")
-    )
-    pairs = toks.select(
-        F.explode(
-            F.arrays_zip(
-                F.slice("t", 1, F.greatest(F.size("t") - 1, F.lit(0))),
-                F.expr("slice(t, 2, greatest(size(t) - 1, 0))"),
-            )
-        ).alias("p")
-    ).select(F.col("p.0").alias("a"), F.col("p.1").alias("b"))
-    counts = pairs.groupBy("a", "b").agg(F.count("*").cast("long").alias("n"))
-    # top-k FIRST (TakeOrderedAndProject: partition-local heaps, no global
-    # sort — an unpartitioned ranking window would get no WindowGroupLimit
-    # pushdown and single-task the whole pair relation), then rank the k
-    # survivors
-    order = [F.desc("n"), F.asc("a"), F.asc("b")]
-    top = counts.orderBy(*order).limit(_BPE_TOP)
-    return top.withColumn(
-        "rk", F.row_number().over(W.orderBy(*order)).cast("long")
-    )
+# llm_bpe_top_merges RETIRED round 6 (registry hygiene, VERDICT r5 #8 —
+# one retirement banked per round-6 addition): the single-round merge
+# ranking is subsumed by llm_bpe_train_rounds (whose round-1 choice IS
+# the retired query's rank-1 pair over the same zero-shuffle
+# arrays_zip + partial-agg shape) and llm_bpe_encode; the top-k-then-
+# rank plan shape stays pinned by ref_lobsters_topk / tpch_q18.
 
 
 _INC_BASE = ("src0", "src1", "src2", "src3", "src4")
