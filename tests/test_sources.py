@@ -918,3 +918,79 @@ def test_consumer_group_stale_member_commit_is_fenced(spark, tmp_path):
         a.commit()
     # nothing was committed for any partition
     assert all(a.committed(p) == 0 for p in range(4))
+
+
+def test_consumer_group_randomized_model(spark, tmp_path):
+    """Randomized protocol check (the test_lsm_randomized_* pattern):
+    a seeded sequence of join / leave / poll+commit ops — including
+    membership changes deliberately injected BETWEEN a poll and its
+    commit — must deliver the produced multiset exactly once into the
+    set of successfully-committed polls. Fenced commits discard their
+    poll (redelivered to the next owner); group offsets never overlap."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from proteus_spark.sources import minilog
+
+    rnd = random.Random(7)
+    n_records, n_parts = 200, 5
+    df = spark.range(n_records).select(
+        F.col("id").cast("string").alias("key"),
+        F.col("id").cast("string").alias("value"),
+    )
+    topic = str(tmp_path / "topic")
+    minilog.stage_topic(df, topic, partitions=n_parts)
+    gdir = str(tmp_path / "group")
+
+    next_id = [0]
+
+    def new_member():
+        m = minilog.ConsumerGroup(
+            topic, gdir, f"m{next_id[0]:02d}"
+        ).join()
+        next_id[0] += 1
+        return m
+
+    live = [new_member(), new_member()]
+    consumed: list[str] = []
+
+    def poll_retry(m, **kw):
+        try:
+            return m.poll(**kw)
+        except minilog.RebalanceError:
+            return m.poll(**kw)
+
+    for _ in range(60):
+        op = rnd.random()
+        if op < 0.15 and len(live) < 4:
+            live.append(new_member())
+        elif op < 0.25 and len(live) > 1:
+            live.pop(rnd.randrange(len(live))).leave()
+        else:
+            m = rnd.choice(live)
+            recs = poll_retry(m, max_records=rnd.randint(1, 7))
+            if rnd.random() < 0.2 and len(live) < 5:
+                # membership moves between poll and commit: the commit
+                # MUST be fenced, and the poll's records are discarded
+                # (the next owner re-polls them from the group offsets)
+                live.append(new_member())
+                import pytest as _pytest
+
+                with _pytest.raises(minilog.RebalanceError):
+                    m.commit()
+            else:
+                m.commit()
+                consumed.extend(v for _, v, _, _ in recs)
+
+    # drain: every member empties its assignment (retrying across any
+    # final rebalances), so the union covers all partitions
+    for m in live:
+        while True:
+            recs = poll_retry(m, max_records=50)
+            if not recs:
+                break
+            m.commit()
+            consumed.extend(v for _, v, _, _ in recs)
+
+    assert sorted(consumed, key=int) == [str(i) for i in range(n_records)]
