@@ -641,3 +641,70 @@ class ConsumerGroup:
             with open(tmp, "w") as fh:
                 fh.write(str(end))
             os.replace(tmp, self._off_path(p))
+
+
+def compact_topic(
+    spark: SparkSession,
+    src: str,
+    dest: str,
+    partitions: int | None = None,
+    drop_tombstones: bool = False,
+) -> dict[int, int]:
+    """Log compaction — Kafka's compacted-topic semantics as a BOOTSTRAP
+    rewrite: retain only the LATEST record per key, optionally purging
+    DELETE tombstones (Kafka's post-retention tombstone removal).
+
+    Scope, honestly stated: Kafka compacts IN PLACE preserving original
+    offsets (consumers resume over holes); this emits a fresh compacted
+    topic at ``dest`` and downstream consumers start it with a fresh
+    checkpoint — exactly how compacted topics are used for state
+    BOOTSTRAP (rebuild a view from the latest-per-key feed instead of
+    the full history). Requires an epoch-stamped topic (a CDF export):
+    the epoch is the logical version compaction orders by — per-key
+    order is total because keys are hash-partitioned and epochs ascend
+    per key. Un-stamped bulk records sort below every epoch.
+
+    Distributed end to end: one text scan over the committed segments
+    (read-committed filter applies), one max_by aggregation per key, one
+    hash-partitioned segment write with the producer's partition rule —
+    offsets in the compacted topic are dense per partition. Returns the
+    compacted end offsets."""
+    partitions = partitions or _discover_partitions(src)
+    files = [f for p in range(partitions) for f in _segment_files(src, p)]
+    if not files:
+        return {p: 0 for p in range(partitions)}
+    rec = (
+        spark.read.text(files)
+        .select(
+            F.from_json(
+                "value", "key string, value string, epoch long"
+            ).alias("r")
+        )
+        .select("r.key", "r.value", F.coalesce("r.epoch", F.lit(-1)).alias("epoch"))
+    )
+    latest = (
+        rec.groupBy("key")
+        .agg(
+            F.max_by(F.struct("value", "epoch"), F.col("epoch")).alias("lv")
+        )
+        .select("key", F.col("lv.value").alias("value"), F.col("lv.epoch").alias("epoch"))
+    )
+    if drop_tombstones:
+        latest = latest.filter(
+            F.coalesce(
+                F.get_json_object("value", "$._op") != F.lit("DELETE"),
+                F.lit(True),
+            )
+        )
+    framed = latest.withColumn(
+        "p", F.pmod(F.xxhash64(F.col("key")), F.lit(partitions))
+    ).select(
+        "p", F.to_json(F.struct("key", "value", "epoch")).alias("rec")
+    )
+    (
+        framed.repartition(partitions, "p")
+        .write.mode("overwrite")
+        .partitionBy("p")
+        .text(dest)
+    )
+    return end_offsets(dest, partitions)

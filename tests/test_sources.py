@@ -994,3 +994,80 @@ def test_consumer_group_randomized_model(spark, tmp_path):
             consumed.extend(v for _, v, _, _ in recs)
 
     assert sorted(consumed, key=int) == [str(i) for i in range(n_records)]
+
+
+def test_compact_topic_latest_per_key_and_tombstone_purge(spark, tmp_path):
+    """Log-compaction bootstrap: the compacted topic retains exactly the
+    LATEST record per key (epoch order), optionally purging DELETE
+    tombstones; a consumer's LWW reconstruction over the compacted topic
+    equals the one over the full history, with strictly fewer records."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from proteus_spark.sources import minilog
+
+    topic = str(tmp_path / "topic")
+
+    def epoch_df(rows):
+        return spark.createDataFrame(rows, "key string, value string")
+
+    # epoch 0: keys 0..9 at v0; epoch 1: keys 0..4 re-published at v1;
+    # epoch 2: keys 8,9 tombstoned
+    assert minilog.append_epoch(
+        epoch_df([(str(k), _json.dumps({"k": k, "v": f"v0-{k}"})) for k in range(10)]),
+        topic, epoch=0,
+    )
+    assert minilog.append_epoch(
+        epoch_df([(str(k), _json.dumps({"k": k, "v": f"v1-{k}"})) for k in range(5)]),
+        topic, epoch=1,
+    )
+    assert minilog.append_epoch(
+        epoch_df([(str(k), _json.dumps({"k": k, "_op": "DELETE"})) for k in (8, 9)]),
+        topic, epoch=2,
+    )
+    assert sum(minilog.end_offsets(topic, 4).values()) == 17
+
+    def lww(path):
+        rec = spark.read.text(
+            [f for p in range(4) for f in minilog._segment_files(path, p)]
+        ).select(
+            F.from_json(
+                "value", "key string, value string, epoch long"
+            ).alias("r")
+        )
+        return {
+            r["key"]: r["v"]
+            for r in rec.groupBy("r.key")
+            .agg(F.max_by(F.col("r.value"), F.col("r.epoch")).alias("v"))
+            .collect()
+        }
+
+    full = lww(topic)
+
+    compacted = str(tmp_path / "compacted")
+    ends = minilog.compact_topic(spark, topic, compacted)
+    assert sum(ends.values()) == 10  # one record per key survived
+    assert lww(compacted) == full   # reconstruction unchanged
+
+    purged = str(tmp_path / "purged")
+    ends2 = minilog.compact_topic(spark, topic, purged, drop_tombstones=True)
+    assert sum(ends2.values()) == 8
+    keys = set(lww(purged))
+    assert keys == {str(k) for k in range(8)}
+
+    # the compacted topic is a valid topic: the streaming source reads it
+    minilog.register_log_datasource(spark)
+    rows: list = []
+    q = (
+        spark.readStream.format("proteus_log")
+        .option("path", purged)
+        .option("partitions", "4")
+        .load()
+        .writeStream.outputMode("append")
+        .foreachBatch(lambda b, e: rows.extend(r["key"] for r in b.collect()))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    assert sorted(rows) == sorted(str(k) for k in range(8))
