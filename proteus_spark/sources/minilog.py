@@ -32,9 +32,9 @@ markers with read-committed consumers (``append_epoch`` /
 ``_epoch_committed``), and consumer-GROUP coordination — deterministic
 partition assignment over sorted members, generation-bumping rebalance,
 group-scoped committed offsets, and stale-generation zombie fencing
-(``ConsumerGroup``). What still genuinely needs a broker: network fetch,
-heartbeat-driven liveness (eviction here is explicit), and
-unclean-leader edge cases. Everything else — partitioning, offset
+(``ConsumerGroup``, including heartbeat stamps + session-timeout
+eviction sweeps). What still genuinely needs a broker: network fetch
+and unclean-leader edge cases. Everything else — partitioning, offset
 bookkeeping, restart resume, rate limiting, and the Debezium envelope
 parse (shared ``decode_records`` seam) — is exercised for real here.
 
@@ -503,10 +503,11 @@ class ConsumerGroup:
       silently double-committing a partition it no longer owns — Kafka's
       zombie-fencing rule.
 
-    What still needs a real broker: liveness via heartbeats/session
-    timeouts (here ``evict`` is explicit), and network fetch. The
-    coordination state machine — assignment, generations, group offsets,
-    fencing — is exercised for real."""
+    What still needs a real broker: network transport. The coordination
+    state machine — assignment, generations, group offsets, fencing, and
+    heartbeat/session-timeout liveness (``heartbeat`` refreshes the
+    member stamp; ``sweep_expired`` evicts silent members) — is
+    exercised for real."""
 
     def __init__(self, topic: str, group_dir: str, member_id: str,
                  partitions: int | None = None):
@@ -641,6 +642,47 @@ class ConsumerGroup:
             with open(tmp, "w") as fh:
                 fh.write(str(end))
             os.replace(tmp, self._off_path(p))
+
+    # -- liveness (heartbeat / session timeout) --------------------------
+    def heartbeat(self) -> None:
+        """Refresh this member's liveness stamp (the Kafka heartbeat; here
+        the member file's mtime — no network, same protocol role)."""
+        path = os.path.join(self.group_dir, "members", self.member_id)
+        try:
+            os.utime(path)
+        except OSError:
+            pass  # not joined (or already evicted): next join re-creates
+
+    def expired_members(self, session_timeout_s: float) -> list[str]:
+        """Members whose last heartbeat is older than the session timeout."""
+        import time as _time
+
+        now = _time.time()
+        out = []
+        for m in self.members():
+            try:
+                mt = os.path.getmtime(
+                    os.path.join(self.group_dir, "members", m)
+                )
+            except OSError:
+                continue
+            if now - mt > session_timeout_s:
+                out.append(m)
+        return out
+
+    def sweep_expired(self, session_timeout_s: float) -> list[str]:
+        """Coordinator sweep: evict every session-expired member (ONE
+        generation bump for the whole sweep) — the session-timeout path a
+        broker drives from missed heartbeats. Returns the evicted ids."""
+        dead = self.expired_members(session_timeout_s)
+        for m in dead:
+            try:
+                os.remove(os.path.join(self.group_dir, "members", m))
+            except OSError:
+                pass
+        if dead:
+            self._bump_generation()
+        return dead
 
 
 def compact_topic(

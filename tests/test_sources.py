@@ -1071,3 +1071,49 @@ def test_compact_topic_latest_per_key_and_tombstone_purge(spark, tmp_path):
     q.processAllAvailable()
     q.stop()
     assert sorted(rows) == sorted(str(k) for k in range(8))
+
+
+def test_consumer_group_session_timeout_eviction(spark, tmp_path):
+    """Heartbeat liveness: a member that stops heartbeating is evicted by
+    the coordinator sweep (one generation bump), and the survivor
+    rebalances to own the dead member's partitions — resuming them from
+    the group's committed offsets."""
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from proteus_spark.sources import minilog
+
+    df = spark.range(60).select(
+        F.col("id").cast("string").alias("key"),
+        F.col("id").cast("string").alias("value"),
+    )
+    topic = str(tmp_path / "topic")
+    minilog.stage_topic(df, topic, partitions=4)
+    gdir = str(tmp_path / "group")
+
+    a = minilog.ConsumerGroup(topic, gdir, "member-a").join()
+    b = minilog.ConsumerGroup(topic, gdir, "member-b").join()
+
+    def poll_retry(m, **kw):
+        try:
+            return m.poll(**kw)
+        except minilog.RebalanceError:
+            return m.poll(**kw)
+
+    # b consumes part of its share, commits, then goes silent
+    seen = [v for _, v, _, _ in poll_retry(b, max_records=5)]
+    b.commit()
+
+    _time.sleep(0.6)
+    a.heartbeat()  # a stays live; b's stamp ages out
+    assert a.expired_members(0.5) == ["member-b"]
+    assert minilog.ConsumerGroup(topic, gdir, "coordinator",
+                                 partitions=4).sweep_expired(0.5) == ["member-b"]
+    assert "member-b" not in a.members()
+
+    # survivor rebalances to everything and finishes without loss/dup
+    seen += [v for _, v, _, _ in poll_retry(a)]
+    a.commit()
+    assert set(a.assignment()) == {0, 1, 2, 3}
+    assert sorted(seen, key=int) == [str(i) for i in range(60)]
