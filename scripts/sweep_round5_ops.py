@@ -23,7 +23,11 @@ scan-bound number is garbage). Then times:
   the cap is exactly the knob a real deployment raises
   (``maxRecordsPerTrigger``);
 - ``stream_view_dag_via_log`` (round 6) — the two-view DAG over the
-  exported feed.
+  exported feed;
+- opt-in round-6 operators: ``bpe`` (``llm_bpe_train_rounds`` — 8
+  training rounds over the replicated corpus) and ``recluster``
+  (``stream_ann_recluster`` — two ingest waves + three refresh epochs
+  over the replicated embeddings).
 
 Usage (IDLE HOST ONLY — contention skews 3-8x):
     python scripts/sweep_round5_ops.py --mult 30
@@ -53,6 +57,7 @@ KEY_OFFSETS = {
     "orders": {"o_orderkey": 10_000_000},
     "events": {"event_id": 100_000_000, "user_id": 1_000_000},
     "embeddings": {"vec_id": 1_000_000},
+    "documents": {"doc_id": 10_000_000},
 }
 
 
@@ -199,6 +204,9 @@ def main() -> int:
         "cdf": ["events"],
         "minilog": ["events"],
         "dag": ["lineitem", "orders"],
+        # round-6 operators
+        "bpe": ["documents"],
+        "recluster": ["embeddings"],
     }
     needed = sorted({t for op in args.ops for t in tables[op]})
 
@@ -227,6 +235,12 @@ def main() -> int:
             ).count(),
             "minilog": lambda: run_minilog_scaled_cap(spark, dest),
             "dag": lambda: qs["stream_view_dag_via_log"](spark, dest).count(),
+            "bpe": lambda: qs["llm_bpe_train_rounds"](spark, dest).write.mode(
+                "overwrite"
+            ).format("noop").save(),
+            "recluster": lambda: qs["stream_ann_recluster"](
+                spark, dest
+            ).count(),
         }
         # DAG feed cap scales with the replica (the deployment knob —
         # measured 625s at 30x with the fixed sf0.01 cap vs the scaled

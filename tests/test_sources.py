@@ -1117,3 +1117,49 @@ def test_consumer_group_session_timeout_eviction(spark, tmp_path):
     a.commit()
     assert set(a.assignment()) == {0, 1, 2, 3}
     assert sorted(seen, key=int) == [str(i) for i in range(60)]
+
+
+def test_minilog_epoch_crash_at_every_point_recovers(spark, tmp_path):
+    """Exhaustive crash-point enumeration for epoch publication: for every
+    k in 0..partitions, simulate a crash after exactly k partition renames
+    (no marker written). Invariants at every k: (a) the partial epoch is
+    INVISIBLE to consumers (read-committed), (b) the replay republishes it
+    in full, (c) content lands exactly once. Together with the atomic
+    marker this makes publication all-or-nothing at every possible crash
+    point."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from proteus_spark.sources import minilog
+
+    parts = 4
+    df = spark.range(64).select(
+        F.col("id").cast("string").alias("key"),
+        F.col("id").cast("string").alias("value"),
+    )
+    for k in range(parts + 1):
+        topic = str(tmp_path / f"topic_k{k}")
+        assert minilog.append_epoch(df, topic, epoch=0, partitions=parts)
+        base = minilog.end_offsets(topic, parts)
+        assert sum(base.values()) == 64
+
+        # publish epoch 1 fully, then rewind to "crashed after k renames":
+        # strip the marker and epoch-1 segments from partitions >= k
+        assert minilog.append_epoch(df, topic, epoch=1, partitions=parts)
+        os.remove(os.path.join(topic, "_epoch-00000001.committed"))
+        for p in range(k, parts):
+            d = os.path.join(topic, f"p={p}")
+            for f in os.listdir(d):
+                if f.startswith("part-e00000001"):
+                    os.remove(os.path.join(d, f))
+
+        # (a) uncommitted segments are invisible at every crash point
+        assert minilog.end_offsets(topic, parts) == base
+        # (b) replay republishes in full; (c) content exactly once
+        assert minilog.append_epoch(df, topic, epoch=1, partitions=parts)
+        assert sum(minilog.end_offsets(topic, parts).values()) == 128
+        assert (
+            minilog.append_epoch(df, topic, epoch=1, partitions=parts)
+            is False
+        )
