@@ -42,8 +42,18 @@ class QueryServer:
     """Serve an ``Engine`` over HTTP; ``with QueryServer(engine) as url:``
     yields the base URL (ephemeral port by default)."""
 
-    def __init__(self, engine: Engine, host: str = "127.0.0.1", port: int = 0):
+    def __init__(
+        self,
+        engine: Engine,
+        host: str = "127.0.0.1",
+        port: int = 0,
+        views: dict | None = None,
+    ):
         self.engine = engine
+        # named live views addressable by /query_stream's "view" field —
+        # the server-side registry that stands in for the reference's
+        # QPU-graph addressing (a client subscribes to a named processor)
+        self.views = views or {}
         server = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -95,9 +105,27 @@ class QueryServer:
                     return self._json(200, {"records": records})
                 if self.path == "/query_stream":
                     # NDJSON chunked stream: records flush as produced —
-                    # the server-push half of the reference's bidi Query
+                    # the server-push half of the reference's bidi Query.
+                    # With "view", the stream continues past END_OF_STREAM
+                    # as UPDATEDELTA records while the named live view
+                    # keeps updating (QuerySubscribe over the wire),
+                    # closing after updates_timeout quiet seconds.
+                    view = None
+                    if req.get("view") is not None:
+                        view = server.views.get(req["view"])
+                        if view is None:
+                            return self._json(
+                                400,
+                                {"error": f"unknown view {req['view']!r}"},
+                            )
                     try:
-                        gen = server.engine.query_stream(sql)
+                        gen = server.engine.query_stream(
+                            sql,
+                            view=view,
+                            updates_timeout=float(
+                                req.get("updates_timeout", 5.0)
+                            ),
+                        )
                         first = next(gen, None)  # surface errors pre-headers
                     except Exception as exc:
                         return self._json(400, {"error": str(exc)[:2000]})

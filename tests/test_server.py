@@ -117,3 +117,93 @@ def test_http_concurrent_clients(engine):
         for t in threads:
             t.join(timeout=120)
     assert sorted(results) == [(i, str(i)) for i in range(6)]
+
+
+def test_http_query_stream_with_live_view_pushes_updates(spark, engine):
+    """QuerySubscribe over the wire: a named live view keeps the NDJSON
+    stream open past END_OF_STREAM — new micro-batches arrive as
+    UPDATEDELTA records with continuing seq ids, and the stream closes
+    after the quiet timeout."""
+    import json as _json
+    import threading
+    import urllib.request
+
+    from proteus_spark.sources import cdc
+    from proteus_spark.streaming.views import SumView
+
+    ev = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (1, 5.0)], "user_id bigint, value double"
+    )
+    src = cdc.stage_stream(spark, ev, chunks=2)
+    view = SumView(
+        spark, src.subscribe(), group_by="user_id", agg_attr="value",
+        name="t_http_stream", mode="append",
+    ).start()
+    try:
+        view.await_catch_up()
+        engine.register_view("vhttp", view.snapshot())
+        lines: list = []
+        got_eos = threading.Event()
+        with QueryServer(engine, views={"live": view}) as url:
+
+            def consume():
+                req = urllib.request.Request(
+                    url + "/query_stream",
+                    data=_json.dumps(
+                        {
+                            "sql": "SELECT * FROM vhttp ORDER BY user_id",
+                            "view": "live",
+                            "updates_timeout": 8.0,
+                        }
+                    ).encode(),
+                    method="POST",
+                )
+                with urllib.request.urlopen(req, timeout=120) as r:
+                    for raw in r:
+                        lines.append(_json.loads(raw))
+                        if lines[-1]["type"] == "END_OF_STREAM":
+                            got_eos.set()
+
+            t = threading.Thread(target=consume, daemon=True)
+            t.start()
+            assert got_eos.wait(timeout=60)
+            # a new delta lands while the HTTP stream is open
+            spark.createDataFrame(
+                [(2, 7.0)], "user_id bigint, value double"
+            ).coalesce(1).write.mode("append").parquet(src.path)
+            view._query.processAllAvailable()
+            t.join(timeout=60)
+            assert not t.is_alive()
+
+        types = [ln["type"] for ln in lines]
+        assert types[: len(types) - 1].count("STATE") == 2
+        assert "END_OF_STREAM" in types
+        assert types[-1] == "UPDATEDELTA"
+        assert [ln["seq"] for ln in lines] == list(range(len(lines)))
+        upd = lines[-1]["record"]
+        assert upd["user_id"] == "2" and upd["value_sum"] == "27.0"
+
+        # unknown view name -> 400, not a hang
+        import urllib.error
+
+        req = urllib.request.Request(
+            url + "/query_stream",
+            data=_json.dumps({"sql": "SELECT 1", "view": "nope"}).encode(),
+            method="POST",
+        )
+        with QueryServer(engine, views={"live": view}) as url2:
+            req = urllib.request.Request(
+                url2 + "/query_stream",
+                data=_json.dumps(
+                    {"sql": "SELECT 1 AS x", "view": "nope"}
+                ).encode(),
+                method="POST",
+            )
+            import pytest as _pytest
+
+            with _pytest.raises(urllib.error.HTTPError) as ei:
+                urllib.request.urlopen(req, timeout=30)
+            assert ei.value.code == 400
+    finally:
+        view.stop()
+        cdc.cleanup(src)
