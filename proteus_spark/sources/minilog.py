@@ -604,10 +604,19 @@ class ConsumerGroup:
         """Fetch up to ``max_records`` per owned partition from the
         group's committed offsets: [(key, value, partition, offset)].
         Raises RebalanceError if the generation moved since the last
-        poll/join (caller retries; the retry sees the new assignment)."""
+        poll/join (caller retries; the retry sees the new assignment).
+
+        Per-segment line counts are memoized by (size, mtime) — segments
+        are immutable once committed — so whole segments below the
+        committed offset are SKIPPED, not re-scanned: a poll costs
+        O(new data), the same seeking rule the stream reader's offset
+        planner uses (never re-read the log from 0)."""
         import json as _json
 
         self._check_generation()
+        cache = getattr(self, "_count_cache", None)
+        if cache is None:
+            cache = self._count_cache = {}
         out: list[tuple[str, str, int, int]] = []
         self._fetched: dict[int, int] = {}
         for p in self.assignment():
@@ -615,6 +624,19 @@ class ConsumerGroup:
             end = start
             off = 0
             for f in _segment_files(self.topic, p):
+                try:
+                    st = os.stat(f)
+                    key = (f, st.st_size, st.st_mtime_ns)
+                except OSError:
+                    continue
+                if key not in cache:
+                    with open(f, "rb") as fh:
+                        cache[key] = sum(1 for _ in fh)
+                if off + cache[key] <= start:
+                    off += cache[key]  # whole segment already consumed
+                    continue
+                if end - start >= max_records:
+                    break
                 with open(f) as fh:
                     for line in fh:
                         if off >= start and end - start < max_records:
