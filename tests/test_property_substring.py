@@ -76,3 +76,45 @@ def test_exact_substring_matches_python_model(spark, corpus_dir, docs):
         .collect()
     }
     assert got == _model(docs)
+
+
+def test_bpe_merge_pass_matches_greedy_model(spark):
+    """bpe_merge_pass (the Catalyst carry/emit fold) vs an independent
+    Python model of greedy-leftmost non-overlapping merge, over seeded
+    random token sequences from a tiny alphabet — including the a == b
+    overlap regime ('x x x x' -> 'xx xx') and runs longer than any
+    window the fold sees at once. One Spark action per merge pair."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from proteus_spark.llmops.text import bpe_merge_pass
+
+    def model(toks, a, b):
+        out, i = [], 0
+        while i < len(toks):
+            if i + 1 < len(toks) and toks[i] == a and toks[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(toks[i])
+                i += 1
+        return out
+
+    rnd = random.Random(13)
+    alphabet = ["x", "y", "z"]
+    seqs = [
+        [rnd.choice(alphabet) for _ in range(rnd.randint(0, 12))]
+        for _ in range(300)
+    ]
+    seqs += [["x"] * n for n in range(1, 8)]  # pure-run overlap ladders
+    for a, b in [("x", "y"), ("x", "x"), ("y", "z"), ("z", "z")]:
+        df = spark.createDataFrame(
+            [(i, s) for i, s in enumerate(seqs)], "i long, t array<string>"
+        )
+        got = {
+            r["i"]: list(r["t"])
+            for r in bpe_merge_pass(df, a, b).collect()
+        }
+        exp = {i: model(s, a, b) for i, s in enumerate(seqs)}
+        assert got == exp
