@@ -1,14 +1,22 @@
 """Benchmark harness.
 
 Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
-/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints exactly ONE
-JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]``.
+
+Output contract (VERDICT r6 #2 — the driver tail-captures stdout and
+parses the LAST line): the FINAL stdout line is the COMPACT summary
+{"metric", "value", "unit", "sf", "queries", "contended",
+"idle_remeasure"} and nothing else; the bulky detail (per-query run
+arrays, the parity block) goes to stderr, where the driver's round log
+keeps it without risking the tail window.
 
 Each query runs one untimed warm-up then 3 timed runs (best-of-3); a
 strictly-falling timed sequence extends to best-of-5, and a query still
 strictly falling at 5 is flagged in the JSON's "contended" list — its
-minimum is a known overestimate, not a plan cost.
+minimum is a known overestimate, not a plan cost. A query contended BOTH
+this run and in the previous round's BENCH_r{N}.json is re-measured at
+the END of the run (3 extra timed runs once the host has gone quiet) and
+that minimum ships in "idle_remeasure" (VERDICT r6 #8).
 """
 
 from __future__ import annotations
@@ -76,16 +84,13 @@ def main() -> None:
         # best-of-5 for that query, and if even 5 runs are still strictly
         # falling, flag the line as contended in the JSON rather than
         # report a number known to be an overestimate.
+        # noop sink inside _timed_run forces full evaluation of every
+        # output column (count() alone would let Catalyst prune the
+        # projection).
         runs: list[float] = []
 
         def timed_run():
-            spark.catalog.clearCache()
-            t0 = time.perf_counter()
-            df = fns[name](spark, sf_dir)
-            # noop sink forces full evaluation of every output column
-            # (count() alone would let Catalyst prune the projection).
-            df.write.mode("overwrite").format("noop").save()
-            return time.perf_counter() - t0
+            return _timed_run(spark, fns[name], sf_dir)
 
         timed_run()  # untimed warm-up (codegen/JIT/page cache)
         for _ in range(3):
@@ -105,11 +110,33 @@ def main() -> None:
 
     parity = _parity_metrics(spark, sf_dir)
 
+    # Repeat-contended re-measure (VERDICT r6 #8): a line contended this
+    # run AND in the previous round's recorded bench is re-timed now, at
+    # the end of the run when the host is at its quietest, so the JSON
+    # carries a best-effort idle number alongside the flagged one.
+    idle_remeasure: dict[str, float] = {}
+    prev_contended = _previous_round_contended()
+    for name in contended:
+        if name not in prev_contended:
+            continue
+        runs = [_timed_run(spark, fns[name], sf_dir) for _ in range(3)]
+        idle_remeasure[name] = round(min(runs), 4)
+        print(
+            f"# idle_remeasure {name}: {min(runs):.3f}s "
+            f"(runs: {[round(r, 3) for r in runs]})",
+            file=sys.stderr,
+        )
+
     sf = sf_dir.rstrip("/").split("sf")[-1]
     try:
         sf_val = float(sf)
     except ValueError:
         sf_val = sf
+    # Bulky detail to stderr: per-query run arrays (min vs spread separates
+    # real plan regressions from host contention) and the parity block.
+    print(json.dumps({"runs": all_runs, "parity": parity}), file=sys.stderr)
+    # COMPACT summary is the FINAL stdout line — the only stdout line —
+    # sized to survive the driver's tail capture (VERDICT r6 #2).
     print(
         json.dumps(
             {
@@ -117,18 +144,55 @@ def main() -> None:
                 "value": round(sum(timings.values()), 4),
                 "unit": "sec",
                 "queries": timings,
-                # per-query run arrays (3-5 timed runs each): min vs spread
-                # separates real plan regressions from host contention
-                "runs": all_runs,
                 # queries whose 5 runs were STILL strictly falling at
                 # cutoff: their min is an overestimate (host contention
                 # easing mid-measurement), not a plan cost
                 "contended": contended,
+                # end-of-run quiet re-measure of any repeat-contended line
+                "idle_remeasure": idle_remeasure,
                 "sf": sf_val,
-                "parity": parity,
             }
         )
     )
+
+
+def _timed_run(spark, fn, sf_dir: str) -> float:
+    spark.catalog.clearCache()
+    t0 = time.perf_counter()
+    df = fn(spark, sf_dir)
+    df.write.mode("overwrite").format("noop").save()
+    return time.perf_counter() - t0
+
+
+def _previous_round_contended() -> set[str]:
+    """Names flagged "contended" in the most recent recorded BENCH_r*.json
+    (the driver writes one per round next to this script)."""
+    import glob
+    import re
+
+    best: tuple[int, str] | None = None
+    for path in glob.glob(str(Path(__file__).resolve().parent / "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", path)
+        if m and (best is None or int(m.group(1)) > best[0]):
+            best = (int(m.group(1)), path)
+    if best is None:
+        return set()
+    try:
+        rec = json.loads(Path(best[1]).read_text())
+        # driver shape: {"parsed": {...}, "tail": "..."} wrapping bench
+        # stdout, or the raw bench line itself
+        parsed = rec.get("parsed") if isinstance(rec, dict) else None
+        src = parsed if isinstance(parsed, dict) else rec
+        got = src.get("contended")
+        if got is not None:
+            return set(got)
+        # round-6 shape: parsed is null (tail decapitated the JSON line);
+        # the contended array may still be intact inside the tail text
+        tail = rec.get("tail", "") if isinstance(rec, dict) else ""
+        m = re.search(r'"contended"\s*:\s*(\[[^\]]*\])', tail)
+        return set(json.loads(m.group(1))) if m else set()
+    except Exception:
+        return set()
 
 
 def _parity_metrics(spark, sf_dir: str, budget_s: float = 150.0) -> dict:

