@@ -185,7 +185,8 @@ class Engine:
         ``snapshot()`` (SumView/JoinView); ``table`` is the name the SQL
         refers to it by. Per-epoch evaluation gives strictly stronger
         ordering than the reference's goroutine-per-record push
-        (responseStream.go:51-64)."""
+        (responseStream.go:51-64). Returns the registered handle — pass it
+        to ``view.unsubscribe`` to cancel the continuous query."""
 
         def _on_update(_delta, epoch: int) -> None:
             snap = view.snapshot()
@@ -195,6 +196,7 @@ class Engine:
             callback(self._collect_timed(sql), epoch)
 
         view.subscribe(_on_update)
+        return _on_update
 
     def subscribe_matching(self, view, predicate_sql: str, callback) -> None:
         """Per-value subscriber parity (inMemIndex.go:420-449): the
@@ -218,6 +220,7 @@ class Engine:
                 callback(rows, epoch)
 
         view.subscribe(_on_delta)
+        return _on_delta
 
     @staticmethod
     def _stringify(row) -> dict[str, str]:
@@ -260,6 +263,7 @@ class Engine:
         import queue as _queue
 
         updates: _queue.Queue = _queue.Queue()
+        _on_update = None
         if view is not None:
 
             def _on_update(delta, epoch: int) -> None:
@@ -270,19 +274,30 @@ class Engine:
 
             view.subscribe(_on_update)
 
-        seq = 0
-        for row in self._collect_timed(sql):
-            yield (seq, "STATE", self._stringify(row))
-            seq += 1
-        yield (seq, "END_OF_STREAM", None)
-        seq += 1
-        if view is None:
-            return
-        while True:
-            try:
-                _epoch, rows = updates.get(timeout=updates_timeout)
-            except _queue.Empty:
-                return
-            for rec in rows:
-                yield (seq, "UPDATEDELTA", rec)
+        # The finally runs when the generator is exhausted (quiet timeout)
+        # OR closed early (client disconnect -> GeneratorExit), so the view
+        # never accretes a dead subscriber + an undrained queue per past
+        # stream request (ADVICE r6).
+        try:
+            seq = 0
+            for row in self._collect_timed(sql):
+                yield (seq, "STATE", self._stringify(row))
                 seq += 1
+            yield (seq, "END_OF_STREAM", None)
+            seq += 1
+            if view is None:
+                return
+            while True:
+                try:
+                    _epoch, rows = updates.get(timeout=updates_timeout)
+                except _queue.Empty:
+                    return
+                for rec in rows:
+                    yield (seq, "UPDATEDELTA", rec)
+                    seq += 1
+        finally:
+            if view is not None and _on_update is not None:
+                try:
+                    view.unsubscribe(_on_update)
+                except Exception:
+                    pass  # teardown best-effort: view may already be stopped

@@ -1433,7 +1433,11 @@ def stream_view_dag_via_log(spark, sf_dir):
         "_seq",
     )
     src_orders = cdc.stage_stream(spark, orders, chunks=2)
-    right = src_orders.subscribe().withColumn("_seq", F.lit(0).cast("long"))
+    # the synthetic right-side order starts BELOW any real log offset
+    # (first per-partition offset is 0): when a key's feed record and its
+    # order row land in one batch at equal order, which side wins the
+    # max_by collapse would otherwise be nondeterministic (ADVICE r6)
+    right = src_orders.subscribe().withColumn("_seq", F.lit(-1).cast("long"))
 
     down = JoinView(
         spark, left, right, key="o_orderkey", name="dag_join_downstream",

@@ -173,14 +173,26 @@ def load(
 
 # Spill bookkeeping: one session-scoped root, per-spill subdirs tracked in
 # FIFO order. A long-lived process re-running the registry must not accrete
-# spill dirs monotonically (VERDICT r5), so dirs beyond _SPILL_KEEP are
+# spill dirs monotonically (VERDICT r5), so dirs beyond the keep bound are
 # reclaimed oldest-first. The consumer contract is "collect the returned
-# DataFrame before running _SPILL_KEEP more spilling queries" — trivially
+# DataFrame before running _spill_keep() more spilling queries" — trivially
 # true for the external driver (collects each result before the next
-# query) and for every local harness.
-_SPILL_KEEP = 64
+# query) and for every local harness. A consumer that genuinely holds more
+# results live raises the bound via PROTEUS_SPILL_KEEP; and a reclaimed
+# dir is not silently emptied — it keeps one sentinel file whose NAME
+# states the policy, so a late re-evaluation fails with an error that
+# points at the fix instead of a bare missing-path (ADVICE r6).
+_SPILL_KEEP_DEFAULT = 64
+_RECLAIM_SENTINEL = "RECLAIMED-oldest-spill-beyond-keep-bound-raise-PROTEUS_SPILL_KEEP.txt"
 _spill_root: str | None = None
 _spill_dirs: list[str] = []
+
+
+def _spill_keep() -> int:
+    try:
+        return max(1, int(os.environ.get("PROTEUS_SPILL_KEEP", _SPILL_KEEP_DEFAULT)))
+    except ValueError:
+        return _SPILL_KEEP_DEFAULT
 
 
 def _spill_dir() -> str:
@@ -195,8 +207,22 @@ def _spill_dir() -> str:
         atexit.register(shutil.rmtree, _spill_root, ignore_errors=True)
     path = os.path.join(_spill_root, uuid.uuid4().hex)
     _spill_dirs.append(path)
-    while len(_spill_dirs) > _SPILL_KEEP:
-        shutil.rmtree(_spill_dirs.pop(0), ignore_errors=True)
+    while len(_spill_dirs) > _spill_keep():
+        old = _spill_dirs.pop(0)
+        shutil.rmtree(old, ignore_errors=True)
+        try:
+            # leave a sentinel: a reader that re-evaluates a reclaimed
+            # result gets a parquet-footer error NAMING this file (and
+            # thus the policy + the env knob), not a bare missing path
+            os.makedirs(old, exist_ok=True)
+            with open(os.path.join(old, _RECLAIM_SENTINEL), "w") as fh:
+                fh.write(
+                    "This spill dir was reclaimed FIFO (keep bound "
+                    f"{_spill_keep()}). Collect results before running more "
+                    "spilling queries, or raise PROTEUS_SPILL_KEEP.\n"
+                )
+        except OSError:
+            pass  # best-effort diagnostic only
     return path
 
 

@@ -531,11 +531,29 @@ class ConsumerGroup:
             return 0
 
     def _bump_generation(self) -> int:
-        g = self.generation() + 1
-        tmp = self._gen_path() + ".tmp"
-        with open(tmp, "w") as fh:
-            fh.write(str(g))
-        os.replace(tmp, self._gen_path())
+        """Atomic read-modify-write of the shared generation counter.
+
+        Two members joining (or a join racing an eviction sweep) from
+        separate processes must serialize here: a lost update would leave
+        one membership change without an observable bump, so a stale
+        member's poll/commit would pass the fencing check while acting on
+        a changed assignment (ADVICE r6). flock on a sidecar lock file
+        covers the read+write; the value file itself is still replaced
+        atomically so lock-free readers (``generation``) never see a torn
+        write."""
+        import fcntl
+
+        lock_path = self._gen_path() + ".lock"
+        with open(lock_path, "a") as lock:
+            fcntl.flock(lock, fcntl.LOCK_EX)
+            try:
+                g = self.generation() + 1
+                tmp = self._gen_path() + f".tmp-{self.member_id}"
+                with open(tmp, "w") as fh:
+                    fh.write(str(g))
+                os.replace(tmp, self._gen_path())
+            finally:
+                fcntl.flock(lock, fcntl.LOCK_UN)
         return g
 
     def members(self) -> list[str]:
@@ -595,6 +613,13 @@ class ConsumerGroup:
         g = self.generation()
         if g != self._generation:
             self._generation = g  # adopt the new generation...
+            # ...and invalidate the last poll's fetch positions: the
+            # documented contract discards those records, so a commit
+            # after this adoption without a fresh poll must be a no-op —
+            # otherwise a catch-and-retry caller would durably commit
+            # offsets for records it threw away, and every new owner
+            # would skip them (ADVICE r6).
+            self._fetched = {}
             raise RebalanceError(
                 f"generation moved to {g}; assignment changed — re-poll"
             )
@@ -652,14 +677,22 @@ class ConsumerGroup:
     def commit(self) -> None:
         """Commit the last poll's end offsets to the GROUP — fenced: a
         stale-generation member cannot commit partitions it no longer
-        owns."""
+        owns.
+
+        All-or-nothing: ownership is validated for EVERY fetched partition
+        BEFORE the first offset file is written (ADVICE r6 — the previous
+        partition-by-partition loop could durably replace early offsets
+        and then raise on a later one, leaving a half-applied commit from
+        a poll whose records the caller discards on rebalance)."""
         self._check_generation()
         owned = set(self.assignment())
-        for p, end in getattr(self, "_fetched", {}).items():
-            if p not in owned:
-                raise RebalanceError(
-                    f"partition {p} reassigned before commit"
-                )
+        fetched = getattr(self, "_fetched", {})
+        stale = sorted(set(fetched) - owned)
+        if stale:
+            raise RebalanceError(
+                f"partitions {stale} reassigned before commit"
+            )
+        for p, end in fetched.items():
             tmp = self._off_path(p) + f".tmp-{self.member_id}"
             with open(tmp, "w") as fh:
                 fh.write(str(end))

@@ -749,6 +749,16 @@ class SumView:
         """QuerySubscribe parity: cb(delta_df, epoch) per micro-batch."""
         self._subscribers.append(cb)
 
+    def unsubscribe(self, cb: Callable[[DataFrame, int], None]) -> None:
+        """Remove a subscriber registered with ``subscribe``. Idempotent —
+        a long-lived view must not accrete dead callbacks (each one costs
+        a delta.collect() per micro-batch), so every transient consumer
+        (server NDJSON streams, bounded watchers) unregisters on exit."""
+        try:
+            self._subscribers.remove(cb)
+        except ValueError:
+            pass
+
     def version(self) -> int:
         """Freshness-in-versions handle (metrics.go:103-214)."""
         return self._state.version
@@ -888,7 +898,13 @@ class JoinView:
                 for c in cols
             ]
             if has_op:
-                aggs.append(F.max_by(F.col("_op"), oc).alias("_op"))
+                # deterministic tie-break: equal order values (possible when
+                # two transports' sequence domains overlap) resolve by _op
+                # itself rather than arrival order, so delete-vs-keep cannot
+                # flip between replays of the same batch (ADVICE r6)
+                aggs.append(
+                    F.max_by(F.col("_op"), F.struct(oc, F.col("_op"))).alias("_op")
+                )
         else:
             aggs = [F.last(c, ignorenulls=True).alias(c) for c in cols]
             if has_op:
@@ -926,6 +942,13 @@ class JoinView:
 
     def subscribe(self, cb: Callable[[DataFrame, int], None]) -> None:
         self._subscribers.append(cb)
+
+    def unsubscribe(self, cb: Callable[[DataFrame, int], None]) -> None:
+        """Remove a subscriber (idempotent); see SumView.unsubscribe."""
+        try:
+            self._subscribers.remove(cb)
+        except ValueError:
+            pass
 
     def version(self) -> int:
         return self._state.version

@@ -211,6 +211,41 @@ def test_query_stream_record_type_sequence(spark):
         assert upd[0] == 3 and upd[1] == "UPDATEDELTA"
         assert upd[2]["user_id"] == "2" and upd[2]["value_sum"] == "27.0"
         gen.close()
+        # the stream's subscriber is REMOVED on close (ADVICE r6: a
+        # long-running server must not accrete one leaked collect-per-
+        # batch callback + unbounded queue per past stream request)
+        assert view._subscribers == []
+    finally:
+        view.stop()
+        cdc.cleanup(src)
+
+
+def test_query_stream_unsubscribes_on_early_close(spark):
+    """A client that disconnects MID-SNAPSHOT (generator closed before
+    END_OF_STREAM) must also release its view subscription — the leak
+    path ADVICE r6 flagged is precisely abandoned generators."""
+    from proteus_spark.sources import cdc
+    from proteus_spark.streaming.views import SumView
+
+    ev = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0)], "user_id bigint, value double"
+    )
+    src = cdc.stage_stream(spark, ev, chunks=1)
+    view = SumView(
+        spark, src.subscribe(), group_by="user_id", agg_attr="value",
+        name="t_qstream_close", mode="append",
+    ).start()
+    try:
+        view.await_catch_up()
+        eng = Engine(spark)
+        eng.register_view("v2", view.snapshot())
+        gen = eng.query_stream("SELECT * FROM v2", view=view, updates_timeout=60)
+        assert next(gen)[1] == "STATE"  # subscriber registered by now
+        assert len(view._subscribers) == 1
+        gen.close()  # client disconnect
+        assert view._subscribers == []
+        # unsubscribe is idempotent: a double-remove is a no-op
+        view.unsubscribe(lambda d, e: None)
     finally:
         view.stop()
         cdc.cleanup(src)

@@ -769,27 +769,54 @@ def test_minilog_consumer_discovers_partitions_beyond_option(spark, tmp_path):
 def test_spill_dir_count_is_bounded(spark):
     """Repeated harness runs in one process must not accrete spill dirs
     monotonically (VERDICT r5): spills live under ONE session root and the
-    oldest are reclaimed beyond the FIFO cap."""
+    oldest are reclaimed beyond the FIFO cap. Reclaimed dirs keep only a
+    sentinel file naming the policy + the PROTEUS_SPILL_KEEP knob, so a
+    late re-evaluation fails diagnosably (ADVICE r6)."""
     import os
 
     from pyspark.sql import functions as F
 
     from proteus_spark import registry
 
-    for i in range(registry._SPILL_KEEP + 20):
+    keep = registry._spill_keep()
+    for i in range(keep + 20):
         out = registry.spill(
             spark.range(3).select((F.col("id") + i).alias("v"))
         )
         assert out.count() == 3
     assert registry._spill_root is not None
-    live = [
+
+    def data_files(d):
+        p = os.path.join(registry._spill_root, d)
+        return [f for f in os.listdir(p) if f.endswith(".parquet") or f.startswith("part-")]
+
+    dirs = [
         d
         for d in os.listdir(registry._spill_root)
         if os.path.isdir(os.path.join(registry._spill_root, d))
     ]
-    assert len(live) <= registry._SPILL_KEEP
+    live = [d for d in dirs if data_files(d)]
+    reclaimed = [d for d in dirs if not data_files(d)]
+    assert len(live) <= keep
+    assert len(reclaimed) >= 20
+    for d in reclaimed:
+        assert registry._RECLAIM_SENTINEL in os.listdir(
+            os.path.join(registry._spill_root, d)
+        )
     # the newest spill is still readable (bound reclaims OLDEST first)
     assert out.count() == 3
+
+
+def test_spill_keep_env_knob(spark, monkeypatch):
+    """PROTEUS_SPILL_KEEP overrides the FIFO bound (ADVICE r6)."""
+    from proteus_spark import registry
+
+    monkeypatch.setenv("PROTEUS_SPILL_KEEP", "7")
+    assert registry._spill_keep() == 7
+    monkeypatch.setenv("PROTEUS_SPILL_KEEP", "not-a-number")
+    assert registry._spill_keep() == registry._SPILL_KEEP_DEFAULT
+    monkeypatch.delenv("PROTEUS_SPILL_KEEP")
+    assert registry._spill_keep() == registry._SPILL_KEEP_DEFAULT
 
 
 def test_spill_zero_rows_returns_empty_with_schema(spark):
@@ -918,6 +945,17 @@ def test_consumer_group_stale_member_commit_is_fenced(spark, tmp_path):
         a.commit()
     # nothing was committed for any partition
     assert all(a.committed(p) == 0 for p in range(4))
+    # ADVICE r6: the failed commit ADOPTED the new generation, so a
+    # naive catch-and-retry commit() without a fresh poll must be a
+    # NO-OP — the discarded poll's offsets must never become durable
+    # (they would make every new owner skip those records)
+    a.commit()
+    assert all(a.committed(p) == 0 for p in range(4))
+    # after a fresh poll under the new generation, commit works again
+    recs = a.poll()
+    a.commit()
+    assert {p for _, _, p, _ in recs} == set(a.assignment())
+    assert all(a.committed(p) > 0 for p in a.assignment())
 
 
 def test_consumer_group_randomized_model(spark, tmp_path):
