@@ -420,6 +420,21 @@ SPLIT_BUCKETS = 100
 SPLIT_VALID_PCT = 10  # buckets [0, 10) -> validation, rest -> train
 
 
+def split_bucket_col() -> "F.Column":
+    """The content-hash split bucket in [0, SPLIT_BUCKETS) as a Spark
+    Column over a ``text`` column — the single expression both
+    ``train_split`` and any split-filtered pipeline (e.g. held-out BPE
+    encoding) must share so document↔split assignment can never drift
+    between operators."""
+    return (
+        F.expr(
+            f"CAST(conv(substr({md5_seeded_sql('text', 'split')}, 1, 12), 16, 10)"
+            " AS BIGINT)"
+        )
+        % SPLIT_BUCKETS
+    )
+
+
 def train_split(docs: DataFrame, valid_pct: int = SPLIT_VALID_PCT) -> DataFrame:
     """Deterministic train/validation assignment: (doc_id, bucket, split).
 
@@ -428,13 +443,7 @@ def train_split(docs: DataFrame, valid_pct: int = SPLIT_VALID_PCT) -> DataFrame:
     its split, and exact duplicates land in the same split (no train/valid
     leakage between copies). Pure codegen expressions; reproduced exactly
     by the DuckDB oracle."""
-    bucket = (
-        F.expr(
-            f"CAST(conv(substr({md5_seeded_sql('text', 'split')}, 1, 12), 16, 10)"
-            " AS BIGINT)"
-        )
-        % SPLIT_BUCKETS
-    )
+    bucket = split_bucket_col()
     return docs.select(
         "doc_id",
         bucket.alias("bucket"),
@@ -936,3 +945,23 @@ def bpe_train_encode(
 def bpe_train(docs: DataFrame, rounds: int = 8) -> DataFrame:
     """The merge table alone — see ``bpe_train_encode``."""
     return bpe_train_encode(docs, rounds)[0]
+
+
+def bpe_encode(docs: DataFrame, rules: list[tuple[int, str, str]]) -> DataFrame:
+    """ENCODE a corpus under an already-learned merge table — the
+    tokenizer's apply path (train once, encode any split/stream forever).
+
+    ``rules`` is the (rank, a, b) merge list in training order; each rule
+    is applied greedy-leftmost via the same JVM higher-order fold training
+    uses (``bpe_merge_pass``), so train-split and held-out encodings are
+    byte-identical in semantics. The whole application is ONE narrow
+    stage: a scan feeding |rules| nested fold expressions — no shuffle per
+    rule, no UDF, nothing to the driver (the rule list itself is O(rounds)
+    literals baked into the plan). Returns (doc_id, n_raw, t)."""
+    toks = docs.select(
+        "doc_id",
+        F.regexp_extract_all("text", F.lit(BPE_REGEX), F.lit(0)).alias("t"),
+    ).withColumn("n_raw", F.size("t"))
+    for _rk, a, b in sorted(rules):
+        toks = bpe_merge_pass(toks, a, b)
+    return toks

@@ -2330,31 +2330,47 @@ def llm_dedup_excise(spark, sf_dir):
 _BPE_TRAIN_ROUNDS = 8
 
 
-def _bpe_unroll_ctes() -> str:
-    """Static unroll of the BPE training loop: one CTE block per merge
-    round (pairs -> best -> greedy-leftmost apply), every round
-    MATERIALIZED (the r5 DuckDB lesson — inlined iteration CTEs explode
-    optimizer time exponentially). The greedy-apply is relational: a
-    position matches when (tok, next tok) equals the round's best pair;
-    islands of CONSECUTIVE matches (possible only when a = b) keep every
-    odd member (leftmost-first non-overlap); a kept position emits the
-    merged symbol and swallows its right neighbour. Shared by the
-    training-rules oracle and the encode oracle (same merge sequence)."""
-    parts = [
-        f"""toks_0 AS MATERIALIZED (
+def _bpe_tok_cte(name: str, where: str = "") -> str:
+    """Token-chain seed CTE: BPE-regex tokens per document, optionally
+    restricted to a content-hash split bucket range."""
+    src = "documents"
+    if where:
+        src = (
+            f"(SELECT doc_id, text, {hex_to_long_sql('xs')}"
+            f" % {TXT.SPLIT_BUCKETS} AS bucket"
+            f" FROM (SELECT doc_id, text, {md5_seeded_sql('text', 'split')}"
+            f" AS xs FROM documents))"
+        )
+    return f"""{name} AS MATERIALIZED (
       SELECT doc_id, regexp_extract_all(text, '{TXT.BPE_REGEX}') AS t
-      FROM documents)"""
-    ]
-    for r in range(_BPE_TRAIN_ROUNDS):
-        parts.append(f"""pairs_{r} AS MATERIALIZED (
+      FROM {src}{(' WHERE ' + where) if where else ''})"""
+
+
+def _bpe_count_blocks(r: int, src: str) -> list[str]:
+    """pairs_{r} + best_{r}: the round's adjacent-pair counts over the
+    TRAINING token chain and the chosen top merge (ties lexicographic)."""
+    return [
+        f"""pairs_{r} AS MATERIALIZED (
       SELECT t[i] AS a, t[i + 1] AS b
       FROM (SELECT doc_id, unnest(generate_series(1, len(t) - 1)) AS i, t
-            FROM toks_{r}))""")
-        parts.append(f"""best_{r} AS MATERIALIZED (
+            FROM {src}))""",
+        f"""best_{r} AS MATERIALIZED (
       SELECT a, b, CAST(count(*) AS BIGINT) AS n
       FROM pairs_{r} GROUP BY a, b
-      ORDER BY n DESC, a ASC, b ASC LIMIT 1)""")
-        parts.append(f"""m_{r} AS MATERIALIZED (
+      ORDER BY n DESC, a ASC, b ASC LIMIT 1)""",
+    ]
+
+
+def _bpe_apply_blocks(r: int, src: str, m: str, k: str, dst: str) -> list[str]:
+    """Greedy-leftmost application of round ``r``'s best merge to one token
+    chain: a position matches when (tok, next tok) equals best_{r}; islands
+    of CONSECUTIVE matches (possible only when a = b) keep every odd member
+    (leftmost-first non-overlap); a kept position emits the merged symbol
+    and swallows its right neighbour. Reused verbatim by the training chain
+    AND any additional chain encoded under the same rules (the held-out
+    split), so the merge semantics cannot drift between train and apply."""
+    return [
+        f"""{m} AS MATERIALIZED (
       SELECT doc_id, i, tok,
              CASE WHEN tok = (SELECT a FROM best_{r})
                        AND lead(tok) OVER (PARTITION BY doc_id ORDER BY i)
@@ -2362,8 +2378,8 @@ def _bpe_unroll_ctes() -> str:
                   THEN 1 ELSE 0 END AS mtch
       FROM (SELECT doc_id, unnest(generate_series(1, len(t))) AS i,
                    t[unnest(generate_series(1, len(t)))] AS tok
-            FROM toks_{r}))""")
-        parts.append(f"""k_{r} AS MATERIALIZED (
+            FROM {src}))""",
+        f"""{k} AS MATERIALIZED (
       SELECT doc_id, i, tok,
              CASE WHEN mtch = 1 AND
                   (row_number() OVER (PARTITION BY doc_id, mtch, grp
@@ -2372,8 +2388,8 @@ def _bpe_unroll_ctes() -> str:
       FROM (SELECT *,
                    i - row_number() OVER (PARTITION BY doc_id, mtch
                                           ORDER BY i) AS grp
-            FROM m_{r}))""")
-        parts.append(f"""toks_{r + 1} AS MATERIALIZED (
+            FROM {m}))""",
+        f"""{dst} AS MATERIALIZED (
       SELECT doc_id, list(newtok ORDER BY i) AS t
       FROM (SELECT doc_id, i,
                    CASE WHEN keep = 1
@@ -2382,9 +2398,24 @@ def _bpe_unroll_ctes() -> str:
                         ELSE tok END AS newtok,
                    lag(keep) OVER (PARTITION BY doc_id ORDER BY i)
                      AS prevkeep
-            FROM k_{r})
+            FROM {k})
       WHERE coalesce(prevkeep, 0) = 0
-      GROUP BY doc_id)""")
+      GROUP BY doc_id)""",
+    ]
+
+
+def _bpe_unroll_ctes() -> str:
+    """Static unroll of the BPE training loop: one CTE block per merge
+    round (pairs -> best -> greedy-leftmost apply), every round
+    MATERIALIZED (the r5 DuckDB lesson — inlined iteration CTEs explode
+    optimizer time exponentially). Shared by the training-rules oracle and
+    the encode oracle (same merge sequence)."""
+    parts = [_bpe_tok_cte("toks_0")]
+    for r in range(_BPE_TRAIN_ROUNDS):
+        parts += _bpe_count_blocks(r, f"toks_{r}")
+        parts += _bpe_apply_blocks(
+            r, f"toks_{r}", f"m_{r}", f"k_{r}", f"toks_{r + 1}"
+        )
     return "WITH " + ",\n    ".join(parts)
 
 
@@ -2455,6 +2486,74 @@ def llm_bpe_encode(spark, sf_dir):
     _rules, enc = TXT.bpe_train_encode(
         load(spark, sf_dir, "documents"), rounds=_BPE_TRAIN_ROUNDS
     )
+    return enc.select(
+        "doc_id",
+        F.col("n_raw").cast("long").alias("n_raw"),
+        F.size("t").cast("long").alias("n_bpe"),
+        F.when(
+            F.col("n_raw") > 0, F.round(F.size("t") / F.col("n_raw"), 6)
+        ).alias("compression"),
+    )
+
+
+def _bpe_holdout_ctes() -> str:
+    """Training unroll restricted to the TRAIN split, plus a second token
+    chain replaying each round's chosen merge over the HELD-OUT split —
+    the same `_bpe_apply_blocks` text for both chains, so the apply
+    semantics provably match (VERDICT r6 #3)."""
+    train_w = f"bucket >= {TXT.SPLIT_VALID_PCT}"
+    hold_w = f"bucket < {TXT.SPLIT_VALID_PCT}"
+    parts = [_bpe_tok_cte("toks_0", train_w), _bpe_tok_cte("ho_0", hold_w)]
+    for r in range(_BPE_TRAIN_ROUNDS):
+        parts += _bpe_count_blocks(r, f"toks_{r}")
+        parts += _bpe_apply_blocks(
+            r, f"toks_{r}", f"m_{r}", f"k_{r}", f"toks_{r + 1}"
+        )
+        parts += _bpe_apply_blocks(
+            r, f"ho_{r}", f"hm_{r}", f"hk_{r}", f"ho_{r + 1}"
+        )
+    return "WITH " + ",\n    ".join(parts)
+
+
+def _bpe_encode_holdout_oracle() -> str:
+    k = _BPE_TRAIN_ROUNDS
+    return (
+        _bpe_holdout_ctes()
+        + f"""
+    SELECT h0.doc_id,
+           CAST(len(h0.t) AS BIGINT) AS n_raw,
+           CAST(COALESCE(len(hk.t), 0) AS BIGINT) AS n_bpe,
+           CASE WHEN len(h0.t) > 0
+                THEN round(CAST(COALESCE(len(hk.t), 0) AS DOUBLE)
+                           / len(h0.t), 6) END AS compression
+    FROM ho_0 h0 LEFT JOIN ho_{k} hk ON hk.doc_id = h0.doc_id
+    """
+    )
+
+
+@register(
+    "llm_bpe_encode_holdout",
+    oracle=_bpe_encode_holdout_oracle,
+    tags=("llm", "text", "iterative"),
+)
+def llm_bpe_encode_holdout(spark, sf_dir):
+    """Tokenizer TRAIN→APPLY across disjoint splits — the shape a real
+    pipeline runs: learn the merge table on the content-hash TRAIN split
+    (buckets [10,100), the `llm_train_split` assignment), then encode the
+    HELD-OUT split (buckets [0,10)) under those learned rules. The encode
+    is `bpe_encode`: |rules| nested JVM greedy-fold expressions over one
+    narrow scan stage — no shuffle per rule, no UDF, no driver round-trip
+    beyond training's own 1-row-per-round merge pulls (the learned rules
+    are O(rounds) literals baked into the plan). Reports per held-out doc
+    raw vs encoded token counts + compression — the generalization check
+    (a tokenizer that only compresses its train split is overfit)."""
+    docs = load(spark, sf_dir, "documents")
+    bucket = TXT.split_bucket_col()
+    train = docs.filter(bucket >= TXT.SPLIT_VALID_PCT)
+    holdout = docs.filter(bucket < TXT.SPLIT_VALID_PCT)
+    rules_df, _enc = TXT.bpe_train_encode(train, rounds=_BPE_TRAIN_ROUNDS)
+    rules = [(r["rk"], r["a"], r["b"]) for r in rules_df.collect()]
+    enc = TXT.bpe_encode(holdout, rules)
     return enc.select(
         "doc_id",
         F.col("n_raw").cast("long").alias("n_raw"),

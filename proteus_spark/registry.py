@@ -388,7 +388,10 @@ PRIORITY: tuple[str, ...] = (
     "events_ewma_daily", "events_gap_fill_hourly",
     "events_transition_matrix", "llm_corpus_mixture",
     "llm_dedup_cluster_stats", "llm_dedup_containment",
-    "llm_dedup_containment_capped", "llm_dedup_editdistance",
+    "llm_dedup_containment_capped",
+    # -- round-7 additions (each pre-verified at sf0.001 + sf0.01;
+    # displaced r4-only tail: llm_dedup_editdistance -> round-8 front) ---
+    "llm_bpe_encode_holdout",
 )
 
 

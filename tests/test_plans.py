@@ -690,3 +690,23 @@ def test_bpe_train_round_shape_and_checkpoint_truncation(spark, sf_dir):
     assert "ExistingRDD" in p2
     p2_raw = plan(TXT.bpe_merge_pass(merged, "b", "c"))
     assert p2_raw.count("\n") > p2.count("\n")
+
+
+def test_bpe_encode_holdout_apply_is_one_narrow_stage(spark, sf_dir):
+    """The tokenizer APPLY path (VERDICT r6 #3): encoding a split under an
+    already-learned rule list is |rules| nested JVM greedy folds over ONE
+    scan — no Exchange per rule (or at all), no Python eval node, and the
+    split filter reaches the scan side untouched."""
+    from proteus_spark.llmops import text as TXT
+    from proteus_spark.registry import load
+
+    docs = load(spark, sf_dir, "documents")
+    holdout = docs.filter(TXT.split_bucket_col() < TXT.SPLIT_VALID_PCT)
+    rules = [(1, "a", "b"), (2, "ab", "c"), (3, "the", " "), (4, "x", "y")]
+    enc = TXT.bpe_encode(holdout, rules)
+    p = plan(enc)
+    assert "Exchange" not in p, p
+    assert "EvalPython" not in p  # rule application is the JVM fold
+    # all 4 rules landed in one plan (nested fold expressions), so the
+    # apply costs one pass over the split, not a stage per rule
+    assert p.count("aggregate(") == 4, p.count("aggregate(")
