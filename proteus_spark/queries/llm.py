@@ -1033,35 +1033,108 @@ def llm_sim_ivf_nprobe2(spark, sf_dir):
     return probe2
 
 
+_KMEANS_K = 8
+_KMEANS_ROUNDS = 3
+
+
+def _kmeans_unroll_ctes() -> str:
+    """Static unroll of deterministic Lloyd's training (every CTE
+    MATERIALIZED): hash-ranked init, then per round assign (rounded-6
+    cosine, ties -> lowest cid) + rounded-6 per-bucket component means —
+    the recluster/PageRank quantized-iteration parity pattern (VERDICT
+    r6 #4: no KMeans|| in the loop, so SQL can replay training exactly)."""
+    cos_vc = _cos_sql("v.vec", "c.cvec")
+    parts = [
+        f"""cent_0 AS MATERIALIZED (
+      SELECT CAST(row_number() OVER (
+               ORDER BY md5('ivfq|' || CAST(vec_id AS VARCHAR)), vec_id) - 1
+             AS BIGINT) AS cid,
+             CAST(embedding AS DOUBLE[]) AS cvec
+      FROM embeddings
+      ORDER BY md5('ivfq|' || CAST(vec_id AS VARCHAR)), vec_id
+      LIMIT {_KMEANS_K})"""
+    ]
+    for r in range(_KMEANS_ROUNDS):
+        parts.append(f"""asg_{r} AS MATERIALIZED (
+      SELECT vec_id, vec, cid AS bucket FROM (
+        SELECT v.vec_id, v.vec, c.cid,
+               row_number() OVER (PARTITION BY v.vec_id
+                                  ORDER BY round({cos_vc}, 6) DESC, c.cid)
+                 AS rn
+        FROM (SELECT vec_id, embedding AS vec FROM embeddings) v
+        CROSS JOIN cent_{r} c)
+      WHERE rn = 1)""")
+        parts.append(f"""cent_{r + 1} AS MATERIALIZED (
+      SELECT bucket AS cid, list(m ORDER BY pos) AS cvec FROM (
+        SELECT a.bucket, g.pos,
+               round(avg(CAST(a.vec[g.pos] AS DOUBLE)), 6) AS m
+        FROM asg_{r} a,
+             (SELECT unnest(generate_series(1, (SELECT d FROM dim))) AS pos) g
+        GROUP BY a.bucket, g.pos)
+      GROUP BY bucket)""")
+    return ",\n    ".join(parts)
+
+
+def _ivf_kmeans_oracle() -> str:
+    """Lloyd's unroll + the llm_sim_ivf search shape over the LEARNED
+    centroids (nprobe=1: each query searches its own final bucket)."""
+    cos_vc = _cos_sql("v.vec", "c.cvec")
+    cos_qn = _cos_sql("qvec", "nvec")
+    kc = f"cent_{_KMEANS_ROUNDS}"
+    return f"""
+    WITH dim AS (
+      SELECT CAST(len(embedding) AS INTEGER) AS d FROM embeddings LIMIT 1),
+    {_kmeans_unroll_ctes()},
+    assigned AS MATERIALIZED (
+      SELECT vec_id, vec AS embedding, cid AS bucket FROM (
+        SELECT v.vec_id, v.vec, c.cid,
+               row_number() OVER (PARTITION BY v.vec_id
+                                  ORDER BY round({cos_vc}, 6) DESC, c.cid)
+                 AS rn
+        FROM (SELECT vec_id, embedding AS vec FROM embeddings) v
+        CROSS JOIN {kc} c)
+      WHERE rn = 1),
+    q AS (SELECT vec_id AS qid, embedding AS qvec, bucket AS qbucket
+          FROM assigned WHERE vec_id >= 10 AND vec_id < 20),
+    scored AS (
+      SELECT qid, n.vec_id AS nid,
+             round({cos_qn}, 6) AS sim
+      FROM (SELECT vec_id, embedding AS nvec, bucket AS nbucket
+            FROM assigned) n
+      JOIN q ON n.nbucket = qbucket AND n.vec_id != qid)
+    SELECT qid, nid, sim, CAST(rn AS BIGINT) AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY qid
+                                       ORDER BY sim DESC, nid) AS rn
+          FROM scored)
+    WHERE rn <= 3
+    """
+
+
 @register(
     "llm_sim_ivf_kmeans",
-    oracle=None,  # KMeans|| init depends on partitioning -> rows-only +
-    # in-query recall assertion against the exact brute-force answer
-    tags=("llm", "similarity", "approx"),
+    oracle=_ivf_kmeans_oracle,
+    tags=("llm", "similarity", "approx", "iterative"),
 )
 def llm_sim_ivf_kmeans(spark, sf_dir):
-    """IVF with a LEARNED coarse quantizer: MLlib KMeans (k=8, fixed seed)
+    """IVF with a LEARNED coarse quantizer: deterministic distributed
+    Lloyd's (k=8, 3 rounds — hash-ranked init, rounded-6 cosine
+    assignment, rounded-6 per-bucket means; ``similarity.kmeans_train``)
     fits the centroids, then the same bucket-equi-join ANN search as
-    llm_sim_ivf. The idiomatic-Spark path for the quantizer — no hand-rolled
-    Lloyd's loop. No SQL oracle can reproduce KMeans|| initialization, so
-    the query asserts its own quality bound instead: nprobe=1 recall@3
-    against the exact brute-force neighbors must clear 30% (axis-aligned
-    demo data clusters well; production would raise nprobe, not k)."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
-
+    llm_sim_ivf. Previously rows-only (MLlib KMeans|| init samples by
+    partition — irreproducible outside Spark); the quantized Lloyd's
+    loop is a pure data function, so the oracle replays TRAINING AND
+    SEARCH end-to-end (VERDICT r6 #4). The in-query recall bound vs
+    exact brute force stays as a semantic floor: a hash-mismatch says
+    'diverged', the assertion says 'and the index would be BAD, not just
+    different'."""
     emb = load(spark, sf_dir, "embeddings")
     if emb.isEmpty():
         raise ValueError(
             "llm_sim_ivf_kmeans: cannot train a quantizer on an empty corpus"
         )
-    feats = emb.select(
-        "vec_id", array_to_vector(F.col("embedding").cast("array<double>")).alias("features")
-    )
-    model = KMeans(k=8, seed=42, maxIter=10).fit(feats)
-    centroids = spark.createDataFrame(
-        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
-        "vec_id long, embedding array<float>",
+    cents = S.kmeans_train(emb, k=_KMEANS_K, rounds=_KMEANS_ROUNDS)
+    centroids = cents.select(
+        F.col("cid").alias("vec_id"), F.col("cvec").alias("embedding")
     )
     queries = emb.filter((F.col("vec_id") >= 10) & (F.col("vec_id") < 20))
     approx = S.ivf_topk(emb, centroids, queries, k=3)
@@ -1295,23 +1368,122 @@ def llm_pack_sequences(spark, sf_dir):
     return TXT.pack_sequences(load(spark, sf_dir, "documents"))
 
 
+def _pq_oracle() -> str:
+    """Static unroll of deterministic PQ: normalize -> subspace slices ->
+    hash-ranked codebook init -> PQ_ROUNDS of per-subspace Lloyd's
+    (rounded-6 identity-fold d2, ties -> lowest code; rounded-6 means) ->
+    encode -> integer-micro ADC -> exact rerank of the top rerank*k."""
+    from proteus_spark.llmops.similarity import PQ_M, PQ_ROUNDS
+
+    def d2(s, c):
+        return (
+            f"round({_dot_sql(s, s)} - 2*{_dot_sql(s, c)}"
+            f" + {_dot_sql(c, c)}, 6)"
+        )
+
+    parts = [
+        "sdim AS (SELECT CAST(len(embedding) AS INTEGER)"
+        f" // {PQ_M} AS s FROM embeddings LIMIT 1)",
+        f"kk AS (SELECT GREATEST(4, LEAST(64, count(*) // 8)) AS k"
+        f" FROM embeddings)",
+        f"""nrm AS MATERIALIZED (
+      SELECT vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]),
+                            x -> x / sqrt({_dot_sql('embedding', 'embedding')}))
+               AS nv
+      FROM embeddings)""",
+        f"""sv AS MATERIALIZED (
+      SELECT vec_id, g.mi,
+             list_slice(nv, g.mi * (SELECT s FROM sdim) + 1,
+                        (g.mi + 1) * (SELECT s FROM sdim)) AS svec
+      FROM nrm, (SELECT unnest(generate_series(0, {PQ_M - 1})) AS mi) g)""",
+        f"""cb_0 AS MATERIALIZED (
+      SELECT mi, CAST(rn - 1 AS INTEGER) AS code, svec AS cvec FROM (
+        SELECT mi, vec_id, svec,
+               row_number() OVER (PARTITION BY mi
+                 ORDER BY md5('pq|' || CAST(mi AS VARCHAR) || '|'
+                              || CAST(vec_id AS VARCHAR)), vec_id) AS rn
+        FROM sv)
+      WHERE rn <= (SELECT k FROM kk))""",
+    ]
+    for r in range(PQ_ROUNDS):
+        parts.append(f"""pasg_{r} AS MATERIALIZED (
+      SELECT vec_id, mi, svec, code FROM (
+        SELECT s.vec_id, s.mi, s.svec, c.code,
+               row_number() OVER (PARTITION BY s.vec_id, s.mi
+                                  ORDER BY {d2('s.svec', 'c.cvec')} ASC,
+                                           c.code ASC) AS rn
+        FROM sv s JOIN cb_{r} c ON c.mi = s.mi)
+      WHERE rn = 1)""")
+        parts.append(f"""cb_{r + 1} AS MATERIALIZED (
+      SELECT mi, code, list(cm ORDER BY pos) AS cvec FROM (
+        SELECT a.mi, a.code, g.pos, round(avg(a.svec[g.pos]), 6) AS cm
+        FROM pasg_{r} a,
+             (SELECT unnest(generate_series(1, (SELECT s FROM sdim)))
+                AS pos) g
+        GROUP BY a.mi, a.code, g.pos)
+      GROUP BY mi, code)""")
+    kc = f"cb_{PQ_ROUNDS}"
+    joined = ",\n    ".join(parts)
+    return f"""
+    WITH {joined},
+    enc AS MATERIALIZED (
+      SELECT vec_id, mi, code FROM (
+        SELECT s.vec_id, s.mi, c.code,
+               row_number() OVER (PARTITION BY s.vec_id, s.mi
+                                  ORDER BY {d2('s.svec', 'c.cvec')} ASC,
+                                           c.code ASC) AS rn
+        FROM sv s JOIN {kc} c ON c.mi = s.mi)
+      WHERE rn = 1),
+    qtab AS MATERIALIZED (
+      SELECT q.vec_id AS qid, c.mi, c.code,
+             CAST(round({d2('q.svec', 'c.cvec')} * 1000000) AS BIGINT) AS qd
+      FROM (SELECT * FROM sv WHERE vec_id >= 10 AND vec_id < 20) q
+      JOIN {kc} c ON c.mi = q.mi),
+    adc AS MATERIALIZED (
+      SELECT t.qid, e.vec_id, sum(t.qd) AS adist
+      FROM enc e JOIN qtab t ON t.mi = e.mi AND t.code = e.code
+      WHERE e.vec_id != t.qid
+      GROUP BY t.qid, e.vec_id),
+    cand AS (
+      SELECT qid, vec_id FROM (
+        SELECT qid, vec_id,
+               row_number() OVER (PARTITION BY qid
+                                  ORDER BY adist ASC, vec_id ASC) AS rr
+        FROM adc)
+      WHERE rr <= 48),
+    scored AS (
+      SELECT c.qid, c.vec_id AS nid,
+             round({_cos_sql('qq.embedding', 'n.embedding')}, 6) AS sim
+      FROM cand c
+      JOIN embeddings n ON n.vec_id = c.vec_id
+      JOIN embeddings qq ON qq.vec_id = c.qid)
+    SELECT qid, nid, sim, CAST(rn AS BIGINT) AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY qid
+                                       ORDER BY sim DESC, nid) AS rn
+          FROM scored)
+    WHERE rn <= 3
+    """
+
+
 @register(
     "llm_sim_pq",
-    oracle=None,  # KMeans codebooks are not SQL-reproducible -> rows-only +
-    # in-query recall assertion against the exact brute-force answer
-    tags=("llm", "similarity", "approx"),
+    oracle=_pq_oracle,
+    tags=("llm", "similarity", "approx", "iterative"),
 )
 def llm_sim_pq(spark, sf_dir):
-    """Product-quantization ANN: per-subspace KMeans codebooks (8 x 64,
-    fixed seeds, k capped to corpus/8 on tiny fixtures) compress each
-    vector to 8 code bytes; search scores the
-    ENCODED corpus via ADC lookup tables (broadcast q x m x k), then
-    exact-reranks only the top-48 candidates per query. The compressed-
-    domain path for embedding stores too large to scan raw: the encoded
-    corpus is ~1-2% of the float payload, and full-width vectors are
-    touched only for re-rank candidates. Rows-only (no SQL oracle can
-    refit KMeans); the query asserts recall@3 >= 50% vs brute force
-    in-line."""
+    """Product-quantization ANN: per-subspace codebooks (8 subspaces,
+    k capped to corpus/8 on tiny fixtures) compress each vector to 8
+    code bytes; search scores the ENCODED corpus via ADC lookup tables
+    (broadcast q x m x k), then exact-reranks only the top-48 candidates
+    per query. The compressed-domain path for embedding stores too large
+    to scan raw: the encoded corpus is ~1-2% of the float payload, and
+    full-width vectors are touched only for re-rank candidates.
+    Previously rows-only (MLlib KMeans codebooks); now DETERMINISTIC
+    Lloyd's per subspace (hash-ranked init, rounded-6 quantized rounds,
+    integer-micro ADC sums — shuffle-order-proof), so the oracle replays
+    train+encode+search end-to-end (VERDICT r6 #4). The in-line recall@3
+    >= 50% assertion vs brute force stays as the semantic floor."""
     emb = load(spark, sf_dir, "embeddings")
     queries = emb.filter((F.col("vec_id") >= 10) & (F.col("vec_id") < 20))
     books = S.pq_train(emb)

@@ -387,11 +387,15 @@ PRIORITY: tuple[str, ...] = (
     "dq_skew_report", "dq_validate_orders", "events_anomaly_zscore",
     "events_ewma_daily", "events_gap_fill_hourly",
     "events_transition_matrix", "llm_corpus_mixture",
-    "llm_dedup_cluster_stats", "llm_dedup_containment",
-    "llm_dedup_containment_capped",
-    # -- round-7 additions (each pre-verified at sf0.001 + sf0.01;
-    # displaced r4-only tail: llm_dedup_editdistance -> round-8 front) ---
-    "llm_bpe_encode_holdout",
+    "llm_dedup_cluster_stats",
+    # -- round-7 additions & promotions (each pre-verified at sf0.001 +
+    # sf0.01; llm_sim_ivf_kmeans/llm_sim_pq are rows-only -> ORACLED
+    # promotions with changed implementations — deterministic Lloyd's in
+    # place of MLlib KMeans — so their slots double as changed-impl
+    # re-verification. Displaced r4-only tail -> round-8 front:
+    # llm_dedup_containment, llm_dedup_containment_capped,
+    # llm_dedup_editdistance) --------------------------------------------
+    "llm_bpe_encode_holdout", "llm_sim_ivf_kmeans", "llm_sim_pq",
 )
 
 
