@@ -985,28 +985,15 @@ register_sql(
 )
 
 
-register_sql(
-    "scd2_user_value_history",
-    """
-    WITH changes AS (
-      SELECT user_id, event_id, value, ts_ns
-      FROM events_ns WHERE event_type = 'purchase')
-    SELECT user_id, round(value, 4) AS value,
-           CAST(ts_ns AS BIGINT) AS valid_from_ns,
-           CAST(COALESCE(lead(ts_ns) OVER (PARTITION BY user_id
-                                           ORDER BY ts_ns, event_id),
-                         9223372036854775807) AS BIGINT) AS valid_to_ns
-    FROM changes
-    """,
-    spark_prelude=EVENTS_PRELUDE,
-    oracle_prelude=EVENTS_NS_ORACLE,
-    tags=("cdc", "window", "scd2"),
-    doc="Slowly-changing-dimension type-2 history from a change feed: each "
-    "per-key change opens a validity interval closed by the next change "
-    "(lead() over the key partition; open intervals end at +inf). The "
-    "standard warehouse build over CDC output — one exchange on the key, "
-    "interval assembly entirely in the window operator.",
-)
+# scd2_user_value_history RETIRED round 7 (registry hygiene, VERDICT r6
+# #7 — one banked retirement per round-7 addition): scd2_temporal_join's
+# `hist` CTE RECOMPUTES the identical SCD2 interval build (same lead()
+# over (user_id ORDER BY ts_ns, event_id) on the purchase feed, same
+# +inf open-interval close), then additionally checks its point-in-
+# interval consumption — the llm_dedup_simhash -> simhash_pairs
+# subsumption precedent. The streaming SCD2 build stays independently
+# verified by stream_scd2_history (whose oracle is the same window
+# build).
 
 
 register_sql(

@@ -410,6 +410,113 @@ def stream_cdf_export_roundtrip(spark, sf_dir):
 
 
 @register(
+    "stream_compacted_bootstrap",
+    oracle="""
+    SELECT user_id, round(sum(value), 4) AS value_sum
+    FROM events GROUP BY user_id
+    """,
+    tags=("streaming", "broker", "cdf", "consumer-group"),
+)
+def stream_compacted_bootstrap(spark, sf_dir):
+    """Compacted-topic state bootstrap consumed by a CONSUMER GROUP — the
+    Kafka-semantics equivalent of stream_view_dag_via_log (VERDICT r6 #5;
+    the r6 transport legs had test-only evidence):
+
+    1. a live sum view exports its per-epoch delta feed (changed keys,
+       NEW totals) to a topic — multiple epochs per key;
+    2. ``minilog.compact_topic`` rewrites it latest-per-key — Kafka's
+       compacted-topic bootstrap (rebuild state from the head, not the
+       full history);
+    3. TWO ConsumerGroup members join; deterministic round-robin over
+       sorted member ids splits the partitions disjointly;
+    4. each member consumes ITS assignment through the real Spark stream
+       reader (``assignedPartitions`` — Kafka's assign() surface), state
+       flowing executor-side into a shared parquet table, then commits
+       its end offsets to the group via the fenced commitSync(offsets)
+       path;
+    5. the union of the two members' fetches reconstructs the view state
+       EXACTLY: converged bootstrap == the batch GROUP BY."""
+    import shutil
+    import tempfile
+
+    from proteus_spark.sources import minilog
+
+    ev = load(spark, sf_dir, "events").select("user_id", "value")
+    src = cdc.stage_stream(spark, ev, chunks=4)
+    hist = tempfile.mkdtemp(prefix="proteus_cb_hist_")
+    compacted = tempfile.mkdtemp(prefix="proteus_cb_topic_")
+    gdir = tempfile.mkdtemp(prefix="proteus_cb_group_")
+    state_dir = tempfile.mkdtemp(prefix="proteus_cb_state_")
+    view = SumView(
+        spark, src.subscribe(), group_by="user_id", agg_attr="value",
+        name="stream_compacted_bootstrap_src", mode="append",
+    )
+    view.subscribe(minilog.cdf_exporter(hist, partitions=4, key_col="user_id"))
+    view.start()
+    try:
+        view.await_catch_up()
+    finally:
+        view.stop()
+        cdc.cleanup(src)
+    try:
+        ends = minilog.compact_topic(spark, hist, compacted, partitions=4)
+        a = minilog.ConsumerGroup(compacted, gdir, "member-a", partitions=4).join()
+        b = minilog.ConsumerGroup(compacted, gdir, "member-b", partitions=4).join()
+        asg = {m.member_id: set(m.assignment()) for m in (a, b)}
+        assert asg["member-a"] | asg["member-b"] == set(range(4))
+        assert not (asg["member-a"] & asg["member-b"]), asg
+        minilog.register_log_datasource(spark)
+        for m in (a, b):
+            own = sorted(m.assignment())
+            feed = (
+                spark.readStream.format(minilog.FORMAT_NAME)
+                .option("path", compacted)
+                .option("partitions", "4")
+                .option("assignedPartitions", ",".join(map(str, own)))
+                .load()
+            )
+            ckpt = os.path.join(state_dir, f"_ckpt_{m.member_id}")
+
+            def _sink(batch, _epoch, _dest=state_dir):
+                batch.write.mode("append").parquet(_dest)
+
+            q = (
+                feed.writeStream.foreachBatch(_sink)
+                .option("checkpointLocation", ckpt)
+                .start()
+            )
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
+            # its stream has drained the assignment: commit the group
+            # offsets through the fenced explicit-offsets path; re-poll
+            # on the membership-change rebalance raised by b's first call
+            try:
+                m.commit_offsets({p: ends[p] for p in own})
+            except minilog.RebalanceError:
+                m.commit_offsets({p: ends[p] for p in sorted(m.assignment())})
+        for p in range(4):
+            assert a.committed(p) == ends[p], (p, ends)
+        files = [
+            f for f in os.listdir(state_dir)
+            if f.startswith("part-") and not f.endswith(".crc")
+        ]
+        if not files:
+            return spark.createDataFrame([], "user_id long, value_sum double")
+        rec = spark.read.parquet(state_dir)
+        out = rec.select(
+            F.from_json("value", "user_id long, value_sum double").alias("v")
+        ).select(
+            "v.user_id", F.round("v.value_sum", 4).alias("value_sum")
+        )
+        return _spill(out)
+    finally:
+        for d in (hist, compacted, gdir, state_dir):
+            shutil.rmtree(d, ignore_errors=True)
+
+
+@register(
     "stream_lobsters_pipeline",
     oracle="""
     WITH rev AS (
@@ -1043,7 +1150,8 @@ def stream_scd2_history(spark, sf_dir):
     into a HistoryView — an append-only change-log state (every commit
     O(|delta|) by construction; merge-on-read only dedups replays) whose
     read surface assembles type-2 validity intervals per key. Converged
-    history == the batch lead()-window build (`scd2_user_value_history`),
+    history == the batch lead()-window build (the SCD2 interval shape
+    scd2_temporal_join's hist CTE also consumes),
     the strongest check that arbitrary micro-batch interleaving loses no
     change record. Reference never retains history (its sink upserts in
     place, mysql_backend.go:147-254); this is the lakehouse upgrade."""

@@ -379,7 +379,10 @@ PRIORITY: tuple[str, ...] = (
     "llm_dedup_exact_substring", "llm_dedup_embedding",
     "llm_lsh_recall_report", "llm_sim_radius", "ref_vectorclock_join",
     "llm_dedup_incremental", "scd2_temporal_join",
-    "scd2_user_value_history",
+    # (scd2_user_value_history retired round 7 — subsumed by
+    # scd2_temporal_join's hist CTE; its slot backfills with the
+    # last-displaced alphabetical fill)
+    "llm_dedup_cluster_stats",
     # alphabetical fill; round-7 additions displace from the END after
     # pre-verification (one banked retirement per addition, registry <=175)
     "agg_bloom_probe", "agg_countmin_terms", "agg_grouping_sets",
@@ -387,15 +390,15 @@ PRIORITY: tuple[str, ...] = (
     "dq_skew_report", "dq_validate_orders", "events_anomaly_zscore",
     "events_ewma_daily", "events_gap_fill_hourly",
     "events_transition_matrix", "llm_corpus_mixture",
-    "llm_dedup_cluster_stats",
     # -- round-7 additions & promotions (each pre-verified at sf0.001 +
     # sf0.01; llm_sim_ivf_kmeans/llm_sim_pq are rows-only -> ORACLED
     # promotions with changed implementations — deterministic Lloyd's in
     # place of MLlib KMeans — so their slots double as changed-impl
     # re-verification. Displaced r4-only tail -> round-8 front:
-    # llm_dedup_containment, llm_dedup_containment_capped,
-    # llm_dedup_editdistance) --------------------------------------------
+    # llm_dedup_cluster_stats, llm_dedup_containment,
+    # llm_dedup_containment_capped, llm_dedup_editdistance) ---------------
     "llm_bpe_encode_holdout", "llm_sim_ivf_kmeans", "llm_sim_pq",
+    "stream_compacted_bootstrap",
 )
 
 

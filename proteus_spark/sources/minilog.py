@@ -194,6 +194,25 @@ def register_log_datasource(spark: SparkSession) -> str:
             self.max_per_trigger = int(
                 options.get("maxRecordsPerTrigger", 10_000)
             )
+            # Kafka's assign() surface: an explicit comma-separated
+            # partition subset this consumer owns (a consumer-group
+            # member's assignment). When set, offset planning and fetch
+            # cover ONLY these partitions — other members consume the
+            # rest through their own readers. (Spark lowercases
+            # DataSource option keys.)
+            raw = options.get("assignedpartitions") or options.get(
+                "assignedPartitions"
+            )
+            self.assigned = (
+                sorted(int(x) for x in raw.split(",") if x.strip())
+                if raw
+                else None
+            )
+
+        def _parts(self):
+            if self.assigned is not None:
+                return self.assigned
+            return range(self.partitions_n)
 
         # -- driver-side offset planning --------------------------------
         def _ends(self) -> dict[int, int]:
@@ -226,7 +245,7 @@ def register_log_datasource(spark: SparkSession) -> str:
                 cache = self._count_cache = {}
             self._file_counts = {}
             out = {}
-            for p in range(self.partitions_n):
+            for p in self._parts():
                 d = os.path.join(self.path, f"p={p}")
                 n = 0
                 fcs = []
@@ -256,7 +275,7 @@ def register_log_datasource(spark: SparkSession) -> str:
             return out
 
         def initialOffset(self) -> dict:
-            return {str(p): 0 for p in range(self.partitions_n)}
+            return {str(p): 0 for p in self._parts()}
 
         def latestOffset(self) -> dict:
             # rate-limited advance from the last planned end (the
@@ -265,12 +284,12 @@ def register_log_datasource(spark: SparkSession) -> str:
             ends = self._ends()
             base = getattr(self, "_last_end", None)
             if base is None:
-                base = {str(p): 0 for p in range(self.partitions_n)}
+                base = {str(p): 0 for p in self._parts()}
             nxt = {
                 str(p): min(
                     ends.get(p, 0), base.get(str(p), 0) + self.max_per_trigger
                 )
-                for p in range(self.partitions_n)
+                for p in self._parts()
             }
             self._last_end = nxt
             return nxt
@@ -290,7 +309,7 @@ def register_log_datasource(spark: SparkSession) -> str:
                     end.get(str(p), 0),
                     self._file_counts.get(p, []),
                 )
-                for p in range(self.partitions_n)
+                for p in self._parts()
                 if end.get(str(p), 0) > start.get(str(p), 0)
             ]
 
@@ -684,15 +703,24 @@ class ConsumerGroup:
         partition-by-partition loop could durably replace early offsets
         and then raise on a later one, leaving a half-applied commit from
         a poll whose records the caller discards on rebalance)."""
+        self.commit_offsets(getattr(self, "_fetched", {}))
+
+    def commit_offsets(self, offsets: dict[int, int]) -> None:
+        """Kafka's ``commitSync(offsets)`` overload: commit EXPLICIT
+        per-partition offsets fetched by an external fetcher — e.g. a
+        Spark streaming query consuming this member's assignment through
+        the ``proteus_log`` source's ``assignedPartitions`` option, where
+        the data plane is distributed and only the offset bookkeeping
+        flows through the group. Same fencing as ``commit``: current
+        generation and full ownership validated before any write."""
         self._check_generation()
         owned = set(self.assignment())
-        fetched = getattr(self, "_fetched", {})
-        stale = sorted(set(fetched) - owned)
+        stale = sorted(set(offsets) - owned)
         if stale:
             raise RebalanceError(
                 f"partitions {stale} reassigned before commit"
             )
-        for p, end in fetched.items():
+        for p, end in offsets.items():
             tmp = self._off_path(p) + f".tmp-{self.member_id}"
             with open(tmp, "w") as fh:
                 fh.write(str(end))

@@ -506,7 +506,6 @@ _BNLJ_OK = {
     "llm_bm25_search",         # broadcast corpus stats (1 row)
     "llm_tfidf_topterms",      # broadcast doc count (1 row)
     "llm_sim_bruteforce",      # broadcast query set vs corpus (by design)
-    "llm_sim_mips",            # broadcast query set vs corpus (by design)
     "llm_sim_mips_recall",     # exact-baseline side broadcasts queries
     "llm_knn_classify",        # broadcast query set vs labeled corpus
     "llm_embed_class_margins", # broadcast 10-centroid table vs corpus
