@@ -118,3 +118,40 @@ def test_bpe_merge_pass_matches_greedy_model(spark):
         }
         exp = {i: model(s, a, b) for i, s in enumerate(seqs)}
         assert got == exp
+
+
+def test_bpe_encode_reproduces_training_encoding(spark):
+    """The apply path (bpe_encode: learned rules replayed in rank order)
+    must reproduce training's own final token arrays when pointed back at
+    the training corpus — train-then-encode == train_encode. This pins
+    the holdout query's rule application to training's merge semantics."""
+    from pyspark.sql import functions as F
+
+    from proteus_spark.llmops.text import bpe_encode, bpe_train_encode
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat"),
+            (2, "the the the aa aa b"),
+            (3, "a a a a"),
+            (4, ""),
+            (5, "cat cat mat mat the"),
+        ],
+        "doc_id long, text string",
+    )
+    rules_df, trained = bpe_train_encode(docs, rounds=5)
+    rules = [(r["rk"], r["a"], r["b"]) for r in rules_df.collect()]
+    encoded = bpe_encode(docs, rules)
+    got = {r["doc_id"]: list(r["t"]) for r in encoded.collect()}
+    want = {r["doc_id"]: list(r["t"]) for r in trained.collect()}
+    assert got == want
+    raw = {r["doc_id"]: r["n_raw"] for r in encoded.collect()}
+    n_toks = {
+        r["doc_id"]: len(
+            [t for t in (r["text"] or "").split() for _ in [0]]
+        )
+        for r in docs.collect()
+    }
+    # n_raw counts pre-merge tokens (regex tokens; whitespace words here
+    # lower-bound it since the BPE regex also splits punctuation)
+    assert all(raw[d] >= n_toks[d] for d in raw)

@@ -1201,3 +1201,83 @@ def test_minilog_epoch_crash_at_every_point_recovers(spark, tmp_path):
             minilog.append_epoch(df, topic, epoch=1, partitions=parts)
             is False
         )
+
+
+def test_stream_reader_assigned_partitions_subset(spark, tmp_path):
+    """Kafka's assign() surface on the embedded-log stream reader: a
+    reader given assignedPartitions plans and fetches ONLY those
+    partitions — the consumer-group member's data plane (the group
+    coordinates assignment; Spark moves the bytes)."""
+    from pyspark.sql import functions as F
+
+    from proteus_spark.sources import minilog
+
+    df = spark.range(80).select(
+        F.col("id").cast("string").alias("key"),
+        F.col("id").cast("string").alias("value"),
+    )
+    topic = str(tmp_path / "topic")
+    minilog.stage_topic(df, topic, partitions=4)
+    minilog.register_log_datasource(spark)
+
+    def consume(parts):
+        rows = []
+        q = (
+            spark.readStream.format(minilog.FORMAT_NAME)
+            .option("path", topic)
+            .option("partitions", "4")
+            .option("assignedPartitions", ",".join(map(str, parts)))
+            .load()
+            .writeStream.outputMode("append")
+            .foreachBatch(lambda b, e: rows.extend(
+                (r["value"], r["partition"]) for r in b.collect()
+            ))
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        return rows
+
+    got_a = consume([0, 2])
+    got_b = consume([1, 3])
+    assert {p for _, p in got_a} <= {0, 2}
+    assert {p for _, p in got_b} <= {1, 3}
+    # the two disjoint assignments cover the topic exactly once
+    assert sorted(v for v, _ in got_a + got_b) == sorted(
+        str(i) for i in range(80)
+    )
+
+
+def test_consumer_group_commit_offsets_is_fenced(spark, tmp_path):
+    """commitSync(offsets) overload: explicit offsets commit only for
+    owned partitions under the current generation — an unowned partition
+    or a stale generation raises BEFORE any offset file is written."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from proteus_spark.sources import minilog
+
+    df = spark.range(40).select(
+        F.col("id").cast("string").alias("key"),
+        F.col("id").cast("string").alias("value"),
+    )
+    topic = str(tmp_path / "topic")
+    ends = minilog.stage_topic(df, topic, partitions=4)
+    gdir = str(tmp_path / "group")
+
+    a = minilog.ConsumerGroup(topic, gdir, "member-a").join()
+    b = minilog.ConsumerGroup(topic, gdir, "member-b").join()
+    try:
+        a.poll()  # b's join moved the generation: first poll rebalances
+    except minilog.RebalanceError:
+        a.poll()  # retry under the adopted generation
+    with _pytest.raises(minilog.RebalanceError):
+        a.commit_offsets(ends)  # includes b's partitions
+    assert all(a.committed(p) == 0 for p in range(4))
+    own = {p: ends[p] for p in a.assignment()}
+    a.commit_offsets(own)
+    for p, end in own.items():
+        assert a.committed(p) == end
+    # b's partitions untouched by a's commit
+    for p in b.assignment():
+        assert b.committed(p) == 0
