@@ -193,112 +193,26 @@ def stream_sum_view_deletes(spark, sf_dir):
     return out
 
 
-@register(
-    "stream_sum_view_debezium",
-    oracle="""
-    SELECT user_id,
-           round(sum(CASE WHEN event_id % 7 = 0 THEN 0.0
-                          WHEN event_id % 5 = 0 THEN value * 2
-                          ELSE value END), 4) AS new_value_sum
-    FROM events GROUP BY user_id
-    """,
-    tags=("streaming", "cdc", "debezium"),
-)
-def stream_sum_view_debezium(spark, sf_dir):
-    """Binlog-shaped connector end-to-end: events encoded as Debezium
-    change envelopes (the open wire format of the reference's MySQL binlog
-    side-channel, mysql.proto:8-37 / store.go:117-151) staged as a JSONL
-    stream, parsed by ``sources.debezium`` into canonical deltas, applied
-    by the CDC sum view. Feed per event: INSERT(v); every 5th (non-7th)
-    also UPDATE(v -> 2v); every 7th also DELETE — so converged state ==
-    the batch CASE sum. Order within the replay is arbitrary: delta
-    application is commutative (sum.go:250-285)."""
-    import shutil
-    import tempfile
+# stream_sum_view_debezium RETIRED round 7 (registry hygiene — one banked
+# retirement per round-7 addition; this banks against
+# stream_sum_view_broker): the query composed (a) Debezium envelope
+# construction + the shared decode_records parse seam and (b) JSONL file
+# transport. Both axes stay independently verified — (a) verbatim by
+# stream_sum_view_minilog / stream_sum_view_broker (same envelope feed,
+# same CASE-sum oracle, same decode_records seam through the log) plus
+# the parse_envelope unit tests; (b) by stream_sum_view_cdc (file
+# transport). The transport x format matrix cell it occupied is a
+# composition of covered pieces.
 
+
+def _debezium_case_feed(spark, sf_dir):
+    """The shared Debezium change feed both broker-leg queries stage:
+    per event INSERT(v); every 5th (non-7th) also UPDATE(v -> 2v); every
+    7th also DELETE — converged state == the batch CASE sum. Returns
+    (envelope frame keyed by user_id, row_schema)."""
     from pyspark.sql import types as T
 
     from proteus_spark.sources import debezium as dbz
-    from proteus_spark.streaming.views import SumView
-
-    ev = load(spark, sf_dir, "events").select("event_id", "user_id", "value")
-    row_schema = T.StructType(
-        [
-            T.StructField("event_id", T.LongType()),
-            T.StructField("user_id", T.LongType()),
-            T.StructField("value", T.DoubleType()),
-        ]
-    )
-    cols = ["event_id", "user_id", "value"]
-    ts_ms = F.col("event_id") + F.lit(1_700_000_000_000)
-    inserts = dbz.to_envelopes(ev, cols, F.lit("c"), ts_ms)
-    upd_row = F.struct(
-        F.col("event_id"), F.col("user_id"), (F.col("value") * 2).alias("value")
-    )
-    updates = dbz.to_envelopes(
-        ev.filter((F.col("event_id") % 5 == 0) & (F.col("event_id") % 7 != 0)),
-        cols,
-        F.lit("u"),
-        ts_ms,
-        update_row=upd_row,
-    )
-    deletes = dbz.to_envelopes(
-        ev.filter(F.col("event_id") % 7 == 0), cols, F.lit("d"), ts_ms
-    )
-    feed = inserts.unionByName(updates).unionByName(deletes)
-
-    tmpdir = tempfile.mkdtemp(prefix="proteus_dbz_")
-    feed.repartition(4).write.mode("overwrite").text(tmpdir)
-    deltas = dbz.stream_envelopes(
-        spark, tmpdir, row_schema, key_cols=["user_id"], value_col="value"
-    )
-    view = SumView(
-        spark, deltas, group_by="user_id", agg_attr="new_value",
-        name="stream_sum_view_debezium", mode="cdc",
-    ).start()
-    try:
-        view.await_catch_up()
-        snap = view.snapshot()
-        out = snap.select(
-            "user_id", F.round("new_value_sum", 4).alias("new_value_sum")
-        )
-        out = _spill(out)
-    finally:
-        view.stop()
-        shutil.rmtree(tmpdir, ignore_errors=True)
-    return out
-
-
-@register(
-    "stream_sum_view_minilog",
-    oracle="""
-    SELECT user_id,
-           round(sum(CASE WHEN event_id % 7 = 0 THEN 0.0
-                          WHEN event_id % 5 = 0 THEN value * 2
-                          ELSE value END), 4) AS new_value_sum
-    FROM events GROUP BY user_id
-    """,
-    tags=("streaming", "cdc", "broker"),
-)
-def stream_sum_view_minilog(spark, sf_dir):
-    """Broker-transport CDC end-to-end: the same Debezium change feed as
-    stream_sum_view_debezium, but PRODUCED into an embedded partitioned
-    log (records keyed by user_id — hash-partitioned, per-key order
-    preserved within a partition, Kafka's data model) and CONSUMED by the
-    ``proteus_log`` Spark 4 Python streaming DataSource: driver plans
-    rate-limited per-partition offset ranges per micro-batch, executors
-    fetch them, offsets ride the streaming checkpoint. Decode goes through
-    the SAME ``decode_records`` seam as the file and Kafka transports; the
-    CDC sum view's commutative delta apply absorbs the cross-partition
-    interleaving — converged state == the batch CASE sum (sources/
-    minilog.py documents exactly what still needs a real broker)."""
-    import shutil
-    import tempfile
-
-    from pyspark.sql import types as T
-
-    from proteus_spark.sources import debezium as dbz
-    from proteus_spark.sources import minilog
 
     ev = load(spark, sf_dir, "events").select("event_id", "user_id", "value")
     row_schema = T.StructType(
@@ -326,8 +240,103 @@ def stream_sum_view_minilog(spark, sf_dir):
         ev.filter(F.col("event_id") % 7 == 0), cols, F.lit("d"), ts_ms,
         key_col="user_id",
     )
-    feed = inserts.unionByName(updates).unionByName(deletes)
+    return inserts.unionByName(updates).unionByName(deletes), row_schema
 
+
+@register(
+    "stream_sum_view_broker",
+    oracle="""
+    SELECT user_id,
+           round(sum(CASE WHEN event_id % 7 = 0 THEN 0.0
+                          WHEN event_id % 5 = 0 THEN value * 2
+                          ELSE value END), 4) AS new_value_sum
+    FROM events GROUP BY user_id
+    """,
+    tags=("streaming", "cdc", "broker", "network"),
+)
+def stream_sum_view_broker(spark, sf_dir):
+    """Broker CDC over a REAL NETWORK TRANSPORT — the protocol layer the
+    embedded log lacked (the reference's binlog feed is a live network
+    side-channel, mysql/store.go:117-151; Kafka consumers fetch over
+    TCP). Same Debezium change feed and CDC sum view as
+    stream_sum_view_minilog, but the consumer never touches the segment
+    files: a ``minilog.Broker`` (thread-per-connection TCP server) fronts
+    the topic, the DRIVER discovers log-end offsets over the wire
+    (ListOffsets shape) and EXECUTORS fetch their planned offset ranges
+    over sockets (Fetch shape) — the same division of labor as the Kafka
+    source against a real broker. Converged state == the batch CASE sum."""
+    import shutil
+    import tempfile
+
+    from proteus_spark.sources import minilog
+    from proteus_spark.sources.debezium import decode_records
+
+    feed, row_schema = _debezium_case_feed(spark, sf_dir)
+    topic = tempfile.mkdtemp(prefix="proteus_broker_")
+    minilog.stage_topic(feed, topic, partitions=4, key_col="key")
+    minilog.register_log_datasource(spark)
+    broker = minilog.Broker(topic).start()
+    try:
+        records = (
+            spark.readStream.format(minilog.FORMAT_NAME)
+            .option("path", topic)
+            .option("partitions", "4")
+            .option("maxRecordsPerTrigger", "2000")
+            .option("brokerHost", broker.host)
+            .option("brokerPort", str(broker.port))
+            .load()
+        )
+        deltas = decode_records(records, row_schema, ["user_id"], "value")
+        view = SumView(
+            spark, deltas, group_by="user_id", agg_attr="new_value",
+            name="stream_sum_view_broker", mode="cdc",
+        ).start()
+        try:
+            view.await_catch_up()
+            snap = view.snapshot()
+            out = _spill(
+                snap.select(
+                    "user_id",
+                    F.round("new_value_sum", 4).alias("new_value_sum"),
+                )
+            )
+        finally:
+            view.stop()
+    finally:
+        broker.stop()
+        shutil.rmtree(topic, ignore_errors=True)
+    return out
+
+
+@register(
+    "stream_sum_view_minilog",
+    oracle="""
+    SELECT user_id,
+           round(sum(CASE WHEN event_id % 7 = 0 THEN 0.0
+                          WHEN event_id % 5 = 0 THEN value * 2
+                          ELSE value END), 4) AS new_value_sum
+    FROM events GROUP BY user_id
+    """,
+    tags=("streaming", "cdc", "broker"),
+)
+def stream_sum_view_minilog(spark, sf_dir):
+    """Broker-transport CDC end-to-end: the shared Debezium change feed
+    (_debezium_case_feed) PRODUCED into an embedded partitioned
+    log (records keyed by user_id — hash-partitioned, per-key order
+    preserved within a partition, Kafka's data model) and CONSUMED by the
+    ``proteus_log`` Spark 4 Python streaming DataSource: driver plans
+    rate-limited per-partition offset ranges per micro-batch, executors
+    fetch them, offsets ride the streaming checkpoint. Decode goes through
+    the SAME ``decode_records`` seam as the file and Kafka transports; the
+    CDC sum view's commutative delta apply absorbs the cross-partition
+    interleaving — converged state == the batch CASE sum (sources/
+    minilog.py documents exactly what still needs a real broker)."""
+    import shutil
+    import tempfile
+
+    from proteus_spark.sources import minilog
+
+    feed, row_schema = _debezium_case_feed(spark, sf_dir)
     topic = tempfile.mkdtemp(prefix="proteus_minilog_")
     minilog.stage_topic(feed, topic, partitions=4, key_col="key")
     deltas = minilog.consume_envelopes(

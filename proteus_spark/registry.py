@@ -389,16 +389,21 @@ PRIORITY: tuple[str, ...] = (
     "agg_histogram_sketch", "basket_part_pairs", "customer_value_deciles",
     "dq_skew_report", "dq_validate_orders", "events_anomaly_zscore",
     "events_ewma_daily", "events_gap_fill_hourly",
-    "events_transition_matrix", "llm_corpus_mixture",
+    # (events_transition_matrix yielded its slot to the changed-impl
+    # graph_pagerank_parts — same r4-only age, but the round-7 PageRank
+    # rework needs external re-verification)
+    "graph_pagerank_parts",
     # -- round-7 additions & promotions (each pre-verified at sf0.001 +
     # sf0.01; llm_sim_ivf_kmeans/llm_sim_pq are rows-only -> ORACLED
     # promotions with changed implementations — deterministic Lloyd's in
     # place of MLlib KMeans — so their slots double as changed-impl
     # re-verification. Displaced r4-only tail -> round-8 front:
-    # llm_dedup_cluster_stats, llm_dedup_containment,
-    # llm_dedup_containment_capped, llm_dedup_editdistance) ---------------
+    # llm_corpus_mixture, llm_dedup_containment,
+    # llm_dedup_containment_capped, llm_dedup_editdistance;
+    # llm_dedup_cluster_stats backfilled the retired
+    # scd2_user_value_history's slot) -------------------------------------
     "llm_bpe_encode_holdout", "llm_sim_ivf_kmeans", "llm_sim_pq",
-    "stream_compacted_bootstrap",
+    "stream_compacted_bootstrap", "stream_sum_view_broker",
 )
 
 

@@ -26,17 +26,23 @@ actual data model and consumption protocol:
   Spark's streaming checkpoint, so a restarted query resumes without loss
   or duplication (tested).
 
-Round 6 adds the two remaining protocol layers a broker-less sandbox can
-exercise for real: exactly-once epoch publication via ATOMIC commit
-markers with read-committed consumers (``append_epoch`` /
-``_epoch_committed``), and consumer-GROUP coordination — deterministic
-partition assignment over sorted members, generation-bumping rebalance,
-group-scoped committed offsets, and stale-generation zombie fencing
+Round 6 adds exactly-once epoch publication via ATOMIC commit markers
+with read-committed consumers (``append_epoch`` / ``_epoch_committed``),
+and consumer-GROUP coordination — deterministic partition assignment
+over sorted members, generation-bumping rebalance, group-scoped
+committed offsets, and stale-generation zombie fencing
 (``ConsumerGroup``, including heartbeat stamps + session-timeout
-eviction sweeps). What still genuinely needs a broker: network fetch
-and unclean-leader edge cases. Everything else — partitioning, offset
-bookkeeping, restart resume, rate limiting, and the Debezium envelope
-parse (shared ``decode_records`` seam) — is exercised for real here.
+eviction sweeps). Round 7 adds the NETWORK transport itself: a
+``Broker`` TCP server fronts the topic's segment store, the driver
+discovers log-end offsets over the wire (ListOffsets shape) and
+executors fetch their planned offset ranges over sockets (Fetch shape)
+when the stream reader gets ``brokerHost``/``brokerPort`` — no shared
+filesystem between consumer and log required. What still genuinely
+needs a real broker: replication and unclean-leader edge cases.
+Everything else — partitioning, offset bookkeeping, restart resume,
+rate limiting, group coordination, network fetch, and the Debezium
+envelope parse (shared ``decode_records`` seam) — is exercised for
+real here.
 
 Scale notes: segments are one file per partition laid down by a
 DISTRIBUTED Spark write (the parallel producer); offsets are line indices.
@@ -139,6 +145,167 @@ def end_offsets(path: str, partitions: int) -> dict[int, int]:
     return out
 
 
+def _read_range(
+    topic: str, p: int, start: int, end: int, count_cache: dict
+) -> list[tuple[str, str, int]]:
+    """[(key, value, offset)] for partition ``p``'s offsets [start, end) —
+    whole segments below the range are SKIPPED via memoized line counts
+    (segments are immutable once committed), so a fetch costs O(range),
+    not O(log). Shared by the broker's fetch handler and any local
+    range reader."""
+    import json as _json
+
+    out: list[tuple[str, str, int]] = []
+    off = 0
+    for f in _segment_files(topic, p):
+        try:
+            st = os.stat(f)
+            key = (f, st.st_size, st.st_mtime_ns)
+        except OSError:
+            continue
+        if key not in count_cache:
+            with open(f, "rb") as fh:
+                count_cache[key] = sum(1 for _ in fh)
+        n = count_cache[key]
+        if off + n <= start:
+            off += n  # whole segment below the range: seek past
+            continue
+        if off >= end:
+            break
+        with open(f) as fh:
+            for line in fh:
+                if off >= end:
+                    break
+                if off >= start:
+                    rec = _json.loads(line)
+                    out.append((rec.get("key"), rec.get("value"), off))
+                off += 1
+    return out
+
+
+class Broker:
+    """NETWORK transport for an embedded topic — the one protocol layer
+    the round-6 minilog still lacked (mysql/store.go:117-151 is a real
+    network side-channel; Kafka consumers fetch over TCP). A thread-per-
+    connection TCP server fronts one topic's segment store; consumers —
+    including Spark EXECUTORS running the ``proteus_log`` stream reader
+    with ``brokerHost``/``brokerPort`` set — speak a line-delimited JSON
+    protocol over a persistent connection:
+
+    - ``{"op": "ends", "partitions": N}`` -> ``{"ends": {"0": n, ...}}``
+      — log-end offset discovery (the driver's latestOffset planning
+      goes over the wire, like Kafka's ListOffsets);
+    - ``{"op": "fetch", "partition": p, "start": s, "end": e}`` ->
+      ``{"records": [[key, value, offset], ...]}`` — a bounded offset
+      range (ranges are per-trigger rate-limited upstream, so one JSON
+      response per request is bounded by maxRecordsPerTrigger), like
+      Kafka's Fetch.
+
+    Read-committed filtering (epoch markers) applies broker-side. On a
+    real cluster the executors connect to this host:port exactly as
+    Kafka consumers connect to a broker; in local mode the loopback
+    socket exercises the full protocol (the HTTP query server's pattern
+    — real sockets, threads, ephemeral ports)."""
+
+    def __init__(self, topic: str, host: str = "127.0.0.1", port: int = 0):
+        import json as _json
+        import socketserver
+
+        self.topic = topic
+        self._count_cache: dict = {}
+        broker = self
+
+        class Handler(socketserver.StreamRequestHandler):
+            def handle(self):
+                for line in self.rfile:
+                    if not line.strip():
+                        continue
+                    try:
+                        req = _json.loads(line)
+                        resp = broker._serve(req)
+                    except Exception as exc:  # malformed request: report,
+                        resp = {"error": str(exc)[:200]}  # keep serving
+                    self.wfile.write((_json.dumps(resp) + "\n").encode())
+                    self.wfile.flush()
+
+        class Server(socketserver.ThreadingTCPServer):
+            daemon_threads = True
+            allow_reuse_address = True
+
+        self._srv = Server((host, port), Handler)
+        self.host, self.port = self._srv.server_address[:2]
+        self._thread = None
+
+    def _serve(self, req: dict) -> dict:
+        op = req.get("op")
+        if op == "ends":
+            n = max(
+                int(req.get("partitions", 0)),
+                _discover_partitions(self.topic),
+            )
+            ends = {}
+            for p in range(n):
+                c = 0
+                for f in _segment_files(self.topic, p):
+                    st = os.stat(f)
+                    key = (f, st.st_size, st.st_mtime_ns)
+                    if key not in self._count_cache:
+                        with open(f, "rb") as fh:
+                            self._count_cache[key] = sum(1 for _ in fh)
+                    c += self._count_cache[key]
+                ends[str(p)] = c
+            return {"ends": ends}
+        if op == "fetch":
+            recs = _read_range(
+                self.topic,
+                int(req["partition"]),
+                int(req["start"]),
+                int(req["end"]),
+                self._count_cache,
+            )
+            return {"records": recs}
+        return {"error": f"unknown op: {op!r}"}
+
+    def start(self) -> "Broker":
+        import threading
+
+        self._thread = threading.Thread(
+            target=self._srv.serve_forever, daemon=True
+        )
+        self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        self._srv.shutdown()
+        self._srv.server_close()
+        if self._thread is not None:
+            self._thread.join(timeout=2)
+
+    def __enter__(self) -> "Broker":
+        return self.start()
+
+    def __exit__(self, *exc) -> None:
+        self.stop()
+
+
+def broker_request(host: str, port: int, req: dict) -> dict:
+    """One request/response round-trip against a ``Broker`` (client side
+    of the line-delimited JSON protocol). Self-contained so executor
+    code can inline the same shape without importing this module."""
+    import json as _json
+    import socket
+
+    with socket.create_connection((host, port), timeout=30) as s:
+        s.sendall((_json.dumps(req) + "\n").encode())
+        buf = b""
+        while not buf.endswith(b"\n"):
+            chunk = s.recv(65536)
+            if not chunk:
+                break
+            buf += chunk
+    return _json.loads(buf)
+
+
 def register_log_datasource(spark: SparkSession) -> str:
     """Register the ``proteus_log`` streaming format (idempotent); returns
     the format name.
@@ -171,7 +338,7 @@ def register_log_datasource(spark: SparkSession) -> str:
         return (max(ps) + 1) if ps else 0
 
     class _LogRange(InputPartition):
-        def __init__(self, path, p, start, end, file_counts):
+        def __init__(self, path, p, start, end, file_counts, broker=None):
             self.path = path
             self.p = p
             self.start = start
@@ -181,6 +348,10 @@ def register_log_datasource(spark: SparkSession) -> str:
             # whole segments below its range instead of re-scanning the
             # partition from offset 0 every micro-batch
             self.file_counts = file_counts
+            # (host, port) of a minilog.Broker: when set, the executor
+            # FETCHES this range over TCP instead of reading segment
+            # files — the network-transport leg (Kafka Fetch shape)
+            self.broker = broker
 
     class LogStreamReader(DataSourceStreamReader):
         def __init__(self, options):
@@ -208,6 +379,14 @@ def register_log_datasource(spark: SparkSession) -> str:
                 if raw
                 else None
             )
+            # network transport: when brokerHost/brokerPort are set, the
+            # DRIVER discovers log-end offsets over the wire (Kafka
+            # ListOffsets) and EXECUTORS fetch their ranges over TCP
+            # (Kafka Fetch) from a minilog.Broker — no shared filesystem
+            # between consumer and log required
+            bhost = options.get("brokerhost") or options.get("brokerHost")
+            bport = options.get("brokerport") or options.get("brokerPort")
+            self.broker = (bhost, int(bport)) if bhost and bport else None
 
         def _parts(self):
             if self.assigned is not None:
@@ -216,6 +395,23 @@ def register_log_datasource(spark: SparkSession) -> str:
 
         # -- driver-side offset planning --------------------------------
         def _ends(self) -> dict[int, int]:
+            if self.broker is not None:
+                import json as _json
+                import socket
+
+                req = {"op": "ends", "partitions": self.partitions_n}
+                with socket.create_connection(self.broker, timeout=30) as sk:
+                    sk.sendall((_json.dumps(req) + "\n").encode())
+                    buf = b""
+                    while not buf.endswith(b"\n"):
+                        chunk = sk.recv(65536)
+                        if not chunk:
+                            break
+                        buf += chunk
+                ends = _json.loads(buf)["ends"]
+                self.partitions_n = max(self.partitions_n, len(ends))
+                self._file_counts = {}
+                return {int(k): v for k, v in ends.items()}
             # a topic's partition count is fixed by the producer's layout,
             # not the consumer's option: re-discover each trigger so a
             # mis-configured (or stale) 'partitions' option can never
@@ -308,6 +504,7 @@ def register_log_datasource(spark: SparkSession) -> str:
                     start.get(str(p), 0),
                     end.get(str(p), 0),
                     self._file_counts.get(p, []),
+                    broker=self.broker,
                 )
                 for p in self._parts()
                 if end.get(str(p), 0) > start.get(str(p), 0)
@@ -316,6 +513,34 @@ def register_log_datasource(spark: SparkSession) -> str:
         # -- executor-side fetch ----------------------------------------
         def read(self, partition):
             import json as _json
+
+            if partition.broker is not None:
+                # network fetch: one bounded Fetch request per planned
+                # range (ranges are rate-limited per trigger upstream)
+                import socket
+
+                req = {
+                    "op": "fetch",
+                    "partition": partition.p,
+                    "start": partition.start,
+                    "end": partition.end,
+                }
+                with socket.create_connection(
+                    partition.broker, timeout=30
+                ) as sk:
+                    sk.sendall((_json.dumps(req) + "\n").encode())
+                    buf = b""
+                    while not buf.endswith(b"\n"):
+                        chunk = sk.recv(65536)
+                        if not chunk:
+                            break
+                        buf += chunk
+                resp = _json.loads(buf)
+                if "error" in resp:
+                    raise RuntimeError(f"broker fetch failed: {resp['error']}")
+                for key, value, off in resp["records"]:
+                    yield (key, value, partition.p, off)
+                return
 
             off = 0
             for fpath, count in partition.file_counts:

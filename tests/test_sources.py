@@ -1281,3 +1281,64 @@ def test_consumer_group_commit_offsets_is_fenced(spark, tmp_path):
     # b's partitions untouched by a's commit
     for p in b.assignment():
         assert b.committed(p) == 0
+
+
+def test_broker_protocol_and_network_stream(spark, tmp_path):
+    """Network transport (the round-7 leg): the Broker's line-delimited
+    JSON protocol serves offset discovery (ListOffsets shape) and bounded
+    range fetches (Fetch shape) over real TCP; the stream reader with
+    brokerHost/brokerPort consumes the topic WITHOUT touching segment
+    files, matches the filesystem read exactly, and resumes from its
+    checkpoint across a query restart — over the wire."""
+    from pyspark.sql import functions as F
+
+    from proteus_spark.sources import minilog
+
+    df = spark.range(60).select(
+        F.col("id").cast("string").alias("key"),
+        F.col("id").cast("string").alias("value"),
+    )
+    topic = str(tmp_path / "topic")
+    ends = minilog.stage_topic(df, topic, partitions=3)
+    with minilog.Broker(topic) as b:
+        # protocol: ends + fetch + error surface
+        got = minilog.broker_request(b.host, b.port, {"op": "ends", "partitions": 3})
+        assert {int(k): v for k, v in got["ends"].items()} == ends
+        r = minilog.broker_request(
+            b.host, b.port,
+            {"op": "fetch", "partition": 0, "start": 1, "end": 3},
+        )
+        assert [off for _, _, off in r["records"]] == [1, 2]
+        assert "error" in minilog.broker_request(
+            b.host, b.port, {"op": "nope"}
+        )
+
+        minilog.register_log_datasource(spark)
+        rows = []
+        ckpt = str(tmp_path / "ckpt")
+
+        def consume(max_per_trigger):
+            q = (
+                spark.readStream.format(minilog.FORMAT_NAME)
+                .option("path", topic)
+                .option("partitions", "3")
+                .option("maxRecordsPerTrigger", str(max_per_trigger))
+                .option("brokerHost", b.host)
+                .option("brokerPort", str(b.port))
+                .load()
+                .writeStream.outputMode("append")
+                .option("checkpointLocation", ckpt)
+                .foreachBatch(
+                    lambda bdf, e: rows.extend(r["value"] for r in bdf.collect())
+                )
+                .start()
+            )
+            q.processAllAvailable()
+            q.stop()
+
+        consume(7)   # multi-trigger rate-limited consumption over TCP
+        n_first = len(rows)
+        assert n_first == 60
+        consume(7)   # restart from the checkpoint: nothing re-delivered
+        assert len(rows) == n_first
+        assert sorted(rows) == sorted(str(i) for i in range(60))
