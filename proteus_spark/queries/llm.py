@@ -1342,7 +1342,7 @@ def _pq_oracle() -> str:
     hash-ranked codebook init -> PQ_ROUNDS of per-subspace Lloyd's
     (rounded-6 identity-fold d2, ties -> lowest code; rounded-6 means) ->
     encode -> integer-micro ADC -> exact rerank of the top rerank*k."""
-    from proteus_spark.llmops.similarity import PQ_M, PQ_ROUNDS
+    from proteus_spark.llmops.similarity import PQ_K, PQ_M, PQ_ROUNDS
 
     def d2(s, c):
         return (
@@ -1353,7 +1353,7 @@ def _pq_oracle() -> str:
     parts = [
         "sdim AS (SELECT CAST(len(embedding) AS INTEGER)"
         f" // {PQ_M} AS s FROM embeddings LIMIT 1)",
-        f"kk AS (SELECT GREATEST(4, LEAST(64, count(*) // 8)) AS k"
+        f"kk AS (SELECT GREATEST(4, LEAST({PQ_K}, count(*) // 8)) AS k"
         f" FROM embeddings)",
         f"""nrm AS MATERIALIZED (
       SELECT vec_id,

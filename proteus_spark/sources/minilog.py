@@ -408,7 +408,12 @@ def register_log_datasource(spark: SparkSession) -> str:
                         if not chunk:
                             break
                         buf += chunk
-                ends = _json.loads(buf)["ends"]
+                resp = _json.loads(buf)
+                if "ends" not in resp:
+                    raise RuntimeError(
+                        f"broker ends request failed: {resp.get('error', resp)}"
+                    )
+                ends = resp["ends"]
                 self.partitions_n = max(self.partitions_n, len(ends))
                 self._file_counts = {}
                 return {int(k): v for k, v in ends.items()}
