@@ -1079,6 +1079,118 @@ def _ivf_kmeans_oracle() -> str:
     """
 
 
+def _cluster_audit_oracle() -> str:
+    """The kmeans unroll (shared with llm_sim_ivf_kmeans — the merge/
+    assignment determinism is proven once) + per-cluster size, majority-
+    label purity, and mean cosine-to-centroid."""
+    cos_vc = _cos_sql("v.vec", "c.cvec")
+    kc = f"cent_{_KMEANS_ROUNDS}"
+    return f"""
+    WITH dim AS (
+      SELECT CAST(len(embedding) AS INTEGER) AS d FROM embeddings LIMIT 1),
+    {_kmeans_unroll_ctes()},
+    asgf AS MATERIALIZED (
+      SELECT vec_id, cid, sim FROM (
+        SELECT v.vec_id, c.cid, round({cos_vc}, 6) AS sim,
+               row_number() OVER (PARTITION BY v.vec_id
+                                  ORDER BY round({cos_vc}, 6) DESC, c.cid)
+                 AS rn
+        FROM (SELECT vec_id, embedding AS vec FROM embeddings) v
+        CROSS JOIN {kc} c)
+      WHERE rn = 1),
+    lab AS (
+      SELECT a.cid, a.sim, e.label
+      FROM asgf a JOIN embeddings e ON e.vec_id = a.vec_id),
+    lc AS (
+      SELECT cid, label, CAST(count(*) AS BIGINT) AS c
+      FROM lab GROUP BY cid, label),
+    top AS (
+      SELECT cid, CAST(label AS BIGINT) AS top_label, c AS top_c FROM (
+        SELECT cid, label, c,
+               row_number() OVER (PARTITION BY cid
+                                  ORDER BY c DESC, label ASC) AS rn
+        FROM lc)
+      WHERE rn = 1),
+    agg AS (
+      SELECT cid, CAST(count(*) AS BIGINT) AS n,
+             round(avg(sim), 6) AS mean_sim
+      FROM lab GROUP BY cid)
+    SELECT a.cid, a.n, t.top_label,
+           round(CAST(t.top_c AS DOUBLE) / a.n, 6) AS purity, a.mean_sim
+    FROM agg a JOIN top t ON t.cid = a.cid
+    """
+
+
+@register(
+    "llm_cluster_audit",
+    oracle=_cluster_audit_oracle,
+    tags=("llm", "similarity", "audit", "iterative"),
+)
+def llm_cluster_audit(spark, sf_dir):
+    """Semantic cluster audit of the embedding corpus — the
+    SemDeDup-adjacent curation report a training pipeline runs before
+    cluster-balanced sampling: deterministic k-means clusters (the
+    ``similarity.kmeans_train`` quantizer, same hyperparameters as the
+    IVF index so ONE model serves both), then per cluster its SIZE
+    (balance — an over-dominant cluster means over-represented content),
+    majority-LABEL purity (does the learned geometry recover the known
+    classes), and the mean cosine-to-centroid (tightness — diffuse
+    clusters need a larger k). Every stage is a broadcast-join codegen
+    pass + node/cluster-sized aggregations; the oracle reuses the
+    kmeans unroll llm_sim_ivf_kmeans already proves, so training cannot
+    drift between the index and the audit."""
+    emb = load(spark, sf_dir, "embeddings")
+    cents = S.kmeans_train(emb, k=_KMEANS_K, rounds=_KMEANS_ROUNDS)
+    assigned = S.ivf_assign(
+        emb.select("vec_id", "embedding"),
+        cents.select(
+            F.col("cid").alias("vec_id"), F.col("cvec").alias("embedding")
+        ),
+    )
+    c = cents.select(
+        F.col("cid").alias("bucket"),
+        F.col("cvec").alias("cvec"),
+        S.norm(F.col("cvec")).alias("cnorm"),
+    )
+    lab = (
+        assigned.join(F.broadcast(c), "bucket")
+        .withColumn(
+            "sim",
+            F.round(
+                S.dot(F.col("embedding"), F.col("cvec"))
+                / (S.norm(F.col("embedding")) * F.col("cnorm")),
+                6,
+            ),
+        )
+        .join(
+            emb.select("vec_id", "label"), "vec_id"
+        )
+        .select(F.col("bucket").alias("cid"), "sim", "label")
+    )
+    lc = lab.groupBy("cid", "label").agg(F.count("*").cast("long").alias("c"))
+    wl = W.partitionBy("cid").orderBy(F.desc("c"), F.asc("label"))
+    top = (
+        lc.withColumn("rn", F.row_number().over(wl))
+        .filter(F.col("rn") == 1)
+        .select(
+            "cid",
+            F.col("label").cast("long").alias("top_label"),
+            F.col("c").alias("top_c"),
+        )
+    )
+    agg = lab.groupBy("cid").agg(
+        F.count("*").cast("long").alias("n"),
+        F.round(F.avg("sim"), 6).alias("mean_sim"),
+    )
+    return agg.join(top, "cid").select(
+        "cid",
+        "n",
+        "top_label",
+        F.round(F.col("top_c").cast("double") / F.col("n"), 6).alias("purity"),
+        "mean_sim",
+    )
+
+
 @register(
     "llm_sim_ivf_kmeans",
     oracle=_ivf_kmeans_oracle,
