@@ -512,6 +512,7 @@ _BNLJ_OK = {
     "llm_sim_ivf",             # broadcast probed-centroid set
     "llm_sim_ivf_nprobe2",     # broadcast probed-centroid set
     "llm_sim_ivf_kmeans",      # broadcast learned-centroid set
+    "llm_cluster_audit",       # broadcast learned-centroid set (same model)
     "llm_corpus_mixture",      # broadcast corpus totals (1 row)
     "llm_perplexity_score",    # broadcast vocab-size scalar (1 row)
 }
