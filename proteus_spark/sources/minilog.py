@@ -145,41 +145,95 @@ def end_offsets(path: str, partitions: int) -> dict[int, int]:
     return out
 
 
-def _read_range(
-    topic: str, p: int, start: int, end: int, count_cache: dict
-) -> list[tuple[str, str, int]]:
-    """[(key, value, offset)] for partition ``p``'s offsets [start, end) —
-    whole segments below the range are SKIPPED via memoized line counts
-    (segments are immutable once committed), so a fetch costs O(range),
-    not O(log). Shared by the broker's fetch handler and any local
-    range reader."""
-    import json as _json
+# one byte-offset index entry per this many lines: a fetch seeks to the
+# nearest entry below its start offset instead of re-scanning the segment
+# from byte 0 (which made the fetch sequence QUADRATIC over triggers on
+# single-segment bulk topics — the broker's residual 2x over the
+# filesystem path at 30x). ~16 B per entry: a 1M-line segment carries a
+# ~250-entry index.
+_INDEX_STRIDE = 4096
 
-    out: list[tuple[str, str, int]] = []
+
+def _segment_stats(f: str, cache: dict) -> tuple[int, list[int]]:
+    """(line count, byte offset of every _INDEX_STRIDE-th line) memoized
+    by (path, size, mtime) — segments are immutable once committed, so
+    the single indexing pass amortizes over every later ranged read."""
+    st = os.stat(f)
+    key = (f, st.st_size, st.st_mtime_ns)
+    if key not in cache or not isinstance(cache[key], tuple):
+        idx: list[int] = []
+        n = 0
+        pos = 0
+        with open(f, "rb") as fh:
+            for line in fh:
+                if n % _INDEX_STRIDE == 0:
+                    idx.append(pos)
+                pos += len(line)
+                n += 1
+        cache[key] = (n, idx)
+    return cache[key]
+
+
+def _read_range_raw(
+    topic: str, p: int, start: int, end: int, count_cache: dict
+) -> tuple[bytes, int]:
+    """(raw newline-terminated record lines, line count) for partition
+    ``p``'s offsets [start, end) — whole segments below the range are
+    SKIPPED via memoized line counts, and WITHIN the containing segment
+    the read seeks to the nearest indexed byte offset (segments are
+    immutable once committed), so a fetch costs O(range), not
+    O(position-in-log). RAW bytes by design: the broker must never parse
+    records (that would serialize every consumer's decode through the
+    server's one interpreter — a measured 3.5x throughput loss at 30x);
+    record decode belongs to the consumers (Spark executors), exactly as
+    in Kafka's fetch path."""
+    out: list[bytes] = []
+    n_out = 0
     off = 0
     for f in _segment_files(topic, p):
         try:
-            st = os.stat(f)
-            key = (f, st.st_size, st.st_mtime_ns)
+            n, idx = _segment_stats(f, count_cache)
         except OSError:
             continue
-        if key not in count_cache:
-            with open(f, "rb") as fh:
-                count_cache[key] = sum(1 for _ in fh)
-        n = count_cache[key]
         if off + n <= start:
-            off += n  # whole segment below the range: seek past
+            off += n  # whole segment below the range: skip
             continue
         if off >= end:
             break
-        with open(f) as fh:
+        local = max(0, start - off)  # first wanted line within this file
+        with open(f, "rb") as fh:
+            if idx:
+                j = min(local // _INDEX_STRIDE, len(idx) - 1)
+                fh.seek(idx[j])
+                cur = j * _INDEX_STRIDE  # line number at the seek point
+            else:
+                cur = 0
             for line in fh:
-                if off >= end:
+                lo = off + cur  # this line's partition offset
+                if lo >= end:
                     break
-                if off >= start:
-                    rec = _json.loads(line)
-                    out.append((rec.get("key"), rec.get("value"), off))
-                off += 1
+                if lo >= start:
+                    out.append(line if line.endswith(b"\n") else line + b"\n")
+                    n_out += 1
+                cur += 1
+        off += n
+    return b"".join(out), n_out
+
+
+def _read_range(
+    topic: str, p: int, start: int, end: int, count_cache: dict
+) -> list[tuple[str, str, int]]:
+    """Decoded [(key, value, offset)] for a local range read (tests,
+    tooling); the broker path ships the raw form instead."""
+    import json as _json
+
+    blob, _n = _read_range_raw(topic, p, start, end, count_cache)
+    out = []
+    off = start
+    for line in blob.splitlines():
+        rec = _json.loads(line)
+        out.append((rec.get("key"), rec.get("value"), off))
+        off += 1
     return out
 
 
@@ -196,10 +250,14 @@ class Broker:
       — log-end offset discovery (the driver's latestOffset planning
       goes over the wire, like Kafka's ListOffsets);
     - ``{"op": "fetch", "partition": p, "start": s, "end": e}`` ->
-      ``{"records": [[key, value, offset], ...]}`` — a bounded offset
-      range (ranges are per-trigger rate-limited upstream, so one JSON
-      response per request is bounded by maxRecordsPerTrigger), like
-      Kafka's Fetch.
+      one JSON header line ``{"n": <records>, "bytes": <blob size>}``
+      followed by exactly that many RAW bytes (the records' newline-
+      terminated segment lines, verbatim) — a bounded offset range
+      (per-trigger rate-limited upstream), like Kafka's framed Fetch.
+      The broker never parses or re-serializes records: decode belongs
+      to the consumers' executors (a parse-on-the-broker version
+      measured 3.5x slower at 30x — every consumer's decode serialized
+      through the server's one interpreter).
 
     Read-committed filtering (epoch markers) applies broker-side. On a
     real cluster the executors connect to this host:port exactly as
@@ -222,6 +280,21 @@ class Broker:
                         continue
                     try:
                         req = _json.loads(line)
+                        if req.get("op") == "fetch":
+                            blob, n = _read_range_raw(
+                                broker.topic,
+                                int(req["partition"]),
+                                int(req["start"]),
+                                int(req["end"]),
+                                broker._count_cache,
+                            )
+                            self.wfile.write(
+                                (_json.dumps({"n": n, "bytes": len(blob)})
+                                 + "\n").encode()
+                            )
+                            self.wfile.write(blob)
+                            self.wfile.flush()
+                            continue
                         resp = broker._serve(req)
                     except Exception as exc:  # malformed request: report,
                         resp = {"error": str(exc)[:200]}  # keep serving
@@ -247,23 +320,11 @@ class Broker:
             for p in range(n):
                 c = 0
                 for f in _segment_files(self.topic, p):
-                    st = os.stat(f)
-                    key = (f, st.st_size, st.st_mtime_ns)
-                    if key not in self._count_cache:
-                        with open(f, "rb") as fh:
-                            self._count_cache[key] = sum(1 for _ in fh)
-                    c += self._count_cache[key]
+                    # shares the fetch path's (count, byte-index) cache:
+                    # the ends pass doubles as the indexing pass
+                    c += _segment_stats(f, self._count_cache)[0]
                 ends[str(p)] = c
             return {"ends": ends}
-        if op == "fetch":
-            recs = _read_range(
-                self.topic,
-                int(req["partition"]),
-                int(req["start"]),
-                int(req["end"]),
-                self._count_cache,
-            )
-            return {"records": recs}
         return {"error": f"unknown op: {op!r}"}
 
     def start(self) -> "Broker":
@@ -289,9 +350,10 @@ class Broker:
 
 
 def broker_request(host: str, port: int, req: dict) -> dict:
-    """One request/response round-trip against a ``Broker`` (client side
-    of the line-delimited JSON protocol). Self-contained so executor
-    code can inline the same shape without importing this module."""
+    """One single-line request/response round-trip against a ``Broker``
+    (``ends`` and error paths; ``fetch`` responses are FRAMED — use
+    ``broker_fetch``). Self-contained so client code can inline the same
+    shape without importing this module."""
     import json as _json
     import socket
 
@@ -304,6 +366,32 @@ def broker_request(host: str, port: int, req: dict) -> dict:
                 break
             buf += chunk
     return _json.loads(buf)
+
+
+def broker_fetch(
+    host: str, port: int, p: int, start: int, end: int
+) -> list[tuple[str, str, int]]:
+    """Client side of the framed Fetch: decoded [(key, value, offset)]
+    for one bounded range — the same wire exchange the Spark executors
+    run inside the stream reader."""
+    import json as _json
+    import socket
+
+    req = {"op": "fetch", "partition": p, "start": start, "end": end}
+    with socket.create_connection((host, port), timeout=30) as s:
+        s.sendall((_json.dumps(req) + "\n").encode())
+        rf = s.makefile("rb")
+        header = _json.loads(rf.readline())
+        if "error" in header:
+            raise RuntimeError(f"broker fetch failed: {header['error']}")
+        blob = rf.read(header["bytes"])
+    out = []
+    off = start
+    for line in blob.splitlines():
+        rec = _json.loads(line)
+        out.append((rec.get("key"), rec.get("value"), off))
+        off += 1
+    return out
 
 
 def register_log_datasource(spark: SparkSession) -> str:
@@ -520,8 +608,11 @@ def register_log_datasource(spark: SparkSession) -> str:
             import json as _json
 
             if partition.broker is not None:
-                # network fetch: one bounded Fetch request per planned
-                # range (ranges are rate-limited per trigger upstream)
+                # network fetch: one bounded framed Fetch per planned
+                # range (ranges are rate-limited per trigger upstream) —
+                # a JSON header line, then the raw record lines verbatim;
+                # the DECODE happens here, in the executor, in parallel
+                # across workers (never on the broker)
                 import socket
 
                 req = {
@@ -534,17 +625,18 @@ def register_log_datasource(spark: SparkSession) -> str:
                     partition.broker, timeout=30
                 ) as sk:
                     sk.sendall((_json.dumps(req) + "\n").encode())
-                    buf = b""
-                    while not buf.endswith(b"\n"):
-                        chunk = sk.recv(65536)
-                        if not chunk:
-                            break
-                        buf += chunk
-                resp = _json.loads(buf)
-                if "error" in resp:
-                    raise RuntimeError(f"broker fetch failed: {resp['error']}")
-                for key, value, off in resp["records"]:
-                    yield (key, value, partition.p, off)
+                    rf = sk.makefile("rb")
+                    header = _json.loads(rf.readline())
+                    if "error" in header:
+                        raise RuntimeError(
+                            f"broker fetch failed: {header['error']}"
+                        )
+                    blob = rf.read(header["bytes"])
+                off = partition.start
+                for line in blob.splitlines():
+                    rec = _json.loads(line)
+                    yield (rec.get("key"), rec.get("value"), partition.p, off)
+                    off += 1
                 return
 
             off = 0

@@ -27,7 +27,15 @@ scan-bound number is garbage). Then times:
 - opt-in round-6 operators: ``bpe`` (``llm_bpe_train_rounds`` — 8
   training rounds over the replicated corpus) and ``recluster``
   (``stream_ann_recluster`` — two ingest waves + three refresh epochs
-  over the replicated embeddings).
+  over the replicated embeddings);
+- opt-in round-7 operators: ``holdout`` (``llm_bpe_encode_holdout`` —
+  train on the 90% split, encode the held-out 10% via nested JVM
+  folds), ``cluster`` (``llm_cluster_audit`` — deterministic k-means +
+  balance/purity/tightness report), ``bootstrap``
+  (``stream_compacted_bootstrap`` — CDF export → compaction → 2-member
+  consumer-group bootstrap), and ``broker`` (the stream_sum_view_broker
+  pipeline with the per-trigger cap scaled like the minilog runner, so
+  the two rows isolate the TCP transport's marginal cost).
 
 Usage (IDLE HOST ONLY — contention skews 3-8x):
     python scripts/sweep_round5_ops.py --mult 30
@@ -169,6 +177,50 @@ def run_minilog_scaled_cap(spark, sf_dir: str) -> None:
         shutil.rmtree(topic, ignore_errors=True)
 
 
+def run_broker_scaled_cap(spark, sf_dir: str) -> None:
+    """The stream_sum_view_broker pipeline (r7: consumption entirely over
+    the TCP broker) with maxRecordsPerTrigger scaled to ~40 triggers —
+    the same deployment knob as the minilog runner, so the two rows
+    isolate the network transport's marginal cost."""
+    from proteus_spark.queries.streaming import _debezium_case_feed
+    from proteus_spark.sources import minilog
+    from proteus_spark.sources.debezium import decode_records
+    from proteus_spark.streaming.views import SumView
+
+    feed, row_schema = _debezium_case_feed(spark, sf_dir)
+    n_records = feed.count()
+    cap = max(2000, n_records // 40)
+    topic = tempfile.mkdtemp(prefix="sweep_broker_")
+    try:
+        minilog.stage_topic(feed, topic, partitions=4, key_col="key")
+        minilog.register_log_datasource(spark)
+        broker = minilog.Broker(topic).start()
+        try:
+            records = (
+                spark.readStream.format(minilog.FORMAT_NAME)
+                .option("path", topic)
+                .option("partitions", "4")
+                .option("maxRecordsPerTrigger", str(cap))
+                .option("brokerHost", broker.host)
+                .option("brokerPort", str(broker.port))
+                .load()
+            )
+            deltas = decode_records(records, row_schema, ["user_id"], "value")
+            view = SumView(
+                spark, deltas, group_by="user_id", agg_attr="new_value",
+                name="sweep_broker", mode="cdc",
+            ).start()
+            try:
+                view.await_catch_up()
+                view.snapshot().count()
+            finally:
+                view.stop()
+        finally:
+            broker.stop()
+    finally:
+        shutil.rmtree(topic, ignore_errors=True)
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--mult", type=int, default=30)
@@ -207,6 +259,11 @@ def main() -> int:
         # round-6 operators
         "bpe": ["documents"],
         "recluster": ["embeddings"],
+        # round-7 operators
+        "holdout": ["documents"],
+        "cluster": ["embeddings"],
+        "bootstrap": ["events"],
+        "broker": ["events"],
     }
     needed = sorted({t for op in args.ops for t in tables[op]})
 
@@ -241,6 +298,17 @@ def main() -> int:
             "recluster": lambda: qs["stream_ann_recluster"](
                 spark, dest
             ).count(),
+            # round-7 operators
+            "holdout": lambda: qs["llm_bpe_encode_holdout"](
+                spark, dest
+            ).write.mode("overwrite").format("noop").save(),
+            "cluster": lambda: qs["llm_cluster_audit"](
+                spark, dest
+            ).write.mode("overwrite").format("noop").save(),
+            "bootstrap": lambda: qs["stream_compacted_bootstrap"](
+                spark, dest
+            ).count(),
+            "broker": lambda: run_broker_scaled_cap(spark, dest),
         }
         # DAG feed cap scales with the replica (the deployment knob —
         # measured 625s at 30x with the fixed sf0.01 cap vs the scaled

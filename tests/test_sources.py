@@ -1304,11 +1304,8 @@ def test_broker_protocol_and_network_stream(spark, tmp_path):
         # protocol: ends + fetch + error surface
         got = minilog.broker_request(b.host, b.port, {"op": "ends", "partitions": 3})
         assert {int(k): v for k, v in got["ends"].items()} == ends
-        r = minilog.broker_request(
-            b.host, b.port,
-            {"op": "fetch", "partition": 0, "start": 1, "end": 3},
-        )
-        assert [off for _, _, off in r["records"]] == [1, 2]
+        r = minilog.broker_fetch(b.host, b.port, 0, 1, 3)
+        assert [off for _, _, off in r] == [1, 2]
         assert "error" in minilog.broker_request(
             b.host, b.port, {"op": "nope"}
         )
