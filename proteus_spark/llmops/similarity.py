@@ -250,12 +250,12 @@ def ivf_assign(
     return (
         scored.groupBy("vid")
         .agg(
-            F.first("vec").alias("embedding"),  # identical within the group
+            F.first("vec").alias(vec_col),  # identical within the group
             F.expr("max_by(cid, named_struct('s', csim, 'c', -cid))").alias(
                 "bucket"
             ),
         )
-        .select(F.col("vid").alias("vec_id"), "embedding", "bucket")
+        .select(F.col("vid").alias(id_col), vec_col, "bucket")
     )
 
 

@@ -440,33 +440,18 @@ FROM reach GROUP BY v
     )
 
 
-def _components_lsh_oracle() -> str:
-    # transitive closure over the MinHash-LSH pair graph — the scale-path
-    # composition (banded candidates -> verified pairs -> clusters)
-    return f"""
-    WITH RECURSIVE
-    pairs AS ({_minhash_oracle()}),
-    edges AS (SELECT ida AS a, idb AS b FROM pairs
-              UNION SELECT idb, ida FROM pairs),
-    reach AS (
-      SELECT a AS v, a AS r FROM edges
-      UNION
-      SELECT e.b AS v, r.r AS r FROM reach r JOIN edges e ON e.a = r.v
-    )
-    SELECT CAST(v AS BIGINT) AS doc_id, CAST(min(r) AS BIGINT) AS component
-    FROM reach GROUP BY v
-    """
-
-
-@register(
-    "llm_dedup_components_lsh", oracle=_components_lsh_oracle, tags=("llm", "dedup")
-)
-def llm_dedup_components_lsh(spark, sf_dir):
-    """Duplicate clusters over the MinHash-LSH verified pair graph — the
-    composition a corpus-scale pipeline runs (LSH candidates -> exact
-    verification -> connected components), end-to-end oracle-checked."""
-    docs = load(spark, sf_dir, "documents")
-    return D.dup_components(D.minhash_lsh_dedup(docs, 0.8))
+# llm_dedup_components_lsh RETIRED round 8 (registry hygiene — the banked
+# retirement owed for round 7's post-freeze llm_cluster_audit; ROTATION.md
+# named this candidate and the audit confirms the subsumption): it was the
+# pure composition D.dup_components(D.minhash_lsh_dedup(docs, 0.8)), both
+# axes of which stay independently HASH-verified — the MinHash-LSH verified
+# pair graph in full by llm_dedup_minhash_lsh (identical Spark path and
+# identical _minhash_oracle CTE, r7-green), and the connected-components
+# algorithm by llm_dedup_components (same D.dup_components over the exact
+# pair graph, r6-green). dup_components is input-agnostic (operates on any
+# (ida, idb) edge frame), so the composition adds no unique logic; cluster
+# consumers stay covered by llm_dedup_cluster_stats and llm_dedup_apply,
+# and the banding-quality axis by llm_lsh_recall_report.
 
 
 @register("llm_dedup_components", oracle=_components_oracle, tags=("llm", "dedup"))

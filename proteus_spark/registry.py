@@ -184,8 +184,14 @@ def load(
 # points at the fix instead of a bare missing-path (ADVICE r6).
 _SPILL_KEEP_DEFAULT = 64
 _RECLAIM_SENTINEL = "RECLAIMED-oldest-spill-beyond-keep-bound-raise-PROTEUS_SPILL_KEEP.txt"
+# Sentinel dirs are themselves bounded (ADVICE r7): only the most recent
+# reclaims keep their diagnostic marker — older ones are removed outright,
+# so total directory count in a long-lived process stays <= keep bound +
+# _SENTINEL_KEEP instead of growing one near-empty dir per reclaim.
+_SENTINEL_KEEP = 8
 _spill_root: str | None = None
 _spill_dirs: list[str] = []
+_sentinel_dirs: list[str] = []
 
 
 def _spill_keep() -> int:
@@ -221,6 +227,9 @@ def _spill_dir() -> str:
                     f"{_spill_keep()}). Collect results before running more "
                     "spilling queries, or raise PROTEUS_SPILL_KEEP.\n"
                 )
+            _sentinel_dirs.append(old)
+            while len(_sentinel_dirs) > _SENTINEL_KEEP:
+                shutil.rmtree(_sentinel_dirs.pop(0), ignore_errors=True)
         except OSError:
             pass  # best-effort diagnostic only
     return path
@@ -344,18 +353,26 @@ def _import_all() -> None:
 
 # Verification-priority order. External harnesses that budget their checks
 # walk queries() in dict order (first ~50), so the window rotates per round.
-# Rounds 1-6 accumulated hash-green rows for 166/171 registered queries
-# (r4, r5 and r6 were all 50/50 green). The ROUND-7 window applies the plan
-# precomputed in ROTATION.md from the CORRECTNESS_r01..r06 ledger:
-#   - 24 r3-only refreshes (external evidence 4 rounds old — hard-fronted);
-#   - llm_bpe_encode (round-6 post-freeze addition, never driver-verified;
-#     pre-verified at sf0.001 + sf0.01 and re-verified by the r6 judge);
-#   - 25 longest-idle r4-only refreshes, implementation-adjacent first
-#     (ANN/similarity + streaming queries next to this round's work, then
-#     the bench flagship llm_dedup_exact_substring, then alphabetical
-#     fill). New round-7 queries displace from the END of this group after
-#     sf0.001 + sf0.01 pre-verification.
-# The ~17 remaining r4-only queries front the round-8 window. Queries
+# Rounds 1-7 accumulated hash-green rows for 169/172 registered queries
+# (r4-r7 were all 50/50 green). The ROUND-8 window applies the plan
+# precomputed in ROTATION.md from the CORRECTNESS_r01..r07 ledger:
+#   - all 22 r4-only refreshes (external evidence 4 rounds old —
+#     hard-fronted; the 16 never-refreshed + the 4 round-7 displacements +
+#     events_transition_matrix + llm_dedup_keep_longest);
+#   - llm_cluster_audit (round-7 post-freeze addition, never
+#     driver-verified; pre-verified at sf0.001 + sf0.01 and independently
+#     re-verified green by the r7 judge);
+#   - 3 changed-implementation re-verifications for this round's planned
+#     work (broker hardening touches the minilog reader seam under
+#     stream_sum_view_broker / stream_compacted_bootstrap; the DAG
+#     per-batch pre-collapse touches stream_view_dag_via_log);
+#   - 24 longest-idle r5-only refreshes, implementation-adjacent first
+#     (the streaming/LSM family — round 8 changes the JoinView tombstone
+#     tie-break (ADVICE r7) and the spill-reclaim sentinel under ALL of
+#     them — then the bench flagships). New round-8 queries/promotions
+#     displace from the END of this group after sf0.001 + sf0.01
+#     pre-verification.
+# The ~23 remaining r5-only queries front the round-9 window. Queries
 # rotated OUT remain covered by the local DuckDB oracle gate
 # (tests/test_oracle_gate.py runs ALL oracled queries on every pytest) —
 # see ROTATION.md for the manifest.
@@ -366,44 +383,41 @@ def _import_all() -> None:
 # oracles; tests/test_oracle_gate.py::test_priority_window_all_oracled
 # enforces this structurally.
 PRIORITY: tuple[str, ...] = (
-    # -- 24 r3-only refreshes (all of them; 4 rounds idle) ---------------
-    "events_cohort_retention", "events_funnel", "llm_chunk_documents",
-    "llm_dedup_components_lsh", "llm_doc_repetition", "llm_embed_norms",
-    "llm_pii_scrub", "llm_sim_ivf_nprobe2", "llm_train_split",
-    "llm_weighted_sample", "ref_ts_projection", "tpch_q2", "tpch_q4",
-    "tpch_q7", "tpch_q8", "tpch_q11", "tpch_q12", "tpch_q13", "tpch_q14",
-    "tpch_q15", "tpch_q16", "tpch_q17", "tpch_q20", "tpch_q22",
-    # -- never driver-verified (round-6 post-freeze) ---------------------
-    "llm_bpe_encode",
-    # -- 25 r4-only refreshes: implementation-adjacent + flagship first --
-    "llm_dedup_exact_substring", "llm_dedup_embedding",
-    "llm_lsh_recall_report", "llm_sim_radius", "ref_vectorclock_join",
-    "llm_dedup_incremental", "scd2_temporal_join",
-    # (scd2_user_value_history retired round 7 — subsumed by
-    # scd2_temporal_join's hist CTE; its slot backfills with the
-    # last-displaced alphabetical fill)
-    "llm_dedup_cluster_stats",
-    # alphabetical fill; round-7 additions displace from the END after
-    # pre-verification (one banked retirement per addition, registry <=175)
-    "agg_bloom_probe", "agg_countmin_terms", "agg_grouping_sets",
-    "agg_histogram_sketch", "basket_part_pairs", "customer_value_deciles",
-    "dq_skew_report", "dq_validate_orders", "events_anomaly_zscore",
-    "events_ewma_daily", "events_gap_fill_hourly",
-    # (events_transition_matrix yielded its slot to the changed-impl
-    # graph_pagerank_parts — same r4-only age, but the round-7 PageRank
-    # rework needs external re-verification)
-    "graph_pagerank_parts",
-    # -- round-7 additions & promotions (each pre-verified at sf0.001 +
-    # sf0.01; llm_sim_ivf_kmeans/llm_sim_pq are rows-only -> ORACLED
-    # promotions with changed implementations — deterministic Lloyd's in
-    # place of MLlib KMeans — so their slots double as changed-impl
-    # re-verification. Displaced r4-only tail -> round-8 front:
-    # llm_corpus_mixture, llm_dedup_containment,
-    # llm_dedup_containment_capped, llm_dedup_editdistance;
-    # llm_dedup_cluster_stats backfilled the retired
-    # scd2_user_value_history's slot) -------------------------------------
-    "llm_bpe_encode_holdout", "llm_sim_ivf_kmeans", "llm_sim_pq",
-    "stream_compacted_bootstrap", "stream_sum_view_broker",
+    # -- 22 r4-only refreshes (ALL of them; 4 rounds idle) ---------------
+    "ref_mv_substitution", "window_rank_family", "llm_gopher_filter",
+    "llm_multimodal_ppm", "llm_multimodal_wav", "llm_multimodal_video",
+    "llm_inverted_index", "llm_langid_confusion", "llm_perplexity_score",
+    "llm_sample_k_per_group", "llm_text_normalize", "llm_tfidf_topterms",
+    "llm_token_budget_sample", "llm_token_zipf", "llm_dedup_keep_longest",
+    "salted_join_orders", "unpivot_lineitem_measures",
+    "events_transition_matrix", "llm_corpus_mixture",
+    "llm_dedup_containment", "llm_dedup_containment_capped",
+    "llm_dedup_editdistance",
+    # -- never driver-verified (round-7 post-freeze) ---------------------
+    "llm_cluster_audit",
+    # -- round-8 changed-impl re-verifications (broker hardening: pooled
+    # executor connections + truncation detection; DAG per-batch
+    # pre-collapse) ------------------------------------------------------
+    "stream_sum_view_broker", "stream_compacted_bootstrap",
+    "stream_view_dag_via_log",
+    # -- 24 r5-only refreshes: implementation-adjacent first (the whole
+    # streaming/LSM family sits under this round's JoinView tie-break +
+    # spill-sentinel changes), then bench flagships. Round-8 additions/
+    # promotions displace from the END after pre-verification (one banked
+    # retirement per addition, registry <=175;
+    # llm_dedup_components_lsh retired this round — the banked retirement
+    # owed for llm_cluster_audit, subsumption audited in queries/llm.py) --
+    "stream_sum_view", "stream_sum_view_cdc", "stream_sum_view_deletes",
+    "stream_sum_view_minilog", "stream_sum_view_timetravel",
+    "stream_join_view", "stream_join_view_deletes",
+    "stream_lobsters_pipeline", "stream_scd2_history", "stream_scd2_asof",
+    "stream_interval_join", "stream_static_enrich",
+    "stream_sessionize_stateful", "stream_session_window_native",
+    "stream_dedup_ingest", "stream_decontaminate",
+    "stream_windowed_watermark", "stream_ann_ingest",
+    "stream_cdf_export_roundtrip",
+    "tpch_q1", "llm_dedup_minhash_lsh", "tpch_q10",
+    "tpch_q18", "tpch_q19",
 )
 
 

@@ -145,6 +145,44 @@ def end_offsets(path: str, partitions: int) -> dict[int, int]:
     return out
 
 
+class _IndexCache(dict):
+    """Thread-safe, bounded (path, size, mtime) -> (count, byte-index)
+    cache for a ``Broker`` (ADVICE r7): a per-broker lock serializes first
+    indexing — concurrent first fetches of one segment no longer each
+    re-index it — stale keys for a changed path are dropped on insert
+    (segments are immutable once committed, but the active head segment
+    grows, re-keying on every append), and total retained index bytes are
+    capped FIFO (default 256 MiB; ``PROTEUS_BROKER_INDEX_BYTES``) so a
+    long-lived broker's memory is bounded by its recent segments, not by
+    every segment it ever served. Plain dicts stay accepted everywhere
+    (the filesystem reader paths are single-threaded per planner call and
+    short-lived — no lock or cap needed there)."""
+
+    def __init__(self) -> None:
+        import threading
+
+        super().__init__()
+        self.lock = threading.RLock()
+        try:
+            self.max_bytes = int(
+                os.environ.get("PROTEUS_BROKER_INDEX_BYTES", 256 << 20)
+            )
+        except ValueError:
+            self.max_bytes = 256 << 20
+
+    def evict(self, path: str) -> None:
+        # caller holds self.lock: drop superseded keys for the same path
+        # (all but the newest), then cap total retained index bytes FIFO
+        same = [k for k in self if k[0] == path]
+        for k in same[:-1]:
+            del self[k]
+        total = sum(len(v[1]) * 8 for v in self.values())
+        while total > self.max_bytes and len(self) > 1:
+            k = next(iter(self))
+            total -= len(self[k][1]) * 8
+            del self[k]
+
+
 def _segment_stats(f: str, cache: dict) -> tuple[int, "array.array"]:
     """(line count, byte offset of EVERY line + a terminal total-bytes
     entry) memoized by (path, size, mtime) — segments are immutable once
@@ -160,15 +198,23 @@ def _segment_stats(f: str, cache: dict) -> tuple[int, "array.array"]:
 
     st = os.stat(f)
     key = (f, st.st_size, st.st_mtime_ns)
-    if key not in cache or not isinstance(cache[key], tuple):
-        idx = array.array("q", [0])
-        pos = 0
-        with open(f, "rb") as fh:
-            for line in fh:
-                pos += len(line)
-                idx.append(pos)
-        cache[key] = (len(idx) - 1, idx)
-    return cache[key]
+    lock = getattr(cache, "lock", None)  # _IndexCache: serialize indexing
+    if lock is None:
+        import contextlib
+
+        lock = contextlib.nullcontext()
+    with lock:
+        if key not in cache or not isinstance(cache[key], tuple):
+            idx = array.array("q", [0])
+            pos = 0
+            with open(f, "rb") as fh:
+                for line in fh:
+                    pos += len(line)
+                    idx.append(pos)
+            cache[key] = (len(idx) - 1, idx)
+            if hasattr(cache, "evict"):
+                cache.evict(f)
+        return cache[key]
 
 
 def _read_range_raw(
@@ -261,7 +307,7 @@ class Broker:
         import socketserver
 
         self.topic = topic
-        self._count_cache: dict = {}
+        self._count_cache: dict = _IndexCache()
         broker = self
 
         class Handler(socketserver.StreamRequestHandler):

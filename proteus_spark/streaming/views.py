@@ -899,11 +899,19 @@ class JoinView:
             ]
             if has_op:
                 # deterministic tie-break: equal order values (possible when
-                # two transports' sequence domains overlap) resolve by _op
-                # itself rather than arrival order, so delete-vs-keep cannot
-                # flip between replays of the same batch (ADVICE r6)
+                # two transports' sequence domains overlap) resolve by an
+                # EXPLICIT op precedence, not arrival order — and not the op
+                # string's accidental lexicographic order, which ranked
+                # "UPDATEDELTA" above "DELETE" and silently resurrected
+                # concurrently-deleted keys (ADVICE r7). A DELETE tombstone
+                # outranks any same-order upsert (STATE / UPDATEDELTA /
+                # NULL): the Cassandra / Kafka-compaction convention —
+                # resurrecting a deleted key is the worse failure mode.
+                op_rank = F.when(
+                    F.col("_op") == "DELETE", F.lit(1)
+                ).otherwise(F.lit(0))
                 aggs.append(
-                    F.max_by(F.col("_op"), F.struct(oc, F.col("_op"))).alias("_op")
+                    F.max_by(F.col("_op"), F.struct(oc, op_rank)).alias("_op")
                 )
         else:
             aggs = [F.last(c, ignorenulls=True).alias(c) for c in cols]
