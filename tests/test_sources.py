@@ -798,7 +798,12 @@ def test_spill_dir_count_is_bounded(spark):
     live = [d for d in dirs if data_files(d)]
     reclaimed = [d for d in dirs if not data_files(d)]
     assert len(live) <= keep
-    assert len(reclaimed) >= 20
+    # sentinel dirs are themselves bounded (ADVICE r7): >= 20 reclaims
+    # happened above, but only the most recent _SENTINEL_KEEP keep their
+    # marker dir — older ones are removed outright, so TOTAL directory
+    # count is bounded in a long-lived process
+    assert 1 <= len(reclaimed) <= registry._SENTINEL_KEEP
+    assert len(dirs) <= keep + registry._SENTINEL_KEEP
     for d in reclaimed:
         assert registry._RECLAIM_SENTINEL in os.listdir(
             os.path.join(registry._spill_root, d)
@@ -1339,3 +1344,59 @@ def test_broker_protocol_and_network_stream(spark, tmp_path):
         consume(7)   # restart from the checkpoint: nothing re-delivered
         assert len(rows) == n_first
         assert sorted(rows) == sorted(str(i) for i in range(60))
+
+
+def test_broker_index_cache_locked_bounded_and_evicts_stale_keys(tmp_path):
+    """The broker's per-segment byte-offset index cache (ADVICE r7): (a)
+    concurrent first reads of one segment index it exactly once (the
+    per-cache lock serializes indexing); (b) when a segment file grows —
+    re-keying on (size, mtime) — the superseded key is dropped on insert;
+    (c) total retained index bytes are capped FIFO."""
+    import threading
+
+    from proteus_spark.sources.minilog import _IndexCache, _segment_stats
+
+    seg = tmp_path / "seg-0.jsonl"
+    seg.write_bytes(b"a\nbb\nccc\n")
+
+    cache = _IndexCache()
+    builds = []
+    orig_open = open
+
+    def counting_open(path, mode="r", *a, **kw):
+        if str(path) == str(seg) and "b" in mode:
+            builds.append(1)
+        return orig_open(path, mode, *a, **kw)
+
+    import builtins
+
+    builtins.open, saved = counting_open, builtins.open
+    try:
+        threads = [
+            threading.Thread(target=lambda: _segment_stats(str(seg), cache))
+            for _ in range(8)
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+    finally:
+        builtins.open = saved
+    assert sum(builds) == 1  # indexed once despite 8 concurrent readers
+    n, idx = _segment_stats(str(seg), cache)
+    assert n == 3 and list(idx) == [0, 2, 5, 9]
+
+    # (b) the head segment grows -> new (size, mtime) key; stale key evicted
+    seg.write_bytes(b"a\nbb\nccc\ndddd\n")
+    n2, _ = _segment_stats(str(seg), cache)
+    assert n2 == 4
+    assert len([k for k in cache if k[0] == str(seg)]) == 1
+
+    # (c) byte cap: tiny budget forces FIFO eviction down to the newest
+    cache.max_bytes = 64  # one index is 5 longs = 40 bytes
+    for i in range(5):
+        other = tmp_path / f"seg-{i + 1}.jsonl"
+        other.write_bytes(b"x\n" * (i + 2))
+        _segment_stats(str(other), cache)
+    total = sum(len(v[1]) * 8 for v in cache.values())
+    assert total <= 64 or len(cache) == 1

@@ -144,6 +144,45 @@ def test_join_view_delete_tombstone_removes_key(spark):
         view.stop()
 
 
+def test_join_view_equal_order_collision_delete_wins(spark):
+    """At a genuine order collision (two transports' sequence domains
+    overlapping at one key), the DELETE tombstone outranks any same-order
+    upsert — an EXPLICIT op precedence, not the op string's lexicographic
+    accident, which ranked "UPDATEDELTA" above "DELETE" and silently
+    resurrected concurrently-deleted keys (ADVICE r7). A strictly later
+    upsert still wins over an earlier delete (plain LWW)."""
+    from proteus_spark.streaming.views import JoinView
+
+    view = JoinView(
+        spark,
+        left=spark.createDataFrame([], "k bigint, price double"),
+        right=spark.createDataFrame([], "k bigint, votes double"),
+        key="k",
+        name="t_join_tie",
+        defaults={"price": 0.0, "votes": 0.0},
+        order_col="_seq",
+    )
+    try:
+        b = spark.createDataFrame(
+            [
+                # key 1: DELETE and UPDATEDELTA collide at seq 5 -> tombstone
+                (1, 10.0, None, "UPDATEDELTA", 5),
+                (1, None, None, "DELETE", 5),
+                # key 2: DELETE at 4, upsert at 5 -> the later upsert wins
+                (2, None, None, "DELETE", 4),
+                (2, 20.0, None, "UPDATEDELTA", 5),
+                # key 3: untouched control row
+                (3, 30.0, None, "UPDATEDELTA", 1),
+            ],
+            "k bigint, price double, votes double, _op string, _seq bigint",
+        )
+        view._on_batch(b, 0)
+        got = {r["k"]: r["price"] for r in view.snapshot().collect()}
+        assert got == {2: 20.0, 3: 30.0}
+    finally:
+        view.stop()
+
+
 def test_snapshot_time_travel_and_staleness(spark, sf_dir):
     """VECTORCLOCK-bound parity: earlier versions stay readable; staleness
     report over sampled (write, observed) version pairs."""
@@ -1608,3 +1647,23 @@ def test_ivf_recluster_recall_recovers_after_drift(spark):
     assert r_static < 0.8, r_static        # drift degraded the static index
     assert r_refreshed > 0.95, r_refreshed  # refresh recovered it
     assert r_refreshed > r_static
+
+
+def test_kmeans_train_honors_custom_id_and_vec_columns(spark):
+    """kmeans_train(id_col=..., vec_col=...) must work for NON-default
+    column names: ivf_assign used to hardcode its output columns to
+    vec_id/embedding, so _bucket_means selected a column that didn't
+    exist (latent AnalysisException — ADVICE r7). Same data under both
+    namings must train identical centroids."""
+    from proteus_spark.llmops.similarity import kmeans_train
+
+    rows = [(i, [float((i * 7 + j * 3) % 11) for j in range(4)]) for i in range(24)]
+    default_named = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    custom_named = spark.createDataFrame(rows, "doc_id bigint, vec array<double>")
+
+    base = kmeans_train(default_named, k=3, rounds=2)
+    custom = kmeans_train(custom_named, k=3, rounds=2, id_col="doc_id", vec_col="vec")
+    got_base = {r["cid"]: r["cvec"] for r in base.collect()}
+    got_custom = {r["cid"]: r["cvec"] for r in custom.collect()}
+    assert got_base == got_custom
+    assert len(got_base) >= 1
