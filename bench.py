@@ -13,10 +13,14 @@ keeps it without risking the tail window.
 Each query runs one untimed warm-up then 3 timed runs (best-of-3); a
 strictly-falling timed sequence extends to best-of-5, and a query still
 strictly falling at 5 is flagged in the JSON's "contended" list — its
-minimum is a known overestimate, not a plan cost. A query contended BOTH
-this run and in the previous round's BENCH_r{N}.json is re-measured at
-the END of the run (3 extra timed runs once the host has gone quiet) and
-that minimum ships in "idle_remeasure" (VERDICT r6 #8).
+minimum is a known overestimate, not a plan cost. At the END of the run
+(once the host is at its quietest) a query is RE-measured (3 extra timed
+runs, minimum ships in "idle_remeasure") if EITHER it was contended both
+this run and in the previous round's BENCH_r{N}.json (VERDICT r6 #8), OR
+its best-of run came out >25% slower than the previous round's recorded
+value at the SAME sf (VERDICT r7 #3 — a host-drift round must prove or
+refute the environmental story inside the artifact itself, without
+repeat-contention luck or human narration).
 """
 
 from __future__ import annotations
@@ -110,28 +114,53 @@ def main() -> None:
 
     parity = _parity_metrics(spark, sf_dir)
 
-    # Repeat-contended re-measure (VERDICT r6 #8): a line contended this
-    # run AND in the previous round's recorded bench is re-timed now, at
-    # the end of the run when the host is at its quietest, so the JSON
-    # carries a best-effort idle number alongside the flagged one.
-    idle_remeasure: dict[str, float] = {}
-    prev_contended = _previous_round_contended()
-    for name in contended:
-        if name not in prev_contended:
-            continue
-        runs = [_timed_run(spark, fns[name], sf_dir) for _ in range(3)]
-        idle_remeasure[name] = round(min(runs), 4)
-        print(
-            f"# idle_remeasure {name}: {min(runs):.3f}s "
-            f"(runs: {[round(r, 3) for r in runs]})",
-            file=sys.stderr,
-        )
-
     sf = sf_dir.rstrip("/").split("sf")[-1]
     try:
         sf_val = float(sf)
     except ValueError:
         sf_val = sf
+
+    # End-of-run idle re-measure, when the host is at its quietest.
+    # Two triggers (union):
+    #  - repeat-contended (VERDICT r6 #8): contended this run AND flagged
+    #    contended in the previous round's recorded bench;
+    #  - round-over-round slow (VERDICT r7 #3): best-of >25% above the
+    #    previous round's recorded value for the same query at the SAME sf
+    #    (cross-sf comparison is meaningless — a local sf0.01 smoke run
+    #    must not diff against the driver's sf0.1 record).
+    # The r7 drift round shipped an EMPTY idle_remeasure because the
+    # repeat-contended set happened to be empty — the artifact could not
+    # prove the +21% was environmental. The slow-vs-prev trigger makes a
+    # drift round re-time its own movers.
+    prev = _previous_round_bench()
+    prev_contended = set(prev.get("contended") or [])
+    prev_q = prev.get("queries") or {}
+    same_sf = prev.get("sf") == sf_val
+    remeasure = [
+        n
+        for n in timings
+        if (n in contended and n in prev_contended)
+        or (
+            same_sf
+            and isinstance(prev_q.get(n), (int, float))
+            and prev_q[n] > 0
+            and timings[n] > 1.25 * prev_q[n]
+        )
+    ]
+    idle_remeasure: dict[str, float] = {}
+    for name in remeasure:
+        runs = [_timed_run(spark, fns[name], sf_dir) for _ in range(3)]
+        idle_remeasure[name] = round(min(runs), 4)
+        why = []
+        if name in contended and name in prev_contended:
+            why.append("repeat-contended")
+        if same_sf and name in prev_q and timings[name] > 1.25 * prev_q[name]:
+            why.append(f"+{(timings[name] / prev_q[name] - 1) * 100:.0f}% vs prev")
+        print(
+            f"# idle_remeasure {name} [{', '.join(why)}]: {min(runs):.3f}s "
+            f"(runs: {[round(r, 3) for r in runs]})",
+            file=sys.stderr,
+        )
     # Bulky detail to stderr: per-query run arrays (min vs spread separates
     # real plan regressions from host contention) and the parity block.
     print(json.dumps({"runs": all_runs, "parity": parity}), file=sys.stderr)
@@ -164,9 +193,11 @@ def _timed_run(spark, fn, sf_dir: str) -> float:
     return time.perf_counter() - t0
 
 
-def _previous_round_contended() -> set[str]:
-    """Names flagged "contended" in the most recent recorded BENCH_r*.json
-    (the driver writes one per round next to this script)."""
+def _previous_round_bench() -> dict:
+    """The compact summary recorded in the most recent BENCH_r*.json (the
+    driver writes one per round next to this script): a dict with at least
+    whichever of "queries" / "contended" / "sf" survived recording; {} if
+    no record exists or nothing is recoverable."""
     import glob
     import re
 
@@ -176,23 +207,33 @@ def _previous_round_contended() -> set[str]:
         if m and (best is None or int(m.group(1)) > best[0]):
             best = (int(m.group(1)), path)
     if best is None:
-        return set()
+        return {}
     try:
         rec = json.loads(Path(best[1]).read_text())
         # driver shape: {"parsed": {...}, "tail": "..."} wrapping bench
         # stdout, or the raw bench line itself
         parsed = rec.get("parsed") if isinstance(rec, dict) else None
         src = parsed if isinstance(parsed, dict) else rec
-        got = src.get("contended")
-        if got is not None:
-            return set(got)
+        if isinstance(src, dict) and (
+            "queries" in src or "contended" in src
+        ):
+            return src
         # round-6 shape: parsed is null (tail decapitated the JSON line);
-        # the contended array may still be intact inside the tail text
+        # per-field arrays may still be intact inside the tail text
         tail = rec.get("tail", "") if isinstance(rec, dict) else ""
+        out: dict = {}
         m = re.search(r'"contended"\s*:\s*(\[[^\]]*\])', tail)
-        return set(json.loads(m.group(1))) if m else set()
+        if m:
+            out["contended"] = json.loads(m.group(1))
+        m = re.search(r'"queries"\s*:\s*(\{[^{}]*\})', tail)
+        if m:
+            out["queries"] = json.loads(m.group(1))
+        m = re.search(r'"sf"\s*:\s*([0-9.]+)', tail)
+        if m:
+            out["sf"] = float(m.group(1))
+        return out
     except Exception:
-        return set()
+        return {}
 
 
 def _parity_metrics(spark, sf_dir: str, budget_s: float = 150.0) -> dict:
