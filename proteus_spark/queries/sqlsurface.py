@@ -768,30 +768,109 @@ register_sql(
 )
 
 
+# -- Deterministic HLL: md5-register sketch, identical in both engines ----
+#
+# Spark's approx_count_distinct / hll_sketch_agg are engine-specific
+# (HyperLogLog++ implementation details + Datasketches binary registers),
+# so for 7 rounds these two queries were the registry's only rows-only
+# checks. VERDICT r7 #4: replace the opaque sketch with a PURE DATA
+# FUNCTION — classic HyperLogLog over the portable md5 hash family
+# (functions/texthash.py), every step expressible identically in Spark SQL
+# and DuckDB:
+#   register  = first 3 hex chars of md5('hll|' || value)  mod m
+#   rho       = leading-zero bits of the next 12 hex chars (48 bits) + 1,
+#               computed by STRING ops (strip leading '0' chars, CASE on
+#               the first surviving nibble) — no float log2 at the bit
+#               boundary, so both engines agree exactly
+#   estimate  = alpha_m * m^2 / sum(2^-M_j)  with linear-counting
+#               correction below 2.5m (Flajolet et al.), where the
+#               harmonic sum is computed EXACTLY as a BIGINT in units of
+#               2^-49 (every term 2^(49-rho) is an integer; empty
+#               registers contribute 2^49) — summation order cannot
+#               perturb it, unlike a double sum under shuffle.
+# The estimate is a deterministic function of the value SET, so the DuckDB
+# oracle hash-checks it; the error bound vs the exact count stays asserted
+# in-query as the semantic floor (a broken sketch that both engines agree
+# on must still fail loudly).
+
+_HLL_M = 1024  # 2^10 registers: rsd = 1.04/sqrt(m) ~ 3.25%
+
+
+def _hll_sketch_ctes(m: int, grp_expr: str, val_expr: str, rel: str) -> str:
+    """CTE chain ``hx, rr, regs`` computing per-(grp, reg) max rho — the
+    sketch's register table (at scale: one codegen hash pass, then a
+    (grp, reg)-keyed partial max whose exchange carries <= m rows per
+    group, never the distinct values themselves)."""
+    from proteus_spark.functions.texthash import hex_slice_to_long_sql
+
+    rho = (
+        "CASE WHEN rest = '' THEN 49 "
+        "ELSE (12 - length(rest)) * 4 "
+        "+ (CASE WHEN substr(rest, 1, 1) IN "
+        "('8','9','a','b','c','d','e','f') THEN 0 "
+        "WHEN substr(rest, 1, 1) IN ('4','5','6','7') THEN 1 "
+        "WHEN substr(rest, 1, 1) IN ('2','3') THEN 2 ELSE 3 END) + 1 END"
+    )
+    return f"""
+    hx AS (SELECT {grp_expr} AS grp,
+                  md5('hll|' || CAST({val_expr} AS STRING)) AS h
+           FROM {rel}),
+    rr AS (SELECT grp, ({hex_slice_to_long_sql('h', 1, 3)}) % {m} AS reg,
+                  regexp_replace(substr(h, 4, 12), '^0*', '') AS rest
+           FROM hx),
+    regs AS (SELECT grp, reg, max({rho}) AS mx
+             FROM rr GROUP BY grp, reg)"""
+
+
+def _hll_estimate_sql(m: int, regs_rel: str) -> str:
+    """SELECT grp, est FROM the register table: exact BIGINT harmonic sum
+    (units of 2^-49), then ONE double division + the linear-counting
+    branch, rounded to 4 decimals on both engines."""
+    alpha = 0.7213 / (1 + 1.079 / m)
+    num = alpha * m * m * float(2**49)  # one Python double, same literal
+    return f"""
+    SELECT grp,
+           round(CASE WHEN ({m} - cnt) > 0
+                       AND {num!r} / CAST(ssc AS DOUBLE) <= {2.5 * m!r}
+                      THEN CAST({m} AS DOUBLE)
+                           * ln(CAST({m} AS DOUBLE) / ({m} - cnt))
+                      ELSE {num!r} / CAST(ssc AS DOUBLE) END, 4) AS est
+    FROM (SELECT grp, count(*) AS cnt,
+                 CAST(sum(CAST(pow(2.0, 49 - mx) AS BIGINT))
+                      + ({m} - count(*)) * {2**49} AS BIGINT) AS ssc
+          FROM {regs_rel} GROUP BY grp)"""
+
+
+_APPROX_DISTINCT_SQL = f"""
+    WITH {_hll_sketch_ctes(_HLL_M, "l_returnflag", "l_orderkey", "lineitem")},
+    est AS ({_hll_estimate_sql(_HLL_M, "regs")}),
+    ex AS (SELECT l_returnflag AS grp,
+                  CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_orders
+           FROM lineitem GROUP BY l_returnflag)
+    SELECT ex.grp AS l_returnflag, est.est AS approx_orders, ex.exact_orders
+    FROM est JOIN ex ON ex.grp = est.grp
+"""
+
+
 @register(
     "agg_approx_distinct",
-    oracle=None,  # HLL implementations differ across engines -> rows-only
+    oracle=_APPROX_DISTINCT_SQL,
     tags=("aggregate", "approx"),
 )
 def agg_approx_distinct(spark, sf_dir):
-    """Sketch aggregates: approx_count_distinct (HyperLogLog++). At 100 TB
-    the exact COUNT DISTINCT shuffles every distinct value; the sketch
-    shuffles a fixed ~KB register set per group. No value oracle is
-    possible (DuckDB's HLL differs), so the driver records a rows-only
-    check; the companion sanity bound against the exact count is asserted
-    here instead."""
-    li = load(spark, sf_dir, "lineitem")
-    out = li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
-        F.count_distinct("l_orderkey").alias("exact_orders"),
-    )
-    # sketch must land within 3*rsd of exact for every group
-    bad = out.filter(
-        (F.abs(F.col("approx_orders") - F.col("exact_orders"))
-         / F.col("exact_orders")) > 0.06
-    ).count()
-    assert bad == 0, "approx_count_distinct outside error bound"
-    return out.select("l_returnflag", "approx_orders", "exact_orders")
+    """Sketch aggregates, HASH-ORACLED (r8 promotion — VERDICT r7 #4):
+    approximate distinct orders per return flag via the deterministic
+    md5-register HLL above (m=1024, rsd ~3.25%). At 100 TB the exact
+    COUNT DISTINCT shuffles every distinct value; the sketch's exchange
+    carries at most m register rows per group. The same SQL text runs on
+    both engines; the 3-sigma bound vs the exact count is asserted
+    in-query as the semantic floor."""
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    out = spark.sql(_APPROX_DISTINCT_SQL)
+    for r in out.collect():  # 3 groups — the bound check, not the result
+        err = abs(r["approx_orders"] - r["exact_orders"]) / r["exact_orders"]
+        assert err <= 0.10, f"sketch {r['l_returnflag']}: {err:.3f} > 3*rsd"
+    return out
 
 
 @register(
@@ -826,44 +905,48 @@ def events_sliding_2h(spark, sf_dir):
     )
 
 
+_HLL_ROLLUP_SQL = f"""
+    WITH {_hll_sketch_ctes(_HLL_M,
+                           "substr(CAST(l_shipdate AS STRING), 1, 7)",
+                           "l_orderkey", "lineitem")},
+    mest AS ({_hll_estimate_sql(_HLL_M, "regs")}),
+    uregs AS (SELECT 'ALL' AS grp, reg, max(mx) AS mx
+              FROM regs GROUP BY reg),
+    uest AS ({_hll_estimate_sql(_HLL_M, "uregs")}),
+    ex AS (SELECT substr(CAST(l_shipdate AS STRING), 1, 7) AS grp,
+                  CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_month
+           FROM lineitem GROUP BY 1),
+    ext AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_total
+            FROM lineitem)
+    SELECT ex.grp AS month, mest.est AS month_estimate, ex.exact_month,
+           uest.est AS merged_estimate, ext.exact_total
+    FROM mest JOIN ex ON ex.grp = mest.grp
+    CROSS JOIN uest CROSS JOIN ext
+"""
+
+
 @register(
     "agg_hll_rollup",
-    oracle=None,  # Datasketches HLL binary registers are Spark-specific ->
-    # rows-only; the merged-vs-exact bound is asserted in-query
+    oracle=_HLL_ROLLUP_SQL,
     tags=("aggregate", "approx", "sketch"),
 )
 def agg_hll_rollup(spark, sf_dir):
-    """MERGEABLE sketch rollup — the pre-aggregation story approx_count_
-    distinct can't tell: per-month HLL sketches (hll_sketch_agg) union
-    into a total-period distinct estimate (hll_union_agg) WITHOUT
-    re-touching the raw data. At 100 TB this is the difference between a
-    daily-materialized KB-sized sketch table answering any date-range
-    distinct query, and a full-corpus re-scan per query. Union is
-    commutative/idempotent, so the rollup is partitioning-independent;
-    the merged estimate must land within 5% of the exact distinct
-    (asserted in-query; no SQL oracle — DuckDB's HLL registers differ)."""
-    li = load(spark, sf_dir, "lineitem")
-    monthly = li.groupBy(
-        F.date_format("l_shipdate", "yyyy-MM").alias("month")
-    ).agg(
-        F.hll_sketch_agg("l_orderkey").alias("sketch"),
-        F.count_distinct("l_orderkey").alias("exact_month"),
-    )
-    merged = monthly.agg(
-        F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("merged_estimate")
-    )
-    exact_total = li.select(
-        F.count_distinct("l_orderkey").alias("exact_total")
-    )
-    out = monthly.select(
-        "month",
-        F.hll_sketch_estimate("sketch").alias("month_estimate"),
-        "exact_month",
-    )
-    m = merged.collect()[0][0]
-    e = exact_total.collect()[0][0]
-    if e:  # empty input has nothing to bound (and no rows to return)
-        assert abs(m - e) / e <= 0.05, f"merged HLL {m} vs exact {e}"
+    """MERGEABLE sketch rollup, HASH-ORACLED (r8 promotion — VERDICT r7
+    #4): per-month md5-register sketches union into a total-period
+    distinct estimate WITHOUT re-touching the raw data — union is the
+    register-wise max, commutative and idempotent, so the rollup is
+    partitioning-independent; the oracle hash-checks the union algebra
+    itself (merged_estimate rides every row next to each month's). At
+    100 TB this is the difference between a daily-materialized KB-sized
+    register table answering any date-range distinct query, and a
+    full-corpus re-scan per query. The merged-vs-exact 3-sigma bound is
+    asserted in-query as the semantic floor."""
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    out = spark.sql(_HLL_ROLLUP_SQL)
+    row = out.limit(1).collect()
+    if row:  # empty input has nothing to bound (and no rows to return)
+        m, e = row[0]["merged_estimate"], row[0]["exact_total"]
+        assert abs(m - e) / e <= 0.10, f"merged sketch {m} vs exact {e}"
     return out
 
 

@@ -417,7 +417,13 @@ PRIORITY: tuple[str, ...] = (
     "stream_windowed_watermark", "stream_ann_ingest",
     "stream_cdf_export_roundtrip",
     "tpch_q1", "llm_dedup_minhash_lsh", "tpch_q10",
-    "tpch_q18", "tpch_q19",
+    # -- round-8 promotions (rows-only -> ORACLED with CHANGED
+    # implementations — the deterministic md5-register HLL replacing the
+    # engine-opaque approx_count_distinct / Datasketches HLL — so their
+    # slots double as changed-impl re-verification; each pre-verified at
+    # sf0.001 + sf0.01. Displaced r5-only tail -> round-9 front:
+    # tpch_q18, tpch_q19) ------------------------------------------------
+    "agg_approx_distinct", "agg_hll_rollup",
 )
 
 

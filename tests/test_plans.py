@@ -515,6 +515,8 @@ _BNLJ_OK = {
     "llm_cluster_audit",       # broadcast learned-centroid set (same model)
     "llm_corpus_mixture",      # broadcast corpus totals (1 row)
     "llm_perplexity_score",    # broadcast vocab-size scalar (1 row)
+    "agg_hll_rollup",          # broadcast merged-sketch estimate + exact
+    #                            total (two 1-row frames ride every row)
 }
 
 
