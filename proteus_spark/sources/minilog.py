@@ -305,26 +305,65 @@ class Broker:
     def __init__(self, topic: str, host: str = "127.0.0.1", port: int = 0):
         import json as _json
         import socketserver
+        import threading
 
         self.topic = topic
         self._count_cache: dict = _IndexCache()
+        # accepted-connection counter: with pooled consumers (see
+        # _broker_exchange in the stream reader) this stays at one per
+        # consumer process instead of one per planned fetch range
+        self.connections = 0
+        self._conn_lock = threading.Lock()
+        # established connections, so stop() can CLOSE them: socketserver's
+        # shutdown() only closes the LISTENING socket — persistent (pooled)
+        # consumer connections would otherwise keep being served by zombie
+        # handler threads of a "stopped" broker, hiding a restart from
+        # every already-connected consumer
+        self._active: set = set()
         broker = self
 
         class Handler(socketserver.StreamRequestHandler):
             def handle(self):
+                with broker._conn_lock:
+                    broker.connections += 1
+                    broker._active.add(self.connection)
+                try:
+                    self._serve_loop()
+                finally:
+                    with broker._conn_lock:
+                        broker._active.discard(self.connection)
+
+            def _serve_loop(self):
                 for line in self.rfile:
                     if not line.strip():
                         continue
                     try:
                         req = _json.loads(line)
                         if req.get("op") == "fetch":
+                            s, e = int(req["start"]), int(req["end"])
                             blob, n = _read_range_raw(
                                 broker.topic,
                                 int(req["partition"]),
-                                int(req["start"]),
-                                int(req["end"]),
+                                s,
+                                e,
                                 broker._count_cache,
                             )
+                            if n < e - s:
+                                # truncation / unclean-restart detection
+                                # (Kafka's OFFSET_OUT_OF_RANGE analogue):
+                                # a consumer plans ranges from previously
+                                # discovered ends — a broker that lost the
+                                # tail (restart wiped uncommitted
+                                # segments, store truncated underneath)
+                                # must FAIL the fetch loudly, never hand
+                                # back a silently short range
+                                raise RuntimeError(
+                                    "offset out of range: partition "
+                                    f"{int(req['partition'])} planned "
+                                    f"[{s},{e}) but only {n} records are "
+                                    "in the log — tail truncated (broker "
+                                    "restart lost uncommitted segments?)"
+                                )
                             self.wfile.write(
                                 (_json.dumps({"n": n, "bytes": len(blob)})
                                  + "\n").encode()
@@ -374,8 +413,26 @@ class Broker:
         return self
 
     def stop(self) -> None:
+        import socket as _socket
+
         self._srv.shutdown()
         self._srv.server_close()
+        # close established consumer connections too — a consumer's next
+        # exchange on a pooled connection then sees EOF and re-dials (or
+        # fails loudly), instead of being silently served by a zombie
+        # handler thread of a dead broker
+        with self._conn_lock:
+            active = list(self._active)
+            self._active.clear()
+        for sk in active:
+            try:
+                sk.shutdown(_socket.SHUT_RDWR)
+            except OSError:
+                pass
+            try:
+                sk.close()
+            except OSError:
+                pass
         if self._thread is not None:
             self._thread.join(timeout=2)
 
@@ -386,23 +443,77 @@ class Broker:
         self.stop()
 
 
+def _pooled_exchange(addr: tuple, req: dict) -> tuple[dict, bytes]:
+    """One request/response against a ``Broker`` over a POOLED persistent
+    connection (header dict, raw blob): one connection per (process,
+    broker) instead of one per call (VERDICT r7 #5). The pool anchors in
+    a synthetic ``sys.modules`` entry shared with the stream reader's
+    executor-side twin ``_broker_exchange`` (that one is a CLOSURE inside
+    register_log_datasource because pickled executor code cannot import
+    this module from a foreign cwd — keep the two in sync). A reused
+    connection may be stale (broker restarted): exactly one retry on a
+    fresh dial; a fresh connection's failure propagates."""
+    import json as _json
+    import socket
+    import sys as _sys
+    import threading
+    import types
+
+    reg = _sys.modules.get("_proteus_broker_pool")
+    if reg is None:
+        reg = types.ModuleType("_proteus_broker_pool")
+        reg.lock = threading.Lock()
+        reg.conns = {}
+        _sys.modules["_proteus_broker_pool"] = reg
+    addr = (addr[0], int(addr[1]))
+    with reg.lock:
+        stack = reg.conns.setdefault(addr, [])
+        entry = stack.pop() if stack else None
+    reused = entry is not None
+    last_exc = None
+    for _attempt in (0, 1):
+        if entry is None:
+            sk = socket.create_connection(addr, timeout=30)
+            entry, reused = (sk, sk.makefile("rb")), False
+        sk, rf = entry
+        try:
+            sk.sendall((_json.dumps(req) + "\n").encode())
+            line = rf.readline()
+            if not line:
+                raise OSError("connection closed by broker")
+            header = _json.loads(line)
+            blob = rf.read(header["bytes"]) if header.get("bytes") else b""
+            if header.get("bytes") and len(blob) < header["bytes"]:
+                raise OSError("short read from broker")
+        except OSError as exc:
+            try:
+                sk.close()
+            except OSError:
+                pass
+            entry, last_exc = None, exc
+            if not reused:
+                raise
+            reused = False
+            continue
+        with reg.lock:
+            stack = reg.conns.setdefault(addr, [])
+            if len(stack) < 8:  # idle cap per (process, broker)
+                stack.append(entry)
+            else:
+                try:
+                    sk.close()
+                except OSError:
+                    pass
+        return header, blob
+    raise last_exc  # pragma: no cover — loop always returns or raises
+
+
 def broker_request(host: str, port: int, req: dict) -> dict:
     """One single-line request/response round-trip against a ``Broker``
     (``ends`` and error paths; ``fetch`` responses are FRAMED — use
-    ``broker_fetch``). Self-contained so client code can inline the same
-    shape without importing this module."""
-    import json as _json
-    import socket
-
-    with socket.create_connection((host, port), timeout=30) as s:
-        s.sendall((_json.dumps(req) + "\n").encode())
-        buf = b""
-        while not buf.endswith(b"\n"):
-            chunk = s.recv(65536)
-            if not chunk:
-                break
-            buf += chunk
-    return _json.loads(buf)
+    ``broker_fetch``). Pooled: repeated calls reuse one connection."""
+    header, _blob = _pooled_exchange((host, port), req)
+    return header
 
 
 def broker_fetch(
@@ -410,18 +521,14 @@ def broker_fetch(
 ) -> list[tuple[str, str, int]]:
     """Client side of the framed Fetch: decoded [(key, value, offset)]
     for one bounded range — the same wire exchange the Spark executors
-    run inside the stream reader."""
+    run inside the stream reader (pooled connection, loud
+    offset-out-of-range on a truncated log)."""
     import json as _json
-    import socket
 
     req = {"op": "fetch", "partition": p, "start": start, "end": end}
-    with socket.create_connection((host, port), timeout=30) as s:
-        s.sendall((_json.dumps(req) + "\n").encode())
-        rf = s.makefile("rb")
-        header = _json.loads(rf.readline())
-        if "error" in header:
-            raise RuntimeError(f"broker fetch failed: {header['error']}")
-        blob = rf.read(header["bytes"])
+    header, blob = _pooled_exchange((host, port), req)
+    if "error" in header:
+        raise RuntimeError(f"broker fetch failed: {header['error']}")
     out = []
     off = start
     for line in blob.splitlines():
@@ -461,6 +568,78 @@ def register_log_datasource(spark: SparkSession) -> str:
         except OSError:
             return 0
         return (max(ps) + 1) if ps else 0
+
+    def _broker_exchange(addr, req):
+        """One request/response against a Broker over a POOLED persistent
+        connection: (header dict, raw blob bytes).
+
+        One connection per (consumer process, broker) instead of one per
+        planned fetch range (VERDICT r7 #5): the pool lives in a synthetic
+        ``sys.modules`` entry, so it survives cloudpickle round-trips and
+        Spark's worker-process reuse — class attributes would reset on
+        every task deserialization, and a module-level pool in this module
+        is unreachable from executors when the driver runs from a foreign
+        cwd (the closure-pickling rule). A connection checked out of the
+        pool may be STALE (broker restarted): exactly one retry on a
+        fresh dial; a fresh connection's failure propagates. Responses
+        are strictly request/response framed (header line + exactly
+        header['bytes'] raw bytes), so a fully-consumed connection is
+        clean for reuse by construction."""
+        import json as _json
+        import socket
+        import sys as _sys
+        import threading
+        import types
+
+        reg = _sys.modules.get("_proteus_broker_pool")
+        if reg is None:
+            reg = types.ModuleType("_proteus_broker_pool")
+            reg.lock = threading.Lock()
+            reg.conns = {}
+            _sys.modules["_proteus_broker_pool"] = reg
+        addr = (addr[0], int(addr[1]))
+        with reg.lock:
+            stack = reg.conns.setdefault(addr, [])
+            entry = stack.pop() if stack else None
+        reused = entry is not None
+        last_exc = None
+        for _attempt in (0, 1):
+            if entry is None:
+                sk = socket.create_connection(addr, timeout=30)
+                entry, reused = (sk, sk.makefile("rb")), False
+            sk, rf = entry
+            try:
+                sk.sendall((_json.dumps(req) + "\n").encode())
+                line = rf.readline()
+                if not line:
+                    raise OSError("connection closed by broker")
+                header = _json.loads(line)
+                blob = (
+                    rf.read(header["bytes"]) if header.get("bytes") else b""
+                )
+                if header.get("bytes") and len(blob) < header["bytes"]:
+                    raise OSError("short read from broker")
+            except OSError as exc:
+                try:
+                    sk.close()
+                except OSError:
+                    pass
+                entry, last_exc = None, exc
+                if not reused:
+                    raise
+                reused = False
+                continue
+            with reg.lock:
+                stack = reg.conns.setdefault(addr, [])
+                if len(stack) < 8:  # idle cap per (process, broker)
+                    stack.append(entry)
+                else:
+                    try:
+                        sk.close()
+                    except OSError:
+                        pass
+            return header, blob
+        raise last_exc  # pragma: no cover — loop always returns or raises
 
     class _LogRange(InputPartition):
         def __init__(self, path, p, start, end, file_counts, broker=None):
@@ -521,19 +700,8 @@ def register_log_datasource(spark: SparkSession) -> str:
         # -- driver-side offset planning --------------------------------
         def _ends(self) -> dict[int, int]:
             if self.broker is not None:
-                import json as _json
-                import socket
-
                 req = {"op": "ends", "partitions": self.partitions_n}
-                with socket.create_connection(self.broker, timeout=30) as sk:
-                    sk.sendall((_json.dumps(req) + "\n").encode())
-                    buf = b""
-                    while not buf.endswith(b"\n"):
-                        chunk = sk.recv(65536)
-                        if not chunk:
-                            break
-                        buf += chunk
-                resp = _json.loads(buf)
+                resp, _blob = _broker_exchange(self.broker, req)
                 if "ends" not in resp:
                     raise RuntimeError(
                         f"broker ends request failed: {resp.get('error', resp)}"
@@ -649,26 +817,22 @@ def register_log_datasource(spark: SparkSession) -> str:
                 # range (ranges are rate-limited per trigger upstream) —
                 # a JSON header line, then the raw record lines verbatim;
                 # the DECODE happens here, in the executor, in parallel
-                # across workers (never on the broker)
-                import socket
-
+                # across workers (never on the broker). The connection is
+                # POOLED per (worker process, broker) — see
+                # _broker_exchange — and the broker rejects a range the
+                # log can no longer serve (truncation detection), which
+                # surfaces here as the RuntimeError below.
                 req = {
                     "op": "fetch",
                     "partition": partition.p,
                     "start": partition.start,
                     "end": partition.end,
                 }
-                with socket.create_connection(
-                    partition.broker, timeout=30
-                ) as sk:
-                    sk.sendall((_json.dumps(req) + "\n").encode())
-                    rf = sk.makefile("rb")
-                    header = _json.loads(rf.readline())
-                    if "error" in header:
-                        raise RuntimeError(
-                            f"broker fetch failed: {header['error']}"
-                        )
-                    blob = rf.read(header["bytes"])
+                header, blob = _broker_exchange(partition.broker, req)
+                if "error" in header:
+                    raise RuntimeError(
+                        f"broker fetch failed: {header['error']}"
+                    )
                 off = partition.start
                 for line in blob.splitlines():
                     rec = _json.loads(line)
@@ -677,13 +841,22 @@ def register_log_datasource(spark: SparkSession) -> str:
                 return
 
             off = 0
+            served = 0
             for fpath, count in partition.file_counts:
                 if off + count <= partition.start:
                     off += count  # whole segment below the range: skip
                     continue
                 if off >= partition.end:
                     return
-                with open(fpath, "r") as fh:
+                try:
+                    fh = open(fpath, "r")
+                except OSError:
+                    # planned segment vanished: offsets past this point
+                    # cannot be trusted — stop and fail via the shortfall
+                    # contract below (never skip to a later segment, its
+                    # lines would silently take the missing ones' offsets)
+                    break
+                with fh:
                     for line in fh:
                         if off >= partition.end:
                             return
@@ -695,7 +868,20 @@ def register_log_datasource(spark: SparkSession) -> str:
                                 partition.p,
                                 off,
                             )
+                            served += 1
                         off += 1
+            if served < partition.end - partition.start:
+                # same OFFSET_OUT_OF_RANGE contract as the broker path: the
+                # planned range came from the driver's ends discovery — a
+                # segment store truncated underneath (unclean restart,
+                # manual deletion) must fail the task loudly, never emit a
+                # silently short batch
+                raise RuntimeError(
+                    f"offset out of range: partition {partition.p} planned "
+                    f"[{partition.start},{partition.end}) but only "
+                    f"{served} records are in the log — segment store "
+                    "truncated underneath the consumer"
+                )
 
         def commit(self, end: dict) -> None:
             pass  # the log is immutable; nothing to acknowledge
@@ -712,6 +898,14 @@ def register_log_datasource(spark: SparkSession) -> str:
             return LogStreamReader(self.options)
 
     spark.dataSource.register(LogDataSource)
+    # test seam: the classes are factory-local by design (closure pickling)
+    # — expose them so unit tests can drive the reader's planning/read
+    # contract (truncation detection, pooling) without a live stream
+    register_log_datasource.classes = {
+        "reader": LogStreamReader,
+        "range": _LogRange,
+        "exchange": _broker_exchange,
+    }
     return FORMAT_NAME
 
 

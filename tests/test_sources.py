@@ -1400,3 +1400,112 @@ def test_broker_index_cache_locked_bounded_and_evicts_stale_keys(tmp_path):
         _segment_stats(str(other), cache)
     total = sum(len(v[1]) * 8 for v in cache.values())
     assert total <= 64 or len(cache) == 1
+
+
+def test_broker_fetch_pools_connections_and_survives_restart(spark, tmp_path):
+    """VERDICT r7 #5a: consumers hold ONE pooled connection per (process,
+    broker) instead of dialing per fetch — repeated fetch/ends exchanges
+    accept exactly one TCP connection broker-side. A broker restart makes
+    the pooled connection stale: the next exchange retries once on a
+    fresh dial and succeeds (no manual pool reset required)."""
+    from pyspark.sql import functions as F
+
+    from proteus_spark.sources import minilog
+
+    df = spark.range(30).select(
+        F.col("id").cast("string").alias("key"),
+        F.col("id").cast("string").alias("value"),
+    )
+    topic = str(tmp_path / "topic")
+    minilog.stage_topic(df, topic, partitions=2)
+
+    b = minilog.Broker(topic).start()
+    try:
+        for i in range(5):
+            assert minilog.broker_fetch(b.host, b.port, 0, i, i + 2)
+        minilog.broker_request(b.host, b.port, {"op": "ends", "partitions": 2})
+        assert b.connections == 1, f"expected 1 pooled conn, {b.connections}"
+        port = b.port
+    finally:
+        b.stop()
+
+    # restart on the SAME port: the pooled connection is now stale
+    b2 = minilog.Broker(topic, port=port).start()
+    try:
+        r = minilog.broker_fetch(b2.host, b2.port, 0, 0, 3)
+        assert [off for _, _, off in r] == [0, 1, 2]
+        assert b2.connections == 1
+    finally:
+        b2.stop()
+
+
+def test_broker_truncated_log_fails_fetch_loudly(spark, tmp_path):
+    """VERDICT r7 #5b — the embedded-log analogue of Kafka's
+    OFFSET_OUT_OF_RANGE: a consumer's planned range comes from previously
+    discovered ends; if the segment store lost its tail underneath (broker
+    restart wiped segments, manual truncation), the fetch must FAIL with a
+    clear error, not silently return a short range."""
+    import os
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from proteus_spark.sources import minilog
+
+    df = spark.range(40).select(
+        F.col("id").cast("string").alias("key"),
+        F.col("id").cast("string").alias("value"),
+    )
+    topic = str(tmp_path / "topic")
+    ends = minilog.stage_topic(df, topic, partitions=2)
+    with minilog.Broker(topic) as b:
+        n0 = ends[0]
+        assert len(minilog.broker_fetch(b.host, b.port, 0, 0, n0)) == n0
+
+        # truncate partition 0's tail: drop its last segment file
+        d = os.path.join(topic, "p=0")
+        segs = sorted(f for f in os.listdir(d) if f.startswith("part-"))
+        os.remove(os.path.join(d, segs[-1]))
+
+        with _pytest.raises(RuntimeError, match="offset out of range"):
+            minilog.broker_fetch(b.host, b.port, 0, 0, n0)
+
+
+def test_filesystem_reader_truncated_store_fails_loudly(spark, tmp_path):
+    """The filesystem transport honors the same OFFSET_OUT_OF_RANGE
+    contract as the broker: an executor whose planned range the segment
+    store can no longer serve raises instead of emitting a silently short
+    batch."""
+    import os
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from proteus_spark.sources import minilog
+
+    df = spark.range(24).select(
+        F.col("id").cast("string").alias("key"),
+        F.col("id").cast("string").alias("value"),
+    )
+    topic = str(tmp_path / "topic")
+    minilog.stage_topic(df, topic, partitions=2)
+    minilog.register_log_datasource(spark)
+    Reader = minilog.register_log_datasource.classes["reader"]
+
+    reader = Reader({"path": topic, "partitions": "2"})
+    ends = reader._ends()
+    parts = reader.partitions(
+        {str(p): 0 for p in range(2)}, {str(p): e for p, e in ends.items()}
+    )
+    # full read against the intact store succeeds
+    assert sum(1 for part in parts for _ in reader.read(part)) == 24
+
+    # truncate p=0's tail, then drain the SAME planned ranges
+    d = os.path.join(topic, "p=0")
+    segs = sorted(f for f in os.listdir(d) if f.startswith("part-"))
+    os.remove(os.path.join(d, segs[-1]))
+    bad = [part for part in parts if part.p == 0]
+    with _pytest.raises(RuntimeError, match="offset out of range"):
+        for part in bad:
+            for _ in reader.read(part):
+                pass
