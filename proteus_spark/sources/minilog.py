@@ -810,7 +810,51 @@ def register_log_datasource(spark: SparkSession) -> str:
 
         # -- executor-side fetch ----------------------------------------
         def read(self, partition):
+            """Yields pyarrow RecordBatches (columnar Arrow transfer —
+            per-row tuple yields cross the Python/JVM boundary one pickled
+            row at a time, which DOMINATED the DAG pipeline's downstream
+            cost at 30x/100x replica scale: feed parallelism is capped by
+            topic partitions, so millions of rows per task paid ~µs each;
+            batching them into Arrow columns removes that tax while the
+            per-line json decode stays C-speed). Falls back to tuple
+            yields if pyarrow is unavailable."""
             import json as _json
+
+            try:
+                import pyarrow as _pa
+            except ImportError:  # pragma: no cover — pyarrow ships here
+                _pa = None
+            CHUNK = 131_072
+
+            def _emit(rows):
+                # rows: iterator of (key, value, offset) for partition.p
+                if _pa is None:
+                    for k, v, off in rows:
+                        yield (k, v, partition.p, off)
+                    return
+                ks, vs, offs = [], [], []
+
+                def flush():
+                    n = len(ks)
+                    return _pa.RecordBatch.from_arrays(
+                        [
+                            _pa.array(ks, _pa.string()),
+                            _pa.array(vs, _pa.string()),
+                            _pa.array([partition.p] * n, _pa.int32()),
+                            _pa.array(offs, _pa.int64()),
+                        ],
+                        names=["key", "value", "partition", "offset"],
+                    )
+
+                for k, v, off in rows:
+                    ks.append(k)
+                    vs.append(v)
+                    offs.append(off)
+                    if len(ks) >= CHUNK:
+                        yield flush()
+                        ks, vs, offs = [], [], []
+                if ks:
+                    yield flush()
 
             if partition.broker is not None:
                 # network fetch: one bounded framed Fetch per planned
@@ -833,55 +877,59 @@ def register_log_datasource(spark: SparkSession) -> str:
                     raise RuntimeError(
                         f"broker fetch failed: {header['error']}"
                     )
-                off = partition.start
-                for line in blob.splitlines():
-                    rec = _json.loads(line)
-                    yield (rec.get("key"), rec.get("value"), partition.p, off)
-                    off += 1
+
+                def _broker_rows():
+                    off = partition.start
+                    for line in blob.splitlines():
+                        rec = _json.loads(line)
+                        yield rec.get("key"), rec.get("value"), off
+                        off += 1
+
+                yield from _emit(_broker_rows())
                 return
 
-            off = 0
-            served = 0
-            for fpath, count in partition.file_counts:
-                if off + count <= partition.start:
-                    off += count  # whole segment below the range: skip
-                    continue
-                if off >= partition.end:
-                    return
-                try:
-                    fh = open(fpath, "r")
-                except OSError:
-                    # planned segment vanished: offsets past this point
-                    # cannot be trusted — stop and fail via the shortfall
-                    # contract below (never skip to a later segment, its
-                    # lines would silently take the missing ones' offsets)
-                    break
-                with fh:
-                    for line in fh:
-                        if off >= partition.end:
-                            return
-                        if off >= partition.start:
-                            rec = _json.loads(line)
-                            yield (
-                                rec.get("key"),
-                                rec.get("value"),
-                                partition.p,
-                                off,
-                            )
-                            served += 1
-                        off += 1
-            if served < partition.end - partition.start:
-                # same OFFSET_OUT_OF_RANGE contract as the broker path: the
-                # planned range came from the driver's ends discovery — a
-                # segment store truncated underneath (unclean restart,
-                # manual deletion) must fail the task loudly, never emit a
-                # silently short batch
-                raise RuntimeError(
-                    f"offset out of range: partition {partition.p} planned "
-                    f"[{partition.start},{partition.end}) but only "
-                    f"{served} records are in the log — segment store "
-                    "truncated underneath the consumer"
-                )
+            def _fs_rows():
+                off = 0
+                served = 0
+                for fpath, count in partition.file_counts:
+                    if off + count <= partition.start:
+                        off += count  # whole segment below the range: skip
+                        continue
+                    if off >= partition.end:
+                        return
+                    try:
+                        fh = open(fpath, "r")
+                    except OSError:
+                        # planned segment vanished: offsets past this
+                        # point cannot be trusted — stop and fail via the
+                        # shortfall contract below (never skip to a later
+                        # segment, its lines would silently take the
+                        # missing ones' offsets)
+                        break
+                    with fh:
+                        for line in fh:
+                            if off >= partition.end:
+                                return
+                            if off >= partition.start:
+                                rec = _json.loads(line)
+                                yield rec.get("key"), rec.get("value"), off
+                                served += 1
+                            off += 1
+                if served < partition.end - partition.start:
+                    # same OFFSET_OUT_OF_RANGE contract as the broker
+                    # path: the planned range came from the driver's ends
+                    # discovery — a segment store truncated underneath
+                    # (unclean restart, manual deletion) must fail the
+                    # task loudly, never emit a silently short batch
+                    raise RuntimeError(
+                        "offset out of range: partition "
+                        f"{partition.p} planned "
+                        f"[{partition.start},{partition.end}) but only "
+                        f"{served} records are in the log — segment "
+                        "store truncated underneath the consumer"
+                    )
+
+            yield from _emit(_fs_rows())
 
         def commit(self, end: dict) -> None:
             pass  # the log is immutable; nothing to acknowledge

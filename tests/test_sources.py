@@ -1497,8 +1497,13 @@ def test_filesystem_reader_truncated_store_fails_loudly(spark, tmp_path):
     parts = reader.partitions(
         {str(p): 0 for p in range(2)}, {str(p): e for p, e in ends.items()}
     )
+
+    def n_rows(it):
+        # the reader yields Arrow RecordBatches (tuples only as fallback)
+        return sum(getattr(item, "num_rows", 1) for item in it)
+
     # full read against the intact store succeeds
-    assert sum(1 for part in parts for _ in reader.read(part)) == 24
+    assert sum(n_rows(reader.read(part)) for part in parts) == 24
 
     # truncate p=0's tail, then drain the SAME planned ranges
     d = os.path.join(topic, "p=0")
