@@ -941,3 +941,96 @@ def ivf_recluster_epoch(
         reassigned.select("vec_id", "embedding", "bucket")
     )
     return new_index, cents
+
+
+SEMDEDUP_TAU = 0.3
+
+
+def semdedup_prune(
+    emb: DataFrame, centroids: DataFrame, tau: float = SEMDEDUP_TAU
+) -> DataFrame:
+    """SemDeDup semantic pruning (Abbas et al. 2023): within each k-means
+    cluster, drop every vector that is epsilon-similar to a cluster-mate
+    ranked before it, where the keep-order is ASCENDING similarity to the
+    centroid (the paper's low-typicality-first rule — when a near-dup
+    group collapses to one survivor, the survivor is the least-typical
+    member, which preserves more diversity than keeping the medoid).
+
+    Semantics (the paper's triu-matrix rule, made engine-portable): rank
+    cluster members by (rounded-6 centroid cosine ASC, id ASC); a vector
+    is PRUNED iff some EARLIER-ranked member of its cluster has rounded-6
+    pairwise cosine >= tau. The exists-earlier-partner predicate is
+    exactly the paper's `max(triu(sim)) > eps` test — no transitive
+    chaining, no kept-set recursion — so one bucketed self-join computes
+    it.
+
+    Returns one row per PRUNED vector: (vec_id, cid, max_sim, n_earlier).
+
+    Scale: pairs are generated per cluster (equi-join on bucket) — the
+    pair space is sum(|cluster|^2), the quantity SemDeDup's clustering
+    exists to bound; k grows with the corpus so cluster sizes stay
+    bounded (the paper uses k=50k on LAION — |cluster| ~ thousands
+    regardless of corpus size). The rank window shuffles once on the
+    same bucket key the join reuses.
+    """
+    assigned = ivf_assign(
+        emb.select("vec_id", "embedding"),
+        centroids.select(
+            F.col("cid").alias("vec_id"), F.col("cvec").alias("embedding")
+        ),
+    )
+    c = centroids.select(
+        F.col("cid").alias("bucket"),
+        F.col("cvec").alias("cvec"),
+        norm(F.col("cvec")).alias("cnorm"),
+    )
+    wr = W.partitionBy("bucket").orderBy(F.asc("csim"), F.asc("vec_id"))
+    ranked = (
+        assigned.join(F.broadcast(c), "bucket")
+        .withColumn("vnorm", norm(F.col("embedding")))
+        .withColumn(
+            "csim",
+            F.round(
+                dot(F.col("embedding"), F.col("cvec"))
+                / (F.col("vnorm") * F.col("cnorm")),
+                6,
+            ),
+        )
+        .select("bucket", "vec_id", "embedding", "vnorm", "csim")
+        .withColumn("rk", F.row_number().over(wr))
+    )
+    a = ranked.select(
+        F.col("bucket"),
+        F.col("rk").alias("a_rk"),
+        F.col("embedding").alias("avec"),
+        F.col("vnorm").alias("anorm"),
+    )
+    b = ranked.select(
+        F.col("bucket"),
+        F.col("rk").alias("b_rk"),
+        F.col("vec_id").alias("b_id"),
+        F.col("embedding").alias("bvec"),
+        F.col("vnorm").alias("bnorm"),
+    )
+    pairs = (
+        a.join(b, ["bucket"])
+        .filter(F.col("a_rk") < F.col("b_rk"))
+        .withColumn(
+            "sim",
+            F.round(
+                dot(F.col("avec"), F.col("bvec"))
+                / (F.col("anorm") * F.col("bnorm")),
+                6,
+            ),
+        )
+        .filter(F.col("sim") >= tau)
+    )
+    return pairs.groupBy("b_id", "bucket").agg(
+        F.max("sim").alias("max_sim"),
+        F.count("*").cast("long").alias("n_earlier"),
+    ).select(
+        F.col("b_id").alias("vec_id"),
+        F.col("bucket").cast("long").alias("cid"),
+        "max_sim",
+        "n_earlier",
+    )

@@ -1106,6 +1106,70 @@ def _cluster_audit_oracle() -> str:
     """
 
 
+def _semdedup_oracle() -> str:
+    """The kmeans unroll + the SemDeDup exists-earlier-partner test:
+    rank cluster members by (rounded-6 centroid cosine ASC, id), pair
+    every member with its earlier-ranked cluster-mates, prune on
+    rounded-6 pairwise cosine >= tau. Shares the training/assignment
+    CTEs with llm_sim_ivf_kmeans / llm_cluster_audit so quantizer
+    determinism is proven once."""
+    cos_vc = _cos_sql("v.vec", "c.cvec")
+    cos_ab = _cos_sql("a.vec", "b.vec")
+    kc = f"cent_{_KMEANS_ROUNDS}"
+    return f"""
+    WITH dim AS (
+      SELECT CAST(len(embedding) AS INTEGER) AS d FROM embeddings LIMIT 1),
+    {_kmeans_unroll_ctes()},
+    cm AS MATERIALIZED (
+      SELECT vec_id, vec, cid, csim FROM (
+        SELECT v.vec_id, v.vec, c.cid, round({cos_vc}, 6) AS csim,
+               row_number() OVER (PARTITION BY v.vec_id
+                                  ORDER BY round({cos_vc}, 6) DESC, c.cid)
+                 AS rn
+        FROM (SELECT vec_id, embedding AS vec FROM embeddings) v
+        CROSS JOIN {kc} c)
+      WHERE rn = 1),
+    rk AS MATERIALIZED (
+      SELECT vec_id, vec, cid,
+             row_number() OVER (PARTITION BY cid
+                                ORDER BY csim ASC, vec_id) AS rk
+      FROM cm),
+    pr AS (
+      SELECT b.vec_id, b.cid, round({cos_ab}, 6) AS sim
+      FROM rk a JOIN rk b ON a.cid = b.cid AND a.rk < b.rk
+      WHERE round({cos_ab}, 6) >= {S.SEMDEDUP_TAU})
+    SELECT vec_id, CAST(cid AS BIGINT) AS cid, max(sim) AS max_sim,
+           CAST(count(*) AS BIGINT) AS n_earlier
+    FROM pr GROUP BY vec_id, cid
+    """
+
+
+@register(
+    "llm_semdedup_prune",
+    oracle=_semdedup_oracle,
+    tags=("llm", "dedup", "similarity", "iterative"),
+)
+def llm_semdedup_prune(spark, sf_dir):
+    """SemDeDup semantic deduplication (Abbas et al. 2023) over the
+    embedding corpus: deterministic k-means clusters (the SAME
+    ``similarity.kmeans_train`` quantizer the IVF index and the cluster
+    audit use — one model, three consumers), then within each cluster
+    prune every vector epsilon-similar (rounded-6 cosine >= tau) to an
+    earlier-ranked cluster-mate, keep-order = ascending
+    centroid-similarity (the paper's low-typicality-first survivor
+    rule). Returns the pruned set with per-vector evidence (worst
+    offending similarity + how many earlier members matched).
+
+    Scale: the pair space is per-cluster (equi-join on the cluster id) —
+    sum(|cluster|^2), the quantity the clustering step exists to bound;
+    k grows with the corpus so cluster sizes stay bounded. No
+    all-pairs, no cartesian (plan-audited); the rank window and the
+    pair join shuffle on the same cluster key."""
+    emb = load(spark, sf_dir, "embeddings")
+    cents = S.kmeans_train(emb, k=_KMEANS_K, rounds=_KMEANS_ROUNDS)
+    return S.semdedup_prune(emb, cents, tau=S.SEMDEDUP_TAU)
+
+
 @register(
     "llm_cluster_audit",
     oracle=_cluster_audit_oracle,

@@ -470,6 +470,22 @@ def test_token_budget_window_keyed_by_source(q):
     assert "CartesianProduct" not in p
 
 
+def test_semdedup_pairs_are_cluster_keyed(q):
+    """SemDeDup's pair stage must equi-join on the CLUSTER id (the pair
+    space is sum(|cluster|^2) — the quantity the clustering bounds), with
+    the rank inequality + similarity threshold as post-join predicates,
+    and the keep-order window must partition by cluster. An all-pairs
+    shape (cartesian, or a join that lost the bucket key) fails here."""
+    p = q("llm_semdedup_prune")
+    flat = p.replace(" ", "")
+    assert "CartesianProduct" not in p
+    # pair join keyed by bucket alone (formatted-explain key lists; the
+    # rank inequality + sim threshold ride as post-join conditions)
+    assert "Leftkeys[1]:[bucket" in flat and "Rightkeys[1]:[bucket" in flat
+    # keep-order rank window partitioned by the same cluster key
+    assert "windowspecdefinition(bucket" in flat
+
+
 def test_q21_semi_anti_self_joins(q):
     """Q21's canonical shape: the 'another supplier also shipped' /
     'no other supplier was late' conditions are a LeftSemi and a LeftAnti
@@ -513,6 +529,7 @@ _BNLJ_OK = {
     "llm_sim_ivf_nprobe2",     # broadcast probed-centroid set
     "llm_sim_ivf_kmeans",      # broadcast learned-centroid set
     "llm_cluster_audit",       # broadcast learned-centroid set (same model)
+    "llm_semdedup_prune",      # broadcast learned-centroid set (same model)
     "llm_corpus_mixture",      # broadcast corpus totals (1 row)
     "llm_perplexity_score",    # broadcast vocab-size scalar (1 row)
     "agg_hll_rollup",          # broadcast merged-sketch estimate + exact
