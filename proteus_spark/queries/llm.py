@@ -1890,11 +1890,14 @@ def llm_dedup_containment(spark, sf_dir):
     return D.containment_pairs(sh, D.CONTAINMENT_MIN)
 
 
-def _gopher_oracle() -> str:
+def _gopher_metric_ctes() -> str:
+    """Gopher metric + keep-decision CTE chain ending in ``gm`` (the
+    exact output schema of llmops.text.gopher_filter) — shared by
+    llm_gopher_filter and llm_quality_classifier so the label function
+    is proven identical once."""
     all_stop = sorted({w for ws in TXT.STOPWORDS.values() for w in ws})
     stop_list = ", ".join(f"'{w}'" for w in all_stop)
-    return f"""
-    WITH base AS (
+    return f"""base AS (
       SELECT doc_id, text, string_split(text, ' ') AS t FROM documents),
     m AS (
       SELECT doc_id,
@@ -1908,22 +1911,126 @@ def _gopher_oracle() -> str:
              CAST(len(list_filter(t, x -> regexp_matches(x, '[a-zA-Z]')))
                   AS DOUBLE) / greatest(len(t), 1) AS alpha_ratio,
              len(list_intersect(list_distinct(t), [{stop_list}])) AS n_stop
-      FROM base)
-    SELECT doc_id,
-           CAST(n_words AS BIGINT) AS n_words,
-           round(mean_wl, 6) AS mean_word_len,
-           round(symbol_ratio, 6) AS symbol_ratio,
-           round(alpha_ratio, 6) AS alpha_word_ratio,
-           CAST(n_stop AS BIGINT) AS n_stop_distinct,
-           CAST(n_words >= {TXT.GOPHER_MIN_WORDS}
-                AND n_words <= {TXT.GOPHER_MAX_WORDS}
-                AND mean_wl >= {TXT.GOPHER_MIN_MEAN_WORD_LEN}
-                AND mean_wl <= {TXT.GOPHER_MAX_MEAN_WORD_LEN}
-                AND symbol_ratio <= {TXT.GOPHER_MAX_SYMBOL_RATIO}
-                AND alpha_ratio >= {TXT.GOPHER_MIN_ALPHA_RATIO}
-                AND n_stop >= {TXT.GOPHER_MIN_STOP_HITS} AS INT) AS keep
-    FROM m
+      FROM base),
+    gm AS (
+      SELECT doc_id,
+             CAST(n_words AS BIGINT) AS n_words,
+             round(mean_wl, 6) AS mean_word_len,
+             round(symbol_ratio, 6) AS symbol_ratio,
+             round(alpha_ratio, 6) AS alpha_word_ratio,
+             CAST(n_stop AS BIGINT) AS n_stop_distinct,
+             CAST(n_words >= {TXT.GOPHER_MIN_WORDS}
+                  AND n_words <= {TXT.GOPHER_MAX_WORDS}
+                  AND mean_wl >= {TXT.GOPHER_MIN_MEAN_WORD_LEN}
+                  AND mean_wl <= {TXT.GOPHER_MAX_MEAN_WORD_LEN}
+                  AND symbol_ratio <= {TXT.GOPHER_MAX_SYMBOL_RATIO}
+                  AND alpha_ratio >= {TXT.GOPHER_MIN_ALPHA_RATIO}
+                  AND n_stop >= {TXT.GOPHER_MIN_STOP_HITS} AS INT) AS keep
+      FROM m)"""
+
+
+def _gopher_oracle() -> str:
+    return f"""
+    WITH {_gopher_metric_ctes()}
+    SELECT doc_id, n_words, mean_word_len, symbol_ratio, alpha_word_ratio,
+           n_stop_distinct, keep
+    FROM gm
     """
+
+
+def _quality_classifier_oracle() -> str:
+    """Static unroll of the logistic-regression training loop: one
+    gradient CTE + one weight CTE per round (every CTE MATERIALIZED —
+    the r5 DuckDB lesson), gradients as exact BIGINT micro sums, weight
+    updates rounded to 6 inside the engine. Shares the gopher metric
+    CTEs so the label function is proven identical once."""
+    rounds = TXT.QUALITY_LR_ROUNDS
+
+    def z(w: str, f: str) -> str:
+        # left-associated dot(w, f) — matches llmops.text._logit
+        e = f"{w}.w0 * {f}.f0"
+        for j in range(1, 6):
+            e = f"({e} + {w}.w{j} * {f}.f{j})"
+        return e
+
+    def p(w: str, f: str) -> str:
+        return f"round(1.0 / (1.0 + exp(-({z(w, f)}))), 6)"
+
+    parts = [
+        """feats AS MATERIALIZED (
+      SELECT doc_id,
+             1.0 AS f0,
+             round((CAST(n_words AS DOUBLE) - 50.0) / 25.0, 6) AS f1,
+             round((mean_word_len - 4.5) * 2.0, 6) AS f2,
+             round(symbol_ratio * 10.0, 6) AS f3,
+             round((alpha_word_ratio - 0.5) * 2.0, 6) AS f4,
+             round(CAST(n_stop_distinct AS DOUBLE) - 1.5, 6) AS f5,
+             CAST(keep AS DOUBLE) AS y
+      FROM gm)""",
+        "nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM feats)",
+        "w_0 AS (SELECT "
+        + ", ".join(f"0.0 AS w{j}" for j in range(6))
+        + ")",
+    ]
+    for r in range(rounds):
+        gsums = ", ".join(
+            f"sum(CAST(round(({p('w', 'f')} - f.y) * f.f{j} * 1000000.0) "
+            f"AS BIGINT)) AS g{j}"
+            for j in range(6)
+        )
+        parts.append(
+            f"g_{r} AS MATERIALIZED (\n"
+            f"      SELECT {gsums}\n"
+            f"      FROM feats f CROSS JOIN w_{r} w)"
+        )
+        wcols = ", ".join(
+            f"round(w.w{j} - (CAST(g.g{j} AS DOUBLE) / 1000000.0) / n.n, 6)"
+            f" AS w{j}"
+            for j in range(6)
+        )
+        parts.append(
+            f"w_{r + 1} AS (SELECT {wcols} "
+            f"FROM w_{r} w CROSS JOIN g_{r} g CROSS JOIN nn n)"
+        )
+    body = ",\n    ".join(parts)
+    pf = p("w", "f")
+    return f"""
+    WITH {_gopher_metric_ctes()},
+    {body}
+    SELECT f.doc_id, {pf} AS score,
+           CAST({pf} >= 0.5 AS INT) AS pred,
+           CAST(f.y AS INT) AS label
+    FROM feats f CROSS JOIN w_{rounds} w
+    """
+
+
+@register(
+    "llm_quality_classifier",
+    oracle=_quality_classifier_oracle,
+    tags=("llm", "text", "iterative"),
+)
+def llm_quality_classifier(spark, sf_dir):
+    """Trained document-quality classifier (the fastText / FineWeb-Edu
+    pipeline step): distill the hard Gopher keep/drop heuristic into a
+    smooth logistic score every document gets, trained IN THE ENGINE by
+    full-batch gradient descent — 8 fixed rounds, each one
+    whole-stage-codegen scan of the cached feature frame + a 6-value
+    exact integer-micro gradient aggregation (order-free by
+    construction), 6 scalars pulled per round. The oracle replays
+    training as a static SQL unroll, so the learned weights — not just
+    the scores — are hash-checked across engines.
+
+    In-query semantic floor: training accuracy vs the heuristic label
+    must reach 0.8 (measured 0.95-0.96 at the test SFs) — a hash match
+    proves determinism, the floor proves the classifier actually
+    learned the rule."""
+    feats = TXT.quality_features(load(spark, sf_dir, "documents"))
+    _w, scored = TXT.train_quality_classifier(feats)
+    acc = scored.agg(
+        F.avg((F.col("pred") == F.col("label")).cast("double")).alias("a")
+    ).collect()[0]["a"]
+    assert acc >= 0.8, f"quality classifier failed to learn: accuracy {acc}"
+    return scored
 
 
 @register("llm_gopher_filter", oracle=_gopher_oracle, tags=("llm", "text"))

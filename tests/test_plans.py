@@ -486,6 +486,21 @@ def test_semdedup_pairs_are_cluster_keyed(q):
     assert "windowspecdefinition(bucket" in flat
 
 
+def test_quality_classifier_scoring_is_one_narrow_stage(q):
+    """After the fixed GD rounds train driver-side-pulled weights, the
+    returned scoring frame must be ONE whole-stage-codegen projection
+    over the checkpointed feature frame — learned weights inlined as
+    literals in the logistic expression, no shuffle, no join. (Each
+    training round is separately a scan + 6-value exact aggregation;
+    this pins the apply path a 100-TB deployment would run per batch.)"""
+    p = q("llm_quality_classifier")
+    flat = p.replace(" ", "")
+    assert "Exchange" not in p
+    assert "CartesianProduct" not in p
+    assert "ScanExistingRDD" in flat  # scores the checkpointed features
+    assert "EXP(" in p  # the inlined logistic over literal weights
+
+
 def test_q21_semi_anti_self_joins(q):
     """Q21's canonical shape: the 'another supplier also shipped' /
     'no other supplier was late' conditions are a LeftSemi and a LeftAnti
