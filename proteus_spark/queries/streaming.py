@@ -1516,13 +1516,20 @@ def stream_view_dag_via_log(spark, sf_dir):
     )
 
     topic = tempfile.mkdtemp(prefix="proteus_dag_topic_")
+    # Topic width = feed READ parallelism (the Python source plans one
+    # task per partition, like Kafka): 4 suits the driver's sf0.01
+    # replay; at replica scale the topic would be created wider — the
+    # deployment knob PROTEUS_DAG_TOPIC_PARTITIONS scales it (converged
+    # state is width-independent: a key lives in one partition, so its
+    # per-key LWW order is total regardless of width).
+    n_parts = int(os.environ.get("PROTEUS_DAG_TOPIC_PARTITIONS", "4"))
     src_votes = cdc.stage_stream(spark, li, chunks=4)
     up = SumView(
         spark, src_votes.subscribe(), group_by="l_orderkey",
         agg_attr="vote", name="dag_sum_upstream", mode="append",
     )
     up.subscribe(
-        minilog.cdf_exporter(topic, partitions=4, key_col="l_orderkey")
+        minilog.cdf_exporter(topic, partitions=n_parts, key_col="l_orderkey")
     )
 
     minilog.register_log_datasource(spark)
@@ -1537,7 +1544,7 @@ def stream_view_dag_via_log(spark, sf_dir):
     feed = (
         spark.readStream.format(minilog.FORMAT_NAME)
         .option("path", topic)
-        .option("partitions", "4")
+        .option("partitions", str(n_parts))
         .option("maxRecordsPerTrigger", cap)
         .load()
     )

@@ -35,7 +35,10 @@ scan-bound number is garbage). Then times:
   (``stream_compacted_bootstrap`` — CDF export → compaction → 2-member
   consumer-group bootstrap), and ``broker`` (the stream_sum_view_broker
   pipeline with the per-trigger cap scaled like the minilog runner, so
-  the two rows isolate the TCP transport's marginal cost).
+  the two rows isolate the TCP transport's marginal cost);
+- opt-in round-8 operators: ``semdedup`` (``llm_semdedup_prune`` —
+  k-means + cluster-keyed pair pruning) and ``quality``
+  (``llm_quality_classifier`` — 8-round full-batch logistic GD).
 
 Usage (IDLE HOST ONLY — contention skews 3-8x):
     python scripts/sweep_round5_ops.py --mult 30
@@ -113,6 +116,22 @@ def timed(fn, runs: int = 2) -> tuple[float, list[float]]:
         fn()
         ts.append(round(time.perf_counter() - t0, 2))
     return min(ts), ts
+
+
+def run_semdedup_scaled_k(spark, sf_dir: str, mult: int) -> None:
+    """SemDeDup with k SCALED to the corpus (k = 8 x mult, the paper's
+    deployment rule — LAION uses k=50k): cluster sizes stay ~constant,
+    so the per-cluster pair space stays bounded as the corpus grows. The
+    registered query pins k=8 for the static oracle unroll; the sweep
+    exercises the same code path at deployment k."""
+    from proteus_spark.llmops import similarity as S
+    from proteus_spark.registry import load
+
+    emb = load(spark, sf_dir, "embeddings")
+    cents = S.kmeans_train(emb, k=8 * mult, rounds=3)
+    S.semdedup_prune(emb, cents).write.mode("overwrite").format(
+        "noop"
+    ).save()
 
 
 def run_minilog_scaled_cap(spark, sf_dir: str) -> None:
@@ -264,6 +283,9 @@ def main() -> int:
         "cluster": ["embeddings"],
         "bootstrap": ["events"],
         "broker": ["events"],
+        # round-8 operators
+        "semdedup": ["embeddings"],
+        "quality": ["documents"],
     }
     needed = sorted({t for op in args.ops for t in tables[op]})
 
@@ -309,6 +331,13 @@ def main() -> int:
                 spark, dest
             ).count(),
             "broker": lambda: run_broker_scaled_cap(spark, dest),
+            # round-8 operators
+            "semdedup": lambda: run_semdedup_scaled_k(
+                spark, dest, args.mult
+            ),
+            "quality": lambda: qs["llm_quality_classifier"](
+                spark, dest
+            ).write.mode("overwrite").format("noop").save(),
         }
         # DAG feed cap scales with the replica (the deployment knob —
         # measured 625s at 30x with the fixed sf0.01 cap vs the scaled

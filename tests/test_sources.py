@@ -1514,3 +1514,126 @@ def test_filesystem_reader_truncated_store_fails_loudly(spark, tmp_path):
         for part in bad:
             for _ in reader.read(part):
                 pass
+
+
+def _hand_topic(root, counts: dict[int, int], start: int = 0):
+    """Build a topic store by hand (no Spark): ``counts[p]`` JSON records
+    per partition, values v{p}-{i}, one bulk segment per call (named so
+    successive calls append in sorted order)."""
+    import json
+    import os
+
+    for p, n in counts.items():
+        d = os.path.join(root, f"p={p}")
+        os.makedirs(d, exist_ok=True)
+        seq = len([f for f in os.listdir(d) if f.startswith("part-")])
+        with open(os.path.join(d, f"part-{seq:05d}"), "w") as fh:
+            for i in range(start, start + n):
+                fh.write(
+                    json.dumps({"key": str(i), "value": f"v{p}-{i}"}) + "\n"
+                )
+
+
+def test_follower_replicates_incrementally_and_promotes(tmp_path):
+    """Broker replication (beyond-reference hardening): a Follower
+    replicates a leader's committed records over the same framed wire
+    protocol consumers use, tails new segments INCREMENTALLY (no
+    re-fetch of already-replicated offsets), survives its own restart by
+    recovering offsets from the replica dir, and after leader loss
+    promotes to a Broker serving the identical committed prefix."""
+    from proteus_spark.sources import minilog
+
+    topic = str(tmp_path / "topic")
+    _hand_topic(topic, {0: 5, 1: 3})
+    rep = str(tmp_path / "replica")
+    with minilog.Broker(topic) as leader:
+        f = minilog.Follower(leader.host, leader.port, rep, partitions=2)
+        f.catch_up()
+        assert minilog.end_offsets(rep, 2) == {0: 5, 1: 3}
+        assert minilog._read_range(rep, 0, 0, 5, {}) == minilog._read_range(
+            topic, 0, 0, 5, {}
+        )
+        # leader grows: the next pass replicates ONLY the delta (one new
+        # replica segment per touched partition, offsets advance)
+        _hand_topic(topic, {0: 2}, start=5)
+        assert f.poll_once() == 2
+        assert f.replicated[0] == 7
+        assert len(minilog._segment_files(rep, 0)) == 2
+        # restart-resume: a fresh Follower over the same dir recovers the
+        # replicated offsets from disk and finds nothing new
+        f2 = minilog.Follower(leader.host, leader.port, rep, partitions=2)
+        assert f2.replicated == {0: 7, 1: 3}
+        assert f2.poll_once() == 0
+    # leader dead: promote the replica and serve the identical prefix
+    with f.promote() as promoted:
+        got = minilog.broker_request(
+            promoted.host, promoted.port, {"op": "ends", "partitions": 2}
+        )
+        assert {int(k): v for k, v in got["ends"].items()} == {0: 7, 1: 3}
+        recs = minilog.broker_fetch(promoted.host, promoted.port, 0, 0, 7)
+        assert [v for _, v, _ in recs] == [
+            f"v0-{i}" for i in range(7)
+        ]
+
+
+def test_follower_failover_lag_surfaces_as_offset_out_of_range(tmp_path):
+    """A replica that lagged the leader at failover serves only its
+    committed prefix: a consumer whose planned range outruns the replica
+    gets the loud offset-out-of-range error (the truncation contract),
+    never silently shifted records. The background tail records the
+    leader-loss error without killing promotion."""
+    import time
+
+    import pytest as _pytest
+
+    from proteus_spark.sources import minilog
+
+    topic = str(tmp_path / "topic")
+    _hand_topic(topic, {0: 6})
+    rep = str(tmp_path / "replica")
+    leader = minilog.Broker(topic).start()
+    try:
+        f = minilog.Follower(
+            leader.host, leader.port, rep, partitions=1, poll_interval=0.05
+        ).start()
+        t0 = time.monotonic()
+        while f.replicated.get(0, 0) < 6 and time.monotonic() - t0 < 10:
+            time.sleep(0.02)
+        assert f.replicated.get(0, 0) == 6
+        f.stop()  # follower pauses; leader keeps accepting records
+        _hand_topic(topic, {0: 4}, start=6)
+    finally:
+        leader.stop()  # leader dies with the replica 4 records behind
+    with f.promote() as promoted:
+        assert minilog.broker_fetch(promoted.host, promoted.port, 0, 0, 6)
+        with _pytest.raises(RuntimeError, match="offset out of range"):
+            minilog.broker_fetch(promoted.host, promoted.port, 0, 6, 10)
+
+
+def test_follower_refuses_forked_history(tmp_path):
+    """An unclean leader restart that LOST committed records must not be
+    replicated over: a replica that finds itself ahead of its leader
+    refuses (fork refusal), and promote() re-raises rather than serving
+    the forked history as if it were clean."""
+    import os
+
+    import pytest as _pytest
+
+    from proteus_spark.sources import minilog
+
+    topic = str(tmp_path / "topic")
+    _hand_topic(topic, {0: 5})
+    rep = str(tmp_path / "replica")
+    with minilog.Broker(topic) as leader:
+        f = minilog.Follower(leader.host, leader.port, rep, partitions=1)
+        f.catch_up()
+    # unclean restart: the leader's store loses its only segment
+    seg = minilog._segment_files(topic, 0)[-1]
+    os.remove(seg)
+    with minilog.Broker(topic) as reborn:
+        f2 = minilog.Follower(reborn.host, reborn.port, rep, partitions=1)
+        with _pytest.raises(RuntimeError, match="refusing to fork"):
+            f2.poll_once()
+        f2.error = RuntimeError("refusing to fork history (recorded)")
+        with _pytest.raises(RuntimeError, match="refusing to fork"):
+            f2.promote()
