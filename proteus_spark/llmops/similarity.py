@@ -946,6 +946,127 @@ def ivf_recluster_epoch(
 SEMDEDUP_TAU = 0.3
 
 
+def kmeans_train_hierarchical(
+    emb: DataFrame,
+    k: int,
+    kc: int,
+    rounds: int = 3,
+    seed: str = "ivfq",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """Two-level deterministic k-means — the k ∝ corpus scale path.
+
+    Flat Lloyd's assignment is |corpus| x k cosines per round; under
+    SemDeDup's deployment rule (k grows with the corpus so cluster
+    sizes stay bounded) that is QUADRATIC in the corpus — measured:
+    k=8x at a 100x replica took 22x the 30x time. The standard fix
+    (faiss IVF training, SCANN, hierarchical k-means) is a two-level
+    quantizer:
+
+    - train ``kc`` COARSE centroids with flat Lloyd's (|corpus| x kc);
+    - partition the corpus by coarse bucket (one broadcast-assign pass);
+    - train ``k/kc`` FINE centroids WITHIN each coarse bucket — fine
+      assignment is an equi-join on the coarse bucket, so each vector
+      scores only its own bucket's k/kc candidates.
+
+    Per-round cost: |corpus| x (kc + k/kc) cosines — with kc ~ sqrt(k)
+    that is n*sqrt(k) instead of n*k (n^1.5 instead of n^2 when k ∝ n).
+    Every step keeps the kmeans_train determinism rules (md5-ranked
+    init, rounded-6 cosines and means, ties -> lowest id); vectors never
+    cross coarse buckets, and a fine centroid's coarse home is encoded
+    in its id (fcid = coarse_bucket * per + fine_rank).
+
+    Returns (centroids, index): centroids = (cid, cvec) with k' <= k
+    rows (empty fine clusters drop, both engines agree), index =
+    (vec_id, embedding, bucket) — the final within-bucket assignment,
+    so consumers (semdedup, IVF serving) never pay a flat re-assign."""
+    per = max(1, k // kc)
+    coarse = kmeans_train(
+        emb, k=kc, rounds=rounds, seed=f"{seed}|coarse",
+        id_col=id_col, vec_col=vec_col,
+    )
+    assigned = ivf_assign(
+        emb.select(id_col, vec_col),
+        coarse.select(
+            F.col("cid").alias(id_col), F.col("cvec").alias(vec_col)
+        ),
+        id_col=id_col,
+        vec_col=vec_col,
+    ).withColumnRenamed("bucket", "_cb")
+
+    def _within_assign(vecs: DataFrame, cents: DataFrame) -> DataFrame:
+        # fine assignment: equi-join on the coarse bucket — each vector
+        # scores only its bucket's candidates (never the full k)
+        c = cents.select(
+            "_cb",
+            F.col("fcid"),
+            F.col("cvec"),
+            norm(F.col("cvec")).alias("cnorm"),
+        )
+        scored = vecs.select(
+            F.col(id_col).alias("vid"),
+            F.col(vec_col).alias("vec"),
+            norm(F.col(vec_col)).alias("vnorm"),
+            "_cb",
+        ).join(F.broadcast(c), "_cb")
+        scored = scored.withColumn(
+            "csim",
+            F.round(
+                dot(F.col("vec"), F.col("cvec"))
+                / (F.col("vnorm") * F.col("cnorm")),
+                6,
+            ),
+        )
+        return (
+            scored.groupBy("vid")
+            .agg(
+                F.first("vec").alias(vec_col),
+                F.first("_cb").alias("_cb"),
+                F.expr(
+                    "max_by(fcid, named_struct('s', csim, 'c', -fcid))"
+                ).alias("bucket"),
+            )
+            .select(F.col("vid").alias(id_col), vec_col, "_cb", "bucket")
+        )
+
+    # fine init: the md5-ranked first `per` members of each coarse bucket
+    wf = W.partitionBy("_cb").orderBy("_h", id_col)
+    fine = (
+        assigned.withColumn(
+            "_h",
+            F.md5(
+                F.concat(
+                    F.lit(f"{seed}|fine|"), F.col(id_col).cast("string")
+                )
+            ),
+        )
+        .withColumn("rk", F.row_number().over(wf))
+        .filter(F.col("rk") <= per)
+        .select(
+            (F.col("_cb").cast("long") * per + F.col("rk") - 1).alias(
+                "fcid"
+            ),
+            F.col(vec_col).cast("array<double>").alias("cvec"),
+            "_cb",
+        )
+    )
+    for _ in range(rounds):
+        fassigned = _within_assign(assigned, fine)
+        fine = (
+            _bucket_means(
+                fassigned.select(F.col("bucket"), F.col(vec_col)), vec_col
+            )
+            .select(F.col("cid").alias("fcid"), "cvec")
+            .withColumn("_cb", F.floor(F.col("fcid") / per).cast("long"))
+            .localCheckpoint(eager=True)
+        )
+    index = _within_assign(assigned, fine).select(
+        id_col, vec_col, "bucket"
+    )
+    return fine.select(F.col("fcid").alias("cid"), "cvec"), index
+
+
 def semdedup_prune(
     emb: DataFrame, centroids: DataFrame, tau: float = SEMDEDUP_TAU
 ) -> DataFrame:
@@ -979,6 +1100,20 @@ def semdedup_prune(
             F.col("cid").alias("vec_id"), F.col("cvec").alias("embedding")
         ),
     )
+    return semdedup_prune_assigned(assigned, centroids, tau=tau)
+
+
+def semdedup_prune_assigned(
+    assigned: DataFrame, centroids: DataFrame, tau: float = SEMDEDUP_TAU
+) -> DataFrame:
+    """SemDeDup pruning over an EXISTING assigned index (vec_id,
+    embedding, bucket) — the deployment path: the engine already
+    maintains this exact frame for ANN serving (stream_ann_ingest /
+    ivf_recluster_epoch), so semantic dedup's marginal cost is only the
+    centroid-sim rank window + the cluster-keyed pair join, never a
+    fresh corpus x centroids assignment. ``centroids`` supplies (cid,
+    cvec) for the keep-order ranking; see semdedup_prune for the
+    semantics."""
     c = centroids.select(
         F.col("cid").alias("bucket"),
         F.col("cvec").alias("cvec"),

@@ -121,17 +121,35 @@ def timed(fn, runs: int = 2) -> tuple[float, list[float]]:
 def run_semdedup_scaled_k(spark, sf_dir: str, mult: int) -> None:
     """SemDeDup with k SCALED to the corpus (k = 8 x mult, the paper's
     deployment rule — LAION uses k=50k): cluster sizes stay ~constant,
-    so the per-cluster pair space stays bounded as the corpus grows. The
-    registered query pins k=8 for the static oracle unroll; the sweep
-    exercises the same code path at deployment k."""
+    so the per-cluster pair space stays bounded as the corpus grows.
+
+    The quantizer is the TWO-LEVEL trainer (kc ~ sqrt(k)): flat Lloyd's
+    at k ∝ corpus is |corpus| x k per round — measured QUADRATIC
+    (k=800 at 100x took 22x the 30x time, 593s); hierarchical training
+    is |corpus| x (kc + k/kc) per round, and its returned index feeds
+    the pruner directly, so dedup's marginal cost is the rank window +
+    cluster-keyed pairs. The registered query pins flat k=8 for the
+    static oracle unroll; the sweep exercises the deployment shape.
+    Prints the marginal (post-index) prune time to stderr."""
+    import math
+
     from proteus_spark.llmops import similarity as S
     from proteus_spark.registry import load
 
     emb = load(spark, sf_dir, "embeddings")
-    cents = S.kmeans_train(emb, k=8 * mult, rounds=3)
-    S.semdedup_prune(emb, cents).write.mode("overwrite").format(
+    k = 8 * mult
+    kc = max(2, int(math.isqrt(k)))
+    cents, idx = S.kmeans_train_hierarchical(emb, k=k, kc=kc, rounds=3)
+    idx = idx.localCheckpoint(eager=True)  # isolate the marginal prune
+    t0 = time.time()
+    S.semdedup_prune_assigned(idx, cents).write.mode("overwrite").format(
         "noop"
     ).save()
+    print(
+        f"# semdedup@{mult}x marginal prune (given index): "
+        f"{round(time.time() - t0, 2)}s",
+        file=sys.stderr,
+    )
 
 
 def run_minilog_scaled_cap(spark, sf_dir: str) -> None:

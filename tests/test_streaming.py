@@ -1667,3 +1667,46 @@ def test_kmeans_train_honors_custom_id_and_vec_columns(spark):
     got_custom = {r["cid"]: r["cvec"] for r in custom.collect()}
     assert got_base == got_custom
     assert len(got_base) >= 1
+
+
+def test_hierarchical_kmeans_scale_path_matches_contract(spark, sf_dir):
+    """The two-level quantizer (the k ∝ corpus scale path — flat Lloyd's
+    assignment is |corpus| x k per round, quadratic when k grows with
+    the corpus): (a) produces k fine clusters whose ids encode their
+    coarse home (fcid // per == coarse bucket of every member); (b) is
+    deterministic across runs (md5-ranked init + quantized rounds, the
+    kmeans_train rules); (c) its returned index feeds
+    semdedup_prune_assigned directly — the deployment path where dedup's
+    marginal cost is the rank window + cluster-keyed pairs, never a
+    fresh corpus x centroids assignment."""
+    from proteus_spark.llmops.similarity import (
+        kmeans_train_hierarchical,
+        semdedup_prune_assigned,
+    )
+    from proteus_spark.registry import load
+
+    emb = load(spark, sf_dir, "embeddings")
+    k, kc = 16, 4
+    cents, idx = kmeans_train_hierarchical(emb, k=k, kc=kc, rounds=2)
+    assert cents.count() <= k
+    assert idx.count() == emb.count()
+    # every fine cluster id encodes its coarse bucket; members never
+    # cross coarse buckets (fine ids partition [cb*per, (cb+1)*per))
+    per = k // kc
+    from pyspark.sql import functions as F
+
+    spread = (
+        idx.select((F.col("bucket") / per).cast("long").alias("cb"))
+        .distinct()
+        .count()
+    )
+    assert spread <= kc
+    # deterministic: re-training yields the identical assignment
+    _c2, idx2 = kmeans_train_hierarchical(emb, k=k, kc=kc, rounds=2)
+    a = sorted(tuple(r) for r in idx.select("vec_id", "bucket").collect())
+    b = sorted(tuple(r) for r in idx2.select("vec_id", "bucket").collect())
+    assert a == b
+    # the index serves semantic dedup without re-assignment
+    pruned = semdedup_prune_assigned(idx, cents)
+    assert pruned.count() > 0
+    assert set(pruned.columns) == {"vec_id", "cid", "max_sim", "n_earlier"}
