@@ -1637,3 +1637,67 @@ def test_follower_refuses_forked_history(tmp_path):
         f2.error = RuntimeError("refusing to fork history (recorded)")
         with _pytest.raises(RuntimeError, match="refusing to fork"):
             f2.promote()
+
+
+def test_stream_consumer_resumes_on_promoted_replica(spark, tmp_path):
+    """Failover END-TO-END through the Spark reader: a checkpointed
+    stream consumer drains the leader, the topic then grows, the
+    follower replicates the delta, the leader dies, and the SAME
+    checkpoint resumes against the PROMOTED replica — offsets are
+    per-partition line indices, identical on leader and replica by
+    construction, so the consumer delivers exactly the new records (no
+    re-delivery, no gaps). This is the property replication exists for:
+    a broker is interchangeable with its replica mid-consumption."""
+    from proteus_spark.sources import minilog
+
+    topic = str(tmp_path / "topic")
+    _hand_topic(topic, {0: 10, 1: 8})
+    rep = str(tmp_path / "replica")
+    ckpt = str(tmp_path / "ckpt")
+    minilog.register_log_datasource(spark)
+    rows = []
+
+    def consume(host, port):
+        q = (
+            spark.readStream.format(minilog.FORMAT_NAME)
+            .option("path", topic)
+            .option("partitions", "2")
+            .option("brokerHost", host)
+            .option("brokerPort", str(port))
+            .load()
+            .writeStream.outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .foreachBatch(
+                lambda bdf, e: rows.extend(r["value"] for r in bdf.collect())
+            )
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    leader = minilog.Broker(topic).start()
+    try:
+        f = minilog.Follower(leader.host, leader.port, rep, partitions=2)
+        f.catch_up()
+        consume(leader.host, leader.port)  # phase 1: drain via the leader
+        assert len(rows) == 18
+        _hand_topic(topic, {0: 5}, start=10)  # the topic grows
+        f.catch_up()  # replica captures the delta before the crash
+    finally:
+        leader.stop()  # leader dies
+    # the leader's STORE loses the delta segment too — the only copy of
+    # records 10-14 is now the replica, so phase 2 passing proves the
+    # consumer read them over the wire from the promoted broker, not
+    # from the filesystem path option
+    import os as _os
+
+    _os.remove(minilog._segment_files(topic, 0)[-1])
+    with f.promote() as promoted:
+        # same checkpoint, new broker: exactly the delta arrives.
+        # NOTE the reader's offset planning goes through the broker's
+        # `ends` op — the promoted replica serves it from its own store.
+        consume(promoted.host, promoted.port)
+    assert len(rows) == 23
+    assert sorted(rows) == sorted(
+        [f"v0-{i}" for i in range(15)] + [f"v1-{i}" for i in range(8)]
+    )
