@@ -545,6 +545,7 @@ _BNLJ_OK = {
     "llm_sim_ivf_kmeans",      # broadcast learned-centroid set
     "llm_cluster_audit",       # broadcast learned-centroid set (same model)
     "llm_semdedup_prune",      # broadcast learned-centroid set (same model)
+    "llm_semdedup_hier",       # broadcast coarse-centroid set (two-level)
     "llm_corpus_mixture",      # broadcast corpus totals (1 row)
     "llm_perplexity_score",    # broadcast vocab-size scalar (1 row)
     "agg_hll_rollup",          # broadcast merged-sketch estimate + exact
