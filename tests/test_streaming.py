@@ -28,11 +28,21 @@ def test_sum_view_subscriptions_and_versions(spark, sf_dir):
     try:
         view.await_catch_up()
         # stop triggers before asserting: an idle (empty) micro-batch firing
-        # between reading version() and len(seen) would skew the equality
+        # between reading version() and len(seen) would skew the equality.
+        # stop() can return while a final foreachBatch is still mid-flight
+        # on a loaded host (seen observed at N+2 vs a version read of N) —
+        # poll until the pair stabilizes, then assert the strict invariant
         view._query.stop()
+        import time as _t
+
+        for _ in range(50):
+            v, n = view.version(), len(seen)
+            if n == v + 1:
+                break
+            _t.sleep(0.1)
         # 3 staged files, maxFilesPerTrigger=1 -> >= 3 micro-batches
-        assert view.version() >= 2
-        assert len(seen) == view.version() + 1
+        assert v >= 2
+        assert n == v + 1
         snap = view.snapshot()
         batch = ev.groupBy("user_id").agg(F.sum("value").alias("value_sum"))
         a = {r["user_id"]: round(r["value_sum"], 4) for r in snap.collect()}
