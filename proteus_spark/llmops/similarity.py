@@ -1068,7 +1068,10 @@ def kmeans_train_hierarchical(
 
 
 def semdedup_prune(
-    emb: DataFrame, centroids: DataFrame, tau: float = SEMDEDUP_TAU
+    emb: DataFrame,
+    centroids: DataFrame,
+    tau: float = SEMDEDUP_TAU,
+    cap: int | None = None,
 ) -> DataFrame:
     """SemDeDup semantic pruning (Abbas et al. 2023): within each k-means
     cluster, drop every vector that is epsilon-similar to a cluster-mate
@@ -1100,11 +1103,14 @@ def semdedup_prune(
             F.col("cid").alias("vec_id"), F.col("cvec").alias("embedding")
         ),
     )
-    return semdedup_prune_assigned(assigned, centroids, tau=tau)
+    return semdedup_prune_assigned(assigned, centroids, tau=tau, cap=cap)
 
 
 def semdedup_prune_assigned(
-    assigned: DataFrame, centroids: DataFrame, tau: float = SEMDEDUP_TAU
+    assigned: DataFrame,
+    centroids: DataFrame,
+    tau: float = SEMDEDUP_TAU,
+    cap: int | None = None,
 ) -> DataFrame:
     """SemDeDup pruning over an EXISTING assigned index (vec_id,
     embedding, bucket) — the deployment path: the engine already
@@ -1113,7 +1119,22 @@ def semdedup_prune_assigned(
     centroid-sim rank window + the cluster-keyed pair join, never a
     fresh corpus x centroids assignment. ``centroids`` supplies (cid,
     cvec) for the keep-order ranking; see semdedup_prune for the
-    semantics."""
+    semantics.
+
+    ``cap``: the paper's cluster-size mitigation, made deterministic —
+    with cap=C each member pairs ONLY against the C lowest-ranked
+    members of its cluster (rank = the keep-order the prune already
+    computes: centroid-cosine ASC, id ASC), i.e. the earlier-partner
+    test is restricted to a_rk <= C. The per-cluster pair space drops
+    from |c|^2/2 to |c| x C — LINEAR in cluster size — so one hot
+    cluster can no longer make a single task quadratic (the named
+    100 TB scale-killer, VERDICT r8). Semantics under the cap: pruning
+    against the LEAST-typical survivors-to-be — the C earliest keep
+    ranks are exactly the members the uncapped rule is most likely to
+    keep, so the capped prune is a deterministic under-approximation of
+    the uncapped prune set, replayable bit-for-bit by a static SQL
+    oracle (same rank, same filter). cap=None keeps the paper's exact
+    triu semantics (the default at small k)."""
     c = centroids.select(
         F.col("cid").alias("bucket"),
         F.col("cvec").alias("cvec"),
@@ -1134,7 +1155,8 @@ def semdedup_prune_assigned(
         .select("bucket", "vec_id", "embedding", "vnorm", "csim")
         .withColumn("rk", F.row_number().over(wr))
     )
-    a = ranked.select(
+    a_side = ranked if cap is None else ranked.filter(F.col("rk") <= cap)
+    a = a_side.select(
         F.col("bucket"),
         F.col("rk").alias("a_rk"),
         F.col("embedding").alias("avec"),

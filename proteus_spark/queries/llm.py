@@ -1106,16 +1106,19 @@ def _cluster_audit_oracle() -> str:
     """
 
 
-def _semdedup_oracle() -> str:
+def _semdedup_oracle(cap: int | None = None) -> str:
     """The kmeans unroll + the SemDeDup exists-earlier-partner test:
     rank cluster members by (rounded-6 centroid cosine ASC, id), pair
     every member with its earlier-ranked cluster-mates, prune on
     rounded-6 pairwise cosine >= tau. Shares the training/assignment
     CTEs with llm_sim_ivf_kmeans / llm_cluster_audit so quantizer
-    determinism is proven once."""
+    determinism is proven once. ``cap`` replays the engine's
+    cluster-size mitigation bit-for-bit: restrict the earlier-partner
+    side to the C lowest keep-ranks (AND a.rk <= C)."""
     cos_vc = _cos_sql("v.vec", "c.cvec")
     cos_ab = _cos_sql("a.vec", "b.vec")
     kc = f"cent_{_KMEANS_ROUNDS}"
+    cap_pred = "" if cap is None else f" AND a.rk <= {cap}"
     return f"""
     WITH dim AS (
       SELECT CAST(len(embedding) AS INTEGER) AS d FROM embeddings LIMIT 1),
@@ -1136,7 +1139,7 @@ def _semdedup_oracle() -> str:
       FROM cm),
     pr AS (
       SELECT b.vec_id, b.cid, round({cos_ab}, 6) AS sim
-      FROM rk a JOIN rk b ON a.cid = b.cid AND a.rk < b.rk
+      FROM rk a JOIN rk b ON a.cid = b.cid AND a.rk < b.rk{cap_pred}
       WHERE round({cos_ab}, 6) >= {S.SEMDEDUP_TAU})
     SELECT vec_id, CAST(cid AS BIGINT) AS cid, max(sim) AS max_sim,
            CAST(count(*) AS BIGINT) AS n_earlier
@@ -1301,6 +1304,33 @@ def llm_semdedup_prune(spark, sf_dir):
     emb = load(spark, sf_dir, "embeddings")
     cents = S.kmeans_train(emb, k=_KMEANS_K, rounds=_KMEANS_ROUNDS)
     return S.semdedup_prune(emb, cents, tau=S.SEMDEDUP_TAU)
+
+
+_SEMDEDUP_CAP = 8
+
+
+@register(
+    "llm_semdedup_capped",
+    oracle=lambda: _semdedup_oracle(cap=_SEMDEDUP_CAP),
+    tags=("llm", "dedup", "similarity", "iterative"),
+)
+def llm_semdedup_capped(spark, sf_dir):
+    """SemDeDup with the CLUSTER-SIZE CAP — the paper's own skew
+    mitigation, made deterministic (VERDICT r8 "What's missing #2"):
+    the uncapped prune generates sum(|cluster|^2)/2 pairs, so one hot
+    cluster at 100 TB makes a single task quadratic. With cap=C each
+    member pairs only against the C LOWEST keep-ranks of its cluster
+    (the keep-order rank the prune computes anyway: centroid-cosine
+    ASC, id ASC — the members the uncapped rule is most likely to
+    keep), bounding the pair space to |cluster| x C, linear in cluster
+    size. Deterministic (rank ties break on id), so the oracle replays
+    the identical cap (AND a.rk <= C) and the CAP'S EFFECT on the
+    prune set is itself hash-checked — at sf0.01 cluster sizes (~60)
+    far exceed C=8, so capped and uncapped results genuinely differ.
+    Same quantizer, tau, and output schema as llm_semdedup_prune."""
+    emb = load(spark, sf_dir, "embeddings")
+    cents = S.kmeans_train(emb, k=_KMEANS_K, rounds=_KMEANS_ROUNDS)
+    return S.semdedup_prune(emb, cents, tau=S.SEMDEDUP_TAU, cap=_SEMDEDUP_CAP)
 
 
 @register(
@@ -2382,39 +2412,23 @@ def llm_multimodal_video(spark, sf_dir):
     return M.video_frame_features(assets)
 
 
-def _containment_capped_oracle() -> str:
-    return (
-        "WITH "
-        + _SHINGLE_CTE
-        + f""",
-    rare AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 50),
-    shc AS (SELECT sh.doc_id, sh.s FROM sh JOIN rare USING (s)),
-    cnt AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY doc_id),
-    inter AS (
-      SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS ni
-      FROM shc a JOIN shc b ON a.s = b.s AND a.doc_id < b.doc_id
-      GROUP BY 1, 2)
-    SELECT ida, idb,
-           CAST(ni AS DOUBLE) / least(ca.n, cb.n) AS containment
-    FROM inter JOIN cnt ca ON ca.doc_id = ida JOIN cnt cb ON cb.doc_id = idb
-    WHERE CAST(ni AS DOUBLE) / least(ca.n, cb.n) >= {D.CONTAINMENT_MIN}
-    """
-    )
-
-
-@register(
-    "llm_dedup_containment_capped",
-    oracle=_containment_capped_oracle,
-    tags=("llm", "dedup"),
-)
-def llm_dedup_containment_capped(spark, sf_dir):
-    """Containment with the hot-shingle cap (max_doc_freq=50) — the scale
-    path for shingle-dense corpora, mirroring `llm_dedup_ngram_capped`:
-    shingles in >50 docs contribute quadratic join fan-out but little
-    subset signal, so they drop before pairing; the cap's effect on
-    results is itself hash-checked (identical cap in the oracle)."""
-    sh = D.shingles(load(spark, sf_dir, "documents"))
-    return D.containment_pairs(sh, D.CONTAINMENT_MIN, max_doc_freq=50)
+# llm_dedup_containment_capped RETIRED round 9 (the subsumption audit
+# ROTATION.md banked for the round-8 post-freeze additions): it was a pure
+# composition of two independently hash-verified parts — (a) the
+# max_doc_freq hot-shingle prefilter, the IDENTICAL two-line rare-filter
+# (`groupBy("s").count() <= cap` semi-join) that llm_dedup_ngram_capped
+# hash-checks with the same cap value 50 over the same D.shingles input,
+# and (b) the containment scoring downstream of the cap branch, which is
+# byte-for-byte the uncapped llm_dedup_containment path (the code after
+# `if max_doc_freq is not None` in dedup.containment_pairs is shared).
+# Same precedent as the round-8 llm_dedup_components_lsh retirement. The
+# capped containment capability remains available via
+# D.containment_pairs(sh, thr, max_doc_freq=...) and remains covered by
+# the two verified parts. (Audit counterpart llm_sim_bruteforce was
+# REPRIEVED: it is the only value-level hash check of
+# brute_force_topk(metric="cosine") — llm_sim_mips_recall's exact CTE
+# covers only metric="dot" and hashes hit COUNTS, never sims/ranks — and
+# it anchors the bench headline set.)
 
 
 def _lsh_recall_oracle() -> str:

@@ -353,26 +353,27 @@ def _import_all() -> None:
 
 # Verification-priority order. External harnesses that budget their checks
 # walk queries() in dict order (first ~50), so the window rotates per round.
-# Rounds 1-7 accumulated hash-green rows for 169/172 registered queries
-# (r4-r7 were all 50/50 green). The ROUND-8 window applies the plan
-# precomputed in ROTATION.md from the CORRECTNESS_r01..r07 ledger:
-#   - all 22 r4-only refreshes (external evidence 4 rounds old —
-#     hard-fronted; the 16 never-refreshed + the 4 round-7 displacements +
-#     events_transition_matrix + llm_dedup_keep_longest);
-#   - llm_cluster_audit (round-7 post-freeze addition, never
-#     driver-verified; pre-verified at sf0.001 + sf0.01 and independently
-#     re-verified green by the r7 judge);
-#   - 3 changed-implementation re-verifications for this round's planned
-#     work (broker hardening touches the minilog reader seam under
-#     stream_sum_view_broker / stream_compacted_bootstrap; the DAG
-#     per-batch pre-collapse touches stream_view_dag_via_log);
-#   - 24 longest-idle r5-only refreshes, implementation-adjacent first
-#     (the streaming/LSM family — round 8 changes the JoinView tombstone
-#     tie-break (ADVICE r7) and the spill-reclaim sentinel under ALL of
-#     them — then the bench flagships). New round-8 queries/promotions
-#     displace from the END of this group after sf0.001 + sf0.01
-#     pre-verification.
-# The ~23 remaining r5-only queries front the round-9 window. Queries
+# Rounds 1-8 accumulated hash-green rows for 171/174 registered queries
+# (r4-r8 were all 50/50 green). The ROUND-9 window applies the plan
+# precomputed in ROTATION.md from the CORRECTNESS_r01..r08 ledger
+# (recomputed this round and confirmed identical — histogram 25 r5 /
+# 49 r6 / 47 r7 / 50 r8 / 3 never):
+#   - all 25 r5-only refreshes (the oldest external evidence —
+#     hard-fronted; includes the tpch_q18/q19 flagships displaced by the
+#     round-8 sketch promotions);
+#   - the 3 round-8 post-freeze additions, never driver-verified
+#     (pre-verified at sf0.001 + sf0.01 and independently re-verified
+#     green by the r8 judge);
+#   - 22 r6-only fill, implementation-adjacent first: the similarity.py
+#     riders (round 9 adds the SemDeDup cluster-size cap, gates the
+#     hierarchical fine-centroid broadcast, and normalizes once before
+#     pairing — stream_ann_recluster / llm_sim_ivf / llm_sim_bruteforce
+#     ride that file), then the dedup family (the subsumption audit
+#     leans on llm_dedup_ngram_capped's cap check — refresh it), then
+#     bench flagships (tpch q3/q5/q6/q9/q21) and the topology/
+#     datasource/multimodal group. Round-9 additions displace from the
+#     END of this group after sf0.001 + sf0.01 pre-verification.
+# The remaining 27 r6-only queries front the round-10 window. Queries
 # rotated OUT remain covered by the local DuckDB oracle gate
 # (tests/test_oracle_gate.py runs ALL oracled queries on every pytest) —
 # see ROTATION.md for the manifest.
@@ -383,47 +384,38 @@ def _import_all() -> None:
 # oracles; tests/test_oracle_gate.py::test_priority_window_all_oracled
 # enforces this structurally.
 PRIORITY: tuple[str, ...] = (
-    # -- 22 r4-only refreshes (ALL of them; 4 rounds idle) ---------------
-    "ref_mv_substitution", "window_rank_family", "llm_gopher_filter",
-    "llm_multimodal_ppm", "llm_multimodal_wav", "llm_multimodal_video",
-    "llm_inverted_index", "llm_langid_confusion", "llm_perplexity_score",
-    "llm_sample_k_per_group", "llm_text_normalize", "llm_tfidf_topterms",
-    "llm_token_budget_sample", "llm_token_zipf", "llm_dedup_keep_longest",
-    "salted_join_orders", "unpivot_lineitem_measures",
-    "events_transition_matrix", "llm_corpus_mixture",
-    "llm_dedup_containment", "llm_dedup_containment_capped",
-    "llm_dedup_editdistance",
-    # -- never driver-verified (round-7 post-freeze) ---------------------
-    "llm_cluster_audit",
-    # -- round-8 changed-impl re-verifications (broker hardening: pooled
-    # executor connections + truncation detection; DAG per-batch
-    # pre-collapse) ------------------------------------------------------
-    "stream_sum_view_broker", "stream_compacted_bootstrap",
-    "stream_view_dag_via_log",
-    # -- 24 r5-only refreshes: implementation-adjacent first (the whole
-    # streaming/LSM family sits under this round's JoinView tie-break +
-    # spill-sentinel changes), then bench flagships. Round-8 additions/
-    # promotions displace from the END after pre-verification (one banked
-    # retirement per addition, registry <=175;
-    # llm_dedup_components_lsh retired this round — the banked retirement
-    # owed for llm_cluster_audit, subsumption audited in queries/llm.py) --
-    "stream_sum_view", "stream_sum_view_cdc", "stream_sum_view_deletes",
-    "stream_sum_view_minilog", "stream_sum_view_timetravel",
-    "stream_join_view", "stream_join_view_deletes",
-    "stream_lobsters_pipeline", "stream_scd2_history", "stream_scd2_asof",
-    "stream_interval_join", "stream_static_enrich",
-    "stream_sessionize_stateful", "stream_session_window_native",
-    "stream_dedup_ingest", "stream_decontaminate",
-    "stream_windowed_watermark", "stream_ann_ingest",
-    "stream_cdf_export_roundtrip",
-    "tpch_q1", "llm_dedup_minhash_lsh", "tpch_q10",
-    # -- round-8 promotions (rows-only -> ORACLED with CHANGED
-    # implementations — the deterministic md5-register HLL replacing the
-    # engine-opaque approx_count_distinct / Datasketches HLL — so their
-    # slots double as changed-impl re-verification; each pre-verified at
-    # sf0.001 + sf0.01. Displaced r5-only tail -> round-9 front:
-    # tpch_q18, tpch_q19) ------------------------------------------------
-    "agg_approx_distinct", "agg_hll_rollup",
+    # -- 25 r5-only refreshes (ALL of them; oldest evidence) -------------
+    "ref_sum_view", "ref_join_merge", "ref_lobsters_topk",
+    "ref_index_zorder", "anti_join_not_exists", "setops_intersect",
+    "setops_except", "window_topk_per_group", "pivot_event_counts",
+    "scalar_functions", "json_extract_props", "asof_join_latest_order",
+    "agg_percentiles", "tpch_q18", "tpch_q19",
+    "graph_pagerank_converged", "events_ab_lift", "dq_profile_orders",
+    "events_attribution", "llm_sim_mips_banded", "llm_sim_mips_recall",
+    "llm_knn_classify", "llm_embed_class_margins", "llm_multimodal_png",
+    "llm_dedup_excise",
+    # -- never driver-verified (round-8 post-freeze) + the round-9
+    # addition llm_semdedup_capped (the VERDICT-r8 cluster-size cap;
+    # pre-verified at sf0.001 + sf0.01, displaces llm_multimodal_frames
+    # from the fill tail to the round-10 front) --------------------------
+    "llm_semdedup_prune", "llm_quality_classifier", "llm_semdedup_hier",
+    "llm_semdedup_capped",
+    # -- 22 r6-only fill, implementation-adjacent first (similarity.py
+    # riders: round 9's SemDeDup cap + hier-broadcast gate + normalize-
+    # once land in that file; llm_sim_bruteforce doubles as the audit
+    # REPRIEVE's fresh evidence; llm_dedup_ngram_capped re-verifies the
+    # cap code the llm_dedup_containment_capped retirement leans on),
+    # then bench flagships + topology/datasource/multimodal. Round-9
+    # additions displace from the END after pre-verification (registry
+    # 173 after the audit retirement; cap 175) ---------------------------
+    "stream_ann_recluster", "llm_sim_ivf", "llm_sim_bruteforce",
+    "llm_dedup_ngram_capped", "llm_dedup_ngram_jaccard",
+    "llm_dedup_exact", "llm_dedup_components", "llm_dedup_simhash_pairs",
+    "llm_dedup_apply", "llm_decontaminate", "llm_pack_sequences",
+    "llm_bpe_train_rounds",
+    "tpch_q3", "tpch_q5", "tpch_q6", "tpch_q9", "tpch_q21",
+    "ref_topology_lobsters", "ref_topology_ycsb", "ref_mock_datasource",
+    "llm_multimodal_extract",
 )
 
 

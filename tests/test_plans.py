@@ -486,6 +486,35 @@ def test_semdedup_pairs_are_cluster_keyed(q):
     assert "windowspecdefinition(bucket" in flat
 
 
+def test_semdedup_capped_pair_side_is_bounded(q):
+    """The capped SemDeDup variant must (a) keep the cluster-keyed
+    equi-join and (b) pre-filter the earlier-partner side to the C
+    lowest keep-ranks BEFORE the join (Condition: rk <= C) — that filter
+    is what bounds the per-cluster pair space to |cluster| x C instead
+    of |cluster|^2/2, the hot-cluster mitigation. Losing the filter (or
+    applying it post-join) silently restores the quadratic pair space
+    while producing different-but-plausible output."""
+    import re
+
+    p = q("llm_semdedup_capped")
+    flat = p.replace(" ", "")
+    assert "CartesianProduct" not in p
+    assert "Leftkeys[1]:[bucket" in flat and "Rightkeys[1]:[bucket" in flat
+    # the rk <= C bound is a standalone pre-join Filter condition, not a
+    # post-join predicate (post-join it would read (a_rk < b_rk) AND ...)
+    assert re.search(r"Condition:\(rk#\d+<=8\)", flat)
+
+
+def test_semdedup_capped_is_subset_of_uncapped(spark, sf_dir):
+    """Semantic pin: the capped prune set is a deterministic
+    UNDER-approximation — restricting the earlier-partner test to the C
+    lowest keep-ranks can only remove prune evidence, never invent it.
+    Every capped-pruned vector must appear in the uncapped prune set."""
+    capped = {r.vec_id for r in QS["llm_semdedup_capped"](spark, sf_dir).select("vec_id").collect()}
+    uncapped = {r.vec_id for r in QS["llm_semdedup_prune"](spark, sf_dir).select("vec_id").collect()}
+    assert capped <= uncapped
+
+
 def test_quality_classifier_scoring_is_one_narrow_stage(q):
     """After the fixed GD rounds train driver-side-pulled weights, the
     returned scoring frame must be ONE whole-stage-codegen projection
@@ -545,6 +574,7 @@ _BNLJ_OK = {
     "llm_sim_ivf_kmeans",      # broadcast learned-centroid set
     "llm_cluster_audit",       # broadcast learned-centroid set (same model)
     "llm_semdedup_prune",      # broadcast learned-centroid set (same model)
+    "llm_semdedup_capped",     # broadcast learned-centroid set (same model)
     "llm_semdedup_hier",       # broadcast coarse-centroid set (two-level)
     "llm_corpus_mixture",      # broadcast corpus totals (1 row)
     "llm_perplexity_score",    # broadcast vocab-size scalar (1 row)
