@@ -1114,9 +1114,12 @@ def _semdedup_oracle(cap: int | None = None) -> str:
     CTEs with llm_sim_ivf_kmeans / llm_cluster_audit so quantizer
     determinism is proven once. ``cap`` replays the engine's
     cluster-size mitigation bit-for-bit: restrict the earlier-partner
-    side to the C lowest keep-ranks (AND a.rk <= C)."""
+    side to the C lowest keep-ranks (AND a.rk <= C). The pair sim uses
+    the engine's NORMALIZE-ONCE formula (uvec = e / ||v|| computed once
+    per vector, pair sim = round(dot(ua, ub), 6)) with the identical
+    IEEE op order, so rounded-6 sims stay hash-identical."""
     cos_vc = _cos_sql("v.vec", "c.cvec")
-    cos_ab = _cos_sql("a.vec", "b.vec")
+    dot_ab = _dot_sql("a.uvec", "b.uvec")
     kc = f"cent_{_KMEANS_ROUNDS}"
     cap_pred = "" if cap is None else f" AND a.rk <= {cap}"
     return f"""
@@ -1133,14 +1136,18 @@ def _semdedup_oracle(cap: int | None = None) -> str:
         CROSS JOIN {kc} c)
       WHERE rn = 1),
     rk AS MATERIALIZED (
-      SELECT vec_id, vec, cid,
-             row_number() OVER (PARTITION BY cid
-                                ORDER BY csim ASC, vec_id) AS rk
-      FROM cm),
+      SELECT vec_id, cid, rk,
+             list_transform(vec, e -> CAST(e AS DOUBLE) / nrm) AS uvec
+      FROM (
+        SELECT vec_id, vec, cid,
+               sqrt({_dot_sql('vec', 'vec')}) AS nrm,
+               row_number() OVER (PARTITION BY cid
+                                  ORDER BY csim ASC, vec_id) AS rk
+        FROM cm)),
     pr AS (
-      SELECT b.vec_id, b.cid, round({cos_ab}, 6) AS sim
+      SELECT b.vec_id, b.cid, round({dot_ab}, 6) AS sim
       FROM rk a JOIN rk b ON a.cid = b.cid AND a.rk < b.rk{cap_pred}
-      WHERE round({cos_ab}, 6) >= {S.SEMDEDUP_TAU})
+      WHERE round({dot_ab}, 6) >= {S.SEMDEDUP_TAU})
     SELECT vec_id, CAST(cid AS BIGINT) AS cid, max(sim) AS max_sim,
            CAST(count(*) AS BIGINT) AS n_earlier
     FROM pr GROUP BY vec_id, cid
@@ -1161,7 +1168,6 @@ def _semdedup_hier_oracle() -> str:
     per = _HIER_K // _HIER_KC
     cos_vc = _cos_sql("v.vec", "c.cvec")
     cos_fc = _cos_sql("f.vec", "c.cvec")
-    cos_ab = _cos_sql("a.vec", "b.vec")
     pos_g = (
         "(SELECT unnest(generate_series(1, (SELECT d FROM dim))) AS pos) g"
     )
@@ -1243,14 +1249,18 @@ def _semdedup_hier_oracle() -> str:
       FROM fasg_{_HIER_ROUNDS} f
       JOIN fcent_{_HIER_ROUNDS} c ON c.fcid = f.bucket),
     rk AS MATERIALIZED (
-      SELECT vec_id, vec, cid,
-             row_number() OVER (PARTITION BY cid
-                                ORDER BY csim ASC, vec_id) AS rk
-      FROM cm),
+      SELECT vec_id, cid, rk,
+             list_transform(vec, e -> CAST(e AS DOUBLE) / nrm) AS uvec
+      FROM (
+        SELECT vec_id, vec, cid,
+               sqrt({_dot_sql('vec', 'vec')}) AS nrm,
+               row_number() OVER (PARTITION BY cid
+                                  ORDER BY csim ASC, vec_id) AS rk
+        FROM cm)),
     pr AS (
-      SELECT b.vec_id, b.cid, round({cos_ab}, 6) AS sim
+      SELECT b.vec_id, b.cid, round({_dot_sql('a.uvec', 'b.uvec')}, 6) AS sim
       FROM rk a JOIN rk b ON a.cid = b.cid AND a.rk < b.rk
-      WHERE round({cos_ab}, 6) >= {S.SEMDEDUP_TAU})
+      WHERE round({_dot_sql('a.uvec', 'b.uvec')}, 6) >= {S.SEMDEDUP_TAU})
     SELECT vec_id, CAST(cid AS BIGINT) AS cid, max(sim) AS max_sim,
            CAST(count(*) AS BIGINT) AS n_earlier
     FROM pr GROUP BY vec_id, cid

@@ -545,6 +545,39 @@ class Follower:
             moved += end - cur
         return moved
 
+    def lag(self) -> dict[int, int]:
+        """Per-partition replication lag: the leader's committed end
+        minus this replica's replicated offset — the alert signal a
+        deployment watches so failover never silently loses the tail
+        (VERDICT r8 #7; promote() of a lagging replica surfaces to
+        consumers as offset-out-of-range, but by then the records are
+        gone). 0 = caught up at the discovery instant; NEGATIVE lag
+        means the replica is AHEAD of the leader — the fork condition
+        poll_once refuses on, reported here as-is so monitoring sees it
+        too. Raises if the leader is unreachable (an unreachable leader
+        has no well-defined lag; callers alerting on lag treat the
+        exception itself as the page)."""
+        resp = broker_request(
+            self.host,
+            self.port,
+            {"op": "ends", "partitions": self.partitions},
+        )
+        if "error" in resp:
+            raise RuntimeError(f"lag discovery failed: {resp['error']}")
+        width = max(
+            (int(p) + 1 for p in resp["ends"]),
+            default=self.partitions,
+        )
+        out = {
+            int(p): int(e) - self.replicated.get(int(p), 0)
+            for p, e in resp["ends"].items()
+        }
+        # partitions the replica knows but the leader response omitted
+        for p, off in self.replicated.items():
+            if p not in out and p < max(width, self.partitions):
+                out[p] = -off
+        return out
+
     def catch_up(self, timeout: float = 30.0) -> "Follower":
         """Replicate until a pass finds nothing new (the replica matches
         the leader's committed ends as of that discovery)."""
@@ -581,15 +614,36 @@ class Follower:
             self._thread.join(timeout=5)
             self._thread = None
 
-    def promote(self) -> Broker:
+    def promote(self, force: bool = False) -> Broker:
         """Stop following and expose the replica as a servable topic —
         the failover path. Returns an UNSTARTED ``Broker`` bound to the
         replica dir (caller starts it / uses it as a context manager).
-        A leader-loss error recorded by the background tail is expected
-        at promotion time and cleared; a fork-refusal error is not."""
+
+        Pending background-tail errors are CLASSIFIED, not swallowed
+        (VERDICT r8 #7 — the old behavior cleared everything but
+        fork-refusal, so a disk-full mid-append or a protocol error
+        would silently promote a replica whose tail state is unknown):
+
+        - leader-unreachable (OSError family: refused/reset/timeout) is
+          the EXPECTED failover trigger — cleared, promotion proceeds;
+        - anything else (fork-refusal, fetch protocol errors, local
+          write failures) REFUSES promotion and re-raises the original
+          error, because the replica's state was not left by a clean
+          leader-death — ``force=True`` overrides after operator
+          inspection (fork-refusal is never overridable: a forked
+          history served is permanently divergent)."""
         self.stop()
-        if self.error is not None and "refusing to fork" in str(self.error):
-            raise self.error
+        err = self.error
+        if err is not None:
+            if "refusing to fork" in str(err):
+                raise err
+            if not isinstance(err, OSError) and not force:
+                raise RuntimeError(
+                    "refusing to promote: the replication tail died on a "
+                    f"non-leader-loss error ({type(err).__name__}: {err}); "
+                    "inspect the replica, then promote(force=True) to "
+                    "override"
+                ) from err
         return Broker(self.dir)
 
     def __enter__(self) -> "Follower":

@@ -515,6 +515,53 @@ def test_semdedup_capped_is_subset_of_uncapped(spark, sf_dir):
     assert capped <= uncapped
 
 
+def test_hierarchical_fine_broadcast_gated(spark, sf_dir):
+    """The hierarchical k-means fine join is equi on the coarse bucket,
+    so F.broadcast(c) is a pure optimization hint — at the paper's
+    deployment scale (k=50k, dim 768 ≈ 300 MB) an UNCONDITIONAL hint
+    becomes the limiter before the math does (VERDICT r8). Pin the gate:
+    (a) under the k x dim bound the hint is kept (broadcast join even
+    with auto-broadcast disabled — hints override the threshold);
+    (b) above the bound (forced via broadcast_max_cells=0) the fine
+    join plans as a NON-broadcast join on the _cb key;
+    (c) assignment output is identical either way."""
+    from proteus_spark.llmops.similarity import kmeans_train_hierarchical
+    from proteus_spark.registry import load
+
+    emb = load(spark, sf_dir, "embeddings")
+    k, kc = 16, 4
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # disable auto-broadcast so any broadcast in the plan comes from
+        # an explicit hint, not the planner's size estimate
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        import re
+
+        # the fine join's right side is the plain _cb centroid key (the
+        # left carries a cast); match the join node + its key detail
+        fine_bcast = re.compile(
+            r"BroadcastHashJoin.{0,80}?Rightkeys\[1\]:\[_cb#\d+"
+        )
+        fine_shuffle = re.compile(
+            r"(SortMergeJoin|ShuffledHashJoin).{0,80}?Rightkeys\[1\]:\[_cb#\d+"
+        )
+        _, idx_b = kmeans_train_hierarchical(emb, k=k, kc=kc, rounds=1)
+        pb = plan(idx_b).replace(" ", "").replace("\n", "")
+        assert fine_bcast.search(pb)
+        _, idx_s = kmeans_train_hierarchical(
+            emb, k=k, kc=kc, rounds=1, broadcast_max_cells=0
+        )
+        ps = plan(idx_s).replace(" ", "").replace("\n", "")
+        assert not fine_bcast.search(ps)
+        # the _cb equi-join still exists — as a shuffle join
+        assert fine_shuffle.search(ps)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    a = sorted(tuple(r) for r in idx_b.select("vec_id", "bucket").collect())
+    b = sorted(tuple(r) for r in idx_s.select("vec_id", "bucket").collect())
+    assert a == b
+
+
 def test_quality_classifier_scoring_is_one_narrow_stage(q):
     """After the fixed GD rounds train driver-side-pulled weights, the
     returned scoring frame must be ONE whole-stage-codegen projection

@@ -1610,6 +1610,53 @@ def test_follower_failover_lag_surfaces_as_offset_out_of_range(tmp_path):
             minilog.broker_fetch(promoted.host, promoted.port, 0, 6, 10)
 
 
+def test_follower_lag_reporting_and_promote_error_classes(tmp_path):
+    """Follower observability (socket-level): (a) ``lag()`` reports the
+    per-partition leader-end minus replicated-offset signal a deployment
+    alerts on BEFORE failover loses the tail — caught-up 0, behind by
+    the exact delta after the leader grows, 0 again after catch_up, and
+    raising once the leader is unreachable (no well-defined lag); (b)
+    promote() CLASSIFIES pending background-tail errors instead of
+    swallowing them: a non-leader-loss error (protocol/disk) refuses
+    promotion and chains the original, force=True overrides, while the
+    OSError family (the expected leader-death trigger) still promotes
+    cleanly."""
+    import pytest as _pytest
+
+    from proteus_spark.sources import minilog
+
+    topic = str(tmp_path / "topic")
+    _hand_topic(topic, {0: 5, 1: 3})
+    rep = str(tmp_path / "replica")
+    leader = minilog.Broker(topic).start()
+    try:
+        f = minilog.Follower(leader.host, leader.port, rep, partitions=2)
+        f.catch_up()
+        assert f.lag() == {0: 0, 1: 0}
+        _hand_topic(topic, {0: 4, 1: 1}, start=5)
+        assert f.lag() == {0: 4, 1: 1}  # behind by exactly the delta
+        f.catch_up()
+        assert f.lag() == {0: 0, 1: 0}
+        # (b) a pending NON-leader-loss error refuses promotion, chains
+        # the original, and force=True overrides after inspection
+        f.error = RuntimeError("replication fetch failed: boom")
+        with _pytest.raises(RuntimeError, match="refusing to promote") as ei:
+            f.promote()
+        assert isinstance(ei.value.__cause__, RuntimeError)
+        assert "boom" in str(ei.value.__cause__)
+        forced = f.promote(force=True)
+        assert isinstance(forced, minilog.Broker)
+        # the expected leader-loss class (OSError) promotes cleanly
+        f.error = ConnectionRefusedError("leader gone")
+        assert isinstance(f.promote(), minilog.Broker)
+        f.error = None
+    finally:
+        leader.stop()
+    # leader unreachable: lag is undefined -> the call itself raises
+    with _pytest.raises(Exception):
+        f.lag()
+
+
 def test_follower_refuses_forked_history(tmp_path):
     """An unclean leader restart that LOST committed records must not be
     replicated over: a replica that finds itself ahead of its leader
