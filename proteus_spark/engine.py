@@ -246,6 +246,7 @@ class Engine:
         sql: str,
         view=None,
         updates_timeout: float = 5.0,
+        typed: bool = False,
     ):
         """Bidi ``Query`` parity (qpuapi.proto:106-116,
         rpcserver.go:101-119): a generator of ``(seq_id, record_type,
@@ -264,11 +265,15 @@ class Engine:
 
         updates: _queue.Queue = _queue.Queue()
         _on_update = None
+        # the JSON surface stringifies every attribute (the documented
+        # deviation); the protobuf surface passes typed=True and maps raw
+        # Python values onto qpu.Value's typed oneof arms instead
+        conv = (lambda r: r.asDict()) if typed else self._stringify
         if view is not None:
 
             def _on_update(delta, epoch: int) -> None:
                 try:
-                    updates.put((epoch, [self._stringify(r) for r in delta.collect()]))
+                    updates.put((epoch, [conv(r) for r in delta.collect()]))
                 except Exception:
                     pass  # view teardown mid-collect must not kill the view
 
@@ -281,7 +286,7 @@ class Engine:
         try:
             seq = 0
             for row in self._collect_timed(sql):
-                yield (seq, "STATE", self._stringify(row))
+                yield (seq, "STATE", conv(row))
                 seq += 1
             yield (seq, "END_OF_STREAM", None)
             seq += 1

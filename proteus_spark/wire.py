@@ -775,7 +775,7 @@ class ProtobufQueryServer:
         conn.sendall(frame(encode_query_resp(resp)))
 
     def _query_stream(self, conn, sql: str, view=None) -> None:
-        stream = self.engine.query_stream(sql, view=view)
+        stream = self.engine.query_stream(sql, view=view, typed=True)
         first = True
         for seq, rtype, attrs in stream:
             if first:
@@ -783,16 +783,25 @@ class ProtobufQueryServer:
                 first = False
             rec: dict = {"sequence_id": seq, "type": rtype}
             if attrs is not None:
+                state = {
+                    "attributes": {
+                        k: _typed_value(v) for k, v in attrs.items()
+                    }
+                }
+                # payload arm follows the record type, as in the
+                # reference: STATE carries ObjectState, UPDATEDELTA a
+                # StateDelta (qpu.proto:16-28). The engine's view deltas
+                # surface post-update values only, so the delta's `old`
+                # side is absent (proto3 submessage non-presence).
+                payload = (
+                    {"delta": {"new": state}}
+                    if rtype == "UPDATEDELTA"
+                    else {"state": state}
+                )
                 rec["logOp"] = {
                     "object_id": str(attrs.get("id", seq)),
                     "bucket": "result",
-                    "payload": {
-                        "state": {
-                            "attributes": {
-                                k: {"str": v} for k, v in attrs.items()
-                            }
-                        }
-                    },
+                    "payload": payload,
                 }
             conn.sendall(frame(encode_response_stream_record(rec)))
         if first:  # empty stream still gets its status + END_OF_STREAM
@@ -805,6 +814,28 @@ class ProtobufQueryServer:
         self._ok(conn)
         resp = {"qpu_type": "DATASTORE_DRIVER", "schema": tables}
         conn.sendall(frame(encode_config_response(resp)))
+
+
+_INT32_MIN, _INT32_MAX = -(1 << 31), (1 << 31) - 1
+
+
+def _typed_value(v) -> dict:
+    """Map a raw Python attribute value onto qpu.Value's typed oneof —
+    the reference ships TYPED ObjectState values (qpu.proto:41-47), so
+    the protobuf stream surface does too (the JSON surface keeps the
+    documented stringify-everything deviation). Value.int is proto
+    int32; integers outside int32 fall back to the string arm (the
+    reference's own schema cannot carry them either), as do all other
+    types — deterministic, documented."""
+    if isinstance(v, bool):  # bool is an int subclass: check first
+        return {"str": str(v)}
+    if isinstance(v, int):
+        if _INT32_MIN <= v <= _INT32_MAX:
+            return {"int": v}
+        return {"str": str(v)}
+    if isinstance(v, float):
+        return {"flt": v}
+    return {"str": "" if v is None else str(v)}
 
 
 def _is_client_error(exc: Exception) -> bool:

@@ -248,9 +248,10 @@ def test_protobuf_query_stream_state_then_eos(engine):
         recs = wire.call_stream(srv.host, srv.port, sql)
     assert [r["type"] for r in recs] == ["STATE"] * 3 + ["END_OF_STREAM"]
     assert [r["sequence_id"] for r in recs] == [0, 1, 2, 3]
-    # STATE records carry the stringified row as ObjectState Values
+    # STATE records carry TYPED ObjectState Values (the reference's
+    # qpu.Value oneof): an int32-ranged bigint rides the int arm
     st = recs[0]["logOp"]["payload"]["state"]["attributes"]
-    assert "l_orderkey" in st and "str" in st["l_orderkey"]
+    assert "l_orderkey" in st and list(st["l_orderkey"]) == ["int"]
 
 
 def test_protobuf_get_config_advertises_tables(engine):
@@ -318,12 +319,30 @@ def test_protobuf_query_with_live_view_pushes_updatedelta(spark, engine):
         assert "END_OF_STREAM" in types
         assert types[-1] == "UPDATEDELTA"
         assert [r["sequence_id"] for r in recs] == list(range(len(recs)))
-        upd = recs[-1]["logOp"]["payload"]["state"]["attributes"]
-        assert upd["user_id"] == {"str": "2"}
-        assert upd["value_sum"] == {"str": "27.0"}
+        # UPDATEDELTA carries the StateDelta payload arm (new side only
+        # — view deltas surface post-update values); STATE carries
+        # ObjectState
+        assert "state" in recs[0]["logOp"]["payload"]
+        upd = recs[-1]["logOp"]["payload"]["delta"]["new"]["attributes"]
+        assert upd["user_id"] == {"int": 2}
+        assert upd["value_sum"] == {"flt": 27.0}
     finally:
         view.stop()
         cdc.cleanup(src)
+
+
+def test_typed_value_mapping():
+    """qpu.Value arm selection from raw Python values: int32-ranged
+    ints -> int, floats -> flt, out-of-range ints / bools / None /
+    strings -> the string arm (Value.int is proto int32; the
+    reference's own schema cannot carry wider integers either)."""
+    assert wire._typed_value(7) == {"int": 7}
+    assert wire._typed_value(-(2**31)) == {"int": -(2**31)}
+    assert wire._typed_value(2**31) == {"str": str(2**31)}
+    assert wire._typed_value(2.5) == {"flt": 2.5}
+    assert wire._typed_value(True) == {"str": "True"}
+    assert wire._typed_value(None) == {"str": ""}
+    assert wire._typed_value("x") == {"str": "x"}
 
 
 def test_protobuf_error_maps_to_grpc_status(engine):
