@@ -428,19 +428,126 @@ def decode_query_resp(buf: bytes) -> dict:
     return {"respRecord": recs}
 
 
+# qpu.SnapshotTime {SnapshotTimeType type = 1; Vectorclock value = 2;
+#   bool isClosed = 3;} enum LATEST=0 ZERO=1 INF=2 VECTORCLOCK=3 /
+#   SnapshotTimePredicate {SnapshotTime lbound = 1; ubound = 2;}
+#   (qpu.proto:69-99)
+SNAPSHOT_TIME_TYPES = {"LATEST": 0, "ZERO": 1, "INF": 2, "VECTORCLOCK": 3}
+_SNAPSHOT_TIME_NAMES = {v: k for k, v in SNAPSHOT_TIME_TYPES.items()}
+
+
+def encode_snapshot_time(st: dict) -> bytes:
+    out = _field_varint(1, SNAPSHOT_TIME_TYPES.get(st.get("type", "LATEST"), 0))
+    if "value" in st:
+        out += _field_msg(2, encode_vectorclock(st["value"]), True)
+    if st.get("isClosed"):
+        out += _field_varint(3, 1)
+    return out
+
+
+def decode_snapshot_time(buf: bytes) -> dict:
+    out: dict = {"type": "LATEST", "isClosed": False}
+    for f, _wt, v in iter_fields(buf):
+        if f == 1:
+            out["type"] = _SNAPSHOT_TIME_NAMES.get(v, v)
+        elif f == 2:
+            out["value"] = decode_vectorclock(v)
+        elif f == 3:
+            out["isClosed"] = bool(v)
+    return out
+
+
+def encode_snapshot_time_predicate(p: dict) -> bytes:
+    out = b""
+    if "lbound" in p:
+        out += _field_msg(1, encode_snapshot_time(p["lbound"]), True)
+    if "ubound" in p:
+        out += _field_msg(2, encode_snapshot_time(p["ubound"]), True)
+    return out
+
+
+def decode_snapshot_time_predicate(buf: bytes) -> dict:
+    out: dict = {}
+    for f, _wt, v in iter_fields(buf):
+        if f == 1:
+            out["lbound"] = decode_snapshot_time(v)
+        elif f == 2:
+            out["ubound"] = decode_snapshot_time(v)
+    return out
+
+
+# qpuapi.OrderBy {string attributeName = 1; Order direction = 2;}
+#   enum ASC=0 DESC=1 / ASTQuery {string table = 1; repeated string
+#   projection = 2; repeated qpu.AttributePredicate predicate = 3;
+#   qpu.SnapshotTimePredicate tsPredicate = 4; OrderBy orderBy = 5;
+#   int64 limit = 6;} (qpuapi.proto:68-93)
+def encode_order_by(ob: dict) -> bytes:
+    out = _field_str(1, ob.get("attributeName", ""))
+    out += _field_varint(2, 1 if ob.get("direction") == "DESC" else 0)
+    return out
+
+
+def decode_order_by(buf: bytes) -> dict:
+    out = {"attributeName": "", "direction": "ASC"}
+    for f, _wt, v in iter_fields(buf):
+        if f == 1:
+            out["attributeName"] = v.decode("utf-8")
+        elif f == 2:
+            out["direction"] = "DESC" if v == 1 else "ASC"
+    return out
+
+
+def encode_ast_query(ast: dict) -> bytes:
+    out = _field_str(1, ast.get("table", ""))
+    for s in ast.get("projection", []):
+        out += _field_msg(2, s.encode("utf-8"), True)
+    for p in ast.get("predicate", []):
+        out += _field_msg(3, encode_attribute_predicate(p), True)
+    if "tsPredicate" in ast:
+        out += _field_msg(
+            4, encode_snapshot_time_predicate(ast["tsPredicate"]), True
+        )
+    if "orderBy" in ast:
+        out += _field_msg(5, encode_order_by(ast["orderBy"]), True)
+    out += _field_varint(6, int(ast.get("limit", 0)))
+    return out
+
+
+def decode_ast_query(buf: bytes) -> dict:
+    out: dict = {"table": "", "projection": [], "predicate": [], "limit": 0}
+    for f, _wt, v in iter_fields(buf):
+        if f == 1:
+            out["table"] = v.decode("utf-8")
+        elif f == 2:
+            out["projection"].append(v.decode("utf-8"))
+        elif f == 3:
+            out["predicate"].append(decode_attribute_predicate(v))
+        elif f == 4:
+            out["tsPredicate"] = decode_snapshot_time_predicate(v)
+        elif f == 5:
+            out["orderBy"] = decode_order_by(v)
+        elif f == 6:
+            out["limit"] = _signed(v)
+    return out
+
+
 # qpuapi.SQLQuery {string queryStr = 1;} / Query {oneof query
 #   {ASTQuery query_ast = 1; SQLQuery query_sql = 2;}} / QueryRequest
 #   {Query query = 1; map<string,string> metadata = 2; bool sync = 3;
 #   bool measureDataTransfer = 4;} / RequestStreamRecord {oneof request
 #   {QueryRequest queryRequest = 1; AckMsg ack = 2;}} / AckMsg
-#   {int64 sequence_id = 1;} (qpuapi.proto:26-93). The ASTQuery arm is
-#   not served (the reference's own clients send SQL; the AST path is
-#   its internal QPU-to-QPU representation) — decode surfaces it as
-#   opaque bytes so a caller can reject it loudly.
+#   {int64 sequence_id = 1;} (qpuapi.proto:26-93). BOTH query arms are
+#   served: SQL (the client form) and ASTQuery (the reference's internal
+#   QPU-to-QPU representation, translated onto the operator layer by
+#   plans/astq.py).
 def encode_query_request(req: dict) -> bytes:
     out = b""
     q = req.get("query", {})
-    if "query_sql" in q:
+    if "query_ast" in q:
+        out += _field_msg(
+            1, _field_msg(1, encode_ast_query(q["query_ast"]), True), True
+        )
+    elif "query_sql" in q:
         inner = _field_str(1, q["query_sql"].get("queryStr", ""))
         out += _field_msg(1, _field_msg(2, inner, True), True)
     for key in sorted(req.get("metadata", {})):
@@ -460,7 +567,7 @@ def decode_query_request(buf: bytes) -> dict:
         if f == 1:
             for qf, _qwt, qv in iter_fields(v):
                 if qf == 1:
-                    out["query"] = {"query_ast_bytes": qv}  # unserved arm
+                    out["query"] = {"query_ast": decode_ast_query(qv)}
                 elif qf == 2:
                     sql = ""
                     for sf, _swt, sv in iter_fields(qv):
@@ -703,20 +810,27 @@ class ProtobufQueryServer:
                 if method == "QueryUnary":
                     self._query_unary(conn, body)
                 elif method == "Query":
-                    # bidi element type: RequestStreamRecord
+                    # bidi element type: RequestStreamRecord; both query
+                    # arms are served (SQL directly; ASTQuery translated
+                    # onto the operator layer)
                     req = decode_request_stream_record(body).get(
                         "queryRequest"
                     )
-                    if req is None or "query_sql" not in req.get("query", {}):
+                    q = (req or {}).get("query", {})
+                    view = self.views.get(
+                        (req or {}).get("metadata", {}).get("view")
+                    )
+                    if "query_sql" in q:
+                        self._query_stream(
+                            conn, q["query_sql"]["queryStr"], view=view
+                        )
+                    elif "query_ast" in q:
+                        self._query_ast_stream(conn, q["query_ast"])
+                    else:
                         raise ValueError(
                             "Query expects a RequestStreamRecord carrying "
-                            "QueryRequest.query.query_sql (the ASTQuery arm "
-                            "is the reference's internal representation and "
-                            "is not served)"
+                            "QueryRequest.query (query_sql or query_ast)"
                         )
-                    sql = req["query"]["query_sql"]["queryStr"]
-                    view = self.views.get(req.get("metadata", {}).get("view"))
-                    self._query_stream(conn, sql, view=view)
                 elif method == "QuerySubscribe":
                     self._query_stream(
                         conn, decode_query_req(body)["queryStr"]
@@ -807,6 +921,44 @@ class ProtobufQueryServer:
         if first:  # empty stream still gets its status + END_OF_STREAM
             self._ok(conn)
 
+    def _query_ast_stream(self, conn, ast: dict) -> None:
+        """Serve the ASTQuery arm: translate onto the operator layer
+        (plans/astq.py) and stream STATE records + END_OF_STREAM — the
+        reference's QPU-to-QPU request path, same record shape as the
+        SQL arm."""
+        from proteus_spark.plans.astq import ast_query
+
+        df = ast_query(self.engine.spark, ast)
+        rows = df.collect()  # plan + run BEFORE the ack so errors map
+        self._ok(conn)       # to a status line, never a broken stream
+        seq = 0
+        for row in rows:
+            attrs = row.asDict()
+            rec = {
+                "sequence_id": seq,
+                "type": "STATE",
+                "logOp": {
+                    "object_id": str(attrs.get("id", seq)),
+                    "bucket": ast.get("table", "result"),
+                    "payload": {
+                        "state": {
+                            "attributes": {
+                                k: _typed_value(v) for k, v in attrs.items()
+                            }
+                        }
+                    },
+                },
+            }
+            conn.sendall(frame(encode_response_stream_record(rec)))
+            seq += 1
+        conn.sendall(
+            frame(
+                encode_response_stream_record(
+                    {"sequence_id": seq, "type": "END_OF_STREAM"}
+                )
+            )
+        )
+
     def _get_config(self, conn) -> None:
         tables = sorted(
             t.name for t in self.engine.spark.catalog.listTables()
@@ -894,6 +1046,34 @@ def call_stream(
             rec = decode_response_stream_record(body)
             out.append(rec)
             if rec["type"] == "END_OF_STREAM" and view is None:
+                break
+    return out
+
+
+def call_ast(host: str, port: int, ast: dict) -> list[dict]:
+    """Client helper: the bidi ``Query`` carrying the ASTQuery arm (the
+    reference's internal representation); returns decoded
+    ResponseStreamRecords through END_OF_STREAM."""
+    import json
+    import socket
+
+    req = {"queryRequest": {"query": {"query_ast": ast}}}
+    out = []
+    with socket.create_connection((host, port), timeout=60) as sk:
+        rf = sk.makefile("rb")
+        sk.sendall(b"Query\n" + frame(encode_request_stream_record(req)))
+        status = json.loads(rf.readline())
+        if status.get("status", 13) != 0:
+            raise RuntimeError(
+                f"grpc status {status.get('status')}: {status.get('error')}"
+            )
+        while True:
+            body = read_frame(rf)
+            if body is None:
+                break
+            rec = decode_response_stream_record(body)
+            out.append(rec)
+            if rec["type"] == "END_OF_STREAM":
                 break
     return out
 

@@ -331,6 +331,104 @@ def test_protobuf_query_with_live_view_pushes_updatedelta(spark, engine):
         cdc.cleanup(src)
 
 
+def test_ast_query_roundtrip_and_golden():
+    """ASTQuery (the reference's internal query form): full round-trip
+    incl. predicates/tsPredicate/orderBy/limit, plus a golden encoding
+    of the minimal table+limit form (table=field 1 LEN, limit=field 6
+    varint: 0x30)."""
+    assert (
+        wire.encode_ast_query({"table": "t", "limit": 5})
+        == b"\x0a\x01t\x30\x05"
+    )
+    ast = {
+        "table": "orders",
+        "projection": ["o_orderkey", "o_totalprice"],
+        "predicate": [
+            {
+                "attr": {"attr_key": "o_totalprice"},
+                "type": "RANGE",
+                "lbound": {"flt": 100.0},
+                "ubound": {"flt": 200.0},
+            },
+            {"attr": {"attr_key": "o_comment"}, "type": "ISNOTNULL"},
+        ],
+        "tsPredicate": {
+            "lbound": {"type": "LATEST", "isClosed": True},
+            "ubound": {"type": "LATEST", "isClosed": True},
+        },
+        "orderBy": {"attributeName": "o_totalprice", "direction": "DESC"},
+        "limit": 7,
+    }
+    got = wire.decode_ast_query(wire.encode_ast_query(ast))
+    assert got == ast
+    # the AST arm rides the Query envelope both ways
+    env = {"queryRequest": {"query": {"query_ast": ast}}}
+    got_env = wire.decode_request_stream_record(
+        wire.encode_request_stream_record(env)
+    )
+    assert got_env["queryRequest"]["query"]["query_ast"] == ast
+
+
+def test_protobuf_ast_query_matches_sql_twin(engine):
+    """Socket-level: an ASTQuery (RANGE lb-incl/ub-excl + EQ +
+    projection + ORDER BY DESC + LIMIT) over the wire returns exactly
+    the rows of its SQL twin — one semantics behind two entry
+    representations."""
+    ast = {
+        "table": "lineitem",
+        "projection": ["l_orderkey", "l_quantity"],
+        "predicate": [
+            {
+                "attr": {"attr_key": "l_quantity"},
+                "type": "RANGE",
+                "lbound": {"flt": 10.0},
+                "ubound": {"flt": 12.0},
+            },
+            {
+                "attr": {"attr_key": "l_linenumber"},
+                "type": "EQ",
+                "lbound": {"int": 1},
+                "ubound": {"int": 1},
+            },
+        ],
+        "orderBy": {"attributeName": "l_orderkey", "direction": "DESC"},
+        "limit": 4,
+    }
+    with wire.ProtobufQueryServer(engine) as srv:
+        recs = wire.call_ast(srv.host, srv.port, ast)
+    assert [r["type"] for r in recs][-1] == "END_OF_STREAM"
+    got = [
+        r["logOp"]["payload"]["state"]["attributes"]
+        for r in recs
+        if r["type"] == "STATE"
+    ]
+    twin = engine.query_unary(
+        "SELECT l_orderkey, l_quantity FROM lineitem "
+        "WHERE l_quantity >= 10.0 AND l_quantity < 12.0 "
+        "AND l_linenumber = 1 ORDER BY l_orderkey DESC LIMIT 4"
+    )
+    assert len(got) == len(twin) == 4
+    for g, t in zip(got, twin):
+        assert str(g["l_orderkey"]["int"]) == t["l_orderkey"]
+        assert str(g["l_quantity"]["flt"]) == t["l_quantity"]
+    # STATE records carry the source table as the bucket
+    assert recs[0]["logOp"]["bucket"] == "lineitem"
+
+
+def test_protobuf_ast_query_vectorclock_bound_rejected(engine):
+    """A VECTORCLOCK snapshot bound addresses a versioned view, not a
+    batch table — the server must reject it loudly (INVALID_ARGUMENT),
+    never silently serve LATEST."""
+    ast = {
+        "table": "lineitem",
+        "limit": 1,
+        "tsPredicate": {"lbound": {"type": "VECTORCLOCK"}},
+    }
+    with wire.ProtobufQueryServer(engine) as srv:
+        with pytest.raises(RuntimeError, match="grpc status 3"):
+            wire.call_ast(srv.host, srv.port, ast)
+
+
 def test_typed_value_mapping():
     """qpu.Value arm selection from raw Python values: int32-ranged
     ints -> int, floats -> flt, out-of-range ints / bools / None /
