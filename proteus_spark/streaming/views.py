@@ -610,6 +610,7 @@ class SumView:
             self._state.recover()
         self._retain = retain
         self._snap_lock = threading.Lock()
+        self._batch_lock = threading.Lock()
         self._snap_cache = None
         self._snap_version = -1
         self._derived_version: dict[str, int] = {}
@@ -647,6 +648,9 @@ class SumView:
     def stop(self, cleanup: bool = True) -> None:
         if self._query is not None:
             self._query.stop()
+        # join the in-flight foreachBatch: post-stop state is final
+        with self._batch_lock:
+            pass
         with self._snap_lock:
             if self._snap_cache is not None:
                 try:
@@ -682,6 +686,15 @@ class SumView:
         self._merge(contrib, epoch=epoch)
 
     def _merge(self, delta: DataFrame, epoch: int) -> None:
+        # batch-in-flight guard: stop() barriers on this lock, so a
+        # caller that returned from stop() can never observe a version
+        # bump or subscriber callback landing afterwards (the round-8
+        # deflake's diagnosed race — StreamingQuery.stop() does not join
+        # the Python foreachBatch callback thread)
+        with self._batch_lock:
+            self._merge_locked(delta, epoch)
+
+    def _merge_locked(self, delta: DataFrame, epoch: int) -> None:
         # merge POLICY lives in the _state.merge object chosen at
         # construction (replace / add / coalesce) — not a per-call flag.
         # LSM append: write ONLY the delta rows — no read-modify-write of
@@ -844,6 +857,7 @@ class JoinView:
             self._state.recover()
         self._subscribers: list[Callable[[DataFrame, int], None]] = []
         self._snap_lock = threading.Lock()
+        self._batch_lock = threading.Lock()
         self._snap_cache = None
         self._snap_version = -1
         self._query = None
@@ -866,6 +880,9 @@ class JoinView:
     def stop(self, cleanup: bool = True) -> None:
         if self._query is not None:
             self._query.stop()
+        # join the in-flight foreachBatch: post-stop state is final
+        with self._batch_lock:
+            pass
         with self._snap_lock:
             if self._snap_cache is not None:
                 try:
@@ -878,6 +895,10 @@ class JoinView:
 
     # -- state maintenance -------------------------------------------------
     def _on_batch(self, batch: DataFrame, epoch: int) -> None:
+        with self._batch_lock:  # stop() barriers on this (see SumView)
+            self._on_batch_locked(batch, epoch)
+
+    def _on_batch_locked(self, batch: DataFrame, epoch: int) -> None:
         has_op = "_op" in batch.columns
         cols = [
             c
@@ -1037,6 +1058,7 @@ class HistoryView:
         )
         if root is not None:
             self._state.recover()
+        self._batch_lock = threading.Lock()
         self._query = None
 
     # -- lifecycle ---------------------------------------------------------
@@ -1058,15 +1080,20 @@ class HistoryView:
     def stop(self, cleanup: bool = True) -> None:
         if self._query is not None:
             self._query.stop()
+        # join the in-flight foreachBatch BEFORE cleanup removes the
+        # state root from under a mid-commit batch (see SumView.stop)
+        with self._batch_lock:
+            pass
         if cleanup:
             shutil.rmtree(self._root, ignore_errors=True)
 
     # -- state maintenance -------------------------------------------------
     def _on_batch(self, batch: DataFrame, epoch: int) -> None:
-        self._state.commit_delta(
-            batch.withColumn("_bucket", self._state.bucket_col()),
-            epoch=epoch,
-        )
+        with self._batch_lock:
+            self._state.commit_delta(
+                batch.withColumn("_bucket", self._state.bucket_col()),
+                epoch=epoch,
+            )
 
     # -- query surface -----------------------------------------------------
     def log(self) -> DataFrame | None:

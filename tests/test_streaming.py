@@ -29,17 +29,15 @@ def test_sum_view_subscriptions_and_versions(spark, sf_dir):
         view.await_catch_up()
         # stop triggers before asserting: an idle (empty) micro-batch firing
         # between reading version() and len(seen) would skew the equality.
-        # stop() can return while a final foreachBatch is still mid-flight
-        # on a loaded host (seen observed at N+2 vs a version read of N) —
-        # poll until the pair stabilizes, then assert the strict invariant
+        # StreamingQuery.stop() can return while a final foreachBatch is
+        # still mid-flight on a loaded host (the round-8 flake) — the view
+        # now guards every batch with _batch_lock and its stop() joins it;
+        # barrier on the same lock here, then assert the STRICT invariant
+        # with no polling (restored from the r8 deflake, VERDICT r8 #6)
         view._query.stop()
-        import time as _t
-
-        for _ in range(50):
-            v, n = view.version(), len(seen)
-            if n == v + 1:
-                break
-            _t.sleep(0.1)
+        with view._batch_lock:
+            pass
+        v, n = view.version(), len(seen)
         # 3 staged files, maxFilesPerTrigger=1 -> >= 3 micro-batches
         assert v >= 2
         assert n == v + 1

@@ -429,6 +429,36 @@ def test_protobuf_ast_query_vectorclock_bound_rejected(engine):
             wire.call_ast(srv.host, srv.port, ast)
 
 
+def test_ast_query_predicates_push_to_scan(spark, engine):
+    """The AST arm must be as 100 TB-ready as its SQL twin: the
+    translated plan pushes the RANGE predicate to the parquet scan
+    (PushedFilters) and prunes the read schema to the projection — the
+    declarative translation hands Catalyst the same opportunities the
+    SQL path gets."""
+    from proteus_spark.plans.astq import ast_query
+
+    df = ast_query(
+        spark,
+        {
+            "table": "lineitem",
+            "projection": ["l_orderkey", "l_quantity"],
+            "predicate": [
+                {
+                    "attr": {"attr_key": "l_quantity"},
+                    "type": "RANGE",
+                    "lbound": {"flt": 10.0},
+                    "ubound": {"flt": 20.0},
+                }
+            ],
+        },
+    )
+    jvm = spark._jvm
+    p = jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+    assert "GreaterThanOrEqual(l_quantity,10" in p
+    assert "LessThan(l_quantity,20" in p
+    assert "struct<l_orderkey:bigint,l_quantity:double>" in p
+
+
 def test_typed_value_mapping():
     """qpu.Value arm selection from raw Python values: int32-ranged
     ints -> int, floats -> flt, out-of-range ints / bools / None /
