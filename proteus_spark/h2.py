@@ -1,0 +1,897 @@
+"""HTTP/2 + gRPC envelope — the last wire-format delta, closed.
+
+The reference serves its protobuf messages as gRPC over HTTP/2
+(internal/rpc_server/rpcserver.go:73-98 — a stock grpc-go server).
+``wire.py`` closed the proto3 SERIALIZATION delta with a hand-rolled
+codec but documented one remaining stand-in: a method preamble line and
+a JSON status line in place of the HTTP/2 envelope. This module removes
+that stand-in. It implements, from the public RFCs (no HTTP/2 or HPACK
+libraries exist in this sandbox):
+
+- **HPACK (RFC 7541)**: prefix-coded integers, the full static table
+  (Appendix A), a size-bounded dynamic table, all five field
+  representations, and canonical Huffman coding (Appendix B) — encoder
+  and decoder. Golden tests reproduce the RFC's own Appendix C vectors
+  byte-for-byte (C.1 integers, C.3/C.4 request sequences with dynamic
+  table evolution, C.5/C.6 responses with eviction).
+- **HTTP/2 framing (RFC 9113)**: the client connection preface,
+  DATA / HEADERS / CONTINUATION / SETTINGS / PING / GOAWAY /
+  RST_STREAM / WINDOW_UPDATE frames, stream multiplexing, and honest
+  send-side flow control (connection + per-stream windows, blocked
+  writers wake on WINDOW_UPDATE).
+- **gRPC mapping (the public gRPC-over-HTTP/2 spec)**: requests as
+  POST to ``/qpuapi.QPUAPI/<Method>`` (the reference's proto package +
+  service, qpuapi.proto:9-23), ``content-type: application/grpc``,
+  length-prefixed messages in DATA frames, response HEADERS with
+  ``:status: 200``, and the status in HTTP trailers (``grpc-status`` /
+  ``grpc-message``; errors before any message map to the Trailers-Only
+  form). Status codes keep rpcserver.go's mapping: INVALID_ARGUMENT(3)
+  for client errors, INTERNAL(13) otherwise.
+
+``GrpcQueryServer`` subclasses ``wire.ProtobufQueryServer`` and reuses
+its method handlers verbatim — only the transport changes, so the two
+servers cannot drift. Interop is proven against REAL clients in
+tests/test_h2.py: curl (libnghttp2) completes a full QueryUnary
+round-trip over h2c prior-knowledge, and ``nghttp -v`` sees the
+trailers. The in-module client helpers mirror wire.call_* for use where
+those binaries aren't present.
+"""
+
+from __future__ import annotations
+
+import struct
+import threading
+
+from proteus_spark import wire
+
+# ---------------------------------------------------------------------------
+# HPACK: prefix-coded integers (RFC 7541 §5.1)
+# ---------------------------------------------------------------------------
+
+
+def hpack_encode_int(value: int, prefix_bits: int, top: int = 0) -> bytes:
+    """Encode ``value`` with an N-bit prefix; ``top`` carries the
+    representation's flag bits in the byte's high (8-N) bits."""
+    limit = (1 << prefix_bits) - 1
+    if value < limit:
+        return bytes([top | value])
+    out = bytearray([top | limit])
+    value -= limit
+    while value >= 128:
+        out.append((value & 0x7F) | 0x80)
+        value >>= 7
+    out.append(value)
+    return bytes(out)
+
+
+def hpack_decode_int(buf: bytes, pos: int, prefix_bits: int) -> tuple[int, int]:
+    limit = (1 << prefix_bits) - 1
+    value = buf[pos] & limit
+    pos += 1
+    if value < limit:
+        return value, pos
+    shift = 0
+    while True:
+        b = buf[pos]
+        pos += 1
+        value += (b & 0x7F) << shift
+        shift += 7
+        if not b & 0x80:
+            return value, pos
+
+
+# ---------------------------------------------------------------------------
+# HPACK: canonical Huffman code (RFC 7541 Appendix B)
+# ---------------------------------------------------------------------------
+
+# (code, bit length) for symbols 0..255 plus EOS at index 256, transcribed
+# from the RFC table. Golden tests pin the encodings the RFC's Appendix C
+# examples exercise; a totality test round-trips every byte value.
+_HUFFMAN: list[tuple[int, int]] = [
+    (0x1FF8, 13), (0x7FFFD8, 23), (0xFFFFFE2, 28), (0xFFFFFE3, 28),
+    (0xFFFFFE4, 28), (0xFFFFFE5, 28), (0xFFFFFE6, 28), (0xFFFFFE7, 28),
+    (0xFFFFFE8, 28), (0xFFFFEA, 24), (0x3FFFFFFC, 30), (0xFFFFFE9, 28),
+    (0xFFFFFEA, 28), (0x3FFFFFFD, 30), (0xFFFFFEB, 28), (0xFFFFFEC, 28),
+    (0xFFFFFED, 28), (0xFFFFFEE, 28), (0xFFFFFEF, 28), (0xFFFFFF0, 28),
+    (0xFFFFFF1, 28), (0xFFFFFF2, 28), (0x3FFFFFFE, 30), (0xFFFFFF3, 28),
+    (0xFFFFFF4, 28), (0xFFFFFF5, 28), (0xFFFFFF6, 28), (0xFFFFFF7, 28),
+    (0xFFFFFF8, 28), (0xFFFFFF9, 28), (0xFFFFFFA, 28), (0xFFFFFFB, 28),
+    (0x14, 6), (0x3F8, 10), (0x3F9, 10), (0xFFA, 12),
+    (0x1FF9, 13), (0x15, 6), (0xF8, 8), (0x7FA, 11),
+    (0x3FA, 10), (0x3FB, 10), (0xF9, 8), (0x7FB, 11),
+    (0xFA, 8), (0x16, 6), (0x17, 6), (0x18, 6),
+    (0x0, 5), (0x1, 5), (0x2, 5), (0x19, 6),
+    (0x1A, 6), (0x1B, 6), (0x1C, 6), (0x1D, 6),
+    (0x1E, 6), (0x1F, 6), (0x5C, 7), (0xFB, 8),
+    (0x7FFC, 15), (0x20, 6), (0xFFB, 12), (0x3FC, 10),
+    (0x1FFA, 13), (0x21, 6), (0x5D, 7), (0x5E, 7),
+    (0x5F, 7), (0x60, 7), (0x61, 7), (0x62, 7),
+    (0x63, 7), (0x64, 7), (0x65, 7), (0x66, 7),
+    (0x67, 7), (0x68, 7), (0x69, 7), (0x6A, 7),
+    (0x6B, 7), (0x6C, 7), (0x6D, 7), (0x6E, 7),
+    (0x6F, 7), (0x70, 7), (0x71, 7), (0x72, 7),
+    (0xFC, 8), (0x73, 7), (0xFD, 8), (0x1FFB, 13),
+    (0x7FFF0, 19), (0x1FFC, 13), (0x3FFC, 14), (0x22, 6),
+    (0x7FFD, 15), (0x3, 5), (0x23, 6), (0x4, 5),
+    (0x24, 6), (0x5, 5), (0x25, 6), (0x26, 6),
+    (0x27, 6), (0x6, 5), (0x74, 7), (0x75, 7),
+    (0x28, 6), (0x29, 6), (0x2A, 6), (0x7, 5),
+    (0x2B, 6), (0x76, 7), (0x2C, 6), (0x8, 5),
+    (0x9, 5), (0x2D, 6), (0x77, 7), (0x78, 7),
+    (0x79, 7), (0x7A, 7), (0x7B, 7), (0x7FFE, 15),
+    (0x7FC, 11), (0x3FFD, 14), (0x1FFD, 13), (0xFFFFFFC, 28),
+    (0xFFFE6, 20), (0x3FFFD2, 22), (0xFFFE7, 20), (0xFFFE8, 20),
+    (0x3FFFD3, 22), (0x3FFFD4, 22), (0x3FFFD5, 22), (0x7FFFD9, 23),
+    (0x3FFFD6, 22), (0x7FFFDA, 23), (0x7FFFDB, 23), (0x7FFFDC, 23),
+    (0x7FFFDD, 23), (0x7FFFDE, 23), (0xFFFFEB, 24), (0x7FFFDF, 23),
+    (0xFFFFEC, 24), (0xFFFFED, 24), (0x3FFFD7, 22), (0x7FFFE0, 23),
+    (0xFFFFEE, 24), (0x7FFFE1, 23), (0x7FFFE2, 23), (0x7FFFE3, 23),
+    (0x7FFFE4, 23), (0x1FFFDC, 21), (0x3FFFD8, 22), (0x7FFFE5, 23),
+    (0x3FFFD9, 22), (0x7FFFE6, 23), (0x7FFFE7, 23), (0xFFFFEF, 24),
+    (0x3FFFDA, 22), (0x1FFFDD, 21), (0xFFFE9, 20), (0x3FFFDB, 22),
+    (0x3FFFDC, 22), (0x7FFFE8, 23), (0x7FFFE9, 23), (0x1FFFDE, 21),
+    (0x7FFFEA, 23), (0x3FFFDD, 22), (0x3FFFDE, 22), (0xFFFFF0, 24),
+    (0x1FFFDF, 21), (0x3FFFDF, 22), (0x7FFFEB, 23), (0x7FFFEC, 23),
+    (0x1FFFE0, 21), (0x1FFFE1, 21), (0x3FFFE0, 22), (0x1FFFE2, 21),
+    (0x7FFFED, 23), (0x3FFFE1, 22), (0x7FFFEE, 23), (0x7FFFEF, 23),
+    (0xFFFEA, 20), (0x3FFFE2, 22), (0x3FFFE3, 22), (0x3FFFE4, 22),
+    (0x7FFFF0, 23), (0x3FFFE5, 22), (0x3FFFE6, 22), (0x7FFFF1, 23),
+    (0x3FFFFE0, 26), (0x3FFFFE1, 26), (0xFFFEB, 20), (0x7FFF1, 19),
+    (0x3FFFE7, 22), (0x7FFFF2, 23), (0x3FFFE8, 22), (0x1FFFFEC, 25),
+    (0x3FFFFE2, 26), (0x3FFFFE3, 26), (0x3FFFFE4, 26), (0x7FFFFDE, 27),
+    (0x7FFFFDF, 27), (0x3FFFFE5, 26), (0xFFFFF1, 24), (0x1FFFFED, 25),
+    (0x7FFF2, 19), (0x1FFFE3, 21), (0x3FFFFE6, 26), (0x7FFFFE0, 27),
+    (0x7FFFFE1, 27), (0x3FFFFE7, 26), (0x7FFFFE2, 27), (0xFFFFF2, 24),
+    (0x1FFFE4, 21), (0x1FFFE5, 21), (0x3FFFFE8, 26), (0x3FFFFE9, 26),
+    (0xFFFFFFD, 28), (0x7FFFFE3, 27), (0x7FFFFE4, 27), (0x7FFFFE5, 27),
+    (0xFFFEC, 20), (0xFFFFF3, 24), (0xFFFED, 20), (0x1FFFE6, 21),
+    (0x3FFFE9, 22), (0x1FFFE7, 21), (0x1FFFE8, 21), (0x7FFFF3, 23),
+    (0x3FFFEA, 22), (0x3FFFEB, 22), (0x1FFFFEE, 25), (0x1FFFFEF, 25),
+    (0xFFFFF4, 24), (0xFFFFF5, 24), (0x3FFFFEA, 26), (0x7FFFF4, 23),
+    (0x3FFFFEB, 26), (0x7FFFFE6, 27), (0x3FFFFEC, 26), (0x3FFFFED, 26),
+    (0x7FFFFE7, 27), (0x7FFFFE8, 27), (0x7FFFFE9, 27), (0x7FFFFEA, 27),
+    (0x7FFFFEB, 27), (0xFFFFFFE, 28), (0x7FFFFEC, 27), (0x7FFFFED, 27),
+    (0x7FFFFEE, 27), (0x7FFFFEF, 27), (0x7FFFFF0, 27), (0x3FFFFEE, 26),
+    (0x3FFFFFFF, 30),
+]
+
+# decode table: left-to-right bit walk over a {0,1}-keyed trie would be
+# slow in Python; use a dict keyed by (bits, length) — codes are
+# prefix-free, so probing lengths in ascending order is unambiguous.
+_HUF_DECODE: dict[tuple[int, int], int] = {
+    (code, bits): sym for sym, (code, bits) in enumerate(_HUFFMAN)
+}
+_HUF_LENGTHS = sorted({bits for _, bits in _HUFFMAN})
+
+
+def huffman_encode(data: bytes) -> bytes:
+    acc = 0
+    nbits = 0
+    out = bytearray()
+    for b in data:
+        code, bits = _HUFFMAN[b]
+        acc = (acc << bits) | code
+        nbits += bits
+        while nbits >= 8:
+            nbits -= 8
+            out.append((acc >> nbits) & 0xFF)
+    if nbits:  # pad with EOS prefix (all-ones)
+        out.append(((acc << (8 - nbits)) | ((1 << (8 - nbits)) - 1)) & 0xFF)
+    return bytes(out)
+
+
+def huffman_decode(data: bytes) -> bytes:
+    out = bytearray()
+    acc = 0
+    nbits = 0
+    for byte in data:
+        acc = (acc << 8) | byte
+        nbits += 8
+        matched = True
+        while matched:
+            matched = False
+            for ln in _HUF_LENGTHS:
+                if ln > nbits:
+                    break
+                sym = _HUF_DECODE.get(
+                    ((acc >> (nbits - ln)) & ((1 << ln) - 1), ln)
+                )
+                if sym is not None:
+                    if sym == 256:
+                        raise ValueError("EOS symbol in huffman data")
+                    out.append(sym)
+                    nbits -= ln
+                    matched = True
+                    break
+    # trailing bits must be a (possibly empty) EOS prefix: all ones, < 8
+    if nbits >= 8 or (acc & ((1 << nbits) - 1)) != (1 << nbits) - 1:
+        raise ValueError("invalid huffman padding")
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# HPACK: static table (RFC 7541 Appendix A) + dynamic table
+# ---------------------------------------------------------------------------
+
+HPACK_STATIC: list[tuple[str, str]] = [
+    (":authority", ""), (":method", "GET"), (":method", "POST"),
+    (":path", "/"), (":path", "/index.html"), (":scheme", "http"),
+    (":scheme", "https"), (":status", "200"), (":status", "204"),
+    (":status", "206"), (":status", "304"), (":status", "400"),
+    (":status", "404"), (":status", "500"), ("accept-charset", ""),
+    ("accept-encoding", "gzip, deflate"), ("accept-language", ""),
+    ("accept-ranges", ""), ("accept", ""),
+    ("access-control-allow-origin", ""), ("age", ""), ("allow", ""),
+    ("authorization", ""), ("cache-control", ""),
+    ("content-disposition", ""), ("content-encoding", ""),
+    ("content-language", ""), ("content-length", ""),
+    ("content-location", ""), ("content-range", ""), ("content-type", ""),
+    ("cookie", ""), ("date", ""), ("etag", ""), ("expect", ""),
+    ("expires", ""), ("from", ""), ("host", ""), ("if-match", ""),
+    ("if-modified-since", ""), ("if-none-match", ""), ("if-range", ""),
+    ("if-unmodified-since", ""), ("last-modified", ""), ("link", ""),
+    ("location", ""), ("max-forwards", ""), ("proxy-authenticate", ""),
+    ("proxy-authorization", ""), ("range", ""), ("referer", ""),
+    ("refresh", ""), ("retry-after", ""), ("server", ""),
+    ("set-cookie", ""), ("strict-transport-security", ""),
+    ("transfer-encoding", ""), ("user-agent", ""), ("vary", ""),
+    ("via", ""), ("www-authenticate", ""),
+]
+_STATIC_N = len(HPACK_STATIC)  # 61
+
+
+class _DynTable:
+    """HPACK dynamic table: FIFO, size-bounded, entry size = name +
+    value + 32 (RFC 7541 §4.1). Index 1 is the most recent entry."""
+
+    def __init__(self, max_size: int = 4096):
+        self.entries: list[tuple[str, str]] = []
+        self.size = 0
+        self.max_size = max_size
+
+    def add(self, name: str, value: str) -> None:
+        need = len(name.encode()) + len(value.encode()) + 32
+        self.entries.insert(0, (name, value))
+        self.size += need
+        self._evict()
+
+    def resize(self, max_size: int) -> None:
+        self.max_size = max_size
+        self._evict()
+
+    def _evict(self) -> None:
+        while self.size > self.max_size and self.entries:
+            n, v = self.entries.pop()
+            self.size -= len(n.encode()) + len(v.encode()) + 32
+
+
+class HpackDecoder:
+    def __init__(self, max_table_size: int = 4096):
+        self.table = _DynTable(max_table_size)
+
+    def _lookup(self, idx: int) -> tuple[str, str]:
+        if idx == 0:
+            raise ValueError("hpack index 0")
+        if idx <= _STATIC_N:
+            return HPACK_STATIC[idx - 1]
+        dyn = idx - _STATIC_N - 1
+        if dyn >= len(self.table.entries):
+            raise ValueError(f"hpack index {idx} out of table")
+        return self.table.entries[dyn]
+
+    def _read_string(self, buf: bytes, pos: int) -> tuple[str, int]:
+        huff = bool(buf[pos] & 0x80)
+        length, pos = hpack_decode_int(buf, pos, 7)
+        raw = buf[pos : pos + length]
+        if len(raw) != length:
+            raise ValueError("truncated hpack string")
+        pos += length
+        return (huffman_decode(raw) if huff else raw).decode("utf-8"), pos
+
+    def decode(self, block: bytes) -> list[tuple[str, str]]:
+        headers: list[tuple[str, str]] = []
+        pos = 0
+        while pos < len(block):
+            b = block[pos]
+            if b & 0x80:  # indexed field
+                idx, pos = hpack_decode_int(block, pos, 7)
+                headers.append(self._lookup(idx))
+            elif b & 0x40:  # literal with incremental indexing
+                idx, pos = hpack_decode_int(block, pos, 6)
+                name = self._lookup(idx)[0] if idx else None
+                if name is None:
+                    name, pos = self._read_string(block, pos)
+                value, pos = self._read_string(block, pos)
+                self.table.add(name, value)
+                headers.append((name, value))
+            elif b & 0x20:  # dynamic table size update
+                size, pos = hpack_decode_int(block, pos, 5)
+                self.table.resize(size)
+            else:  # literal without indexing (0000) / never indexed (0001)
+                idx, pos = hpack_decode_int(block, pos, 4)
+                name = self._lookup(idx)[0] if idx else None
+                if name is None:
+                    name, pos = self._read_string(block, pos)
+                value, pos = self._read_string(block, pos)
+                headers.append((name, value))
+        return headers
+
+
+class HpackEncoder:
+    """Encoder with the standard strategy: full (name, value) static or
+    dynamic hit -> indexed field; name-only hit -> literal with
+    incremental indexing against the name index; else literal with
+    incremental indexing and a literal name. ``huffman=True`` Huffman-
+    codes every literal string (what nghttp2 does when shorter; here
+    unconditional so the path is always exercised)."""
+
+    def __init__(self, max_table_size: int = 4096, huffman: bool = True):
+        self.table = _DynTable(max_table_size)
+        self.huffman = huffman
+
+    def _string(self, s: str) -> bytes:
+        raw = s.encode("utf-8")
+        if self.huffman:
+            enc = huffman_encode(raw)
+            if len(enc) <= len(raw):  # RFC C.6.2 huffman-codes at equal len
+                return hpack_encode_int(len(enc), 7, 0x80) + enc
+        return hpack_encode_int(len(raw), 7, 0x00) + raw
+
+    def encode(self, headers: list[tuple[str, str]]) -> bytes:
+        out = bytearray()
+        for name, value in headers:
+            full_idx = name_idx = 0
+            for i, (n, v) in enumerate(HPACK_STATIC, start=1):
+                if n == name:
+                    if v == value:
+                        full_idx = i
+                        break
+                    if not name_idx:
+                        name_idx = i
+            if not full_idx:
+                for i, (n, v) in enumerate(
+                    self.table.entries, start=_STATIC_N + 1
+                ):
+                    if n == name and v == value:
+                        full_idx = i
+                        break
+                    if n == name and not name_idx:
+                        name_idx = i
+            if full_idx:
+                out += hpack_encode_int(full_idx, 7, 0x80)
+                continue
+            out += hpack_encode_int(name_idx, 6, 0x40)
+            if not name_idx:
+                out += self._string(name)
+            out += self._string(value)
+            self.table.add(name, value)
+        return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# HTTP/2 framing (RFC 9113)
+# ---------------------------------------------------------------------------
+
+PREFACE = b"PRI * HTTP/2.0\r\n\r\nSM\r\n\r\n"
+F_DATA, F_HEADERS, F_PRIORITY, F_RST, F_SETTINGS = 0, 1, 2, 3, 4
+F_PUSH, F_PING, F_GOAWAY, F_WINDOW_UPDATE, F_CONTINUATION = 5, 6, 7, 8, 9
+FLAG_END_STREAM = 0x1  # DATA / HEADERS
+FLAG_ACK = 0x1  # SETTINGS / PING
+FLAG_END_HEADERS = 0x4
+FLAG_PADDED = 0x8
+FLAG_PRIORITY = 0x20
+DEFAULT_WINDOW = 65535
+MAX_FRAME = 16384
+SETTINGS_INITIAL_WINDOW_SIZE = 0x4
+SETTINGS_MAX_FRAME_SIZE = 0x5
+
+
+def pack_frame(ftype: int, flags: int, stream_id: int, payload: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(payload))[1:]
+        + bytes([ftype, flags])
+        + struct.pack(">I", stream_id & 0x7FFFFFFF)
+        + payload
+    )
+
+
+def read_exact(rf, n: int) -> bytes | None:
+    buf = b""
+    while len(buf) < n:
+        chunk = rf.read(n - len(buf))
+        if not chunk:
+            return None
+        buf += chunk
+    return buf
+
+
+def read_frame_header(rf) -> tuple[int, int, int, int] | None:
+    hdr = read_exact(rf, 9)
+    if hdr is None:
+        return None
+    length = int.from_bytes(hdr[:3], "big")
+    return length, hdr[3], hdr[4], int.from_bytes(hdr[5:9], "big") & 0x7FFFFFFF
+
+
+def _strip_padding(payload: bytes, flags: int) -> bytes:
+    if flags & FLAG_PADDED:
+        pad = payload[0]
+        payload = payload[1:]
+        if pad > len(payload):
+            raise ValueError("padding exceeds frame")
+        payload = payload[: len(payload) - pad]
+    return payload
+
+
+# ---------------------------------------------------------------------------
+# Server
+# ---------------------------------------------------------------------------
+
+
+class _H2Conn:
+    """Per-connection HTTP/2 state shared by the reader loop and the
+    per-stream handler threads: serialized writes, one HPACK context
+    each way, honest send-side flow control."""
+
+    def __init__(self, sock):
+        self.sock = sock
+        self.wlock = threading.Lock()  # frame writes + encoder context
+        self.enc = HpackEncoder()
+        self.dec = HpackDecoder()
+        self.max_frame = MAX_FRAME
+        self.init_window = DEFAULT_WINDOW  # peer's, for new streams
+        self.conn_window = DEFAULT_WINDOW  # our budget toward the peer
+        self.stream_windows: dict[int, int] = {}
+        self.flow = threading.Condition()
+        self.closed = False
+        self.reset_streams: set[int] = set()
+
+    def write(self, raw: bytes) -> None:
+        with self.wlock:
+            self.sock.sendall(raw)
+
+    def send_headers(
+        self, stream_id: int, headers: list[tuple[str, str]], end_stream: bool
+    ) -> None:
+        # encoder context mutates per block: encode under the write lock
+        # so block order on the wire matches encoder state order
+        with self.wlock:
+            block = self.enc.encode(headers)
+            flags = FLAG_END_HEADERS | (FLAG_END_STREAM if end_stream else 0)
+            self.sock.sendall(pack_frame(F_HEADERS, flags, stream_id, block))
+
+    def send_data(self, stream_id: int, data: bytes, end_stream: bool) -> None:
+        view = memoryview(data)
+        while True:
+            with self.flow:
+                if self.closed or stream_id in self.reset_streams:
+                    return
+                sw = self.stream_windows.setdefault(stream_id, self.init_window)
+                budget = min(self.conn_window, sw, self.max_frame)
+                if len(view) and budget <= 0:
+                    # honest flow control: block until WINDOW_UPDATE
+                    self.flow.wait(timeout=30)
+                    continue
+                n = min(len(view), max(budget, 0))
+                self.conn_window -= n
+                self.stream_windows[stream_id] = sw - n
+            chunk = bytes(view[:n])
+            view = view[n:]
+            last = not len(view)
+            self.write(
+                pack_frame(
+                    F_DATA,
+                    FLAG_END_STREAM if (end_stream and last) else 0,
+                    stream_id,
+                    chunk,
+                )
+            )
+            if last:
+                return
+
+    def window_update(self, stream_id: int, increment: int) -> None:
+        with self.flow:
+            if stream_id == 0:
+                self.conn_window += increment
+            else:
+                self.stream_windows[stream_id] = (
+                    self.stream_windows.get(stream_id, self.init_window)
+                    + increment
+                )
+            self.flow.notify_all()
+
+
+class _GrpcStream:
+    """The ``conn``-shaped shim handed to the reused ProtobufQueryServer
+    handlers: ``sendall`` feeds response bytes into flow-controlled DATA
+    frames; the gRPC response HEADERS / trailers are sent around it."""
+
+    def __init__(self, conn: _H2Conn, stream_id: int):
+        self.conn = conn
+        self.stream_id = stream_id
+        self.headers_sent = False
+
+    def send_response_headers(self) -> None:
+        if not self.headers_sent:
+            self.headers_sent = True
+            self.conn.send_headers(
+                self.stream_id,
+                [(":status", "200"), ("content-type", "application/grpc")],
+                end_stream=False,
+            )
+
+    def sendall(self, data: bytes) -> None:
+        self.send_response_headers()
+        self.conn.send_data(self.stream_id, data, end_stream=False)
+
+    def send_trailers(self, status: int, message: str | None = None) -> None:
+        trailers = [("grpc-status", str(status))]
+        if message:
+            trailers.append(("grpc-message", _percent_encode(message[:500])))
+        if not self.headers_sent:
+            # gRPC Trailers-Only response: one HEADERS frame carrying
+            # response headers + trailers, END_STREAM set
+            self.headers_sent = True
+            self.conn.send_headers(
+                self.stream_id,
+                [(":status", "200"), ("content-type", "application/grpc")]
+                + trailers,
+                end_stream=True,
+            )
+            return
+        self.conn.send_headers(self.stream_id, trailers, end_stream=True)
+
+
+def _percent_encode(msg: str) -> str:
+    """gRPC percent-encodes grpc-message (spaces and printable ASCII
+    except '%' pass through)."""
+    out = []
+    for ch in msg:
+        o = ord(ch)
+        if 0x20 <= o <= 0x7E and ch != "%":
+            out.append(ch)
+        else:
+            out.extend(f"%{b:02X}" for b in ch.encode("utf-8"))
+    return "".join(out)
+
+
+_SERVICE_PREFIX = "/qpuapi.QPUAPI/"  # qpuapi.proto:3,9
+
+
+class GrpcQueryServer(wire.ProtobufQueryServer):
+    """``ProtobufQueryServer`` served as real gRPC: same Engine, same
+    method handlers, same protobuf frames — carried on HTTP/2 with HPACK
+    headers, ``:path`` routing, and grpc-status trailers instead of the
+    preamble/JSON-status stand-in. Interop-tested against curl and
+    nghttp (both libnghttp2) in tests/test_h2.py."""
+
+    # -- connection handling (overrides the preamble-line protocol) ---------
+    def _handle(self, conn) -> None:
+        rf = conn.makefile("rb")
+        h2 = _H2Conn(conn)
+        try:
+            if read_exact(rf, len(PREFACE)) != PREFACE:
+                conn.close()
+                return
+            h2.write(pack_frame(F_SETTINGS, 0, 0, b""))
+            # per-stream request assembly
+            req_headers: dict[int, list[tuple[str, str]]] = {}
+            req_body: dict[int, bytearray] = {}
+            hdr_frag: dict[int, bytearray] = {}
+            hdr_end_stream: dict[int, bool] = {}
+            while True:
+                fh = read_frame_header(rf)
+                if fh is None:
+                    return
+                length, ftype, flags, sid = fh
+                payload = read_exact(rf, length)
+                if payload is None:
+                    return
+                if ftype == F_SETTINGS and not flags & FLAG_ACK:
+                    self._apply_settings(h2, payload)
+                    h2.write(pack_frame(F_SETTINGS, FLAG_ACK, 0, b""))
+                elif ftype == F_PING and not flags & FLAG_ACK:
+                    h2.write(pack_frame(F_PING, FLAG_ACK, 0, payload))
+                elif ftype == F_WINDOW_UPDATE:
+                    h2.window_update(
+                        sid, int.from_bytes(payload, "big") & 0x7FFFFFFF
+                    )
+                elif ftype == F_GOAWAY:
+                    return
+                elif ftype == F_RST:
+                    with h2.flow:
+                        h2.reset_streams.add(sid)
+                        h2.flow.notify_all()
+                elif ftype == F_HEADERS:
+                    body = _strip_padding(payload, flags)
+                    if flags & FLAG_PRIORITY:
+                        body = body[5:]
+                    hdr_frag[sid] = bytearray(body)
+                    hdr_end_stream[sid] = bool(flags & FLAG_END_STREAM)
+                    if flags & FLAG_END_HEADERS:
+                        self._headers_done(
+                            h2, sid, hdr_frag, hdr_end_stream,
+                            req_headers, req_body,
+                        )
+                elif ftype == F_CONTINUATION:
+                    hdr_frag[sid] += payload
+                    if flags & FLAG_END_HEADERS:
+                        self._headers_done(
+                            h2, sid, hdr_frag, hdr_end_stream,
+                            req_headers, req_body,
+                        )
+                elif ftype == F_DATA:
+                    data = _strip_padding(payload, flags)
+                    req_body.setdefault(sid, bytearray()).extend(data)
+                    if length:  # flow-control credit back to the client
+                        upd = struct.pack(">I", length)
+                        h2.write(pack_frame(F_WINDOW_UPDATE, 0, 0, upd))
+                        h2.write(pack_frame(F_WINDOW_UPDATE, 0, sid, upd))
+                    if flags & FLAG_END_STREAM:
+                        self._dispatch(h2, sid, req_headers, req_body)
+                # PRIORITY / PUSH_PROMISE / unknown: ignored
+        except (OSError, ValueError):
+            pass  # client went away or sent garbage mid-connection
+        finally:
+            with h2.flow:
+                h2.closed = True
+                h2.flow.notify_all()
+            try:
+                rf.close()
+                conn.close()
+            except OSError:
+                pass
+
+    @staticmethod
+    def _apply_settings(h2: _H2Conn, payload: bytes) -> None:
+        for off in range(0, len(payload) - 5, 6):
+            ident = int.from_bytes(payload[off : off + 2], "big")
+            value = int.from_bytes(payload[off + 2 : off + 6], "big")
+            if ident == SETTINGS_MAX_FRAME_SIZE:
+                h2.max_frame = max(MAX_FRAME, min(value, (1 << 24) - 1))
+            elif ident == SETTINGS_INITIAL_WINDOW_SIZE:
+                with h2.flow:
+                    delta = value - h2.init_window
+                    h2.init_window = value
+                    for s in h2.stream_windows:
+                        h2.stream_windows[s] += delta
+                    h2.flow.notify_all()
+
+    def _headers_done(
+        self, h2, sid, hdr_frag, hdr_end_stream, req_headers, req_body
+    ) -> None:
+        req_headers[sid] = h2.dec.decode(bytes(hdr_frag.pop(sid)))
+        req_body.setdefault(sid, bytearray())
+        if hdr_end_stream.pop(sid, False):
+            self._dispatch(h2, sid, req_headers, req_body)
+
+    # -- request dispatch ----------------------------------------------------
+    def _dispatch(self, h2, sid, req_headers, req_body) -> None:
+        headers = req_headers.pop(sid, [])
+        body = bytes(req_body.pop(sid, b""))
+        threading.Thread(
+            target=self._run_method,
+            args=(h2, sid, dict(headers), body),
+            daemon=True,
+        ).start()
+
+    def _run_method(self, h2, sid, headers, body) -> None:
+        try:
+            self._run_method_inner(h2, sid, headers, body)
+        except OSError:
+            pass  # client went away mid-response
+
+    def _run_method_inner(self, h2, sid, headers, body) -> None:
+        stream = _GrpcStream(h2, sid)
+        path = headers.get(":path", "")
+        if not path.startswith(_SERVICE_PREFIX):
+            stream.send_trailers(12, f"unknown service in {path!r}")
+            return
+        method = path[len(_SERVICE_PREFIX) :]
+        try:
+            rf = _BytesReader(body)
+            req = wire.read_frame(rf)
+            if method == "QueryUnary":
+                self._query_unary(stream, req or b"")
+            elif method == "Query":
+                parsed = wire.decode_request_stream_record(req or b"")
+                qreq = parsed.get("queryRequest")
+                q = (qreq or {}).get("query", {})
+                view = self.views.get(
+                    (qreq or {}).get("metadata", {}).get("view")
+                )
+                if "query_sql" in q:
+                    self._query_stream(
+                        stream, q["query_sql"]["queryStr"], view=view
+                    )
+                elif "query_ast" in q:
+                    self._query_ast_stream(stream, q["query_ast"])
+                else:
+                    raise ValueError(
+                        "Query expects a RequestStreamRecord carrying "
+                        "QueryRequest.query (query_sql or query_ast)"
+                    )
+            elif method == "QuerySubscribe":
+                self._query_stream(
+                    stream, wire.decode_query_req(req or b"")["queryStr"]
+                )
+            elif method == "GetConfig":
+                self._get_config(stream)
+            else:
+                stream.send_trailers(12, f"unknown method {method!r}")
+                return
+        except Exception as exc:  # same mapping as the base class
+            code = 3 if wire._is_client_error(exc) else 13
+            stream.send_trailers(code, str(exc))
+            return
+        stream.send_trailers(0)
+
+    # the base handlers call self._ok(conn) to ack before streaming: in
+    # gRPC that ack is the response HEADERS frame
+    def _ok(self, stream: _GrpcStream) -> None:  # type: ignore[override]
+        stream.send_response_headers()
+
+
+class _BytesReader:
+    def __init__(self, data: bytes):
+        self._data = data
+        self._pos = 0
+
+    def read(self, n: int) -> bytes:
+        out = self._data[self._pos : self._pos + n]
+        self._pos += len(out)
+        return out
+
+
+# ---------------------------------------------------------------------------
+# Client
+# ---------------------------------------------------------------------------
+
+
+class _H2Client:
+    """Minimal h2c prior-knowledge client for the call_* helpers: one
+    request per connection (the tests that need multiplexing drive
+    streams by hand or use curl/nghttp)."""
+
+    def __init__(self, host: str, port: int):
+        import socket
+
+        self.sock = socket.create_connection((host, port), timeout=30)
+        self.rf = self.sock.makefile("rb")
+        self.enc = HpackEncoder()
+        self.dec = HpackDecoder()
+        self.sock.sendall(PREFACE + pack_frame(F_SETTINGS, 0, 0, b""))
+
+    def request(
+        self, method: str, body: bytes
+    ) -> tuple[list[tuple[str, str]], bytes, list[tuple[str, str]]]:
+        """POST one gRPC message; returns (headers, data, trailers)."""
+        headers = [
+            (":method", "POST"),
+            (":scheme", "http"),
+            (":path", _SERVICE_PREFIX + method),
+            (":authority", "localhost"),
+            ("content-type", "application/grpc"),
+            ("te", "trailers"),
+        ]
+        sid = 1
+        block = self.enc.encode(headers)
+        self.sock.sendall(
+            pack_frame(F_HEADERS, FLAG_END_HEADERS, sid, block)
+        )
+        for off in range(0, len(body), MAX_FRAME) or [0]:
+            chunk = body[off : off + MAX_FRAME]
+            last = off + MAX_FRAME >= len(body)
+            self.sock.sendall(
+                pack_frame(
+                    F_DATA, FLAG_END_STREAM if last else 0, sid, chunk
+                )
+            )
+        resp_headers: list[tuple[str, str]] = []
+        trailers: list[tuple[str, str]] = []
+        data = bytearray()
+        got_headers = False
+        while True:
+            fh = read_frame_header(self.rf)
+            if fh is None:
+                raise RuntimeError("connection closed mid-response")
+            length, ftype, flags, fsid = fh
+            payload = read_exact(self.rf, length)
+            if payload is None:
+                raise RuntimeError("truncated frame")
+            if ftype == F_SETTINGS and not flags & FLAG_ACK:
+                self.sock.sendall(pack_frame(F_SETTINGS, FLAG_ACK, 0, b""))
+            elif ftype == F_PING and not flags & FLAG_ACK:
+                self.sock.sendall(pack_frame(F_PING, FLAG_ACK, 0, payload))
+            elif ftype == F_HEADERS and fsid == sid:
+                hdrs = self.dec.decode(_strip_padding(payload, flags))
+                if got_headers:
+                    trailers = hdrs
+                else:
+                    got_headers = True
+                    # Trailers-Only: grpc-status arrives in the first block
+                    if flags & FLAG_END_STREAM:
+                        trailers = hdrs
+                    resp_headers = hdrs
+                if flags & FLAG_END_STREAM:
+                    return resp_headers, bytes(data), trailers
+            elif ftype == F_DATA and fsid == sid:
+                data += _strip_padding(payload, flags)
+                if length:  # receive-side flow-control credit
+                    upd = struct.pack(">I", length)
+                    self.sock.sendall(
+                        pack_frame(F_WINDOW_UPDATE, 0, 0, upd)
+                        + pack_frame(F_WINDOW_UPDATE, 0, sid, upd)
+                    )
+                if flags & FLAG_END_STREAM:
+                    return resp_headers, bytes(data), trailers
+            elif ftype == F_GOAWAY:
+                raise RuntimeError("server sent GOAWAY")
+
+    def close(self) -> None:
+        try:
+            self.sock.sendall(pack_frame(F_GOAWAY, 0, 0, b"\0" * 8))
+        except OSError:
+            pass
+        self.rf.close()
+        self.sock.close()
+
+
+def _grpc_call(host: str, port: int, method: str, req: bytes):
+    cli = _H2Client(host, port)
+    try:
+        _hdrs, data, trailers = cli.request(method, wire.frame(req))
+    finally:
+        cli.close()
+    tmap = dict(trailers)
+    status = int(tmap.get("grpc-status", "2"))
+    if status != 0:
+        raise RuntimeError(
+            f"grpc-status {status}: {tmap.get('grpc-message', '')}"
+        )
+    frames = []
+    rf = _BytesReader(data)
+    while True:
+        f = wire.read_frame(rf)
+        if f is None:
+            return frames
+        frames.append(f)
+
+
+def call_unary(host: str, port: int, sql: str) -> dict:
+    frames = _grpc_call(
+        host, port, "QueryUnary",
+        wire.encode_query_req({"queryStr": sql}),
+    )
+    return wire.decode_query_resp(frames[0])
+
+
+def call_subscribe(host: str, port: int, sql: str) -> list[dict]:
+    frames = _grpc_call(
+        host, port, "QuerySubscribe",
+        wire.encode_query_req({"queryStr": sql}),
+    )
+    return [wire.decode_response_stream_record(f) for f in frames]
+
+
+def call_query_sql(host: str, port: int, sql: str) -> list[dict]:
+    req = wire.encode_request_stream_record(
+        {"queryRequest": {"query": {"query_sql": {"queryStr": sql}}}}
+    )
+    frames = _grpc_call(host, port, "Query", req)
+    return [wire.decode_response_stream_record(f) for f in frames]
+
+
+def call_ast(host: str, port: int, ast: dict) -> list[dict]:
+    req = wire.encode_request_stream_record(
+        {"queryRequest": {"query": {"query_ast": ast}}}
+    )
+    frames = _grpc_call(host, port, "Query", req)
+    return [wire.decode_response_stream_record(f) for f in frames]
+
+
+def call_get_config(host: str, port: int) -> dict:
+    frames = _grpc_call(
+        host, port, "GetConfig", wire.encode_config_request({})
+    )
+    return wire.decode_config_response(frames[0])

@@ -18,13 +18,16 @@ length-delimited submessages):
 - ``ProtobufQueryServer``: QueryUnary / QuerySubscribe / Query /
   GetConfig over TCP using those frames.
 
-Remaining documented delta: gRPC rides HTTP/2 (method in the ``:path``
-header, status in trailers). Without an HTTP/2 stack, this server takes
-the method as one ASCII preamble line and returns one JSON status line
-(code 0 = OK, else a gRPC status code + message) before the frames —
-the transport envelope differs, every byte INSIDE the frames is the
-reference's wire format. Golden-byte tests in tests/test_wire.py pin the
-encoding against hand-computed proto3 bytes, not just round-trips.
+This server takes the method as one ASCII preamble line and returns one
+JSON status line (code 0 = OK, else a gRPC status code + message)
+before the frames — a deliberately minimal transport for tests and
+embedding. The REAL envelope — HTTP/2 with HPACK headers, ``:path``
+method routing, and grpc-status trailers — is ``h2.GrpcQueryServer``
+(proteus_spark/h2.py), which subclasses this server and reuses its
+method handlers verbatim, so with it the full gRPC stack matches the
+reference byte-for-byte (interop-proven against curl/nghttp).
+Golden-byte tests in tests/test_wire.py pin the proto3 encoding against
+hand-computed bytes, not just round-trips.
 
 Message values are plain Python dicts mirroring proto field names;
 proto3 presence rules apply (default-valued fields are omitted on the

@@ -1,0 +1,514 @@
+"""HTTP/2 + gRPC envelope parity (closes the wire-format stand-in):
+HPACK is pinned against RFC 7541's own Appendix C vectors byte-for-byte
+(not just round-trips), the framed server is driven end-to-end against
+a live Engine, and — decisively — interop is proven against REAL
+libnghttp2 clients (curl POST round-trip, nghttp with verbose trailer
+capture) when those binaries are present."""
+
+from __future__ import annotations
+
+import shutil
+import socket
+import struct
+import subprocess
+
+import pytest
+
+from proteus_spark import h2, wire
+from proteus_spark.engine import Engine
+
+
+@pytest.fixture(scope="module")
+def engine(spark, sf_dir):
+    return Engine(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# HPACK: RFC 7541 Appendix C golden vectors
+# ---------------------------------------------------------------------------
+
+
+def test_hpack_integers_rfc_c1():
+    assert h2.hpack_encode_int(10, 5) == bytes([0x0A])
+    assert h2.hpack_encode_int(1337, 5) == bytes([0x1F, 0x9A, 0x0A])
+    assert h2.hpack_encode_int(42, 8) == bytes([42])
+    for n in (0, 9, 31, 32, 1337, 2**20):
+        for bits in (4, 5, 6, 7, 8):
+            buf = h2.hpack_encode_int(n, bits)
+            val, pos = h2.hpack_decode_int(buf, 0, bits)
+            assert (val, pos) == (n, len(buf))
+
+
+def test_huffman_rfc_goldens():
+    cases = {
+        b"www.example.com": "f1e3c2e5f23a6ba0ab90f4ff",
+        b"no-cache": "a8eb10649cbf",
+        b"custom-key": "25a849e95ba97d7f",
+        b"custom-value": "25a849e95bb8e8b4bf",
+        b"302": "6402",
+        b"private": "aec3771a4b",
+        b"Mon, 21 Oct 2013 20:13:21 GMT":
+            "d07abe941054d444a8200595040b8166e082a62d1bff",
+        b"https://www.example.com": "9d29ad171863c78f0b97c8e9ae82ae43d3",
+        b"307": "640eff",
+        b"gzip": "9bd9ab",
+        b"foo=ASDJKHQKBZXOQWEOPIUAXQWEOIU; max-age=3600; version=1":
+            "94e7821dd7f2e6c7b335dfdfcd5b3960d5af27087f3672c1ab270fb5291f95"
+            "87316065c003ed4ee5b1063d5007",
+    }
+    for raw, want in cases.items():
+        assert h2.huffman_encode(raw).hex() == want
+        assert h2.huffman_decode(bytes.fromhex(want)) == raw
+
+
+def test_huffman_totality_and_padding():
+    all_bytes = bytes(range(256))
+    assert h2.huffman_decode(h2.huffman_encode(all_bytes)) == all_bytes
+    assert h2.huffman_encode(b"") == b""
+    assert h2.huffman_decode(b"") == b""
+    with pytest.raises(ValueError):  # zero-bit padding is invalid
+        h2.huffman_decode(bytes.fromhex("f1e3c2e5f23a6ba0ab90f400"))
+
+
+def test_hpack_request_sequence_rfc_c3_plain():
+    """C.3: three requests on one connection WITHOUT Huffman — pins the
+    dynamic-table evolution (indices shift as entries are added)."""
+    enc = h2.HpackEncoder(huffman=False)
+    dec = h2.HpackDecoder()
+    reqs = [
+        [(":method", "GET"), (":scheme", "http"), (":path", "/"),
+         (":authority", "www.example.com")],
+        [(":method", "GET"), (":scheme", "http"), (":path", "/"),
+         (":authority", "www.example.com"), ("cache-control", "no-cache")],
+        [(":method", "GET"), (":scheme", "https"), (":path", "/index.html"),
+         (":authority", "www.example.com"), ("custom-key", "custom-value")],
+    ]
+    wants = [
+        "828684410f7777772e6578616d706c652e636f6d",
+        "828684be58086e6f2d6361636865",
+        "828785bf400a637573746f6d2d6b65790c637573746f6d2d76616c7565",
+    ]
+    for req, want in zip(reqs, wants):
+        block = enc.encode(req)
+        assert block.hex() == want
+        assert dec.decode(block) == req
+    # table state after the sequence (C.3.3): 3 entries, 164 bytes
+    assert enc.table.size == dec.table.size == 164
+    assert dec.table.entries[0] == ("custom-key", "custom-value")
+
+
+def test_hpack_request_sequence_rfc_c4_huffman():
+    enc = h2.HpackEncoder(huffman=True)
+    dec = h2.HpackDecoder()
+    reqs = [
+        [(":method", "GET"), (":scheme", "http"), (":path", "/"),
+         (":authority", "www.example.com")],
+        [(":method", "GET"), (":scheme", "http"), (":path", "/"),
+         (":authority", "www.example.com"), ("cache-control", "no-cache")],
+        [(":method", "GET"), (":scheme", "https"), (":path", "/index.html"),
+         (":authority", "www.example.com"), ("custom-key", "custom-value")],
+    ]
+    wants = [
+        "828684418cf1e3c2e5f23a6ba0ab90f4ff",
+        "828684be5886a8eb10649cbf",
+        "828785bf408825a849e95ba97d7f8925a849e95bb8e8b4bf",
+    ]
+    for req, want in zip(reqs, wants):
+        block = enc.encode(req)
+        assert block.hex() == want
+        assert dec.decode(block) == req
+
+
+def test_hpack_response_sequence_rfc_c5_eviction():
+    """C.5: three responses with a 256-byte table — the third evicts;
+    index arithmetic after eviction is where sloppy tables break."""
+    enc = h2.HpackEncoder(max_table_size=256, huffman=False)
+    dec = h2.HpackDecoder(max_table_size=256)
+    resps = [
+        [(":status", "302"), ("cache-control", "private"),
+         ("date", "Mon, 21 Oct 2013 20:13:21 GMT"),
+         ("location", "https://www.example.com")],
+        [(":status", "307"), ("cache-control", "private"),
+         ("date", "Mon, 21 Oct 2013 20:13:21 GMT"),
+         ("location", "https://www.example.com")],
+        [(":status", "200"), ("cache-control", "private"),
+         ("date", "Mon, 21 Oct 2013 20:13:22 GMT"),
+         ("location", "https://www.example.com"),
+         ("content-encoding", "gzip"),
+         ("set-cookie",
+          "foo=ASDJKHQKBZXOQWEOPIUAXQWEOIU; max-age=3600; version=1")],
+    ]
+    wants = [
+        "4803333032580770726976617465611d4d6f6e2c203231204f637420323031"
+        "332032303a31333a323120474d546e1768747470733a2f2f7777772e657861"
+        "6d706c652e636f6d",
+        "4803333037c1c0bf",
+        "88c1611d4d6f6e2c203231204f637420323031332032303a31333a32322047"
+        "4d54c05a04677a69707738666f6f3d4153444a4b48514b425a584f5157454f"
+        "50495541585157454f49553b206d61782d6167653d333630303b2076657273"
+        "696f6e3d31",
+    ]
+    for resp, want in zip(resps, wants):
+        block = enc.encode(resp)
+        assert block.hex() == want
+        assert dec.decode(block) == resp
+    # C.5.3 table state: 3 entries, 215 bytes
+    assert enc.table.size == dec.table.size == 215
+
+
+def test_hpack_response_sequence_rfc_c6_huffman():
+    enc = h2.HpackEncoder(max_table_size=256, huffman=True)
+    dec = h2.HpackDecoder(max_table_size=256)
+    resps = [
+        [(":status", "302"), ("cache-control", "private"),
+         ("date", "Mon, 21 Oct 2013 20:13:21 GMT"),
+         ("location", "https://www.example.com")],
+        [(":status", "307"), ("cache-control", "private"),
+         ("date", "Mon, 21 Oct 2013 20:13:21 GMT"),
+         ("location", "https://www.example.com")],
+    ]
+    wants = [
+        "488264025885aec3771a4b6196d07abe941054d444a8200595040b8166e082"
+        "a62d1bff6e919d29ad171863c78f0b97c8e9ae82ae43d3",
+        "4883640effc1c0bf",
+    ]
+    for resp, want in zip(resps, wants):
+        block = enc.encode(resp)
+        assert block.hex() == want
+        assert dec.decode(block) == resp
+
+
+def test_hpack_table_size_update_and_unknown_index():
+    dec = h2.HpackDecoder()
+    # size update to 0 evicts everything (0x20 | size with 5-bit prefix)
+    dec.decode(bytes.fromhex("400a637573746f6d2d6b65790c637573746f6d2d76616c7565"))
+    assert dec.table.entries
+    dec.decode(bytes([0x20]))
+    assert not dec.table.entries
+    with pytest.raises(ValueError):
+        dec.decode(bytes([0x80 | 127, 0x80, 0x01]))  # way out of table
+
+
+# ---------------------------------------------------------------------------
+# Framing
+# ---------------------------------------------------------------------------
+
+
+def test_frame_pack_golden():
+    # 9-byte header: len=3, type=DATA(0), flags=END_STREAM, stream 1
+    raw = h2.pack_frame(h2.F_DATA, h2.FLAG_END_STREAM, 1, b"abc")
+    assert raw == bytes.fromhex("000003000100000001") + b"abc"
+    # SETTINGS ack: empty payload, type 4, flags 1, stream 0
+    assert h2.pack_frame(h2.F_SETTINGS, h2.FLAG_ACK, 0, b"") == bytes.fromhex(
+        "000000040100000000"
+    )
+
+
+# ---------------------------------------------------------------------------
+# End-to-end over the in-module client (genuine HTTP/2 on the socket)
+# ---------------------------------------------------------------------------
+
+
+def test_grpc_unary_end_to_end(engine):
+    sql = (
+        "SELECT o_orderkey AS id, o_totalprice FROM orders "
+        "ORDER BY o_totalprice DESC LIMIT 3"
+    )
+    with h2.GrpcQueryServer(engine) as srv:
+        resp = h2.call_unary(srv.host, srv.port, sql)
+    want = engine.query_unary(sql)
+    got = [r["attributes"] for r in resp["respRecord"]]
+    assert got == want
+
+
+def test_grpc_matches_preamble_server_bytes(engine):
+    """The gRPC frames INSIDE the envelope are identical to what the
+    preamble-line server ships — only the transport changed."""
+    sql = "SELECT n_name FROM nation ORDER BY n_name LIMIT 2"
+    with h2.GrpcQueryServer(engine) as g, wire.ProtobufQueryServer(
+        engine
+    ) as p:
+        assert h2.call_unary(g.host, g.port, sql) == wire.call_unary(
+            p.host, p.port, sql
+        )
+
+
+def test_grpc_query_bidi_sql_and_ast(engine):
+    ast = {
+        "table": "nation",
+        "projection": ["n_nationkey", "n_name"],
+        "predicate": [
+            {
+                "attr": {"attr_key": "n_regionkey"},
+                "type": "EQ",
+                "lbound": {"int": 1},
+                "ubound": {"int": 1},
+            }
+        ],
+        "orderBy": {"attributeName": "n_nationkey", "direction": "ASC"},
+        "limit": 3,
+    }
+    with h2.GrpcQueryServer(engine) as srv:
+        recs = h2.call_query_sql(
+            srv.host,
+            srv.port,
+            "SELECT n_nationkey, n_name FROM nation WHERE n_regionkey = 1 "
+            "ORDER BY n_nationkey LIMIT 3",
+        )
+        ast_recs = h2.call_ast(srv.host, srv.port, ast)
+    assert recs[-1]["type"] == "END_OF_STREAM"
+    assert ast_recs[-1]["type"] == "END_OF_STREAM"
+
+    def attrs(r):
+        st = r["logOp"]["payload"]["state"]["attributes"]
+        return {k: v.get("int", v.get("str")) for k, v in st.items()}
+
+    assert [attrs(r) for r in recs[:-1]] == [attrs(r) for r in ast_recs[:-1]]
+    assert len(recs) == 4
+
+
+def test_grpc_subscribe_and_config(engine):
+    with h2.GrpcQueryServer(engine) as srv:
+        recs = h2.call_subscribe(
+            srv.host, srv.port, "SELECT r_name FROM region ORDER BY r_name"
+        )
+        cfg = h2.call_get_config(srv.host, srv.port)
+    assert recs[-1]["type"] == "END_OF_STREAM"
+    assert len(recs) == 6  # 5 regions + END_OF_STREAM
+    assert "region" in cfg["schema"]
+
+
+def test_grpc_error_maps_to_trailers_only(engine):
+    with h2.GrpcQueryServer(engine) as srv:
+        with pytest.raises(RuntimeError) as exc:
+            h2.call_unary(srv.host, srv.port, "SELECT * FROM no_such_table")
+        assert "grpc-status 3" in str(exc.value)
+        with pytest.raises(RuntimeError) as exc2:
+            h2.call_unary(srv.host, srv.port, "NOT EVEN SQL ((")
+        assert "grpc-status 3" in str(exc2.value)
+
+
+def test_grpc_unknown_method_and_service(engine):
+    with h2.GrpcQueryServer(engine) as srv:
+        cli = h2._H2Client(srv.host, srv.port)
+        try:
+            _h, _d, trailers = cli.request("NoSuchMethod", wire.frame(b""))
+        finally:
+            cli.close()
+        assert dict(trailers)["grpc-status"] == "12"  # UNIMPLEMENTED
+
+
+def test_grpc_multiplexed_streams_one_connection(engine):
+    """Two concurrent streams on ONE connection: stream 3's response
+    must not corrupt stream 1's (HEADERS/DATA interleave by stream id,
+    one shared HPACK context in connection order)."""
+    sqls = {
+        1: "SELECT count(*) AS n FROM orders",
+        3: "SELECT count(*) AS n FROM lineitem",
+    }
+    with h2.GrpcQueryServer(engine) as srv:
+        sock = socket.create_connection((srv.host, srv.port), timeout=30)
+        rf = sock.makefile("rb")
+        enc = h2.HpackEncoder()
+        dec = h2.HpackDecoder()
+        sock.sendall(h2.PREFACE + h2.pack_frame(h2.F_SETTINGS, 0, 0, b""))
+        for sid, sql in sqls.items():
+            hdrs = [
+                (":method", "POST"), (":scheme", "http"),
+                (":path", "/qpuapi.QPUAPI/QueryUnary"),
+                (":authority", "localhost"),
+                ("content-type", "application/grpc"),
+            ]
+            sock.sendall(
+                h2.pack_frame(
+                    h2.F_HEADERS, h2.FLAG_END_HEADERS, sid, enc.encode(hdrs)
+                )
+                + h2.pack_frame(
+                    h2.F_DATA,
+                    h2.FLAG_END_STREAM,
+                    sid,
+                    wire.frame(wire.encode_query_req({"queryStr": sql})),
+                )
+            )
+        data: dict[int, bytearray] = {1: bytearray(), 3: bytearray()}
+        done: dict[int, dict] = {}
+        while len(done) < 2:
+            fh = h2.read_frame_header(rf)
+            assert fh is not None
+            length, ftype, flags, sid = fh
+            payload = h2.read_exact(rf, length)
+            if ftype == h2.F_SETTINGS and not flags & h2.FLAG_ACK:
+                sock.sendall(h2.pack_frame(h2.F_SETTINGS, h2.FLAG_ACK, 0, b""))
+            elif ftype == h2.F_HEADERS:
+                hdrs = dict(dec.decode(payload))
+                if "grpc-status" in hdrs:
+                    done[sid] = hdrs
+            elif ftype == h2.F_DATA:
+                data[sid] += payload
+        rf.close()
+        sock.close()
+    assert done[1]["grpc-status"] == "0" and done[3]["grpc-status"] == "0"
+
+    def count(sid):
+        resp = wire.decode_query_resp(
+            wire.read_frame(h2._BytesReader(bytes(data[sid])))
+        )
+        return resp["respRecord"][0]["attributes"]["n"]
+
+    assert int(count(1)) == 1500  # sf0.001 orders
+    assert int(count(3)) == 6000  # sf0.001 lineitem
+
+
+def test_grpc_flow_control_window_exhaustion(engine):
+    """A response larger than the 65535-byte connection window: the
+    server must STOP at the window edge and resume only on
+    WINDOW_UPDATE — proves send-side flow control is honest, not
+    fire-and-forget."""
+    sql = (
+        "SELECT l_orderkey AS id, repeat(l_returnflag, 100) AS pad "
+        "FROM lineitem ORDER BY l_orderkey, l_linenumber LIMIT 2000"
+    )
+    with h2.GrpcQueryServer(engine) as srv:
+        sock = socket.create_connection((srv.host, srv.port), timeout=5)
+        enc, dec = h2.HpackEncoder(), h2.HpackDecoder()
+        sock.sendall(h2.PREFACE + h2.pack_frame(h2.F_SETTINGS, 0, 0, b""))
+        hdrs = [
+            (":method", "POST"), (":scheme", "http"),
+            (":path", "/qpuapi.QPUAPI/QueryUnary"),
+            (":authority", "localhost"),
+            ("content-type", "application/grpc"),
+        ]
+        sock.sendall(
+            h2.pack_frame(h2.F_HEADERS, h2.FLAG_END_HEADERS, 1, enc.encode(hdrs))
+            + h2.pack_frame(
+                h2.F_DATA, h2.FLAG_END_STREAM, 1,
+                wire.frame(wire.encode_query_req({"queryStr": sql})),
+            )
+        )
+        # timeout-safe reader: accumulate raw bytes, parse whole frames
+        # from the blob (a buffered makefile read can DROP bytes when a
+        # recv times out mid-read; a plain byte accumulator cannot)
+        blob = bytearray()
+        got = bytearray()
+        trailers = None
+        stalled_at = None
+        while trailers is None:
+            if len(blob) >= 9:
+                length = int.from_bytes(blob[:3], "big")
+                if len(blob) >= 9 + length:
+                    ftype, flags = blob[3], blob[4]
+                    sid = int.from_bytes(blob[5:9], "big") & 0x7FFFFFFF
+                    payload = bytes(blob[9 : 9 + length])
+                    del blob[: 9 + length]
+                    if ftype == h2.F_SETTINGS and not flags & h2.FLAG_ACK:
+                        sock.sendall(
+                            h2.pack_frame(h2.F_SETTINGS, h2.FLAG_ACK, 0, b"")
+                        )
+                    elif ftype == h2.F_HEADERS:
+                        t = dict(dec.decode(payload))
+                        if "grpc-status" in t:
+                            trailers = t
+                    elif ftype == h2.F_DATA and sid == 1:
+                        got += payload
+                    continue
+            try:
+                chunk = sock.recv(65536)
+            except TimeoutError:
+                # window exhausted: the server is (correctly) blocked.
+                assert stalled_at is None  # only one stall expected
+                stalled_at = len(got)
+                assert stalled_at <= 65535
+                upd = struct.pack(">I", 1 << 20)
+                sock.sendall(
+                    h2.pack_frame(h2.F_WINDOW_UPDATE, 0, 0, upd)
+                    + h2.pack_frame(h2.F_WINDOW_UPDATE, 0, 1, upd)
+                )
+                continue
+            assert chunk, "server closed mid-response"
+            blob += chunk
+        sock.close()
+    assert trailers["grpc-status"] == "0"
+    assert stalled_at is not None, "response fit the window; raise LIMIT"
+    resp = wire.decode_query_resp(
+        wire.read_frame(h2._BytesReader(bytes(got)))
+    )
+    assert len(resp["respRecord"]) == 2000
+
+
+# ---------------------------------------------------------------------------
+# REAL-client interop (libnghttp2): the strongest parity evidence
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.skipif(shutil.which("curl") is None, reason="curl not present")
+def test_curl_http2_grpc_unary_roundtrip(engine, tmp_path):
+    """curl --http2-prior-knowledge POSTs a real gRPC request and gets
+    the framed QueryResp back — a full round-trip against libnghttp2's
+    HPACK encoder (Huffman, dynamic table) and frame layer."""
+    sql = "SELECT n_name FROM nation ORDER BY n_nationkey LIMIT 4"
+    body = tmp_path / "req.bin"
+    body.write_bytes(wire.frame(wire.encode_query_req({"queryStr": sql})))
+    with h2.GrpcQueryServer(engine) as srv:
+        out = subprocess.run(
+            [
+                "curl", "-sS", "--http2-prior-knowledge",
+                "-X", "POST", "--data-binary", f"@{body}",
+                "-H", "Content-Type: application/grpc",
+                "-H", "TE: trailers",
+                "-o", str(tmp_path / "resp.bin"),
+                "-w", "%{http_code} %{http_version}",
+                f"http://{srv.host}:{srv.port}/qpuapi.QPUAPI/QueryUnary",
+            ],
+            capture_output=True, text=True, timeout=60,
+        )
+    assert out.returncode == 0, out.stderr
+    code, version = out.stdout.split()
+    assert (code, version) == ("200", "2")
+    raw = (tmp_path / "resp.bin").read_bytes()
+    resp = wire.decode_query_resp(wire.read_frame(h2._BytesReader(raw)))
+    names = [r["attributes"]["n_name"] for r in resp["respRecord"]]
+    want = [r["n_name"] for r in engine.query_unary(sql)]
+    assert len(names) == 4 and names == want
+
+
+@pytest.mark.skipif(shutil.which("nghttp") is None, reason="nghttp absent")
+def test_nghttp_sees_grpc_trailers(engine, tmp_path):
+    """nghttp -v prints every frame it receives: assert a REAL client
+    observes the response HEADERS (:status 200, grpc content-type), the
+    DATA, and the grpc-status trailer frame."""
+    sql = "SELECT count(*) AS n FROM region"
+    body = tmp_path / "req.bin"
+    body.write_bytes(wire.frame(wire.encode_query_req({"queryStr": sql})))
+    with h2.GrpcQueryServer(engine) as srv:
+        out = subprocess.run(
+            [
+                "nghttp", "-v", "-d", str(body),
+                "-H", "content-type: application/grpc",
+                f"http://{srv.host}:{srv.port}/qpuapi.QPUAPI/QueryUnary",
+            ],
+            capture_output=True, text=True, timeout=60,
+        )
+    assert out.returncode == 0, out.stderr
+    log = out.stdout
+    assert ":status: 200" in log
+    assert "content-type: application/grpc" in log
+    assert "grpc-status: 0" in log  # the trailers HEADERS frame
+
+
+@pytest.mark.skipif(shutil.which("nghttp") is None, reason="nghttp absent")
+def test_nghttp_error_trailers_only(engine, tmp_path):
+    body = tmp_path / "req.bin"
+    body.write_bytes(
+        wire.frame(wire.encode_query_req({"queryStr": "SELECT * FROM nope"}))
+    )
+    with h2.GrpcQueryServer(engine) as srv:
+        out = subprocess.run(
+            [
+                "nghttp", "-v", "-d", str(body),
+                "-H", "content-type: application/grpc",
+                f"http://{srv.host}:{srv.port}/qpuapi.QPUAPI/QueryUnary",
+            ],
+            capture_output=True, text=True, timeout=60,
+        )
+    assert out.returncode == 0, out.stderr
+    assert "grpc-status: 3" in out.stdout  # INVALID_ARGUMENT, Trailers-Only
