@@ -874,10 +874,13 @@ def call_subscribe(host: str, port: int, sql: str) -> list[dict]:
     return [wire.decode_response_stream_record(f) for f in frames]
 
 
-def call_query_sql(host: str, port: int, sql: str) -> list[dict]:
-    req = wire.encode_request_stream_record(
-        {"queryRequest": {"query": {"query_sql": {"queryStr": sql}}}}
-    )
+def call_query_sql(
+    host: str, port: int, sql: str, view: str | None = None
+) -> list[dict]:
+    qreq: dict = {"query": {"query_sql": {"queryStr": sql}}}
+    if view is not None:
+        qreq["metadata"] = {"view": view}
+    req = wire.encode_request_stream_record({"queryRequest": qreq})
     frames = _grpc_call(host, port, "Query", req)
     return [wire.decode_response_stream_record(f) for f in frames]
 

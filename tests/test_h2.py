@@ -435,6 +435,63 @@ def test_grpc_flow_control_window_exhaustion(engine):
     assert len(resp["respRecord"]) == 2000
 
 
+def test_grpc_query_with_live_view_pushes_updatedelta(spark, engine):
+    """The snapshot+subscribe composite over GENUINE gRPC: STATE* +
+    END_OF_STREAM, the stream stays open, and a landing micro-batch
+    arrives as an UPDATEDELTA ResponseStreamRecord in a later DATA
+    frame before the grpc-status trailer closes the stream."""
+    import threading
+    import time as _time
+
+    from proteus_spark.sources import cdc
+    from proteus_spark.streaming.views import SumView
+
+    ev = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (1, 5.0)], "user_id bigint, value double"
+    )
+    src = cdc.stage_stream(spark, ev, chunks=2)
+    view = SumView(
+        spark, src.subscribe(), group_by="user_id", agg_attr="value",
+        name="t_h2_stream", mode="append",
+    ).start()
+    try:
+        view.await_catch_up()
+        engine.register_view("vh2", view.snapshot())
+        recs: list = []
+        done = threading.Event()
+        with h2.GrpcQueryServer(engine, views={"live": view}) as srv:
+
+            def consume():
+                recs.extend(
+                    h2.call_query_sql(
+                        srv.host, srv.port,
+                        "SELECT * FROM vh2 ORDER BY user_id",
+                        view="live",
+                    )
+                )
+                done.set()
+
+            t = threading.Thread(target=consume, daemon=True)
+            t.start()
+            t0 = _time.monotonic()
+            while view.version == 0 and _time.monotonic() - t0 < 30:
+                _time.sleep(0.05)
+            spark.createDataFrame(
+                [(2, 7.0)], "user_id bigint, value double"
+            ).coalesce(1).write.mode("append").parquet(src.path)
+            view._query.processAllAvailable()
+            assert done.wait(timeout=90)
+        types = [r["type"] for r in recs]
+        assert types.count("STATE") == 2
+        assert "END_OF_STREAM" in types
+        assert types[-1] == "UPDATEDELTA"
+        upd = recs[-1]["logOp"]["payload"]["delta"]["new"]["attributes"]
+        assert upd["user_id"] == {"int": 2}
+        assert upd["value_sum"] == {"flt": 27.0}
+    finally:
+        view.stop()
+
+
 # ---------------------------------------------------------------------------
 # REAL-client interop (libnghttp2): the strongest parity evidence
 # ---------------------------------------------------------------------------
