@@ -1057,3 +1057,121 @@ def train_quality_classifier(
         F.col("y").cast("int").alias("label"),
     )
     return w, scored
+
+
+# ---------------------------------------------------------------------------
+# DSIR: Data Selection via Importance Resampling (Xie et al., 2023)
+# ---------------------------------------------------------------------------
+
+DSIR_BUCKETS = 4096
+DSIR_TARGET_LANG = "en"
+DSIR_SELECT_K = 50
+_DSIR_U_DENOM = (1 << 48) + 2  # hash48 + 1 over this -> u strictly in (0,1)
+
+
+def _dsir_bigram_buckets(docs: DataFrame, n_buckets: int) -> DataFrame:
+    """(doc_id, is_t, b): hashed word-bigram occurrences WITH multiplicity
+    (DSIR's bag-of-hashed-ngrams features) plus the target-membership
+    flag. Same array-transform construction as dedup.shingles (zero UDFs,
+    whole-stage codegen); the 48-bit md5 bucket hash is the portable
+    family both engines replay (functions/texthash.py)."""
+    t = tokens_col()
+    base = docs.select(
+        "doc_id",
+        (F.col("lang") == DSIR_TARGET_LANG).cast("long").alias("is_t"),
+        t.alias("_t"),
+    )
+    size = F.size(F.col("_t"))
+    idx = F.sequence(F.lit(0), size - 2)
+    grams = F.transform(
+        idx,
+        lambda i: F.concat_ws(
+            " ", F.get(F.col("_t"), i), F.get(F.col("_t"), i + 1)
+        ),
+    )
+    arr = F.when(size >= 2, grams).otherwise(F.array().cast("array<string>"))
+    bg = base.select("doc_id", "is_t", F.explode(arr).alias("s"))
+    seeded = md5_seeded_sql("s", "dsir")
+    bucket = F.expr(f"{hex_to_long_spark_sql(f'({seeded})')} % {n_buckets}")
+    return bg.select("doc_id", "is_t", bucket.alias("b"))
+
+
+def dsir_select(
+    docs: DataFrame,
+    k: int = DSIR_SELECT_K,
+    n_buckets: int = DSIR_BUCKETS,
+) -> DataFrame:
+    """DSIR data selection: importance-resample ``k`` documents toward a
+    target distribution (here the deterministic ``lang='en'`` slice)
+    using hashed-bigram bag-of-words importance weights — the method of
+    "Data Selection via Importance Resampling" (Xie et al., 2023),
+    deterministic edition.
+
+    Per bucket b over B hashed bigram buckets, with target counts ct /
+    raw counts cr and totals nt / nr, the add-one-smoothed log ratio
+    lr(b) = ln( ((ct+1)/(nt+B)) / ((cr+1)/(nr+B)) ) is quantized to
+    INTEGER MICROS (the cross-engine determinism recipe: per-term round
+    once, sum as BIGINT). A document's importance llr = sum of its
+    bigrams' lr_micros. Selection is Gumbel-top-k — g = llr/1e6 +
+    Gumbel(u) with u drawn from the portable 48-bit md5 hash of the
+    doc_id, so the "randomness" is deterministic and the DuckDB oracle
+    replays the SAME sample — which is exactly sampling k docs without
+    replacement with probability proportional to softmax(llr), the
+    paper's resampling step.
+
+    Scale shape (100 TB): the feature pass is one map-side-combined
+    groupBy over <= B buckets (tiny), totals are one scalar row, the
+    per-bucket log-ratio frame (<= B rows) BROADCASTS into the scoring
+    join, one groupBy doc_id, and the final selection is a top-k
+    (TakeOrderedAndProject) — two linear passes over the corpus, no
+    wide shuffle beyond the doc_id aggregation, nothing quadratic.
+
+    Output: (doc_id, lang, n_bigrams, llr_micros, gumbel_key), the k
+    selected docs, gumbel_key descending."""
+    bb = _dsir_bigram_buckets(docs, n_buckets)
+    counts = bb.groupBy("b").agg(
+        F.count("*").cast("long").alias("cr"),
+        F.sum("is_t").cast("long").alias("ct"),
+    )
+    tot = bb.agg(
+        F.count("*").cast("long").alias("nr"),
+        F.sum("is_t").cast("long").alias("nt"),
+    )
+    # identical formula text on both engines: one ln, doubles throughout
+    lr = counts.crossJoin(F.broadcast(tot)).select(
+        "b",
+        F.expr(
+            f"CAST(round(ln((CAST(ct + 1 AS DOUBLE) * CAST(nr + {n_buckets} AS DOUBLE))"
+            f" / (CAST(cr + 1 AS DOUBLE) * CAST(nt + {n_buckets} AS DOUBLE)))"
+            " * 1e6, 0) AS BIGINT)"
+        ).alias("lr_micros"),
+    )
+    scored = (
+        bb.join(F.broadcast(lr), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("lr_micros").cast("long").alias("llr_micros"),
+            F.count("*").cast("long").alias("n_bigrams"),
+        )
+    )
+    u_hash = hex_to_long_spark_sql(
+        "(md5('dsirg|' || CAST(doc_id AS STRING)))"
+    )
+    gumbel = F.expr(
+        f"round(CAST(llr_micros AS DOUBLE) / CAST(1000000 AS DOUBLE)"
+        f" - ln(-ln((CAST({u_hash} AS DOUBLE) + CAST(1 AS DOUBLE))"
+        f" / CAST({_DSIR_U_DENOM} AS DOUBLE))), 6)"
+    )
+    return (
+        docs.select("doc_id", "lang")
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            "lang",
+            F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+            F.coalesce("llr_micros", F.lit(0)).cast("long").alias("llr_micros"),
+            gumbel.alias("gumbel_key"),
+        )
+        .orderBy(F.desc("gumbel_key"), "doc_id")
+        .limit(k)
+    )

@@ -3128,3 +3128,71 @@ def llm_bpe_encode_holdout(spark, sf_dir):
             F.col("n_raw") > 0, F.round(F.size("t") / F.col("n_raw"), 6)
         ).alias("compression"),
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR data selection (Xie et al. 2023) — deterministic edition
+# ---------------------------------------------------------------------------
+
+
+def _dsir_oracle() -> str:
+    b = TXT.DSIR_BUCKETS
+    k = TXT.DSIR_SELECT_K
+    lang = TXT.DSIR_TARGET_LANG
+    denom = TXT._DSIR_U_DENOM
+    # identical ln / round-to-micros formula text as the Spark side
+    # (llmops/text.py::dsir_select); the 48-bit md5 bucket + gumbel
+    # hashes are the shared portable family (functions/texthash.py)
+    return f"""
+    WITH toks AS (SELECT doc_id, lang, string_split(text, ' ') AS t
+                  FROM documents),
+    bg AS (
+      SELECT doc_id, CASE WHEN lang = '{lang}' THEN 1 ELSE 0 END AS is_t,
+             {md5_seeded_sql('s', 'dsir')} AS xs
+      FROM (SELECT doc_id, lang,
+                   unnest([t[i] || ' ' || t[i+1]
+                           FOR i IN generate_series(1, greatest(len(t)-1, 0))]) AS s
+            FROM toks)),
+    bb AS (SELECT doc_id, is_t, ({hex_to_long_sql('xs')}) % {b} AS b FROM bg),
+    counts AS (SELECT b, CAST(count(*) AS BIGINT) AS cr,
+                      CAST(sum(is_t) AS BIGINT) AS ct
+               FROM bb GROUP BY b),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS nr,
+                   CAST(sum(is_t) AS BIGINT) AS nt
+            FROM bb),
+    lr AS (SELECT b,
+                  CAST(round(ln((CAST(ct + 1 AS DOUBLE) * CAST(nr + {b} AS DOUBLE))
+                       / (CAST(cr + 1 AS DOUBLE) * CAST(nt + {b} AS DOUBLE)))
+                       * 1e6, 0) AS BIGINT) AS lr_micros
+           FROM counts, tot),
+    scored AS (SELECT doc_id, CAST(sum(lr_micros) AS BIGINT) AS llr_micros,
+                      CAST(count(*) AS BIGINT) AS n_bigrams
+               FROM bb JOIN lr USING (b) GROUP BY doc_id),
+    uh AS (SELECT doc_id, md5('dsirg|' || CAST(doc_id AS VARCHAR)) AS hx
+           FROM documents),
+    keys AS (
+      SELECT d.doc_id, d.lang,
+             coalesce(s.n_bigrams, 0) AS n_bigrams,
+             coalesce(s.llr_micros, 0) AS llr_micros,
+             round(CAST(coalesce(s.llr_micros, 0) AS DOUBLE)
+                     / CAST(1000000 AS DOUBLE)
+                   - ln(-ln((CAST({hex_to_long_sql('hx')} AS DOUBLE)
+                             + CAST(1 AS DOUBLE))
+                            / CAST({denom} AS DOUBLE))), 6) AS gumbel_key
+      FROM documents d
+      LEFT JOIN scored s USING (doc_id) JOIN uh USING (doc_id))
+    SELECT doc_id, lang, n_bigrams, llr_micros, gumbel_key
+    FROM keys ORDER BY gumbel_key DESC, doc_id LIMIT {k}
+    """
+
+
+@register("llm_dsir_select", oracle=_dsir_oracle, tags=("llm", "text"))
+def llm_dsir_select(spark, sf_dir):
+    """DSIR data selection (Xie et al. 2023, "Data Selection via
+    Importance Resampling"): hashed-bigram importance log-ratios between
+    the lang='en' target slice and the raw corpus, quantized to integer
+    micros; Gumbel-top-k over the portable md5 hash makes the resampling
+    step itself deterministic, so the oracle replays the SAME k-document
+    sample value-for-value (llmops/text.py::dsir_select — scale shape in
+    its docstring: two linear passes, <=4096-row broadcast, top-k)."""
+    return TXT.dsir_select(load(spark, sf_dir, "documents"))

@@ -624,6 +624,7 @@ _BNLJ_OK = {
     "llm_semdedup_capped",     # broadcast learned-centroid set (same model)
     "llm_semdedup_hier",       # broadcast coarse-centroid set (two-level)
     "llm_corpus_mixture",      # broadcast corpus totals (1 row)
+    "llm_dsir_select",         # broadcast bigram totals (1 row)
     "llm_perplexity_score",    # broadcast vocab-size scalar (1 row)
     "agg_hll_rollup",          # broadcast merged-sketch estimate + exact
     #                            total (two 1-row frames ride every row)
@@ -822,3 +823,19 @@ def test_bpe_encode_holdout_apply_is_one_narrow_stage(spark, sf_dir):
     # all 4 rules landed in one plan (nested fold expressions), so the
     # apply costs one pass over the split, not a stage per rule
     assert p.count("aggregate(") == 4, p.count("aggregate(")
+
+
+def test_dsir_scoring_join_broadcasts_and_selects_topk(q):
+    """DSIR's scale shape (llmops/text.py::dsir_select): the per-bucket
+    log-ratio frame (<= 4096 rows) must BROADCAST into the bigram
+    scoring join keyed on the bucket id (a shuffle of the corpus-sized
+    bigram side onto 4096 keys would be both slower and skew-prone),
+    and the final selection must be a top-k (TakeOrderedAndProject),
+    never a global sort of the corpus."""
+    p = q("llm_dsir_select")
+    flat = p.replace(" ", "")
+    assert "CartesianProduct" not in p
+    # scoring join: broadcast hash join keyed on the bucket id
+    assert "BroadcastHashJoin" in p
+    assert "Leftkeys[1]:[b#" in flat or "Rightkeys[1]:[b#" in flat
+    assert "TakeOrderedAndProject" in p
