@@ -569,3 +569,59 @@ def test_nghttp_error_trailers_only(engine, tmp_path):
         )
     assert out.returncode == 0, out.stderr
     assert "grpc-status: 3" in out.stdout  # INVALID_ARGUMENT, Trailers-Only
+
+
+# ---------------------------------------------------------------------------
+# HPACK property tests (hypothesis): the goldens pin spec conformance on
+# the RFC's examples; these pin totality — any header sequence survives
+# a shared encoder/decoder context
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_name_st = st.one_of(
+    st.sampled_from(
+        [n for n, _ in h2.HPACK_STATIC]
+        + ["grpc-status", "grpc-message", "x-custom", "te"]
+    ),
+    st.text(
+        alphabet=st.characters(min_codepoint=0x21, max_codepoint=0x7E),
+        min_size=1,
+        max_size=24,
+    ).map(str.lower),
+)
+_value_st = st.text(max_size=64)  # any unicode incl. empty
+_headers_st = st.lists(st.tuples(_name_st, _value_st), max_size=12)
+
+
+@settings(max_examples=50, deadline=None)
+@given(blocks=st.lists(_headers_st, min_size=1, max_size=5),
+       huffman=st.booleans(), table=st.sampled_from([0, 64, 4096]))
+def test_hpack_roundtrip_shared_context(blocks, huffman, table):
+    """A SEQUENCE of header blocks through one encoder/decoder pair must
+    round-trip exactly — dynamic-table state (insertions, evictions at
+    small table sizes, index shifts) must stay synchronized across
+    blocks, which is where HPACK implementations actually break."""
+    enc = h2.HpackEncoder(max_table_size=table, huffman=huffman)
+    dec = h2.HpackDecoder(max_table_size=table)
+    for headers in blocks:
+        assert dec.decode(enc.encode(headers)) == headers
+    assert dec.table.size == enc.table.size <= table
+
+
+@settings(max_examples=100, deadline=None)
+@given(data=st.binary(max_size=256))
+def test_huffman_roundtrip_arbitrary_bytes(data):
+    assert h2.huffman_decode(h2.huffman_encode(data)) == data
+
+
+@settings(max_examples=100, deadline=None)
+@given(n=st.integers(min_value=0, max_value=2**40),
+       bits=st.integers(min_value=1, max_value=8),
+       top=st.booleans())
+def test_hpack_int_roundtrip(n, bits, top):
+    flag = (0x80 >> (8 - bits) << (8 - bits)) & 0xFF if top and bits < 8 else 0
+    buf = h2.hpack_encode_int(n, bits, flag)
+    val, pos = h2.hpack_decode_int(buf, 0, bits)
+    assert (val, pos) == (n, len(buf))
