@@ -630,8 +630,12 @@ class GrpcQueryServer(wire.ProtobufQueryServer):
                     if flags & FLAG_END_STREAM:
                         self._dispatch(h2, sid, req_headers, req_body)
                 # PRIORITY / PUSH_PROMISE / unknown: ignored
-        except (OSError, ValueError):
-            pass  # client went away or sent garbage mid-connection
+        except (OSError, ValueError, KeyError, IndexError):
+            # client went away, or sent a protocol violation (bad HPACK,
+            # CONTINUATION for an unknown stream, truncated varint):
+            # tear the connection down — the per-connection blast radius
+            # a real h2 server has
+            pass
         finally:
             with h2.flow:
                 h2.closed = True

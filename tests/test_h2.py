@@ -625,3 +625,46 @@ def test_hpack_int_roundtrip(n, bits, top):
     buf = h2.hpack_encode_int(n, bits, flag)
     val, pos = h2.hpack_decode_int(buf, 0, bits)
     assert (val, pos) == (n, len(buf))
+
+
+def test_malformed_frames_kill_only_their_connection(engine):
+    """Protocol violations (CONTINUATION for a stream that never sent
+    HEADERS, garbage HPACK) must tear down THAT connection only — a
+    fresh connection right after must serve normally."""
+    with h2.GrpcQueryServer(engine) as srv:
+        bad = socket.create_connection((srv.host, srv.port), timeout=10)
+        bad.sendall(
+            h2.PREFACE
+            + h2.pack_frame(h2.F_SETTINGS, 0, 0, b"")
+            + h2.pack_frame(h2.F_CONTINUATION, h2.FLAG_END_HEADERS, 7, b"\x82")
+        )
+        # server closes the violating connection (EOF, not a hang)
+        bad.settimeout(10)
+        while True:
+            chunk = bad.recv(65536)
+            if not chunk:
+                break
+        bad.close()
+        # a second connection with garbage HPACK in HEADERS
+        bad2 = socket.create_connection((srv.host, srv.port), timeout=10)
+        bad2.sendall(
+            h2.PREFACE
+            + h2.pack_frame(h2.F_SETTINGS, 0, 0, b"")
+            + h2.pack_frame(
+                h2.F_HEADERS,
+                h2.FLAG_END_HEADERS | h2.FLAG_END_STREAM,
+                1,
+                bytes([0xFF, 0xFF, 0xFF, 0xFF]),  # truncated hpack int
+            )
+        )
+        bad2.settimeout(10)
+        while True:
+            chunk = bad2.recv(65536)
+            if not chunk:
+                break
+        bad2.close()
+        # the server is still healthy for well-formed clients
+        resp = h2.call_unary(
+            srv.host, srv.port, "SELECT count(*) AS n FROM region"
+        )
+        assert resp["respRecord"][0]["attributes"]["n"] == "5"
