@@ -1096,6 +1096,52 @@ def _dsir_bigram_buckets(docs: DataFrame, n_buckets: int) -> DataFrame:
     return bg.select("doc_id", "is_t", bucket.alias("b"))
 
 
+def dsir_model(docs: DataFrame, n_buckets: int = DSIR_BUCKETS) -> DataFrame:
+    """Train (freeze) the DSIR importance model on a corpus: the
+    per-bucket log-ratio frame (b, lr_micros), <= n_buckets rows —
+    broadcast-sized at any corpus scale. Separated from selection so a
+    live intake can score ARRIVING documents against a frozen model
+    (dsir_score_against) without re-reading the training corpus."""
+    bb = _dsir_bigram_buckets(docs, n_buckets)
+    counts = bb.groupBy("b").agg(
+        F.count("*").cast("long").alias("cr"),
+        F.sum("is_t").cast("long").alias("ct"),
+    )
+    tot = bb.agg(
+        F.count("*").cast("long").alias("nr"),
+        F.sum("is_t").cast("long").alias("nt"),
+    )
+    # identical formula text on both engines: one ln, doubles throughout
+    return counts.crossJoin(F.broadcast(tot)).select(
+        "b",
+        F.expr(
+            f"CAST(round(ln((CAST(ct + 1 AS DOUBLE) * CAST(nr + {n_buckets} AS DOUBLE))"
+            f" / (CAST(cr + 1 AS DOUBLE) * CAST(nt + {n_buckets} AS DOUBLE)))"
+            " * 1e6, 0) AS BIGINT)"
+        ).alias("lr_micros"),
+    )
+
+
+def dsir_score_against(
+    docs: DataFrame, model: DataFrame, n_buckets: int = DSIR_BUCKETS
+) -> DataFrame:
+    """Score documents against a (frozen) DSIR model: (doc_id,
+    llr_micros, n_bigrams). One linear pass — bigram-bucket explode,
+    BROADCAST join to the <= n_buckets-row model, one groupBy doc_id.
+    This is the on-ingest shape: a live intake scores each arriving
+    micro-batch against the model trained on the existing lake and
+    keeps/drops before the document ever lands."""
+    bb = _dsir_bigram_buckets(docs, n_buckets)
+    return (
+        bb.join(F.broadcast(model), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("lr_micros").cast("long").alias("llr_micros"),
+            F.count("*").cast("long").alias("n_bigrams"),
+        )
+    )
+
+
 def dsir_select(
     docs: DataFrame,
     k: int = DSIR_SELECT_K,
@@ -1128,32 +1174,8 @@ def dsir_select(
 
     Output: (doc_id, lang, n_bigrams, llr_micros, gumbel_key), the k
     selected docs, gumbel_key descending."""
-    bb = _dsir_bigram_buckets(docs, n_buckets)
-    counts = bb.groupBy("b").agg(
-        F.count("*").cast("long").alias("cr"),
-        F.sum("is_t").cast("long").alias("ct"),
-    )
-    tot = bb.agg(
-        F.count("*").cast("long").alias("nr"),
-        F.sum("is_t").cast("long").alias("nt"),
-    )
-    # identical formula text on both engines: one ln, doubles throughout
-    lr = counts.crossJoin(F.broadcast(tot)).select(
-        "b",
-        F.expr(
-            f"CAST(round(ln((CAST(ct + 1 AS DOUBLE) * CAST(nr + {n_buckets} AS DOUBLE))"
-            f" / (CAST(cr + 1 AS DOUBLE) * CAST(nt + {n_buckets} AS DOUBLE)))"
-            " * 1e6, 0) AS BIGINT)"
-        ).alias("lr_micros"),
-    )
-    scored = (
-        bb.join(F.broadcast(lr), "b")
-        .groupBy("doc_id")
-        .agg(
-            F.sum("lr_micros").cast("long").alias("llr_micros"),
-            F.count("*").cast("long").alias("n_bigrams"),
-        )
-    )
+    lr = dsir_model(docs, n_buckets)
+    scored = dsir_score_against(docs, lr)
     u_hash = hex_to_long_spark_sql(
         "(md5('dsirg|' || CAST(doc_id AS STRING)))"
     )

@@ -1718,3 +1718,57 @@ def test_hierarchical_kmeans_scale_path_matches_contract(spark, sf_dir):
     pruned = semdedup_prune_assigned(idx, cents)
     assert pruned.count() > 0
     assert set(pruned.columns) == {"vec_id", "cid", "max_sim", "n_earlier"}
+
+
+def test_dsir_on_ingest_scoring_converges_to_batch(spark, sf_dir):
+    """Streaming DSIR intake: documents replayed as 3 micro-batches,
+    each scored against the FROZEN importance model (trained once on the
+    existing corpus, broadcast into every batch — the shape a live crawl
+    intake runs: keep/drop decided before the document lands). The
+    converged sink must equal batch scoring exactly — each document's
+    bigrams arrive within one micro-batch, and the model is static, so
+    streaming introduces no approximation."""
+    import shutil
+    import tempfile
+
+    from proteus_spark.llmops.text import dsir_model, dsir_score_against
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text", "lang"
+    )
+    model = dsir_model(docs).cache()
+    model.count()  # freeze/materialize once, pre-stream
+
+    want = {
+        (r["doc_id"], r["llr_micros"], r["n_bigrams"])
+        for r in dsir_score_against(docs, model).collect()
+    }
+
+    src = cdc.stage_stream(spark, docs, chunks=3)
+    outdir = tempfile.mkdtemp(prefix="proteus_stream_dsir_")
+
+    def on_batch(batch, epoch):
+        dsir_score_against(batch, model).write.mode("append").parquet(outdir)
+
+    query = (
+        src.subscribe(max_files_per_trigger=1)
+        .writeStream.outputMode("append")
+        .foreachBatch(on_batch)
+        .queryName("t_stream_dsir")
+        .start()
+    )
+    try:
+        query.processAllAvailable()
+    finally:
+        query.stop()
+        cdc.cleanup(src)
+    try:
+        got = {
+            (r["doc_id"], r["llr_micros"], r["n_bigrams"])
+            for r in spark.read.parquet(outdir).collect()
+        }
+        assert got == want
+        assert len(got) > 0
+    finally:
+        model.unpersist()
+        shutil.rmtree(outdir, ignore_errors=True)
