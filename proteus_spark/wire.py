@@ -899,6 +899,13 @@ class ProtobufQueryServer:
     def _query_stream(self, conn, sql: str, view=None) -> None:
         stream = self.engine.query_stream(sql, view=view, typed=True)
         first = True
+        # snapshot-phase records buffer into bulk writes (one syscall /
+        # flow-control round per ~64 KB instead of per record — measured
+        # 2.6s -> bulk for a 20k-record stream); control records
+        # (END_OF_STREAM) and live pushes (UPDATEDELTA) flush
+        # IMMEDIATELY — they are the latency-sensitive part of the
+        # snapshot+subscribe contract
+        buf = bytearray()
         for seq, rtype, attrs in stream:
             if first:
                 self._ok(conn)  # defer OK until the query planned+ran
@@ -925,7 +932,12 @@ class ProtobufQueryServer:
                     "bucket": "result",
                     "payload": payload,
                 }
-            conn.sendall(frame(encode_response_stream_record(rec)))
+            buf += frame(encode_response_stream_record(rec))
+            if rtype != "STATE" or len(buf) >= 65536:
+                conn.sendall(bytes(buf))
+                buf.clear()
+        if buf:
+            conn.sendall(bytes(buf))
         if first:  # empty stream still gets its status + END_OF_STREAM
             self._ok(conn)
 
@@ -940,6 +952,7 @@ class ProtobufQueryServer:
         rows = df.collect()  # plan + run BEFORE the ack so errors map
         self._ok(conn)       # to a status line, never a broken stream
         seq = 0
+        buf = bytearray()
         for row in rows:
             attrs = row.asDict()
             rec = {
@@ -957,15 +970,17 @@ class ProtobufQueryServer:
                     },
                 },
             }
-            conn.sendall(frame(encode_response_stream_record(rec)))
+            buf += frame(encode_response_stream_record(rec))
+            if len(buf) >= 65536:  # bulk writes, same as the SQL stream
+                conn.sendall(bytes(buf))
+                buf.clear()
             seq += 1
-        conn.sendall(
-            frame(
-                encode_response_stream_record(
-                    {"sequence_id": seq, "type": "END_OF_STREAM"}
-                )
+        buf += frame(
+            encode_response_stream_record(
+                {"sequence_id": seq, "type": "END_OF_STREAM"}
             )
         )
+        conn.sendall(bytes(buf))
 
     def _get_config(self, conn) -> None:
         tables = sorted(
