@@ -188,4 +188,19 @@ def corpus_source(
         return reader.csv(path)
     if fmt == "parquet":
         return parquet_source(spark, path, schema)
+    if fmt == "orc":
+        # columnar like parquet: self-describing (schema optional, used
+        # as a projection/validation contract when given), splittable,
+        # predicate pushdown + column pruning via the native ORC reader
+        df = spark.read.orc(path)
+        if schema is not None:
+            from pyspark.sql.types import StructType
+
+            st = (
+                StructType.fromDDL(schema)
+                if isinstance(schema, str)
+                else schema
+            )
+            df = df.select(*[f.name for f in st.fields])
+        return df
     raise ValueError(f"unsupported corpus format: {fmt!r}")

@@ -1748,3 +1748,23 @@ def test_stream_consumer_resumes_on_promoted_replica(spark, tmp_path):
     assert sorted(rows) == sorted(
         [f"v0-{i}" for i in range(15)] + [f"v1-{i}" for i in range(8)]
     )
+
+
+def test_corpus_source_orc_roundtrip(spark, sf_dir, tmp_path):
+    """ORC corpus ingest: self-describing columnar format (schema
+    optional); an explicit schema acts as a projection/validation
+    contract — extra columns in the files are pruned away."""
+    from proteus_spark.sources.batch import corpus_source
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(50)
+    path = str(tmp_path / "corpus_orc")
+    docs.write.orc(path)  # writes all 5 columns
+    df = corpus_source(spark, path, fmt="orc")
+    assert df.count() == 50
+    assert set(df.columns) == set(docs.columns)
+    pruned = corpus_source(
+        spark, path, fmt="orc", schema="doc_id long, text string"
+    )
+    assert pruned.columns == ["doc_id", "text"]
+    got = {r["doc_id"]: r["text"] for r in pruned.collect()}
+    assert got == {r["doc_id"]: r["text"] for r in docs.collect()}
