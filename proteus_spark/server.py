@@ -140,12 +140,19 @@ class QueryServer:
                             {"seq": seq, "type": rtype, "record": rec}
                         )
                         self.wfile.write(line.encode() + b"\n")
-                        self.wfile.flush()
+                        # wfile is a BufferedWriter: snapshot STATE
+                        # records ride its bulk flushes; control records
+                        # (END_OF_STREAM) and live UPDATEDELTA pushes
+                        # flush immediately — same buffering policy as
+                        # the protobuf/h2 stream servers
+                        if rtype != "STATE":
+                            self.wfile.flush()
 
                     if first is not None:
                         emit(first)
                         for item in gen:
                             emit(item)
+                        self.wfile.flush()
                     return
                 self._json(404, {"error": f"unknown path {self.path}"})
 
