@@ -1179,6 +1179,10 @@ def dsir_select(
     u_hash = hex_to_long_spark_sql(
         "(md5('dsirg|' || CAST(doc_id AS STRING)))"
     )
+    # gumbel_key MUST derive from the COALESCED llr (docs with <2 tokens
+    # have no bigrams → NULL from the left join; the oracle coalesces to
+    # 0 inside the formula, so build from the coalesced column or short
+    # docs sort last and can never be sampled).
     gumbel = F.expr(
         f"round(CAST(llr_micros AS DOUBLE) / CAST(1000000 AS DOUBLE)"
         f" - ln(-ln((CAST({u_hash} AS DOUBLE) + CAST(1 AS DOUBLE))"
@@ -1192,6 +1196,12 @@ def dsir_select(
             "lang",
             F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
             F.coalesce("llr_micros", F.lit(0)).cast("long").alias("llr_micros"),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            "n_bigrams",
+            "llr_micros",
             gumbel.alias("gumbel_key"),
         )
         .orderBy(F.desc("gumbel_key"), "doc_id")

@@ -63,3 +63,60 @@ def test_training_ops_raise_clear_error_on_empty_corpus(spark, empty_dir, name):
     surface a clear ValueError, not a NoneType subscript / Py4J fit error."""
     with pytest.raises(ValueError, match="empty corpus"):
         registry.QUERIES[name].fn(spark, empty_dir)
+
+
+def test_dsir_select_short_docs_remain_samplable(spark, tmp_path_factory):
+    """Regression (round-10 advice): documents with <2 tokens have no
+    bigrams, so the left join to the scored frame yields NULL llr_micros.
+    The gumbel_key MUST be built from coalesce(llr_micros, 0) — exactly
+    as the DuckDB oracle does — or short/empty docs get a NULL key, sort
+    last in Spark, and can never be sampled while the oracle samples
+    them. Corpus of 20 docs (< k=50) so every doc is selected and any
+    NULL key is a guaranteed value mismatch."""
+    from tests.oracle_utils import compare, duckdb_conn
+
+    d = tmp_path_factory.mktemp("sf_shortdocs")
+    rows = [
+        (1, "", "en", "synth", 0),                      # 0 tokens
+        (2, "hello", "en", "synth", 5),                 # 1 token
+        (3, "x", "fr", "synth", 1),                     # 1 token, non-target
+        (4, "", "fr", "synth", 0),                      # empty, non-target
+    ] + [
+        (i, f"common words doc {i} tail token", "en" if i % 2 else "fr",
+         "synth", 30)
+        for i in range(5, 21)
+    ]
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    cols = list(zip(*rows))
+    pq.write_table(  # one plain file so DuckDB's read_parquet sees it too
+        pa.table(
+            {
+                "doc_id": pa.array(cols[0], pa.int64()),
+                "text": pa.array(cols[1], pa.string()),
+                "lang": pa.array(cols[2], pa.string()),
+                "source": pa.array(cols[3], pa.string()),
+                "n_chars": pa.array(cols[4], pa.int64()),
+            }
+        ),
+        str(d / "documents.parquet"),
+    )
+
+    spec = registry.QUERIES["llm_dsir_select"]
+    df = spec.fn(spark, str(d))
+    out = {r["doc_id"]: r for r in df.collect()}
+    assert len(out) == 20, "all 20 docs must be selected at k=50"
+    for did in (1, 2, 3, 4):
+        assert out[did]["gumbel_key"] is not None, (
+            f"short doc {did} got a NULL gumbel_key — build the key from "
+            "the coalesced llr_micros"
+        )
+        assert out[did]["llr_micros"] == 0 and out[did]["n_bigrams"] == 0
+
+    con = duckdb_conn(str(d))
+    try:
+        problems = compare(df, con, spec.resolve_oracle())
+    finally:
+        con.close()
+    assert not problems, problems
