@@ -894,42 +894,17 @@ def llm_embed_class_margins(spark, sf_dir):
     return S.class_margins(emb)
 
 
-def _ivf_oracle() -> str:
-    cos_vc = _cos_sql("vec", "cvec")
-    cos_qn = _cos_sql("qvec", "nvec")
-    return f"""
-    WITH c AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings WHERE vec_id < 10),
-    v AS (SELECT vec_id, embedding AS vec FROM embeddings),
-    assigned AS (
-      SELECT vec_id, vec AS embedding, cid AS bucket FROM (
-        SELECT v.vec_id, v.vec, c.cid,
-               row_number() OVER (PARTITION BY v.vec_id
-                                  ORDER BY round({cos_vc}, 6) DESC, c.cid) AS rn
-        FROM v CROSS JOIN c)
-      WHERE rn = 1),
-    q AS (SELECT vec_id AS qid, embedding AS qvec, bucket AS qbucket
-          FROM assigned WHERE vec_id >= 10 AND vec_id < 20),
-    scored AS (
-      SELECT qid, n.vec_id AS nid,
-             round({cos_qn}, 6) AS sim
-      FROM (SELECT vec_id, embedding AS nvec, bucket AS nbucket FROM assigned) n
-      JOIN q ON n.nbucket = qbucket AND n.vec_id != qid)
-    SELECT qid, nid, sim, CAST(rn AS BIGINT) AS rank
-    FROM (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn
-          FROM scored)
-    WHERE rn <= 3
-    """
-
-
-@register("llm_sim_ivf", oracle=_ivf_oracle, tags=("llm", "similarity"))
-def llm_sim_ivf(spark, sf_dir):
-    """IVF-bucketed ANN (nprobe=1): centroid assignment once, then search
-    the query's bucket only — the equi-join replaces the cross product;
-    recall < 1 by design and the oracle reproduces it exactly."""
-    emb = load(spark, sf_dir, "embeddings")
-    centroids = emb.filter(F.col("vec_id") < 10)
-    queries = emb.filter((F.col("vec_id") >= 10) & (F.col("vec_id") < 20))
-    return S.ivf_topk(emb, centroids, queries, k=3)
+# llm_sim_ivf RETIRED round 10 (the banked retirement owed for round 9's
+# post-freeze llm_dsir_select; ROTATION.md's pre-analysis named it and the
+# audit confirms the subsumption): its engine path was the single call
+# S.ivf_topk(emb, centroids, queries, k=3) at nprobe=1 over the trivial
+# vec_id<10 centroid frame. That exact invocation — same code, same k,
+# same nprobe — is value-hashed end-to-end by llm_sim_ivf_kmeans over the
+# LEARNED centroids (the strictly harder input: training + search in one
+# oracle), and llm_sim_ivf_nprobe2 recomputes the nprobe=1 result on
+# every run for its in-query recall-monotonicity assert (hits2 >= hits1
+# vs exact brute force). The trivial-centroid variant's hash therefore
+# added no code or value coverage the learned-centroid hash does not.
 
 
 def _ivf_nprobe2_oracle() -> str:
@@ -1030,8 +1005,8 @@ def _kmeans_unroll_ctes() -> str:
 
 
 def _ivf_kmeans_oracle() -> str:
-    """Lloyd's unroll + the llm_sim_ivf search shape over the LEARNED
-    centroids (nprobe=1: each query searches its own final bucket)."""
+    """Lloyd's unroll + the ivf_topk nprobe=1 search shape over the
+    LEARNED centroids (each query searches its own final bucket)."""
     cos_vc = _cos_sql("v.vec", "c.cvec")
     cos_qn = _cos_sql("qvec", "nvec")
     kc = f"cent_{_KMEANS_ROUNDS}"
@@ -1422,8 +1397,10 @@ def llm_sim_ivf_kmeans(spark, sf_dir):
     """IVF with a LEARNED coarse quantizer: deterministic distributed
     Lloyd's (k=8, 3 rounds — hash-ranked init, rounded-6 cosine
     assignment, rounded-6 per-bucket means; ``similarity.kmeans_train``)
-    fits the centroids, then the same bucket-equi-join ANN search as
-    llm_sim_ivf. Previously rows-only (MLlib KMeans|| init samples by
+    fits the centroids, then the bucket-equi-join ANN search
+    (``similarity.ivf_topk``, nprobe=1 — since round 10 this query is
+    the sole value-level hash of that arm; the retired trivial-centroid
+    llm_sim_ivf duplicated it). Previously rows-only (MLlib KMeans|| init samples by
     partition — irreproducible outside Spark); the quantized Lloyd's
     loop is a pure data function, so the oracle replays TRAINING AND
     SEARCH end-to-end (VERDICT r6 #4). The in-query recall bound vs
@@ -2004,7 +1981,8 @@ def llm_multimodal_ppm(spark, sf_dir):
 # one retirement banked per round-6 addition): the single-round merge
 # ranking is subsumed by llm_bpe_train_rounds (whose round-1 choice IS
 # the retired query's rank-1 pair over the same zero-shuffle
-# arrays_zip + partial-agg shape) and llm_bpe_encode; the top-k-then-
+# arrays_zip + partial-agg shape) and the encode family (now
+# llm_bpe_encode_holdout after the round-10 audit); the top-k-then-
 # rank plan shape stays pinned by ref_lobsters_topk / tpch_q18.
 
 
@@ -3020,46 +2998,19 @@ def llm_bpe_train_rounds(spark, sf_dir):
     )
 
 
-def _bpe_encode_oracle() -> str:
-    k = _BPE_TRAIN_ROUNDS
-    return (
-        _bpe_unroll_ctes()
-        + f"""
-    SELECT t0.doc_id,
-           CAST(len(t0.t) AS BIGINT) AS n_raw,
-           CAST(COALESCE(len(tk.t), 0) AS BIGINT) AS n_bpe,
-           CASE WHEN len(t0.t) > 0
-                THEN round(CAST(COALESCE(len(tk.t), 0) AS DOUBLE)
-                           / len(t0.t), 6) END AS compression
-    FROM toks_0 t0 LEFT JOIN toks_{k} tk ON tk.doc_id = t0.doc_id
-    """
-    )
-
-
-@register(
-    "llm_bpe_encode",
-    oracle=_bpe_encode_oracle,
-    tags=("llm", "text", "iterative"),
-)
-def llm_bpe_encode(spark, sf_dir):
-    """Corpus ENCODING under the learned tokenizer — the train→encode
-    pipeline a tokenizer actually runs: training progressively applies
-    every chosen merge, so the final token arrays are the encoded corpus;
-    this reports per-doc raw vs encoded token counts and the compression
-    ratio (the signal that tells you whether 8 merges were worth it).
-    Oracle shares the training unroll's CTE chain, so the merge sequence
-    cannot drift between the rules query and the encode query."""
-    _rules, enc = TXT.bpe_train_encode(
-        load(spark, sf_dir, "documents"), rounds=_BPE_TRAIN_ROUNDS
-    )
-    return enc.select(
-        "doc_id",
-        F.col("n_raw").cast("long").alias("n_raw"),
-        F.size("t").cast("long").alias("n_bpe"),
-        F.when(
-            F.col("n_raw") > 0, F.round(F.size("t") / F.col("n_raw"), 6)
-        ).alias("compression"),
-    )
+# llm_bpe_encode RETIRED round 10 (second half of the banked-retirement
+# audit; ROTATION.md's pre-analysis named the encode/holdout pair): its
+# engine path was bpe_train_encode(full corpus) with per-doc final token
+# counts hashed. Every line of that path is still value-verified:
+# llm_bpe_train_rounds hashes the full-corpus MERGE TABLE (which depends
+# on every intermediate applied array through each round's recount), and
+# llm_bpe_encode_holdout hashes per-doc token counts of the SAME shared
+# greedy-leftmost fold (bpe_merge_pass — training's apply and the
+# standalone encoder use the identical function) while additionally
+# covering the standalone bpe_encode(rules-as-literals) path and the
+# train→apply split generalization the retired query could not express.
+# The full-corpus per-doc hash added no code path and no failure mode
+# the (train_rounds, encode_holdout) pair does not already pin.
 
 
 def _bpe_holdout_ctes() -> str:
@@ -3135,11 +3086,15 @@ def llm_bpe_encode_holdout(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
-def _dsir_oracle() -> str:
+def _dsir_scored_ctes() -> str:
+    """The shared model+scoring CTE chain (WITH toks ... scored):
+    per-bucket log-ratio model over the full corpus, then per-doc
+    (llr_micros, n_bigrams). Shared by the batch selection oracle
+    (_dsir_oracle) and the on-ingest stream oracle
+    (queries/streaming.py::stream_dsir_ingest) so the model/scoring
+    SQL text cannot drift between them."""
     b = TXT.DSIR_BUCKETS
-    k = TXT.DSIR_SELECT_K
     lang = TXT.DSIR_TARGET_LANG
-    denom = TXT._DSIR_U_DENOM
     # identical ln / round-to-micros formula text as the Spark side
     # (llmops/text.py::dsir_select); the 48-bit md5 bucket + gumbel
     # hashes are the shared portable family (functions/texthash.py)
@@ -3167,7 +3122,13 @@ def _dsir_oracle() -> str:
            FROM counts, tot),
     scored AS (SELECT doc_id, CAST(sum(lr_micros) AS BIGINT) AS llr_micros,
                       CAST(count(*) AS BIGINT) AS n_bigrams
-               FROM bb JOIN lr USING (b) GROUP BY doc_id),
+               FROM bb JOIN lr USING (b) GROUP BY doc_id)"""
+
+
+def _dsir_oracle() -> str:
+    k = TXT.DSIR_SELECT_K
+    denom = TXT._DSIR_U_DENOM
+    return _dsir_scored_ctes() + f""",
     uh AS (SELECT doc_id, md5('dsirg|' || CAST(doc_id AS VARCHAR)) AS hx
            FROM documents),
     keys AS (

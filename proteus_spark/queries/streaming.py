@@ -1393,6 +1393,84 @@ def stream_decontaminate(spark, sf_dir):
         shutil.rmtree(outdir, ignore_errors=True)
 
 
+def _stream_dsir_oracle() -> str:
+    from proteus_spark.queries.llm import _dsir_scored_ctes
+
+    # the converged on-ingest sink == batch scoring against the frozen
+    # model: the CTE chain is SHARED with llm_dsir_select's oracle so the
+    # model/scoring SQL cannot drift between the batch and stream checks
+    return _dsir_scored_ctes() + """
+    SELECT doc_id, llr_micros, n_bigrams,
+           CAST(CASE WHEN llr_micros > 0 THEN 1 ELSE 0 END AS BIGINT) AS kept
+    FROM scored
+    """
+
+
+@register(
+    "stream_dsir_ingest",
+    oracle=_stream_dsir_oracle,
+    tags=("streaming", "llm", "text"),
+)
+def stream_dsir_ingest(spark, sf_dir):
+    """DSIR importance scoring ON INGEST: the importance model (per-bucket
+    hashed-bigram log-ratios, <= 4096 rows) is trained ONCE on the
+    existing lake and FROZEN; arriving documents — replayed here as 4
+    micro-batches — are scored against the broadcast model inside each
+    batch, and the keep/drop decision (kept = llr_micros > 0, i.e. the
+    doc looks more target-like than corpus-average) lands with the score
+    before the document ever enters the lake. This is the live-intake
+    half of `llm_dsir_select` (Xie et al. 2023): selection re-ranks a
+    static corpus, this gates a stream. Converged sink == batch scoring
+    exactly: each document's bigrams arrive within one micro-batch and
+    the model is static, so streaming introduces no approximation (the
+    convergence is also unit-pinned by
+    test_dsir_on_ingest_scoring_converges_to_batch).
+
+    Scale shape (100 TB): training is one map-side-combined groupBy over
+    <= 4096 buckets; per batch the model BROADCASTS into an equi-join
+    (the corpus side never shuffles beyond the per-doc aggregation) —
+    plan-pinned by test_stream_dsir_scoring_broadcasts_frozen_model."""
+    import shutil
+    import tempfile
+
+    from proteus_spark.llmops.text import dsir_model, dsir_score_against
+
+    docs = load(spark, sf_dir, "documents")
+    model = dsir_model(docs).cache()
+    model.count()  # freeze/materialize the model once, pre-stream
+
+    src = cdc.stage_stream(spark, docs, chunks=4)
+    outdir = tempfile.mkdtemp(prefix="proteus_stream_dsir_ingest_")
+
+    def on_batch(batch, epoch):
+        scored = dsir_score_against(batch, model)
+        scored.select(
+            "doc_id",
+            "llr_micros",
+            "n_bigrams",
+            (F.col("llr_micros") > 0).cast("long").alias("kept"),
+        ).write.mode("append").parquet(outdir)
+
+    query = (
+        src.subscribe(max_files_per_trigger=1)
+        .writeStream.outputMode("append")
+        .foreachBatch(on_batch)
+        .queryName("stream_dsir_ingest")
+        .start()
+    )
+    try:
+        query.processAllAvailable()
+    finally:
+        query.stop()
+        cdc.cleanup(src)
+    try:
+        out = spark.read.parquet(outdir)
+        return _spill(out)
+    finally:
+        model.unpersist()
+        shutil.rmtree(outdir, ignore_errors=True)
+
+
 @register(
     "stream_ann_ingest",
     # oracle = the batch IVF assignment (same centroid rule as llm_sim_ivf:

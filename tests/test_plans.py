@@ -616,7 +616,6 @@ _BNLJ_OK = {
     "llm_sim_mips_recall",     # exact-baseline side broadcasts queries
     "llm_knn_classify",        # broadcast query set vs labeled corpus
     "llm_embed_class_margins", # broadcast 10-centroid table vs corpus
-    "llm_sim_ivf",             # broadcast probed-centroid set
     "llm_sim_ivf_nprobe2",     # broadcast probed-centroid set
     "llm_sim_ivf_kmeans",      # broadcast learned-centroid set
     "llm_cluster_audit",       # broadcast learned-centroid set (same model)
@@ -839,3 +838,32 @@ def test_dsir_scoring_join_broadcasts_and_selects_topk(q):
     assert "BroadcastHashJoin" in p
     assert "Leftkeys[1]:[b#" in flat or "Rightkeys[1]:[b#" in flat
     assert "TakeOrderedAndProject" in p
+
+
+def test_stream_dsir_scoring_broadcasts_frozen_model(spark, sf_dir):
+    """stream_dsir_ingest's per-batch shape: each micro-batch scores
+    against the FROZEN model — the <= 4096-row log-ratio frame must
+    BROADCAST into the bucket-keyed equi-join (the arriving batch never
+    shuffles beyond its own per-doc aggregation), and the model frame is
+    a cached scan, NOT retrained per batch (an InMemoryTableScan in the
+    batch plan, no second corpus aggregation)."""
+    from proteus_spark.llmops.text import dsir_model, dsir_score_against
+    from proteus_spark.registry import load
+
+    docs = load(spark, sf_dir, "documents")
+    model = dsir_model(docs).cache()
+    model.count()
+    try:
+        batch = docs.limit(200)  # stand-in for one arriving micro-batch
+        p = plan(dsir_score_against(batch, model))
+        flat = p.replace(" ", "")
+        assert "CartesianProduct" not in p
+        assert "BroadcastHashJoin" in p
+        assert "Leftkeys[1]:[b#" in flat or "Rightkeys[1]:[b#" in flat
+        # frozen: the model arrives via the cache, not a per-batch retrain
+        assert "InMemoryTableScan" in p, p
+        # exactly the per-doc aggregation shuffles; the model side rides
+        # the broadcast (one HashAggregate pair around one Exchange)
+        assert p.count("Exchange hashpartitioning") <= 1, p
+    finally:
+        model.unpersist()
