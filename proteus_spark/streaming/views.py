@@ -611,6 +611,7 @@ class SumView:
         self._retain = retain
         self._snap_lock = threading.Lock()
         self._batch_lock = threading.Lock()
+        self._stopped = False
         self._snap_cache = None
         self._snap_version = -1
         self._derived_version: dict[str, int] = {}
@@ -648,9 +649,12 @@ class SumView:
     def stop(self, cleanup: bool = True) -> None:
         if self._query is not None:
             self._query.stop()
-        # join the in-flight foreachBatch: post-stop state is final
+        # join the in-flight foreachBatch AND latch _stopped under the same
+        # lock: a callback dispatched just before query.stop() but not yet
+        # at the lock acquires it after us, sees the flag, and returns
+        # without committing — post-stop state is final either way
         with self._batch_lock:
-            pass
+            self._stopped = True
         with self._snap_lock:
             if self._snap_cache is not None:
                 try:
@@ -690,8 +694,11 @@ class SumView:
         # caller that returned from stop() can never observe a version
         # bump or subscriber callback landing afterwards (the round-8
         # deflake's diagnosed race — StreamingQuery.stop() does not join
-        # the Python foreachBatch callback thread)
+        # the Python foreachBatch callback thread; a callback that loses
+        # the race to stop() must observe the latch and drop the batch)
         with self._batch_lock:
+            if self._stopped:
+                return
             self._merge_locked(delta, epoch)
 
     def _merge_locked(self, delta: DataFrame, epoch: int) -> None:
@@ -858,6 +865,7 @@ class JoinView:
         self._subscribers: list[Callable[[DataFrame, int], None]] = []
         self._snap_lock = threading.Lock()
         self._batch_lock = threading.Lock()
+        self._stopped = False
         self._snap_cache = None
         self._snap_version = -1
         self._query = None
@@ -880,9 +888,10 @@ class JoinView:
     def stop(self, cleanup: bool = True) -> None:
         if self._query is not None:
             self._query.stop()
-        # join the in-flight foreachBatch: post-stop state is final
+        # join the in-flight foreachBatch AND latch _stopped under the
+        # same lock (see SumView.stop): post-stop state is final
         with self._batch_lock:
-            pass
+            self._stopped = True
         with self._snap_lock:
             if self._snap_cache is not None:
                 try:
@@ -896,6 +905,8 @@ class JoinView:
     # -- state maintenance -------------------------------------------------
     def _on_batch(self, batch: DataFrame, epoch: int) -> None:
         with self._batch_lock:  # stop() barriers on this (see SumView)
+            if self._stopped:
+                return
             self._on_batch_locked(batch, epoch)
 
     def _on_batch_locked(self, batch: DataFrame, epoch: int) -> None:
@@ -1059,6 +1070,7 @@ class HistoryView:
         if root is not None:
             self._state.recover()
         self._batch_lock = threading.Lock()
+        self._stopped = False
         self._query = None
 
     # -- lifecycle ---------------------------------------------------------
@@ -1080,16 +1092,19 @@ class HistoryView:
     def stop(self, cleanup: bool = True) -> None:
         if self._query is not None:
             self._query.stop()
-        # join the in-flight foreachBatch BEFORE cleanup removes the
-        # state root from under a mid-commit batch (see SumView.stop)
+        # join the in-flight foreachBatch AND latch _stopped BEFORE cleanup
+        # removes the state root from under a mid-commit batch (see
+        # SumView.stop) — a late callback sees the latch, never the rmtree
         with self._batch_lock:
-            pass
+            self._stopped = True
         if cleanup:
             shutil.rmtree(self._root, ignore_errors=True)
 
     # -- state maintenance -------------------------------------------------
     def _on_batch(self, batch: DataFrame, epoch: int) -> None:
         with self._batch_lock:
+            if self._stopped:
+                return
             self._state.commit_delta(
                 batch.withColumn("_bucket", self._state.bucket_col()),
                 epoch=epoch,

@@ -1772,3 +1772,63 @@ def test_dsir_on_ingest_scoring_converges_to_batch(spark, sf_dir):
     finally:
         model.unpersist()
         shutil.rmtree(outdir, ignore_errors=True)
+
+
+def test_stop_latch_drops_late_foreachbatch(spark, sf_dir):
+    """stop() latches _stopped under _batch_lock: a foreachBatch callback
+    dispatched just before query.stop() but arriving at the lock AFTER
+    stop() returned must drop its batch — no version bump, no subscriber
+    callback, no commit into an already-rmtree'd root (ADVICE r9,
+    views.py:651; StreamingQuery.stop() does not join the Python
+    callback thread)."""
+    import os
+
+    from proteus_spark.streaming.views import HistoryView, JoinView
+
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("user_id", "value")
+        .limit(8)
+    )
+
+    # SumView: late _merge after stop() must not bump version or notify
+    sv = SumView(
+        spark, ev, group_by="user_id", agg_attr="value",
+        name="t_latch_sum", mode="append",
+    )
+    seen: list[int] = []
+    sv.subscribe(lambda delta, epoch: seen.append(epoch))
+    sv.stop(cleanup=False)  # never started: latch only
+    v0 = sv.version()
+    late = ev.groupBy("user_id").agg(F.sum("value").alias("value_sum"))
+    sv._on_changed_groups(late, 0)  # the callback that lost the race
+    assert sv.version() == v0
+    assert seen == []
+    sv.stop()  # idempotent + cleanup
+
+    # JoinView: late _on_batch after stop() is dropped
+    jv = JoinView(spark, ev, ev, key="user_id", name="t_latch_join")
+    jseen: list[int] = []
+    jv.subscribe(lambda delta, epoch: jseen.append(epoch))
+    jv.stop(cleanup=False)
+    jv0 = jv.version()
+    jv._on_batch(ev.withColumn("_feed", F.lit("l")), 0)
+    assert jv.version() == jv0
+    assert jseen == []
+    jv.stop()
+
+    # HistoryView: stop(cleanup=True) rmtrees the root; a late commit must
+    # NOT recreate it (the r9-diagnosed commit-into-removed-root arm)
+    hv = HistoryView(
+        spark,
+        ev.withColumn("ts", F.lit(1)).withColumn("rid", F.lit(1)),
+        key="user_id", order_col="ts", id_col="rid",
+        name="t_latch_hist",
+    )
+    root = hv._root
+    hv.stop(cleanup=True)
+    assert not os.path.exists(root)
+    hv._on_batch(
+        ev.withColumn("ts", F.lit(1)).withColumn("rid", F.lit(1)), 0
+    )
+    assert not os.path.exists(root)
