@@ -353,27 +353,21 @@ def _import_all() -> None:
 
 # Verification-priority order. External harnesses that budget their checks
 # walk queries() in dict order (first ~50), so the window rotates per round.
-# Rounds 1-8 accumulated hash-green rows for 171/174 registered queries
-# (r4-r8 were all 50/50 green). The ROUND-9 window applies the plan
-# precomputed in ROTATION.md from the CORRECTNESS_r01..r08 ledger
-# (recomputed this round and confirmed identical — histogram 25 r5 /
-# 49 r6 / 47 r7 / 50 r8 / 3 never):
-#   - all 25 r5-only refreshes (the oldest external evidence —
-#     hard-fronted; includes the tpch_q18/q19 flagships displaced by the
-#     round-8 sketch promotions);
-#   - the 3 round-8 post-freeze additions, never driver-verified
-#     (pre-verified at sf0.001 + sf0.01 and independently re-verified
-#     green by the r8 judge);
-#   - 22 r6-only fill, implementation-adjacent first: the similarity.py
-#     riders (round 9 adds the SemDeDup cluster-size cap, gates the
-#     hierarchical fine-centroid broadcast, and normalizes once before
-#     pairing — stream_ann_recluster / llm_sim_ivf / llm_sim_bruteforce
-#     ride that file), then the dedup family (the subsumption audit
-#     leans on llm_dedup_ngram_capped's cap check — refresh it), then
-#     bench flagships (tpch q3/q5/q6/q9/q21) and the topology/
-#     datasource/multimodal group. Round-9 additions displace from the
-#     END of this group after sf0.001 + sf0.01 pre-verification.
-# The remaining 27 r6-only queries front the round-10 window. Queries
+# Rounds 1-9 accumulated hash-green rows for every live query except the
+# round-9 post-freeze llm_dsir_select (r4-r9 were all 50/50 green). The
+# ROUND-10 window applies the plan precomputed in ROTATION.md from the
+# CORRECTNESS_r01..r09 ledger (recomputed this round and confirmed
+# identical — histogram 28 r6 / 47 r7 / 49 r8 / 50 r9 / 1 never, before
+# the audit retired two r7/r9 entries):
+#   - the 28 r6-only/displaced refreshes (oldest external evidence —
+#     hard-fronted; 27 r6-only + llm_multimodal_frames, displaced from
+#     the round-9 fill tail by llm_semdedup_capped);
+#   - the two never-driver-verified queries: llm_dsir_select (round-9
+#     post-freeze, judge-re-verified green; ALSO carries this round's
+#     gumbel-coalesce fix) and the round-10 addition stream_dsir_ingest;
+#   - 20 r7-only fill, audit-load-bearing first (the three queries whose
+#     hashes the round-10 retirement audit leans on), then longest-idle.
+# The remaining ~26 r7-only queries front the round-11 window. Queries
 # rotated OUT remain covered by the local DuckDB oracle gate
 # (tests/test_oracle_gate.py runs ALL oracled queries on every pytest) —
 # see ROTATION.md for the manifest.
@@ -384,38 +378,38 @@ def _import_all() -> None:
 # oracles; tests/test_oracle_gate.py::test_priority_window_all_oracled
 # enforces this structurally.
 PRIORITY: tuple[str, ...] = (
-    # -- 25 r5-only refreshes (ALL of them; oldest evidence) -------------
-    "ref_sum_view", "ref_join_merge", "ref_lobsters_topk",
-    "ref_index_zorder", "anti_join_not_exists", "setops_intersect",
-    "setops_except", "window_topk_per_group", "pivot_event_counts",
-    "scalar_functions", "json_extract_props", "asof_join_latest_order",
-    "agg_percentiles", "tpch_q18", "tpch_q19",
-    "graph_pagerank_converged", "events_ab_lift", "dq_profile_orders",
-    "events_attribution", "llm_sim_mips_banded", "llm_sim_mips_recall",
-    "llm_knn_classify", "llm_embed_class_margins", "llm_multimodal_png",
-    "llm_dedup_excise",
-    # -- never driver-verified (round-8 post-freeze) + the round-9
-    # addition llm_semdedup_capped (the VERDICT-r8 cluster-size cap;
-    # pre-verified at sf0.001 + sf0.01, displaces llm_multimodal_frames
-    # from the fill tail to the round-10 front) --------------------------
-    "llm_semdedup_prune", "llm_quality_classifier", "llm_semdedup_hier",
-    "llm_semdedup_capped",
-    # -- 22 r6-only fill, implementation-adjacent first (similarity.py
-    # riders: round 9's SemDeDup cap + hier-broadcast gate + normalize-
-    # once land in that file; llm_sim_bruteforce doubles as the audit
-    # REPRIEVE's fresh evidence; llm_dedup_ngram_capped re-verifies the
-    # cap code the llm_dedup_containment_capped retirement leans on),
-    # then bench flagships + topology/datasource/multimodal. Round-9
-    # additions displace from the END after pre-verification (registry
-    # 173 after the audit retirement; cap 175) ---------------------------
-    "stream_ann_recluster", "llm_sim_ivf", "llm_sim_bruteforce",
-    "llm_dedup_ngram_capped", "llm_dedup_ngram_jaccard",
-    "llm_dedup_exact", "llm_dedup_components", "llm_dedup_simhash_pairs",
-    "llm_dedup_apply", "llm_decontaminate", "llm_pack_sequences",
-    "llm_bpe_train_rounds",
-    "tpch_q3", "tpch_q5", "tpch_q6", "tpch_q9", "tpch_q21",
-    "ref_topology_lobsters", "ref_topology_ycsb", "ref_mock_datasource",
-    "llm_multimodal_extract",
+    # ================== ROUND-10 WINDOW (ROTATION.md plan) ==============
+    # -- 28 r6-only/displaced refreshes (the oldest external evidence;
+    # 27 r6-only + llm_multimodal_frames displaced from the r9 tail) -----
+    "ref_point_eq", "ref_projection", "ref_range_filter",
+    "ref_isnull", "ref_isnotnull", "ref_conjunction",
+    "ref_topk_orders", "ref_router_union", "ref_index_range",
+    "ref_index_point", "ref_cache_topk",
+    "agg_full", "groupby_having", "cube_flag_status",
+    "semi_join_exists", "window_lag_delta",
+    "events_tumbling_hourly", "events_sessionization",
+    "range_join_events", "events_rollup_multigrain", "events_sliding_2h",
+    "llm_token_stats", "llm_quality_score", "llm_lang_id",
+    "llm_fingerprint", "llm_bm25_search", "llm_multimodal_frames",
+    "llm_corpus_stats",
+    # -- never driver-verified: the round-9 post-freeze llm_dsir_select
+    # (ALSO re-verification for this round's gumbel-coalesce fix) and the
+    # round-10 addition stream_dsir_ingest (pre-verified sf0.001+sf0.01,
+    # plan test, 1x/30x/100x sweep) --------------------------------------
+    "llm_dsir_select", "stream_dsir_ingest",
+    # -- 20 r7-only fill, audit-load-bearing first: the round-10
+    # retirement audit leans on llm_bpe_encode_holdout (sole per-doc hash
+    # of the shared bpe_merge_pass fold after llm_bpe_encode retired) and
+    # on llm_sim_ivf_nprobe2 / llm_sim_ivf_kmeans (the nprobe arm +
+    # learned-centroid hash that subsume llm_sim_ivf) — refresh all three
+    # with driver evidence; then longest-idle r7-only -------------------
+    "llm_bpe_encode_holdout", "llm_sim_ivf_nprobe2", "llm_sim_ivf_kmeans",
+    "ref_ts_projection", "ref_vectorclock_join", "dq_validate_orders",
+    "agg_bloom_probe", "dq_skew_report", "events_cohort_retention",
+    "events_funnel", "tpch_q4", "tpch_q12", "tpch_q14",
+    "agg_histogram_sketch", "agg_grouping_sets", "events_anomaly_zscore",
+    "events_ewma_daily", "events_gap_fill_hourly", "scd2_temporal_join",
+    "basket_part_pairs",
 )
 
 
