@@ -268,6 +268,11 @@ class _DynTable:
 class HpackDecoder:
     def __init__(self, max_table_size: int = 4096):
         self.table = _DynTable(max_table_size)
+        # RFC 7541 §4.2: a dynamic-table-size update MUST be at or below
+        # the limit we advertised via SETTINGS_HEADER_TABLE_SIZE; a larger
+        # value is a decoding (= connection) error, not a grant — without
+        # this a peer grows the decoder table without bound.
+        self.settings_limit = max_table_size
 
     def _lookup(self, idx: int) -> tuple[str, str]:
         if idx == 0:
@@ -306,6 +311,11 @@ class HpackDecoder:
                 headers.append((name, value))
             elif b & 0x20:  # dynamic table size update
                 size, pos = hpack_decode_int(block, pos, 5)
+                if size > self.settings_limit:
+                    raise ValueError(
+                        f"hpack table size update {size} exceeds advertised "
+                        f"SETTINGS_HEADER_TABLE_SIZE {self.settings_limit}"
+                    )
                 self.table.resize(size)
             else:  # literal without indexing (0000) / never indexed (0001)
                 idx, pos = hpack_decode_int(block, pos, 4)

@@ -729,6 +729,22 @@ def read_frame(rf) -> bytes | None:
 # ---------------------------------------------------------------------------
 
 
+class _TrackedConn:
+    """Socket shim for the preamble transport: ``started`` flips when
+    _ok() acks, so ``_handle`` knows a later failure can only be
+    signalled by closing the connection (socket objects are slotted —
+    the flag can't live on the socket itself)."""
+
+    __slots__ = ("_sock", "started")
+
+    def __init__(self, sock):
+        self._sock = sock
+        self.started = False
+
+    def sendall(self, data: bytes) -> None:
+        self._sock.sendall(data)
+
+
 class ProtobufQueryServer:
     """Serve an ``Engine`` with protobuf-encoded messages in gRPC frames
     over TCP — the serialization-parity sibling of server.QueryServer.
@@ -805,10 +821,17 @@ class ProtobufQueryServer:
                 target=self._handle, args=(conn,), daemon=True
             ).start()
 
-    def _handle(self, conn) -> None:
+    def _handle(self, raw_conn) -> None:
         import json
 
-        rf = conn.makefile("rb")
+        # _TrackedConn records whether _ok() has acked: once frames are
+        # on the wire, a failure can no longer be reported as a status
+        # line (it would interleave into the frame stream and parse as a
+        # corrupt frame header) — the only honest signal left is closing
+        # the connection, the preamble-transport analogue of what the h2
+        # subclass does with error trailers.
+        conn = _TrackedConn(raw_conn)
+        rf = raw_conn.makefile("rb")
         try:
             method = rf.readline().decode("ascii", "replace").strip()
             body = read_frame(rf)
@@ -858,6 +881,8 @@ class ProtobufQueryServer:
                         ).encode()
                     )
             except Exception as exc:
+                if conn.started:
+                    return  # mid-stream failure: close, don't corrupt
                 code = 3 if _is_client_error(exc) else 13
                 conn.sendall(
                     (
@@ -870,12 +895,13 @@ class ProtobufQueryServer:
         finally:
             try:
                 rf.close()
-                conn.close()
+                raw_conn.close()
             except OSError:
                 pass
 
     @staticmethod
     def _ok(conn) -> None:
+        conn.started = True  # from here on, failures close the socket
         conn.sendall(b'{"status": 0}\n')
 
     def _query_unary(self, conn, body: bytes) -> None:

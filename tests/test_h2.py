@@ -189,6 +189,25 @@ def test_hpack_table_size_update_and_unknown_index():
         dec.decode(bytes([0x80 | 127, 0x80, 0x01]))  # way out of table
 
 
+def test_hpack_table_size_update_above_settings_limit_rejected():
+    # RFC 7541 §4.2: an update above the advertised
+    # SETTINGS_HEADER_TABLE_SIZE is a decoding error, not a grant —
+    # accepting it would let a peer grow decoder memory without bound.
+    dec = h2.HpackDecoder(max_table_size=4096)
+    # at the limit: fine (0x20 | 5-bit-prefix int 4096)
+    dec.decode(h2.hpack_encode_int(4096, 5, 0x20))
+    assert dec.table.max_size == 4096
+    # one above: connection error
+    with pytest.raises(ValueError, match="SETTINGS_HEADER_TABLE_SIZE"):
+        dec.decode(h2.hpack_encode_int(4097, 5, 0x20))
+    assert dec.table.max_size == 4096  # unchanged by the rejected update
+    # shrink-then-regrow within the limit stays legal
+    dec.decode(h2.hpack_encode_int(0, 5, 0x20))
+    assert dec.table.max_size == 0
+    dec.decode(h2.hpack_encode_int(256, 5, 0x20))
+    assert dec.table.max_size == 256
+
+
 # ---------------------------------------------------------------------------
 # Framing
 # ---------------------------------------------------------------------------
@@ -473,9 +492,14 @@ def test_grpc_query_with_live_view_pushes_updatedelta(spark, engine):
 
             t = threading.Thread(target=consume, daemon=True)
             t.start()
+            # wait for the stream's subscriber to REGISTER (registered
+            # before the snapshot runs, so any later delta is captured;
+            # view.version is already >0 after catch-up and guarantees
+            # nothing about the server's progress)
             t0 = _time.monotonic()
-            while view.version == 0 and _time.monotonic() - t0 < 30:
+            while not view._subscribers and _time.monotonic() - t0 < 30:
                 _time.sleep(0.05)
+            assert view._subscribers, "stream subscriber never registered"
             spark.createDataFrame(
                 [(2, 7.0)], "user_id bigint, value double"
             ).coalesce(1).write.mode("append").parquet(src.path)

@@ -302,13 +302,16 @@ def test_protobuf_query_with_live_view_pushes_updatedelta(spark, engine):
 
             t = threading.Thread(target=consume, daemon=True)
             t.start()
-            # wait until the snapshot phase must have flushed, then land
-            # a new delta while the stream is open
+            # wait until the stream's subscriber is REGISTERED (the
+            # engine registers it before the snapshot runs, so any delta
+            # from here on is captured — view.version alone is already
+            # >0 after catch-up and guarantees nothing about the server)
             import time as _time
 
             t0 = _time.monotonic()
-            while view.version == 0 and _time.monotonic() - t0 < 30:
+            while not view._subscribers and _time.monotonic() - t0 < 30:
                 _time.sleep(0.05)
+            assert view._subscribers, "stream subscriber never registered"
             spark.createDataFrame(
                 [(2, 7.0)], "user_id bigint, value double"
             ).coalesce(1).write.mode("append").parquet(src.path)
@@ -479,5 +482,60 @@ def test_protobuf_error_maps_to_grpc_status(engine):
             wire.call_unary(srv.host, srv.port, "SELECT * FROM no_such_table")
         # the connection error must not wedge the server: a good query
         # on a FRESH connection still answers
+        ok = wire.call_unary(srv.host, srv.port, "SELECT 1 AS one")
+        assert ok["respRecord"][0]["attributes"] == {"one": "1"}
+
+
+def test_protobuf_midstream_failure_closes_connection_not_status_line(engine):
+    """A failure AFTER the ack + frames have gone out (e.g. in the
+    view-update phase of a stream) can no longer be reported as a JSON
+    status line — that would interleave into the frame stream and parse
+    as a corrupt frame header. The server must close the connection
+    instead (the preamble-transport analogue of the h2 subclass's error
+    trailers), leaving only whole frames on the wire and no
+    END_OF_STREAM, so the client sees an honest truncation."""
+    import io
+    import json
+    import socket
+
+    class _FlakyEngine:
+        def __init__(self, inner):
+            self._inner = inner
+
+        def __getattr__(self, name):
+            return getattr(self._inner, name)
+
+        def query_stream(self, sql, view=None, typed=False):
+            it = self._inner.query_stream(sql, view=view, typed=typed)
+
+            def gen():
+                yield next(it)  # the ack + first record reach the wire
+                raise RuntimeError("simulated view-update failure")
+
+            return gen()
+
+    sql = "SELECT l_orderkey FROM lineitem ORDER BY l_orderkey LIMIT 3"
+    req = {"queryRequest": {"query": {"query_sql": {"queryStr": sql}}}}
+    with wire.ProtobufQueryServer(_FlakyEngine(engine)) as srv:
+        with socket.create_connection((srv.host, srv.port), timeout=30) as sk:
+            rf = sk.makefile("rb")
+            sk.sendall(
+                b"Query\n" + wire.frame(wire.encode_request_stream_record(req))
+            )
+            status = json.loads(rf.readline())
+            assert status["status"] == 0  # acked before the failure
+            rest = rf.read()  # server closes the socket: read to EOF
+        # the failure must NOT surface as a second status line
+        assert b'{"status"' not in rest
+        # whatever made it out is whole frames, none of them END_OF_STREAM
+        rdr = io.BytesIO(rest)
+        types = []
+        while True:
+            body = wire.read_frame(rdr)  # raises on a torn frame
+            if body is None:
+                break
+            types.append(wire.decode_response_stream_record(body)["type"])
+        assert "END_OF_STREAM" not in types
+        # and the failed stream must not wedge the server for new conns
         ok = wire.call_unary(srv.host, srv.port, "SELECT 1 AS one")
         assert ok["respRecord"][0]["attributes"] == {"one": "1"}
