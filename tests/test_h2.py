@@ -516,6 +516,102 @@ def test_grpc_query_with_live_view_pushes_updatedelta(spark, engine):
         view.stop()
 
 
+def test_stalled_h2_consumer_cannot_block_view_commit(spark, engine):
+    """A gRPC subscriber whose flow-control window is ZERO (never opens
+    it) must stall ONLY the server's per-stream handler thread in
+    send_data — never the view's foreachBatch: the engine's subscriber
+    callback hands deltas to an unbounded queue, so view commits (and
+    version bumps) proceed while the consumer is wedged. This is the
+    interaction the round-9 stop()-barrier lock and the h2 send path
+    newly share; pin it."""
+    import threading
+    import time as _time
+
+    from proteus_spark.sources import cdc
+    from proteus_spark.streaming.views import SumView
+
+    ev = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0)], "user_id bigint, value double"
+    )
+    src = cdc.stage_stream(spark, ev, chunks=1)
+    view = SumView(
+        spark, src.subscribe(), group_by="user_id", agg_attr="value",
+        name="t_h2_stall", mode="append",
+    ).start()
+    try:
+        view.await_catch_up()
+        engine.register_view("vstall", view.snapshot())
+        req = {
+            "queryRequest": {
+                "query": {
+                    "query_sql": {
+                        "queryStr": "SELECT * FROM vstall ORDER BY user_id"
+                    }
+                },
+                "metadata": {"view": "live"},
+            }
+        }
+        with h2.GrpcQueryServer(engine, views={"live": view}) as srv:
+            sock = socket.create_connection((srv.host, srv.port), timeout=5)
+            enc = h2.HpackEncoder()
+            # SETTINGS_INITIAL_WINDOW_SIZE = 0: every stream starts with
+            # a zero send window and we never send WINDOW_UPDATE — the
+            # strongest possible consumer stall, legal per RFC 9113 §6.5.2
+            settings = struct.pack(
+                ">HI", h2.SETTINGS_INITIAL_WINDOW_SIZE, 0
+            )
+            sock.sendall(
+                h2.PREFACE + h2.pack_frame(h2.F_SETTINGS, 0, 0, settings)
+            )
+            hdrs = [
+                (":method", "POST"), (":scheme", "http"),
+                (":path", "/qpuapi.QPUAPI/Query"),
+                (":authority", "localhost"),
+                ("content-type", "application/grpc"),
+            ]
+            sock.sendall(
+                h2.pack_frame(
+                    h2.F_HEADERS, h2.FLAG_END_HEADERS, 1, enc.encode(hdrs)
+                )
+                + h2.pack_frame(
+                    h2.F_DATA, h2.FLAG_END_STREAM, 1,
+                    wire.frame(wire.encode_request_stream_record(req)),
+                )
+            )
+            # the engine registers the stream's subscriber BEFORE the
+            # snapshot runs (and the snapshot's DATA cannot move: window 0)
+            t0 = _time.monotonic()
+            while not view._subscribers and _time.monotonic() - t0 < 30:
+                _time.sleep(0.05)
+            assert view._subscribers, "stream subscriber never registered"
+            v0 = view.version()
+            # land three micro-batches while the consumer is wedged; the
+            # view must keep committing. processAllAvailable runs in a
+            # worker thread so a wedged foreachBatch FAILS the test
+            # instead of hanging it.
+            for i in range(3):
+                spark.createDataFrame(
+                    [(2 + i, 1.0)], "user_id bigint, value double"
+                ).coalesce(1).write.mode("append").parquet(src.path)
+            ok = threading.Event()
+
+            def drain():
+                view._query.processAllAvailable()
+                ok.set()
+
+            threading.Thread(target=drain, daemon=True).start()
+            assert ok.wait(timeout=120), (
+                "view foreachBatch wedged behind the stalled h2 consumer"
+            )
+            assert view.version() > v0, "no commit while consumer stalled"
+            # the wedged consumer's socket closes: the reader loop flips
+            # closed and notifies flow, so the handler thread unblocks
+            sock.close()
+    finally:
+        view.stop()
+        cdc.cleanup(src)
+
+
 # ---------------------------------------------------------------------------
 # REAL-client interop (libnghttp2): the strongest parity evidence
 # ---------------------------------------------------------------------------
