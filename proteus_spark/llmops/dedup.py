@@ -264,25 +264,38 @@ def minhash_signatures(sh: DataFrame, k: int = MINHASH_K) -> DataFrame:
     )
 
 
-def lsh_candidates(
+def lsh_band_table(
     sig: DataFrame, bands: int = LSH_BANDS, rows: int = LSH_ROWS
 ) -> DataFrame:
-    """LSH banding: docs sharing any band bucket become (ida, idb)
-    candidates. Equi-join on (band, band_value) — never all-pairs."""
+    """(doc_id, band, bv): the banded minhash signature table — ``bands``
+    rows per doc, each bv the comma-joined minhash values of that band's
+    ``rows`` hash functions. The LSH join currency: docs sharing any
+    (band, bv) are near-dup candidates. Factored out of lsh_candidates so
+    the streaming on-ingest gate bands ARRIVING batches with the
+    identical algebra (no drift between the self-join and the
+    lake-match paths)."""
     band_vals = [
         F.concat_ws(
             ",", *[F.col(f"m{b * rows + r}").cast("string") for r in range(rows)]
         )
         for b in range(bands)
     ]
+    return sig.select(
+        "doc_id", F.posexplode(F.array(*band_vals)).alias("band", "bv")
+    )
+
+
+def lsh_candidates(
+    sig: DataFrame, bands: int = LSH_BANDS, rows: int = LSH_ROWS
+) -> DataFrame:
+    """LSH banding: docs sharing any band bucket become (ida, idb)
+    candidates. Equi-join on (band, band_value) — never all-pairs."""
     # cache the exploded band table: the self-join references it on BOTH
     # sides, and without the cache each side re-evaluates the entire
     # signature pipeline (shingle explode + md5) — measured 2× the
     # signature cost. The table is bands rows per DOC (not per shingle):
     # tiny at any corpus scale.
-    exploded = sig.select(
-        "doc_id", F.posexplode(F.array(*band_vals)).alias("band", "bv")
-    ).cache()
+    exploded = lsh_band_table(sig, bands, rows).cache()
     a = exploded.alias("a")
     b = exploded.alias("b")
     return (
@@ -327,6 +340,51 @@ def minhash_lsh_dedup(docs: DataFrame, min_jaccard: float = 0.8) -> DataFrame:
     # narrows ~4x (see shingle_ids)
     sh_c = shingle_ids(docs.join(cand_docs, "doc_id", "left_semi"))
     return jaccard_pairs(sh_c, min_jaccard, candidates=cand)
+
+
+def lsh_match_against(
+    batch: DataFrame,
+    lake_bands: DataFrame,
+    bands: int = LSH_BANDS,
+    rows: int = LSH_ROWS,
+) -> DataFrame:
+    """Near-dup gate for a live intake: per ARRIVING document, the count
+    of DISTINCT lake documents sharing any LSH band bucket —
+    (doc_id, n_lake_candidates, is_dup). ``lake_bands`` is the FROZEN
+    (lake_id, band, bv) band table of the existing corpus
+    (lsh_band_table renamed), computed once before the stream starts.
+
+    Scale shape (100 TB lake): the arriving micro-batch's band table is
+    tiny (LSH_BANDS rows per arriving doc), so it BROADCASTS into the
+    equi-join — the lake band table never reshuffles per batch. In a
+    deployment the lake side is a maintained table bucketed on
+    (band, bv) so each batch's probe prunes to matching buckets; the
+    cached DataFrame here stands in for that table (the per-batch plan
+    is pinned by test_stream_lsh_match_broadcasts_arriving_batch). Docs
+    too short to shingle produce no bands and surface with
+    n_lake_candidates = 0, like any other non-duplicate."""
+    bb = lsh_band_table(
+        minhash_signatures(shingles(batch, distinct=False)), bands, rows
+    )
+    hits = (
+        F.broadcast(bb)
+        .join(lake_bands, ["band", "bv"])
+        .groupBy("doc_id")
+        .agg(F.countDistinct("lake_id").alias("n"))
+    )
+    return (
+        batch.select("doc_id")
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n"), F.lit(0))
+            .cast("long")
+            .alias("n_lake_candidates"),
+            (F.coalesce(F.col("n"), F.lit(0)) > 0)
+            .cast("long")
+            .alias("is_dup"),
+        )
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -468,7 +468,11 @@ def llm_dedup_components(spark, sf_dir):
     return D.dup_components(pairs)
 
 
-def _minhash_oracle() -> str:
+def _minhash_band_ctes() -> str:
+    """The ``hx -> hl -> hh -> sig -> bands`` CTE fragment — minhash
+    signatures + LSH banding over the ``sh`` shingle CTE. SHARED by the
+    batch near-dup oracle and the streaming on-ingest gate's oracle
+    (stream_lsh_dedup_ingest) so the banding algebra cannot drift."""
     k, bands, rows = D.MINHASH_K, D.LSH_BANDS, D.LSH_ROWS
     # mirror minhash_signatures: one md5 per shingle, two 48-bit slices,
     # linear family h_i = (y0 + i*y1) mod P
@@ -489,16 +493,22 @@ def _minhash_oracle() -> str:
         + " AS bv FROM sig"
         for b in range(bands)
     )
-    return (
-        "WITH "
-        + _SHINGLE_CTE
-        + f""",
+    return f"""
     hx AS (SELECT doc_id, {hx_cols} FROM sh),
     hl AS (SELECT doc_id, {hl_cols} FROM hx),
     hh AS (SELECT doc_id, {hh_cols} FROM hl),
     sig AS (SELECT doc_id, {sig_cols} FROM hh GROUP BY doc_id),
     bands AS (
-      {band_rows}),
+      {band_rows})"""
+
+
+def _minhash_oracle() -> str:
+    return (
+        "WITH "
+        + _SHINGLE_CTE
+        + ","
+        + _minhash_band_ctes()
+        + f""",
     cand AS (
       SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
       FROM bands a JOIN bands b

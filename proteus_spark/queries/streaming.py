@@ -1393,6 +1393,108 @@ def stream_decontaminate(spark, sf_dir):
         shutil.rmtree(outdir, ignore_errors=True)
 
 
+def _stream_lsh_oracle() -> str:
+    from proteus_spark.queries.llm import _SHINGLE_CTE, _minhash_band_ctes
+
+    # bands over ALL documents, split lake/arriving in SQL: banding is
+    # per-doc independent, so this equals the engine's separate lake and
+    # per-batch band computations. The hx->bands chain is SHARED with
+    # llm_dedup_minhash_lsh's oracle so the algebra cannot drift.
+    return (
+        "WITH "
+        + _SHINGLE_CTE
+        + ","
+        + _minhash_band_ctes()
+        + """,
+    lakeb AS (SELECT * FROM bands WHERE doc_id % 4 = 0),
+    arrb  AS (SELECT * FROM bands WHERE doc_id % 4 <> 0),
+    hits AS (
+      SELECT a.doc_id, count(DISTINCT l.doc_id) AS n
+      FROM arrb a JOIN lakeb l ON a.band = l.band AND a.bv = l.bv
+      GROUP BY a.doc_id)
+    SELECT d.doc_id,
+           CAST(COALESCE(h.n, 0) AS BIGINT) AS n_lake_candidates,
+           CAST(CASE WHEN COALESCE(h.n, 0) > 0 THEN 1 ELSE 0 END AS BIGINT)
+             AS is_dup
+    FROM (SELECT doc_id FROM documents WHERE doc_id % 4 <> 0) d
+    LEFT JOIN hits h ON h.doc_id = d.doc_id
+    """
+    )
+
+
+@register(
+    "stream_lsh_dedup_ingest",
+    oracle=_stream_lsh_oracle,
+    tags=("streaming", "llm", "dedup"),
+)
+def stream_lsh_dedup_ingest(spark, sf_dir):
+    """Near-duplicate gating ON INGEST — the LSH analogue of
+    stream_dedup_ingest (which is exact-hash only): the lake's MinHash
+    band table is computed ONCE and FROZEN before the stream starts;
+    arriving documents — replayed as 4 micro-batches — band themselves
+    in-batch with the identical algebra and equi-join the lake table, so
+    each document lands with (n_lake_candidates, is_dup) BEFORE entering
+    the lake. This is how an incremental crawl keeps near-dups of
+    already-held documents out at intake instead of re-deduplicating the
+    whole corpus later. Converged sink == the batch lake-vs-arriving
+    match (the oracle) because banding is per-document independent and
+    the lake side is static — streaming introduces no approximation.
+
+    Scale shape (100 TB lake): the arriving batch's band table
+    (LSH_BANDS rows/doc) BROADCASTS, so the lake band table never
+    reshuffles per batch; in a deployment the lake side is a maintained
+    table bucketed on (band, bv). Plan pinned by
+    test_stream_lsh_match_broadcasts_arriving_batch. Candidate counts
+    only — the exact-Jaccard verify runs async downstream exactly as in
+    llm_dedup_minhash_lsh (same candidates, same verify path)."""
+    import shutil
+    import tempfile
+
+    from proteus_spark.llmops.dedup import (
+        lsh_band_table,
+        lsh_match_against,
+        minhash_signatures,
+        shingles,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    lake = docs.filter(F.col("doc_id") % 4 == 0)
+    arriving = docs.filter(F.col("doc_id") % 4 != 0)
+    lake_bands = (
+        lsh_band_table(minhash_signatures(shingles(lake, distinct=False)))
+        .withColumnRenamed("doc_id", "lake_id")
+        .cache()
+    )
+    lake_bands.count()  # freeze/materialize the lake side once, pre-stream
+
+    src = cdc.stage_stream(spark, arriving, chunks=4)
+    outdir = tempfile.mkdtemp(prefix="proteus_stream_lsh_ingest_")
+
+    def on_batch(batch, epoch):
+        lsh_match_against(batch, lake_bands).write.mode("append").parquet(
+            outdir
+        )
+
+    query = (
+        src.subscribe(max_files_per_trigger=1)
+        .writeStream.outputMode("append")
+        .foreachBatch(on_batch)
+        .queryName("stream_lsh_dedup_ingest")
+        .start()
+    )
+    try:
+        query.processAllAvailable()
+    finally:
+        query.stop()
+        cdc.cleanup(src)
+    try:
+        out = spark.read.parquet(outdir)
+        return _spill(out)
+    finally:
+        lake_bands.unpersist()
+        shutil.rmtree(outdir, ignore_errors=True)
+
+
 def _stream_dsir_oracle() -> str:
     from proteus_spark.queries.llm import _dsir_scored_ctes
 

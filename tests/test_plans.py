@@ -867,3 +867,40 @@ def test_stream_dsir_scoring_broadcasts_frozen_model(spark, sf_dir):
         assert p.count("Exchange hashpartitioning") <= 1, p
     finally:
         model.unpersist()
+
+
+def test_stream_lsh_match_broadcasts_arriving_batch(spark, sf_dir):
+    """stream_lsh_dedup_ingest's per-batch shape: the arriving batch's
+    band table (LSH_BANDS rows per doc) BROADCASTS into the equi-join
+    against the FROZEN lake band table — the lake side is served from
+    the cache (an InMemoryTableScan), never re-derived per batch, and
+    never reshuffles. No candidate path may be all-pairs."""
+    from proteus_spark.llmops.dedup import (
+        lsh_band_table,
+        lsh_match_against,
+        minhash_signatures,
+        shingles,
+    )
+    from proteus_spark.registry import load
+
+    docs = load(spark, sf_dir, "documents")
+    lake_bands = (
+        lsh_band_table(
+            minhash_signatures(
+                shingles(docs.filter("doc_id % 4 = 0"), distinct=False)
+            )
+        )
+        .withColumnRenamed("doc_id", "lake_id")
+        .cache()
+    )
+    lake_bands.count()
+    try:
+        batch = docs.filter("doc_id % 4 != 0").limit(50)
+        p = plan(lsh_match_against(batch, lake_bands))
+        assert "CartesianProduct" not in p
+        # the hinted band join: arriving side builds the broadcast
+        assert "BroadcastHashJoin" in p
+        # frozen lake: served from the cache, not recomputed per batch
+        assert "InMemoryTableScan" in p, p
+    finally:
+        lake_bands.unpersist()
