@@ -120,3 +120,40 @@ def test_dsir_select_short_docs_remain_samplable(spark, tmp_path_factory):
     finally:
         con.close()
     assert not problems, problems
+
+
+def test_lsh_match_includes_unshingleable_docs(spark):
+    """The on-ingest near-dup gate must surface EVERY arriving document:
+    docs too short to shingle (<3 tokens) produce no bands — they must
+    land with n_lake_candidates = 0 like any non-duplicate, never be
+    silently dropped from the gated output (the sink IS the intake
+    record; a dropped row is a lost document)."""
+    from proteus_spark.llmops.dedup import (
+        lsh_band_table,
+        lsh_match_against,
+        minhash_signatures,
+        shingles,
+    )
+
+    lake = spark.createDataFrame(
+        [(100, "a b c d e f g h")], "doc_id bigint, text string"
+    )
+    lake_bands = lsh_band_table(
+        minhash_signatures(shingles(lake, distinct=False))
+    ).withColumnRenamed("doc_id", "lake_id")
+    batch = spark.createDataFrame(
+        [
+            (1, "a b c d e f g h"),  # identical to the lake doc
+            (2, "xy"),               # 1 token: unshingleable
+            (3, ""),                 # empty
+            (4, "totally different words entirely here now"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {
+        r["doc_id"]: (r["n_lake_candidates"], r["is_dup"])
+        for r in lsh_match_against(batch, lake_bands).collect()
+    }
+    assert set(out) == {1, 2, 3, 4}
+    assert out[1] == (1, 1)  # identical text: all bands match
+    assert out[2] == (0, 0) and out[3] == (0, 0) and out[4] == (0, 0)
