@@ -1059,6 +1059,28 @@ def train_quality_classifier(
     return w, scored
 
 
+def quality_score_against(batch: DataFrame, weights: list[float]) -> DataFrame:
+    """Score ARRIVING documents with a FROZEN quality classifier — the
+    live-intake half of train_quality_classifier (the fastText/FineWeb
+    deployment shape: distill the heuristic into a scorer ONCE on the
+    lake, then gate the crawl with it). ``weights`` are the 6 round-6
+    floats the trainer returns; scoring is a pure Catalyst projection
+    over quality_features (whole-stage codegen, ZERO shuffle — the model
+    is six literals, there is no model join at all), so at 100 TB this
+    runs at scan speed inside the ingest pipeline.
+
+    (doc_id, score, kept): kept = score >= 0.5, the trainer's own
+    decision rule, landing with the document BEFORE it enters the lake.
+    Per-document independence makes stream == batch exact
+    (test_quality_gate_on_ingest_converges_to_batch)."""
+    score = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-_logit(weights))), 6)
+    return quality_features(batch).select(
+        "doc_id",
+        score.alias("score"),
+        (score >= 0.5).cast("int").alias("kept"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # DSIR: Data Selection via Importance Resampling (Xie et al., 2023)
 # ---------------------------------------------------------------------------

@@ -904,3 +904,18 @@ def test_stream_lsh_match_broadcasts_arriving_batch(spark, sf_dir):
         assert "InMemoryTableScan" in p, p
     finally:
         lake_bands.unpersist()
+
+
+def test_quality_gate_scoring_is_zero_shuffle(spark, sf_dir):
+    """quality_score_against is a PURE projection: the frozen weights are
+    six literals, so scoring an arriving batch must plan with no
+    Exchange at all (scan -> codegen project), the shape that runs at
+    scan speed inside a 100 TB ingest pipeline."""
+    from proteus_spark.llmops.text import quality_score_against
+    from proteus_spark.registry import load
+
+    docs = load(spark, sf_dir, "documents")
+    p = plan(quality_score_against(docs, [0.1, -0.2, 0.3, -0.4, 0.5, -0.6]))
+    assert "Exchange" not in p, p
+    assert "* Project" in p  # codegen-marked projection over the scan
+    assert "Scan parquet" in p

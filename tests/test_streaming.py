@@ -1774,6 +1774,62 @@ def test_dsir_on_ingest_scoring_converges_to_batch(spark, sf_dir):
         shutil.rmtree(outdir, ignore_errors=True)
 
 
+def test_quality_gate_on_ingest_converges_to_batch(spark, sf_dir):
+    """Streaming quality gate: the classifier trains ONCE on the lake
+    and freezes; arriving documents (3 micro-batches) are scored with
+    the frozen weights — a pure projection, no model join — and the
+    keep/drop decision lands before the document enters the lake. The
+    converged sink must equal batch scoring exactly (per-document
+    independence; the weights are six literals). This is the round-11
+    registration candidate's machinery, pre-pinned the way
+    dsir_score_against was in round 9."""
+    import shutil
+    import tempfile
+
+    from proteus_spark.llmops.text import (
+        quality_features,
+        quality_score_against,
+        train_quality_classifier,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    w, _scored = train_quality_classifier(quality_features(docs))
+    assert len(w) == 6 and any(x != 0.0 for x in w)
+
+    want = {
+        (r["doc_id"], r["score"], r["kept"])
+        for r in quality_score_against(docs, w).collect()
+    }
+
+    src = cdc.stage_stream(spark, docs, chunks=3)
+    outdir = tempfile.mkdtemp(prefix="proteus_stream_qgate_")
+
+    def on_batch(batch, epoch):
+        quality_score_against(batch, w).write.mode("append").parquet(outdir)
+
+    query = (
+        src.subscribe(max_files_per_trigger=1)
+        .writeStream.outputMode("append")
+        .foreachBatch(on_batch)
+        .queryName("t_stream_qgate")
+        .start()
+    )
+    try:
+        query.processAllAvailable()
+    finally:
+        query.stop()
+        cdc.cleanup(src)
+    try:
+        got = {
+            (r["doc_id"], r["score"], r["kept"])
+            for r in spark.read.parquet(outdir).collect()
+        }
+        assert got == want
+        assert len(got) > 0
+    finally:
+        shutil.rmtree(outdir, ignore_errors=True)
+
+
 def test_stop_latch_drops_late_foreachbatch(spark, sf_dir):
     """stop() latches _stopped under _batch_lock: a foreachBatch callback
     dispatched just before query.stop() but arriving at the lock AFTER
