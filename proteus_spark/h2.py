@@ -392,6 +392,15 @@ FLAG_PADDED = 0x8
 FLAG_PRIORITY = 0x20
 DEFAULT_WINDOW = 65535
 MAX_FRAME = 16384
+# Intake bounds (per stream): the server advertises default SETTINGS, so
+# a conforming peer never exceeds MAX_FRAME per frame — enforcing it (and
+# capping header-block / request-body accumulation) turns a hostile
+# peer's unbounded-memory attempt into the same connection teardown any
+# other protocol violation gets. gRPC requests here are small (a
+# QueryReq / RequestStreamRecord); 64 KB of headers and 64 MB of body
+# are generous ceilings, not tight fits.
+MAX_HEADER_BLOCK = 65536
+MAX_REQUEST_BODY = 64 << 20
 SETTINGS_INITIAL_WINDOW_SIZE = 0x4
 SETTINGS_MAX_FRAME_SIZE = 0x5
 
@@ -594,6 +603,10 @@ class GrpcQueryServer(wire.ProtobufQueryServer):
                 if fh is None:
                     return
                 length, ftype, flags, sid = fh
+                if length > MAX_FRAME:
+                    # RFC 9113 §4.2: larger than the advertised
+                    # SETTINGS_MAX_FRAME_SIZE is FRAME_SIZE_ERROR
+                    raise ValueError(f"frame of {length} exceeds MAX_FRAME")
                 payload = read_exact(rf, length)
                 if payload is None:
                     return
@@ -625,6 +638,8 @@ class GrpcQueryServer(wire.ProtobufQueryServer):
                         )
                 elif ftype == F_CONTINUATION:
                     hdr_frag[sid] += payload
+                    if len(hdr_frag[sid]) > MAX_HEADER_BLOCK:
+                        raise ValueError("header block exceeds limit")
                     if flags & FLAG_END_HEADERS:
                         self._headers_done(
                             h2, sid, hdr_frag, hdr_end_stream,
@@ -632,7 +647,10 @@ class GrpcQueryServer(wire.ProtobufQueryServer):
                         )
                 elif ftype == F_DATA:
                     data = _strip_padding(payload, flags)
-                    req_body.setdefault(sid, bytearray()).extend(data)
+                    body = req_body.setdefault(sid, bytearray())
+                    body.extend(data)
+                    if len(body) > MAX_REQUEST_BODY:
+                        raise ValueError("request body exceeds limit")
                     if length:  # flow-control credit back to the client
                         upd = struct.pack(">I", length)
                         h2.write(pack_frame(F_WINDOW_UPDATE, 0, 0, upd))

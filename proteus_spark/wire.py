@@ -707,9 +707,19 @@ def frame(payload: bytes, compressed: bool = False) -> bytes:
     return struct.pack(">BI", 1 if compressed else 0, len(payload)) + payload
 
 
-def read_frame(rf) -> bytes | None:
+# One gRPC message may legitimately be large (a bulked QueryResp), but a
+# length prefix is attacker-controlled bytes: without a ceiling a single
+# forged 5-byte header makes the reader attempt a 4 GB allocation. 256 MB
+# is far above any real message here (a 100k-record unary response is
+# ~10 MB) while bounding the damage of a hostile prefix.
+MAX_MESSAGE_BYTES = 256 << 20
+
+
+def read_frame(rf, max_len: int = MAX_MESSAGE_BYTES) -> bytes | None:
     """Read one length-prefixed message from a binary file-like; None on
-    clean EOF at a frame boundary; raises on truncation mid-frame."""
+    clean EOF at a frame boundary; raises on truncation mid-frame or on
+    a length above ``max_len`` (a forged prefix must not drive a giant
+    allocation)."""
     head = rf.read(5)
     if not head:
         return None
@@ -718,6 +728,8 @@ def read_frame(rf) -> bytes | None:
     compressed, ln = struct.unpack(">BI", head)
     if compressed:
         raise ValueError("compressed frames not supported")
+    if ln > max_len:
+        raise ValueError(f"frame length {ln} exceeds limit {max_len}")
     payload = rf.read(ln)
     if len(payload) < ln:
         raise ValueError("truncated frame payload")

@@ -788,3 +788,49 @@ def test_malformed_frames_kill_only_their_connection(engine):
             srv.host, srv.port, "SELECT count(*) AS n FROM region"
         )
         assert resp["respRecord"][0]["attributes"]["n"] == "5"
+
+
+def test_intake_bounds_kill_only_their_connection(engine):
+    """Unbounded-memory attempts — a frame above the advertised
+    SETTINGS_MAX_FRAME_SIZE, or a CONTINUATION flood pushing the header
+    block past MAX_HEADER_BLOCK — must tear down THAT connection (same
+    blast radius as any protocol violation), and a fresh connection must
+    serve normally."""
+    with h2.GrpcQueryServer(engine) as srv:
+        # frame length above MAX_FRAME: rejected BEFORE the payload is
+        # buffered (FRAME_SIZE_ERROR semantics)
+        big = socket.create_connection((srv.host, srv.port), timeout=10)
+        hdr = (h2.MAX_FRAME + 1).to_bytes(3, "big") + bytes([h2.F_DATA, 0]) \
+            + (1).to_bytes(4, "big")
+        big.sendall(h2.PREFACE + h2.pack_frame(h2.F_SETTINGS, 0, 0, b"") + hdr)
+        big.settimeout(10)
+        while True:
+            chunk = big.recv(65536)
+            if not chunk:
+                break
+        big.close()
+        # CONTINUATION flood: header block grows past MAX_HEADER_BLOCK
+        flood = socket.create_connection((srv.host, srv.port), timeout=10)
+        flood.sendall(
+            h2.PREFACE
+            + h2.pack_frame(h2.F_SETTINGS, 0, 0, b"")
+            + h2.pack_frame(h2.F_HEADERS, 0, 1, b"\x82")  # no END_HEADERS
+        )
+        filler = b"\x00" * h2.MAX_FRAME
+        try:
+            for _ in range(h2.MAX_HEADER_BLOCK // h2.MAX_FRAME + 2):
+                flood.sendall(h2.pack_frame(h2.F_CONTINUATION, 0, 1, filler))
+        except OSError:
+            pass  # server already tore the connection down mid-send
+        flood.settimeout(10)
+        try:
+            while True:
+                chunk = flood.recv(65536)
+                if not chunk:
+                    break
+        except OSError:
+            pass
+        flood.close()
+        # the server survives both: a fresh connection answers
+        out = h2.call_unary(srv.host, srv.port, "SELECT 1 AS one")
+        assert out["respRecord"][0]["attributes"] == {"one": "1"}

@@ -539,3 +539,33 @@ def test_protobuf_midstream_failure_closes_connection_not_status_line(engine):
         # and the failed stream must not wedge the server for new conns
         ok = wire.call_unary(srv.host, srv.port, "SELECT 1 AS one")
         assert ok["respRecord"][0]["attributes"] == {"one": "1"}
+
+
+def test_forged_length_prefix_rejected_and_server_survives(engine):
+    """A forged 5-byte length prefix must not drive a giant allocation:
+    read_frame raises above MAX_MESSAGE_BYTES, the violating connection
+    tears down, and a fresh connection serves normally."""
+    import io
+    import socket
+    import struct
+
+    huge = struct.pack(">BI", 0, (1 << 32) - 1)
+    with pytest.raises(ValueError, match="exceeds limit"):
+        wire.read_frame(io.BytesIO(huge + b"x"))
+    # at the limit boundary the length itself is accepted (payload short
+    # here, so truncation is the error — not the limit)
+    ok_len = struct.pack(">BI", 0, wire.MAX_MESSAGE_BYTES)
+    with pytest.raises(ValueError, match="truncated frame payload"):
+        wire.read_frame(io.BytesIO(ok_len))
+
+    with wire.ProtobufQueryServer(engine) as srv:
+        bad = socket.create_connection((srv.host, srv.port), timeout=10)
+        bad.sendall(b"QueryUnary\n" + huge)
+        bad.settimeout(10)
+        while True:
+            chunk = bad.recv(65536)
+            if not chunk:
+                break
+        bad.close()
+        ok = wire.call_unary(srv.host, srv.port, "SELECT 1 AS one")
+        assert ok["respRecord"][0]["attributes"] == {"one": "1"}
