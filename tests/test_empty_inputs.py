@@ -157,3 +157,69 @@ def test_lsh_match_includes_unshingleable_docs(spark):
     assert set(out) == {1, 2, 3, 4}
     assert out[1] == (1, 1)  # identical text: all bands match
     assert out[2] == (0, 0) and out[3] == (0, 0) and out[4] == (0, 0)
+
+
+def test_minhash_band_table_matches_pure_python_reference(spark):
+    """Independent pin of the MinHash/LSH chain against a pure-Python
+    reference built straight from the spec (hashlib.md5, positional hex
+    expansion, h_i = (y0 + i*y1) mod P, per-band comma-joined values) —
+    engine-vs-oracle agreement alone can't catch a bug both engines
+    share; this can. Randomized corpus, fixed seed."""
+    import hashlib
+    import random
+
+    from proteus_spark.llmops.dedup import (
+        LSH_BANDS,
+        LSH_ROWS,
+        MINHASH_K,
+        MINHASH_PRIME,
+        SHINGLE_N,
+        lsh_band_table,
+        minhash_signatures,
+        shingles,
+    )
+
+    rng = random.Random(0)
+    vocab = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta"]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 12))))
+        for i in range(50)
+    ]
+
+    def py_bands(text: str) -> list[tuple[int, str]]:
+        toks = text.split(" ")
+        grams = [
+            " ".join(toks[j : j + SHINGLE_N])
+            for j in range(len(toks) - SHINGLE_N + 1)
+        ]
+        mins = [None] * MINHASH_K
+        for s in grams:
+            hx = hashlib.md5(f"0|{s}".encode()).hexdigest()
+            y0, y1 = int(hx[0:12], 16), int(hx[12:24], 16)
+            for i in range(MINHASH_K):
+                h = (y0 + i * y1) % MINHASH_PRIME
+                if mins[i] is None or h < mins[i]:
+                    mins[i] = h
+        return [
+            (
+                b,
+                ",".join(
+                    str(mins[b * LSH_ROWS + r]) for r in range(LSH_ROWS)
+                ),
+            )
+            for b in range(LSH_BANDS)
+        ]
+
+    want = {
+        (doc_id, b, bv)
+        for doc_id, text in rows
+        for b, bv in py_bands(text)
+    }
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {
+        (r["doc_id"], r["band"], r["bv"])
+        for r in lsh_band_table(
+            minhash_signatures(shingles(df, distinct=False))
+        ).collect()
+    }
+    assert got == want
