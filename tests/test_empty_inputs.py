@@ -223,3 +223,39 @@ def test_minhash_band_table_matches_pure_python_reference(spark):
         ).collect()
     }
     assert got == want
+
+
+def test_simhash_signatures_match_pure_python_reference(spark):
+    """Same independent spec pin for SimHash: bit b of the signature is
+    the majority vote of bit b across the DISTINCT-token md5 hashes
+    (seed 'sim', first 12 hex chars as a 48-bit value). Randomized
+    corpus, fixed seed."""
+    import hashlib
+    import random
+
+    from proteus_spark.llmops.dedup import SIMHASH_BITS, simhash_signatures
+
+    rng = random.Random(1)
+    vocab = ["red", "green", "blue", "cyan", "teal", "plum", "gold", "gray"]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 15))))
+        for i in range(50)
+    ]
+
+    def py_simhash(text: str) -> int:
+        votes = [0] * SIMHASH_BITS
+        for w in set(text.split(" ")):
+            h = int(
+                hashlib.md5(f"sim|{w}".encode()).hexdigest()[:12], 16
+            )
+            for b in range(SIMHASH_BITS):
+                votes[b] += 1 if (h >> b) & 1 else -1
+        return sum(1 << b for b in range(SIMHASH_BITS) if votes[b] > 0)
+
+    want = {(doc_id, py_simhash(text)) for doc_id, text in rows}
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = {
+        (r["doc_id"], r["simhash"])
+        for r in simhash_signatures(df).collect()
+    }
+    assert got == want
