@@ -259,3 +259,60 @@ def test_simhash_signatures_match_pure_python_reference(spark):
         for r in simhash_signatures(df).collect()
     }
     assert got == want
+
+
+def test_hll_estimate_matches_pure_python_reference(spark, sf_dir):
+    """The md5-register HLL is a SHARED-SQL query — both engines execute
+    the same text, so the oracle cannot catch a spec bug in that text.
+    This pin recomputes the whole sketch in pure Python (hashlib md5,
+    integer harmonic sum in units of 2^-49, linear-counting branch,
+    half-up rounding) from the parquet and requires exact equality."""
+    import hashlib
+    import math
+
+    import pyarrow.parquet as pq
+
+    from proteus_spark import registry
+
+    m = 1024
+    alpha = 0.7213 / (1 + 1.079 / m)
+    num = alpha * m * m * float(2**49)
+
+    t = pq.read_table(
+        f"{sf_dir}/lineitem.parquet", columns=["l_returnflag", "l_orderkey"]
+    )
+    regs: dict[tuple[str, int], int] = {}
+    for grp, val in zip(
+        t.column("l_returnflag").to_pylist(), t.column("l_orderkey").to_pylist()
+    ):
+        h = hashlib.md5(f"hll|{val}".encode()).hexdigest()
+        reg = int(h[0:3], 16) % m
+        rest = h[3:15].lstrip("0")
+        if rest == "":
+            rho = 49
+        else:
+            nib = rest[0]
+            lead = 0 if nib in "89abcdef" else 1 if nib in "4567" else \
+                2 if nib in "23" else 3
+            rho = (12 - len(rest)) * 4 + lead + 1
+        k = (grp, reg)
+        if rho > regs.get(k, 0):
+            regs[k] = rho
+
+    groups = {g for g, _ in regs}
+    want = {}
+    for g in sorted(groups):
+        mx = [v for (gg, _), v in regs.items() if gg == g]
+        cnt = len(mx)
+        ssc = sum(2 ** (49 - x) for x in mx) + (m - cnt) * 2**49
+        raw = num / float(ssc)
+        if (m - cnt) > 0 and raw <= 2.5 * m:
+            raw = m * math.log(m / (m - cnt))
+        want[g] = math.floor(raw * 10000 + 0.5) / 10000  # SQL HALF_UP
+    got = {
+        r["l_returnflag"]: r["approx_orders"]
+        for r in registry.QUERIES["agg_approx_distinct"]
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    assert got == want
