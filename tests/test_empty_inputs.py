@@ -316,3 +316,33 @@ def test_hll_estimate_matches_pure_python_reference(spark, sf_dir):
         .collect()
     }
     assert got == want
+
+
+def test_bucket_hash_family_matches_pure_python_reference(spark):
+    """The k-function md5 bucket family feeding the count-min and Bloom
+    sketches (functions/texthash.py::bucket_exprs_sql) — pure-Python
+    recomputation over sample values, exact equality."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from proteus_spark.functions.texthash import bucket_exprs_sql
+
+    k, mod = 4, 512
+    words = ["alpha", "beta", "", "x", "the quick brown fox", "123"]
+    df = spark.createDataFrame([(w,) for w in words], "w string")
+    exprs = [F.expr(e).alias(f"b{i}") for i, e in
+             enumerate(bucket_exprs_sql("w", "cms", k, mod))]
+    got = {
+        r["w"]: tuple(r[f"b{i}"] for i in range(k))
+        for r in df.select("w", *exprs).collect()
+    }
+    want = {
+        w: tuple(
+            int(hashlib.md5(f"cms{d}|{w}".encode()).hexdigest()[:12], 16)
+            % mod
+            for d in range(k)
+        )
+        for w in words
+    }
+    assert got == want
