@@ -346,3 +346,39 @@ def test_bucket_hash_family_matches_pure_python_reference(spark):
         for w in words
     }
     assert got == want
+
+
+def test_srp_banding_matches_pure_python_reference(spark, sf_dir):
+    """Spec pin for the SRP embedding banding (the ANN counterpart of
+    the text-hash pins): bit m of band j is sign(v[j*r + m] >= 0), band
+    value = little-endian bit pack — recomputed in pure Python over the
+    real embeddings parquet, full band-table equality."""
+    import pyarrow.parquet as pq
+
+    from proteus_spark.llmops.similarity import (
+        SRP_BANDS,
+        SRP_BITS,
+        srp_banded,
+    )
+
+    t = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    r = SRP_BITS // SRP_BANDS
+    want = set()
+    for vid, vec in zip(
+        t.column("vec_id").to_pylist(), t.column("embedding").to_pylist()
+    ):
+        for j in range(SRP_BANDS):
+            bval = sum(
+                (1 << m) for m in range(r) if vec[j * r + m] >= 0
+            )
+            want.add((vid, j, bval))
+    df = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    got = {
+        (row["vid"], row["band"], row["bval"])
+        for row in srp_banded(df, "vec_id", "vid").collect()
+    }
+    assert got == want
