@@ -2099,26 +2099,7 @@ def _gopher_oracle() -> str:
     """
 
 
-def _quality_classifier_oracle() -> str:
-    """Static unroll of the logistic-regression training loop: one
-    gradient CTE + one weight CTE per round (every CTE MATERIALIZED —
-    the r5 DuckDB lesson), gradients as exact BIGINT micro sums, weight
-    updates rounded to 6 inside the engine. Shares the gopher metric
-    CTEs so the label function is proven identical once."""
-    rounds = TXT.QUALITY_LR_ROUNDS
-
-    def z(w: str, f: str) -> str:
-        # left-associated dot(w, f) — matches llmops.text._logit
-        e = f"{w}.w0 * {f}.f0"
-        for j in range(1, 6):
-            e = f"({e} + {w}.w{j} * {f}.f{j})"
-        return e
-
-    def p(w: str, f: str) -> str:
-        return f"round(1.0 / (1.0 + exp(-({z(w, f)}))), 6)"
-
-    parts = [
-        """feats AS MATERIALIZED (
+_QUALITY_FEATS_CTE = """feats AS MATERIALIZED (
       SELECT doc_id,
              1.0 AS f0,
              round((CAST(n_words AS DOUBLE) - 50.0) / 25.0, 6) AS f1,
@@ -2127,22 +2108,45 @@ def _quality_classifier_oracle() -> str:
              round((alpha_word_ratio - 0.5) * 2.0, 6) AS f4,
              round(CAST(n_stop_distinct AS DOUBLE) - 1.5, 6) AS f5,
              CAST(keep AS DOUBLE) AS y
-      FROM gm)""",
-        "nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM feats)",
+      FROM gm)"""
+
+
+def _quality_p_sql(w: str, f: str) -> str:
+    """round-6 sigmoid of the LEFT-ASSOCIATED dot(w, f) — the association
+    order matches llmops.text._logit (part of the cross-engine
+    contract)."""
+    z = f"{w}.w0 * {f}.f0"
+    for j in range(1, 6):
+        z = f"({z} + {w}.w{j} * {f}.f{j})"
+    return f"round(1.0 / (1.0 + exp(-({z}))), 6)"
+
+
+def _quality_train_ctes(train_rel: str) -> str:
+    """Static unroll of the logistic-regression training loop over
+    ``train_rel``: one gradient CTE + one weight CTE per round (every
+    CTE MATERIALIZED — the r5 DuckDB lesson), gradients as exact BIGINT
+    micro sums, weight updates rounded to 6 inside the engine. Ends at
+    ``w_{QUALITY_LR_ROUNDS}``. Parameterizing the training relation lets
+    llm_quality_classifier (trains on ALL feats) and stream_quality_gate
+    (trains on the lake slice only) share one unroll, so the training
+    SQL is proven identical once and cannot drift between the two."""
+    rounds = TXT.QUALITY_LR_ROUNDS
+    parts = [
+        f"nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM {train_rel})",
         "w_0 AS (SELECT "
         + ", ".join(f"0.0 AS w{j}" for j in range(6))
         + ")",
     ]
     for r in range(rounds):
         gsums = ", ".join(
-            f"sum(CAST(round(({p('w', 'f')} - f.y) * f.f{j} * 1000000.0) "
-            f"AS BIGINT)) AS g{j}"
+            f"sum(CAST(round(({_quality_p_sql('w', 'f')} - f.y) * f.f{j}"
+            f" * 1000000.0) AS BIGINT)) AS g{j}"
             for j in range(6)
         )
         parts.append(
             f"g_{r} AS MATERIALIZED (\n"
             f"      SELECT {gsums}\n"
-            f"      FROM feats f CROSS JOIN w_{r} w)"
+            f"      FROM {train_rel} f CROSS JOIN w_{r} w)"
         )
         wcols = ", ".join(
             f"round(w.w{j} - (CAST(g.g{j} AS DOUBLE) / 1000000.0) / n.n, 6)"
@@ -2153,11 +2157,19 @@ def _quality_classifier_oracle() -> str:
             f"w_{r + 1} AS (SELECT {wcols} "
             f"FROM w_{r} w CROSS JOIN g_{r} g CROSS JOIN nn n)"
         )
-    body = ",\n    ".join(parts)
-    pf = p("w", "f")
+    return ",\n    ".join(parts)
+
+
+def _quality_classifier_oracle() -> str:
+    """Gopher metrics -> feature matrix -> static training unroll
+    (shared CTE chain, see _quality_train_ctes) -> score every training
+    document."""
+    rounds = TXT.QUALITY_LR_ROUNDS
+    pf = _quality_p_sql("w", "f")
     return f"""
     WITH {_gopher_metric_ctes()},
-    {body}
+    {_QUALITY_FEATS_CTE},
+    {_quality_train_ctes("feats")}
     SELECT f.doc_id, {pf} AS score,
            CAST({pf} >= 0.5 AS INT) AS pred,
            CAST(f.y AS INT) AS label

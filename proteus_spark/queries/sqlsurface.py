@@ -841,36 +841,32 @@ def _hll_estimate_sql(m: int, regs_rel: str) -> str:
           FROM {regs_rel} GROUP BY grp)"""
 
 
-_APPROX_DISTINCT_SQL = f"""
-    WITH {_hll_sketch_ctes(_HLL_M, "l_returnflag", "l_orderkey", "lineitem")},
-    est AS ({_hll_estimate_sql(_HLL_M, "regs")}),
-    ex AS (SELECT l_returnflag AS grp,
-                  CAST(count(DISTINCT l_orderkey) AS BIGINT) AS exact_orders
-           FROM lineitem GROUP BY l_returnflag)
-    SELECT ex.grp AS l_returnflag, est.est AS approx_orders, ex.exact_orders
-    FROM est JOIN ex ON ex.grp = est.grp
-"""
-
-
-@register(
-    "agg_approx_distinct",
-    oracle=_APPROX_DISTINCT_SQL,
-    tags=("aggregate", "approx"),
-)
-def agg_approx_distinct(spark, sf_dir):
-    """Sketch aggregates, HASH-ORACLED (r8 promotion — VERDICT r7 #4):
-    approximate distinct orders per return flag via the deterministic
-    md5-register HLL above (m=1024, rsd ~3.25%). At 100 TB the exact
-    COUNT DISTINCT shuffles every distinct value; the sketch's exchange
-    carries at most m register rows per group. The same SQL text runs on
-    both engines; the 3-sigma bound vs the exact count is asserted
-    in-query as the semantic floor."""
-    load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
-    out = spark.sql(_APPROX_DISTINCT_SQL)
-    for r in out.collect():  # 3 groups — the bound check, not the result
-        err = abs(r["approx_orders"] - r["exact_orders"]) / r["exact_orders"]
-        assert err <= 0.10, f"sketch {r['l_returnflag']}: {err:.3f} > 3*rsd"
-    return out
+# agg_approx_distinct RETIRED round 11 (the subsumption audit ROTATION.md
+# banked for the round-10 post-freeze stream_lsh_dedup_ingest): it was the
+# same `_hll_sketch_ctes(_HLL_M, key, "l_orderkey", "lineitem")` +
+# `_hll_estimate_sql(_HLL_M, "regs")` template that agg_hll_rollup's
+# regs/mest CTEs instantiate VERBATIM — same m, same value column, same
+# table, same in-query 3-sigma assertion — differing only in the group-key
+# expression (raw l_returnflag vs substr of shipdate; a key choice, not
+# unique logic). Both were shared-SQL queries (spark.sql(<oracle text>)),
+# so each driver hash checked cross-engine SQL agreement on the SAME
+# template; the rollup additionally hash-checks the register-wise-max
+# union algebra, which approx_distinct lacked. The independent
+# verification that the shared text implements the HLL SPEC lives in the
+# r10 pure-Python pin, now repointed at the rollup and extended to the
+# union path (tests/test_empty_inputs.py::
+# test_hll_estimate_matches_pure_python_reference). Same precedent as the
+# r10 llm_bpe_encode -> llm_bpe_encode_holdout retirement (shared-fold
+# template, superset instantiation survives). Audit counterparts both
+# REPRIEVED: graph_pagerank_parts is NOT subsumed by _converged — power
+# iteration forgets its initialization, so a Spark-side r0/early-round bug
+# reaches the same quantized fixpoint and the converged hash stays green,
+# while the fixed-3 hash uniquely pins r0 = 1.0 and the exact
+# iteration-count semantics of the shared _pagerank_step; and the
+# llm_dedup_ngram_capped reprieve stands — it remains the SOLE value-level
+# hash of the rare-shingle cap mechanics (groupBy(s).count() <= cap
+# semi-join, cap 50) that the r9 containment_capped retirement rationale
+# leans on (llm_dedup_containment stays registered but uncapped).
 
 
 @register(

@@ -1573,6 +1573,100 @@ def stream_dsir_ingest(spark, sf_dir):
         shutil.rmtree(outdir, ignore_errors=True)
 
 
+def _stream_quality_gate_oracle() -> str:
+    from proteus_spark.queries.llm import (
+        _QUALITY_FEATS_CTE,
+        _gopher_metric_ctes,
+        _quality_p_sql,
+        _quality_train_ctes,
+    )
+    from proteus_spark.llmops import text as TXT
+
+    # the converged on-ingest sink == batch scoring of the arriving slice
+    # with weights trained on the LAKE slice only: the metric/feature/
+    # training CTEs are SHARED with llm_quality_classifier's oracle
+    # (which proves the unroll against the engine's trainer), so the
+    # model SQL cannot drift between the batch and stream checks — only
+    # the training relation (lakef) and the scored slice differ.
+    pf = _quality_p_sql("w", "f")
+    return f"""
+    WITH {_gopher_metric_ctes()},
+    {_QUALITY_FEATS_CTE},
+    lakef AS MATERIALIZED (SELECT * FROM feats WHERE doc_id % 4 = 0),
+    {_quality_train_ctes("lakef")}
+    SELECT f.doc_id, {pf} AS score,
+           CAST({pf} >= 0.5 AS INT) AS kept
+    FROM feats f CROSS JOIN w_{TXT.QUALITY_LR_ROUNDS} w
+    WHERE f.doc_id % 4 <> 0
+    """
+
+
+@register(
+    "stream_quality_gate",
+    oracle=_stream_quality_gate_oracle,
+    tags=("streaming", "llm", "text"),
+)
+def stream_quality_gate(spark, sf_dir):
+    """Quality-classifier gating ON INGEST — the fastText/FineWeb
+    deployment shape and the sixth member of the ingest-gate family
+    (exact-hash, LSH near-dup, decontamination, DSIR, ANN-assign, and
+    now learned quality): the logistic classifier trains ONCE on the
+    existing lake (doc_id % 4 == 0; in-engine integer-micro GD, the
+    llm_quality_classifier trainer) and its six round-6 weights FREEZE;
+    arriving documents — replayed as 4 micro-batches — are scored with
+    the frozen weights and the keep/drop decision (kept = score >= 0.5,
+    the trainer's own rule) lands with the document BEFORE it enters the
+    lake. Converged sink == batch scoring of the arriving slice exactly:
+    scoring is per-document independent and the weights are literals, so
+    streaming introduces no approximation (unit-pinned by
+    test_quality_gate_on_ingest_converges_to_batch).
+
+    Scale shape (100 TB): training cost is the lake-side GD (one codegen
+    scan + a 6-value exact aggregation per round — bounded driver
+    state); per-batch scoring is a PURE Catalyst projection over
+    quality_features — the model is six literals, ZERO shuffle, no model
+    join at all (plan-pinned by
+    test_quality_gate_scoring_is_zero_shuffle), so the gate runs at scan
+    speed inside the ingest pipeline at any lake size."""
+    import shutil
+    import tempfile
+
+    from proteus_spark.llmops.text import (
+        quality_features,
+        quality_score_against,
+        train_quality_classifier,
+    )
+
+    docs = load(spark, sf_dir, "documents")
+    lake = docs.filter(F.col("doc_id") % 4 == 0)
+    arriving = docs.filter(F.col("doc_id") % 4 != 0)
+    w, _scored = train_quality_classifier(quality_features(lake))
+
+    src = cdc.stage_stream(spark, arriving, chunks=4)
+    outdir = tempfile.mkdtemp(prefix="proteus_stream_qgate_")
+
+    def on_batch(batch, epoch):
+        quality_score_against(batch, w).write.mode("append").parquet(outdir)
+
+    query = (
+        src.subscribe(max_files_per_trigger=1)
+        .writeStream.outputMode("append")
+        .foreachBatch(on_batch)
+        .queryName("stream_quality_gate")
+        .start()
+    )
+    try:
+        query.processAllAvailable()
+    finally:
+        query.stop()
+        cdc.cleanup(src)
+    try:
+        out = spark.read.parquet(outdir)
+        return _spill(out)
+    finally:
+        shutil.rmtree(outdir, ignore_errors=True)
+
+
 @register(
     "stream_ann_ingest",
     # oracle = the batch IVF assignment (same centroid rule as llm_sim_ivf:

@@ -378,38 +378,46 @@ def _import_all() -> None:
 # oracles; tests/test_oracle_gate.py::test_priority_window_all_oracled
 # enforces this structurally.
 PRIORITY: tuple[str, ...] = (
-    # ================== ROUND-10 WINDOW (ROTATION.md plan) ==============
-    # -- 28 r6-only/displaced refreshes (the oldest external evidence;
-    # 27 r6-only + llm_multimodal_frames displaced from the r9 tail) -----
-    "ref_point_eq", "ref_projection", "ref_range_filter",
-    "ref_isnull", "ref_isnotnull", "ref_conjunction",
-    "ref_topk_orders", "ref_router_union", "ref_index_range",
-    "ref_index_point", "ref_cache_topk",
-    "agg_full", "groupby_having", "cube_flag_status",
-    "semi_join_exists", "window_lag_delta",
-    "events_tumbling_hourly", "events_sessionization",
-    "range_join_events", "events_rollup_multigrain", "events_sliding_2h",
-    "llm_token_stats", "llm_quality_score", "llm_lang_id",
-    "llm_fingerprint", "llm_bm25_search", "llm_multimodal_frames",
-    "llm_corpus_stats",
-    # -- never driver-verified: the round-9 post-freeze llm_dsir_select
-    # (ALSO re-verification for this round's gumbel-coalesce fix) and the
-    # round-10 addition stream_dsir_ingest (pre-verified sf0.001+sf0.01,
-    # plan test, 1x/30x/100x sweep) --------------------------------------
-    "llm_dsir_select", "stream_dsir_ingest",
-    # -- 20 r7-only fill, audit-load-bearing first: the round-10
-    # retirement audit leans on llm_bpe_encode_holdout (sole per-doc hash
-    # of the shared bpe_merge_pass fold after llm_bpe_encode retired) and
-    # on llm_sim_ivf_nprobe2 / llm_sim_ivf_kmeans (the nprobe arm +
-    # learned-centroid hash that subsume llm_sim_ivf) — refresh all three
-    # with driver evidence; then longest-idle r7-only -------------------
-    "llm_bpe_encode_holdout", "llm_sim_ivf_nprobe2", "llm_sim_ivf_kmeans",
-    "ref_ts_projection", "ref_vectorclock_join", "dq_validate_orders",
-    "agg_bloom_probe", "dq_skew_report", "events_cohort_retention",
-    "events_funnel", "tpch_q4", "tpch_q12", "tpch_q14",
-    "agg_histogram_sketch", "agg_grouping_sets", "events_anomaly_zscore",
-    "events_ewma_daily", "events_gap_fill_hourly", "scd2_temporal_join",
-    "basket_part_pairs",
+    # ================== ROUND-11 WINDOW (ROTATION.md plan) ==============
+    # -- never driver-verified: the round-10 post-freeze
+    # stream_lsh_dedup_ingest (judge-verified green at sf0.01 in r10;
+    # first driver row owed) --------------------------------------------
+    "stream_lsh_dedup_ingest",
+    # -- 26 r7-only refreshes (the oldest external evidence; exact list
+    # from the recomputed r01-r10 ledger) -------------------------------
+    "agg_countmin_terms", "customer_value_deciles", "graph_pagerank_parts",
+    "llm_chunk_documents", "llm_dedup_cluster_stats", "llm_dedup_embedding",
+    "llm_dedup_exact_substring", "llm_dedup_incremental",
+    "llm_doc_repetition", "llm_embed_norms", "llm_lsh_recall_report",
+    "llm_pii_scrub", "llm_sim_pq", "llm_sim_radius", "llm_train_split",
+    "llm_weighted_sample", "tpch_q2", "tpch_q7", "tpch_q8", "tpch_q11",
+    "tpch_q13", "tpch_q15", "tpch_q16", "tpch_q17", "tpch_q20", "tpch_q22",
+    # -- 23 fill: streaming-view family FIRST (the r9 stop()-latch and
+    # r10 subscriber/intake changes touched streaming/views.py; their
+    # driver evidence is r8) --------------------------------------------
+    "stream_sum_view", "stream_sum_view_cdc", "stream_sum_view_minilog",
+    "stream_sum_view_broker", "stream_sum_view_deletes",
+    "stream_sum_view_timetravel", "stream_join_view",
+    "stream_join_view_deletes", "stream_view_dag_via_log",
+    "stream_compacted_bootstrap", "stream_cdf_export_roundtrip",
+    # -- the r8-only ingest-gate trio (VERDICT r10 #5: every ingest-gate
+    # variant should carry <=2-round evidence) --------------------------
+    "stream_decontaminate", "stream_dedup_ingest", "stream_ann_ingest",
+    # -- the round-11 addition (pre-verified green at sf0.001 + sf0.01
+    # with the driver-faithful gate before registration; the audit freed
+    # its slot — see ROTATION.md round-11 accounting) -------------------
+    "stream_quality_gate",
+    # -- changed-oracle re-verification: llm_quality_classifier's oracle
+    # was refactored this round into the shared _quality_train_ctes
+    # chain stream_quality_gate reuses (local gate re-passed; driver
+    # re-verifies per the changed-impl rule) + agg_hll_rollup, now the
+    # audit-load-bearing sole HLL instantiation (spec pin repointed and
+    # extended to the union path) ---------------------------------------
+    "llm_quality_classifier", "agg_hll_rollup",
+    # -- longest-idle r8-only LLM block fill ----------------------------
+    "llm_cluster_audit", "llm_corpus_mixture", "llm_dedup_containment",
+    "llm_dedup_editdistance", "llm_dedup_keep_longest",
+    "llm_dedup_minhash_lsh",
 )
 
 

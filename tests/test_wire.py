@@ -569,3 +569,80 @@ def test_forged_length_prefix_rejected_and_server_survives(engine):
         bad.close()
         ok = wire.call_unary(srv.host, srv.port, "SELECT 1 AS one")
         assert ok["respRecord"][0]["attributes"] == {"one": "1"}
+
+
+def test_client_helpers_raise_on_eof_before_end_of_stream(engine):
+    """ADVICE r10: mid-stream server failure closes the socket at a
+    frame boundary — the bundled clients must FAIL LOUDLY on that EOF,
+    never return PARTIAL results (call_stream/call_ast) or decode an
+    empty dict (call_unary/call_get_config). Mirrors h2's _grpc_call,
+    which already fails via the missing grpc-status trailer."""
+
+    class _FlakyEngine:
+        def __init__(self, inner):
+            self._inner = inner
+
+        def __getattr__(self, name):
+            return getattr(self._inner, name)
+
+        def query_stream(self, sql, view=None, typed=False):
+            it = self._inner.query_stream(sql, view=view, typed=typed)
+
+            def gen():
+                yield next(it)  # ack + first record reach the wire
+                raise RuntimeError("simulated mid-stream failure")
+
+            return gen()
+
+    sql = "SELECT l_orderkey FROM lineitem ORDER BY l_orderkey LIMIT 3"
+    with wire.ProtobufQueryServer(_FlakyEngine(engine)) as srv:
+        with pytest.raises(RuntimeError, match="before END_OF_STREAM"):
+            wire.call_stream(srv.host, srv.port, sql)
+
+
+def test_clients_raise_when_server_closes_after_ack_before_frames():
+    """The EOF arms of the remaining clients: a server that acks the
+    status line then dies before any response frame must make
+    call_unary/call_get_config raise (not decode {}) and call_ast raise
+    (not return an empty record list)."""
+    import json
+    import socket
+    import threading
+
+    srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(4)
+    host, port = srv.getsockname()
+    stop = threading.Event()
+
+    def serve():
+        while not stop.is_set():
+            try:
+                conn, _ = srv.accept()
+            except OSError:
+                return
+            rf = conn.makefile("rb")
+            rf.readline()  # method line
+            wire.read_frame(rf)  # request frame
+            conn.sendall(json.dumps({"status": 0}).encode() + b"\n")
+            # close without sending the response frame (shutdown first:
+            # the makefile dup would otherwise hold the fd open)
+            try:
+                conn.shutdown(socket.SHUT_RDWR)
+            except OSError:
+                pass
+            rf.close()
+            conn.close()
+
+    t = threading.Thread(target=serve, daemon=True)
+    t.start()
+    try:
+        with pytest.raises(RuntimeError, match="before QueryResp"):
+            wire.call_unary(host, port, "SELECT 1 AS one")
+        with pytest.raises(RuntimeError, match="before ConfigResponse"):
+            wire.call_get_config(host, port)
+        with pytest.raises(RuntimeError, match="before END_OF_STREAM"):
+            wire.call_ast(host, port, {"table": "lineitem"})
+    finally:
+        stop.set()
+        srv.close()
