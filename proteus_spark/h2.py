@@ -39,6 +39,7 @@ those binaries aren't present.
 
 from __future__ import annotations
 
+import socket
 import struct
 import threading
 
@@ -401,8 +402,19 @@ MAX_FRAME = 16384
 # are generous ceilings, not tight fits.
 MAX_HEADER_BLOCK = 65536
 MAX_REQUEST_BODY = 64 << 20
+# Per-CONNECTION aggregates (ADVICE r10): the per-stream caps above bound
+# each stream id, but stream ids are free — without these a hostile peer
+# opens unlimited ids and buffers MAX_REQUEST_BODY per id indefinitely.
+# Cap the count of streams with pending (undispatched) state and the
+# total bytes buffered across them; exceeding either is the same
+# connection teardown as any other violation (ENHANCE_YOUR_CALM).
+MAX_CONCURRENT_STREAMS = 128
+MAX_CONNECTION_BUFFER = 128 << 20
 SETTINGS_INITIAL_WINDOW_SIZE = 0x4
 SETTINGS_MAX_FRAME_SIZE = 0x5
+# RFC 9113 §7 error codes used in GOAWAY
+ERR_PROTOCOL, ERR_FRAME_SIZE = 0x1, 0x6
+ERR_COMPRESSION, ERR_CALM = 0x9, 0xB
 
 
 def pack_frame(ftype: int, flags: int, stream_id: int, payload: bytes) -> bytes:
@@ -588,6 +600,7 @@ class GrpcQueryServer(wire.ProtobufQueryServer):
     def _handle(self, conn) -> None:
         rf = conn.makefile("rb")
         h2 = _H2Conn(conn)
+        last_sid = 0  # highest client stream id seen, for GOAWAY
         try:
             if read_exact(rf, len(PREFACE)) != PREFACE:
                 conn.close()
@@ -603,6 +616,8 @@ class GrpcQueryServer(wire.ProtobufQueryServer):
                 if fh is None:
                     return
                 length, ftype, flags, sid = fh
+                if sid > last_sid:
+                    last_sid = sid
                 if length > MAX_FRAME:
                     # RFC 9113 §4.2: larger than the advertised
                     # SETTINGS_MAX_FRAME_SIZE is FRAME_SIZE_ERROR
@@ -658,12 +673,56 @@ class GrpcQueryServer(wire.ProtobufQueryServer):
                     if flags & FLAG_END_STREAM:
                         self._dispatch(h2, sid, req_headers, req_body)
                 # PRIORITY / PUSH_PROMISE / unknown: ignored
-        except (OSError, ValueError, KeyError, IndexError):
+                if ftype in (F_HEADERS, F_CONTINUATION, F_DATA):
+                    # per-connection aggregate intake bounds: count and
+                    # size of streams still accumulating (dispatch pops
+                    # them, so steady-state pending is small; the sum is
+                    # over <= MAX_CONCURRENT_STREAMS entries)
+                    if len(req_body) + len(hdr_frag) > MAX_CONCURRENT_STREAMS:
+                        raise ValueError("open streams exceed limit")
+                    buffered = sum(len(b) for b in req_body.values()) + sum(
+                        len(b) for b in hdr_frag.values()
+                    )
+                    if buffered > MAX_CONNECTION_BUFFER:
+                        raise ValueError("connection buffer exceeds limit")
+        except (OSError, ValueError, KeyError, IndexError) as exc:
             # client went away, or sent a protocol violation (bad HPACK,
             # CONTINUATION for an unknown stream, truncated varint):
             # tear the connection down — the per-connection blast radius
-            # a real h2 server has
-            pass
+            # a real h2 server has. RFC 9113 §5.4.1: on a violation (not
+            # a vanished peer) best-effort send GOAWAY with the error
+            # code first, so better-behaved peers can distinguish a
+            # protocol violation from a network failure (ADVICE r10).
+            if not isinstance(exc, OSError):
+                msg = str(exc)
+                if "MAX_FRAME" in msg:
+                    code = ERR_FRAME_SIZE
+                elif "exceed" in msg:
+                    code = ERR_CALM
+                elif isinstance(exc, ValueError) and (
+                    "hpack" in msg or "huffman" in msg
+                ):
+                    code = ERR_COMPRESSION
+                else:
+                    code = ERR_PROTOCOL
+                try:
+                    h2.write(
+                        pack_frame(
+                            F_GOAWAY, 0, 0,
+                            struct.pack(">II", last_sid, code),
+                        )
+                    )
+                    # closing with unread client bytes pending would RST
+                    # the connection and discard the GOAWAY in flight:
+                    # half-close our side and briefly drain theirs so
+                    # the frame is deliverable (bounded — 1s ceiling on
+                    # a peer that keeps sending)
+                    conn.shutdown(socket.SHUT_WR)
+                    conn.settimeout(1.0)
+                    while conn.recv(65536):
+                        pass
+                except OSError:
+                    pass
         finally:
             with h2.flow:
                 h2.closed = True

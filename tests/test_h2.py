@@ -834,3 +834,115 @@ def test_intake_bounds_kill_only_their_connection(engine):
         # the server survives both: a fresh connection answers
         out = h2.call_unary(srv.host, srv.port, "SELECT 1 AS one")
         assert out["respRecord"][0]["attributes"] == {"one": "1"}
+
+
+def _read_frames_until_eof(sk, timeout=10):
+    """Collect (ftype, sid, payload) frames from the server until EOF."""
+    sk.settimeout(timeout)
+    buf = b""
+    try:
+        while True:
+            chunk = sk.recv(65536)
+            if not chunk:
+                break
+            buf += chunk
+    except OSError:
+        pass
+    frames = []
+    pos = 0
+    while pos + 9 <= len(buf):
+        ln = int.from_bytes(buf[pos : pos + 3], "big")
+        ftype = buf[pos + 3]
+        sid = int.from_bytes(buf[pos + 5 : pos + 9], "big") & 0x7FFFFFFF
+        payload = buf[pos + 9 : pos + 9 + ln]
+        frames.append((ftype, sid, payload))
+        pos += 9 + ln
+    return frames
+
+
+def test_stream_id_flood_bounded_and_goaway_enhance_your_calm(engine):
+    """ADVICE r10: the per-stream caps bound each stream id, but ids are
+    free — a peer opening unlimited ids with pending state must hit the
+    per-connection MAX_CONCURRENT_STREAMS ceiling, get a GOAWAY carrying
+    ENHANCE_YOUR_CALM (RFC 9113 §5.4.1: signal the violation before
+    closing), and lose only its own connection."""
+    with h2.GrpcQueryServer(engine) as srv:
+        flood = socket.create_connection((srv.host, srv.port), timeout=10)
+        flood.sendall(h2.PREFACE + h2.pack_frame(h2.F_SETTINGS, 0, 0, b""))
+        try:
+            # odd client stream ids, HEADERS without END_STREAM: each
+            # leaves pending undispatched state on the connection
+            for i in range(h2.MAX_CONCURRENT_STREAMS + 2):
+                flood.sendall(
+                    h2.pack_frame(
+                        h2.F_HEADERS, h2.FLAG_END_HEADERS, 2 * i + 1, b"\x82"
+                    )
+                )
+        except OSError:
+            pass  # server already tore the connection down mid-send
+        frames = _read_frames_until_eof(flood)
+        flood.close()
+        goaways = [f for f in frames if f[0] == h2.F_GOAWAY]
+        assert goaways, f"no GOAWAY in {[(t, s) for t, s, _ in frames]}"
+        err = int.from_bytes(goaways[-1][2][4:8], "big")
+        assert err == h2.ERR_CALM
+        # blast radius is the one connection
+        out = h2.call_unary(srv.host, srv.port, "SELECT 1 AS one")
+        assert out["respRecord"][0]["attributes"] == {"one": "1"}
+
+
+def test_connection_buffer_cap_and_goaway(engine, monkeypatch):
+    """Aggregate buffered-bytes ceiling across stream ids (patched small
+    so the test is fast): DATA spread over many streams — each far below
+    the per-stream cap — must still trip the per-connection cap, with
+    GOAWAY ENHANCE_YOUR_CALM."""
+    monkeypatch.setattr(h2, "MAX_CONNECTION_BUFFER", 100_000)
+    with h2.GrpcQueryServer(engine) as srv:
+        sk = socket.create_connection((srv.host, srv.port), timeout=10)
+        sk.sendall(h2.PREFACE + h2.pack_frame(h2.F_SETTINGS, 0, 0, b""))
+        chunk = b"\x00" * 16000
+        try:
+            for i in range(8):  # 8 x 16 KB across 8 stream ids > 100 KB
+                sk.sendall(h2.pack_frame(h2.F_DATA, 0, 2 * i + 1, chunk))
+        except OSError:
+            pass
+        frames = _read_frames_until_eof(sk)
+        sk.close()
+        goaways = [f for f in frames if f[0] == h2.F_GOAWAY]
+        assert goaways
+        assert int.from_bytes(goaways[-1][2][4:8], "big") == h2.ERR_CALM
+        out = h2.call_unary(srv.host, srv.port, "SELECT 1 AS one")
+        assert out["respRecord"][0]["attributes"] == {"one": "1"}
+
+
+def test_goaway_error_codes_by_violation_class(engine):
+    """GOAWAY carries the class-appropriate RFC 9113 error code:
+    oversized frame -> FRAME_SIZE_ERROR, garbage HPACK ->
+    COMPRESSION_ERROR."""
+    with h2.GrpcQueryServer(engine) as srv:
+        big = socket.create_connection((srv.host, srv.port), timeout=10)
+        hdr = (h2.MAX_FRAME + 1).to_bytes(3, "big") + bytes([h2.F_DATA, 0]) \
+            + (1).to_bytes(4, "big")
+        big.sendall(h2.PREFACE + h2.pack_frame(h2.F_SETTINGS, 0, 0, b"") + hdr)
+        frames = _read_frames_until_eof(big)
+        big.close()
+        goaways = [f for f in frames if f[0] == h2.F_GOAWAY]
+        assert goaways
+        assert int.from_bytes(goaways[-1][2][4:8], "big") == h2.ERR_FRAME_SIZE
+
+        bad = socket.create_connection((srv.host, srv.port), timeout=10)
+        bad.sendall(
+            h2.PREFACE
+            + h2.pack_frame(h2.F_SETTINGS, 0, 0, b"")
+            + h2.pack_frame(
+                h2.F_HEADERS,
+                h2.FLAG_END_HEADERS | h2.FLAG_END_STREAM,
+                1,
+                bytes([0x80]),  # hpack index 0 -> decode error
+            )
+        )
+        frames = _read_frames_until_eof(bad)
+        bad.close()
+        goaways = [f for f in frames if f[0] == h2.F_GOAWAY]
+        assert goaways
+        assert int.from_bytes(goaways[-1][2][4:8], "big") == h2.ERR_COMPRESSION
