@@ -1443,7 +1443,12 @@ def stream_lsh_dedup_ingest(spark, sf_dir):
     Scale shape (100 TB lake): the arriving batch's band table
     (LSH_BANDS rows/doc) BROADCASTS, so the lake band table never
     reshuffles per batch; in a deployment the lake side is a maintained
-    table bucketed on (band, bv). Plan pinned by
+    table partitioned on the band-bucket key — IMPLEMENTED and measured
+    as dedup.lsh_lake_write + lsh_match_against_bucketed (per-batch
+    probe statically prunes to the batch's matched partitions; sweep
+    shows flat lake-axis cost at lake 1x/10x/100x — see
+    scripts/sweep_stream_lsh.py --bucketed and
+    test_bucketed_lake_probe_prunes_partitions). Plan pinned by
     test_stream_lsh_match_broadcasts_arriving_batch. Candidate counts
     only — the exact-Jaccard verify runs async downstream exactly as in
     llm_dedup_minhash_lsh (same candidates, same verify path)."""
