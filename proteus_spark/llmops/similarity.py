@@ -1217,3 +1217,93 @@ def semdedup_prune_assigned(
         "max_sim",
         "n_earlier",
     )
+
+
+def semdedup_lake_index(
+    emb: DataFrame, centroids: DataFrame
+) -> DataFrame:
+    """The FROZEN lake side of the on-ingest semantic near-dup gate:
+    (bucket, lake_id, lvec) — every lake vector assigned to its nearest
+    centroid (ivf_assign: the same frame the engine already maintains
+    for ANN serving) and L2-normalized ONCE, so the per-batch probe's
+    pair stage is a bare dot fold with no per-pair norm arithmetic
+    (the semdedup_prune_assigned uvec lesson). Computed/refreshed
+    pre-stream; a deployment maintains it as a table partitioned on
+    bucket — the same partition-pruned probe already demonstrated for
+    the LSH gate (dedup.lsh_lake_write / lsh_match_against_bucketed)."""
+    assigned = ivf_assign(emb.select("vec_id", "embedding"), centroids)
+    return assigned.select(
+        "bucket",
+        F.col("vec_id").alias("lake_id"),
+        F.transform(
+            F.col("embedding"),
+            lambda x: x.cast("double") / norm(F.col("embedding")),
+        ).alias("lvec"),
+    )
+
+
+def semdedup_match_against(
+    batch: DataFrame,
+    lake_index: DataFrame,
+    centroids: DataFrame,
+    tau: float = SEMDEDUP_TAU,
+) -> DataFrame:
+    """Semantic (embedding) near-duplicate gating for a live intake —
+    the SemDeDup analogue of dedup.lsh_match_against and the embedding
+    counterpart of the text-shingle LSH gate: per ARRIVING vector, how
+    many FROZEN lake vectors in its own k-means cluster are
+    tau-similar, and the keep/drop signal, landing BEFORE the vector
+    enters the lake/index.
+
+    (vec_id, cid, n_lake_near, max_sim, is_dup): the arriving vector's
+    cluster assignment (ivf_assign against the broadcast frozen
+    centroids — the identical rule the lake index was built with),
+    the count of lake cluster-mates with rounded-6 pairwise cosine
+    >= tau, the strongest such similarity (NULL when none), and
+    is_dup = n_lake_near > 0. Candidate generation is the cluster
+    equi-join — never corpus x batch.
+
+    Scale shape (100 TB lake): the arriving batch (assigned +
+    normalized, a few rows per doc) BROADCASTS into the bucket
+    equi-join, so the lake index never reshuffles per batch; pairwise
+    cost is |batch| x |its clusters' lake members| — the quantity
+    SemDeDup's clustering exists to bound (k grows with the corpus, so
+    cluster sizes stay bounded). Convergence: stream == batch exactly
+    (per-vector independence, static lake) — pinned by
+    test_semdedup_on_ingest_converges_to_batch; per-batch plan pinned
+    by test_semdedup_match_broadcasts_arriving_batch."""
+    assigned = ivf_assign(batch.select("vec_id", "embedding"), centroids)
+    bb = assigned.select(
+        "bucket",
+        "vec_id",
+        F.transform(
+            F.col("embedding"),
+            lambda x: x.cast("double") / norm(F.col("embedding")),
+        ).alias("uvec"),
+    )
+    hits = (
+        F.broadcast(bb)
+        .join(lake_index, "bucket")
+        .withColumn("sim", F.round(dot(F.col("uvec"), F.col("lvec")), 6))
+        .filter(F.col("sim") >= tau)
+        .groupBy("vec_id")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.max("sim").alias("mx"),
+        )
+    )
+    return (
+        assigned.select("vec_id", F.col("bucket").cast("long").alias("cid"))
+        .join(hits, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cid",
+            F.coalesce(F.col("n"), F.lit(0))
+            .cast("long")
+            .alias("n_lake_near"),
+            F.col("mx").alias("max_sim"),
+            (F.coalesce(F.col("n"), F.lit(0)) > 0)
+            .cast("long")
+            .alias("is_dup"),
+        )
+    )

@@ -1004,3 +1004,30 @@ def test_quality_gate_scoring_is_zero_shuffle(spark, sf_dir):
     assert "Exchange" not in p, p
     assert "* Project" in p  # codegen-marked projection over the scan
     assert "Scan parquet" in p
+
+
+def test_semdedup_match_broadcasts_arriving_batch(spark, sf_dir):
+    """The on-ingest SemDeDup gate's per-batch shape: the arriving
+    batch (assigned + normalized) BROADCASTS into the cluster equi-join
+    against the FROZEN lake index — served from cache, never re-derived
+    or reshuffled per batch — and candidate generation is the bucket
+    equi-join, never corpus x batch."""
+    from proteus_spark.llmops.similarity import (
+        semdedup_lake_index,
+        semdedup_match_against,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = emb.filter(F.col("vec_id") < 10)
+    idx = semdedup_lake_index(
+        emb.filter(F.col("vec_id") % 4 == 0), cents
+    ).cache()
+    idx.count()
+    try:
+        batch = emb.filter(F.col("vec_id") % 4 != 0).limit(40)
+        p = plan(semdedup_match_against(batch, idx, cents))
+        assert "CartesianProduct" not in p
+        assert "BroadcastHashJoin" in p
+        assert "InMemoryTableScan" in p, p
+    finally:
+        idx.unpersist()

@@ -1888,3 +1888,67 @@ def test_stop_latch_drops_late_foreachbatch(spark, sf_dir):
         ev.withColumn("ts", F.lit(1)).withColumn("rid", F.lit(1)), 0
     )
     assert not os.path.exists(root)
+
+
+def test_semdedup_on_ingest_converges_to_batch(spark, sf_dir):
+    """Semantic (embedding) near-dup gating ON INGEST — the SemDeDup
+    analogue of the LSH gate and the round-12 registration candidate's
+    machinery, pre-pinned the way quality_score_against was in r10: the
+    lake's assigned+normalized index and the centroids FREEZE
+    pre-stream; arriving vectors (3 micro-batches) assign themselves to
+    the same centroids and count tau-similar lake cluster-mates, the
+    keep/drop signal landing before the vector enters the index. The
+    converged sink must equal the batch match exactly (per-vector
+    independence, static lake)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from proteus_spark.llmops.similarity import (
+        semdedup_lake_index,
+        semdedup_match_against,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = emb.filter(F.col("vec_id") < 10)
+    lake = emb.filter(F.col("vec_id") % 4 == 0)
+    arriving = emb.filter(F.col("vec_id") % 4 != 0)
+    idx = semdedup_lake_index(lake, cents).cache()
+    idx.count()  # freeze/materialize once, pre-stream
+
+    want = {
+        tuple(r)
+        for r in semdedup_match_against(arriving, idx, cents).collect()
+    }
+
+    src = cdc.stage_stream(spark, arriving, chunks=3)
+    outdir = tempfile.mkdtemp(prefix="proteus_stream_semdedup_")
+
+    def on_batch(batch, epoch):
+        semdedup_match_against(batch, idx, cents).write.mode(
+            "append"
+        ).parquet(outdir)
+
+    query = (
+        src.subscribe(max_files_per_trigger=1)
+        .writeStream.outputMode("append")
+        .foreachBatch(on_batch)
+        .queryName("t_stream_semdedup")
+        .start()
+    )
+    try:
+        query.processAllAvailable()
+    finally:
+        query.stop()
+        cdc.cleanup(src)
+    try:
+        got = {
+            tuple(r) for r in spark.read.parquet(outdir).collect()
+        }
+        assert got == want
+        assert len(got) > 0
+        assert any(r[4] == 1 for r in got)  # some dups actually flagged
+    finally:
+        idx.unpersist()
+        shutil.rmtree(outdir, ignore_errors=True)
