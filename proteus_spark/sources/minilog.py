@@ -46,13 +46,20 @@ real here.
 
 Scale notes: segments are one file per partition laid down by a
 DISTRIBUTED Spark write (the parallel producer); offsets are line indices.
-``latestOffset`` counts lines driver-side per trigger — fine for a test
-log; a production embedded log would frame fixed-size segments with an
-offset index (the protocol above is unchanged by that swap).
+Offset discovery is served by a PRODUCER-WRITTEN count index (round 11 —
+closing the residual flagged since r5): stage_topic writes
+``_base-counts.json``, every append_epoch commit marker carries its
+epoch's per-segment counts, and a Follower persists counts it already
+received in fetch headers (``_replica-counts.json``) — so
+``latestOffset`` / broker ``ends`` / group ``poll`` skip-seek are
+metadata reads, O(#files) per trigger. Segments produced by a foreign
+writer (no index entry) fall back to a (size, mtime)-memoized line scan;
+the index is an optimization, never a correctness dependency.
 """
 
 from __future__ import annotations
 
+import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -87,7 +94,21 @@ def stage_topic(
         .partitionBy("p")
         .text(path)
     )
-    return end_offsets(path, partitions)
+    # producer-side offset index: count each just-written segment ONCE
+    # here (page-warm, paid by the producer — the Kafka model) so every
+    # consumer's offset discovery is a metadata read (_producer_counts)
+    counts: dict[str, int] = {}
+    for p in range(partitions):
+        for f in _segment_files(path, p):
+            counts[f"p={p}/{os.path.basename(f)}"] = _count_lines(f)
+    tmp = os.path.join(path, "._base-counts.json.tmp")
+    with open(tmp, "w") as fh:
+        json.dump({"counts": counts}, fh)
+    os.replace(tmp, os.path.join(path, "_base-counts.json"))
+    out = {p: 0 for p in range(partitions)}
+    for rel, n in counts.items():
+        out[int(rel.split("/", 1)[0][2:])] += n
+    return out
 
 
 def _epoch_committed(path: str, fname: str) -> bool:
@@ -133,14 +154,77 @@ def _discover_partitions(path: str) -> int:
     return (max(ps) + 1) if ps else 0
 
 
+def _count_lines(fp: str) -> int:
+    with open(fp, "rb") as fh:
+        return sum(1 for _ in fh)
+
+
+_sidecar_cache: dict = {}
+
+
+def _producer_counts(path: str, cache: dict | None = None) -> dict[str, int]:
+    """``{'p=N/<segment>': records}`` merged from every PRODUCER-written
+    count source under ``path`` — the log-end-offset index that makes
+    offset discovery O(#files) metadata reads instead of O(new data)
+    line scans (closing the r5-flagged latestOffset residual the Kafka
+    way: the broker side knows its own end offsets). Sources, each
+    memoized by (size, mtime):
+
+    - ``_base-counts.json`` — written by stage_topic at bulk load;
+    - each ``_epoch-NNNNNNNN.committed`` marker — append_epoch records
+      its epoch's per-segment counts INSIDE the existing atomic commit
+      point (legacy plain-text markers parse to no counts and fall back);
+    - ``_replica-counts.json`` — a Follower records each replicated
+      segment's count from the fetch header it already received.
+
+    A segment absent from every source (legacy layout, foreign writer)
+    falls back to the caller's own counting cache — the index is an
+    optimization, never a correctness dependency."""
+    if cache is None:
+        cache = _sidecar_cache
+    out: dict[str, int] = {}
+    try:
+        names = os.listdir(path)
+    except OSError:
+        return out
+    for f in sorted(names):
+        if f in ("_base-counts.json", "_replica-counts.json") or (
+            f.startswith("_epoch-") and f.endswith(".committed")
+        ):
+            fp = os.path.join(path, f)
+            try:
+                st = os.stat(fp)
+                key = (fp, st.st_size, st.st_mtime_ns)
+            except OSError:
+                continue
+            if key not in cache:
+                counts: dict[str, int] = {}
+                try:
+                    with open(fp) as fh:
+                        data = json.load(fh)
+                    if isinstance(data, dict):
+                        counts = {
+                            str(k): int(v)
+                            for k, v in (data.get("counts") or {}).items()
+                        }
+                except (ValueError, OSError):
+                    pass  # legacy plain-text marker: carries no counts
+                cache[key] = counts
+            out.update(cache[key])
+    return out
+
+
 def end_offsets(path: str, partitions: int) -> dict[int, int]:
-    """Per-partition record counts — the log-end offsets."""
+    """Per-partition record counts — the log-end offsets. Producer-written
+    counts (see _producer_counts) answer without opening segments; only
+    unindexed segments are line-scanned."""
+    side = _producer_counts(path)
     out = {}
     for p in range(partitions):
         n = 0
         for f in _segment_files(path, p):
-            with open(f, "rb") as fh:
-                n += sum(1 for _ in fh)
+            rel = f"p={p}/{os.path.basename(f)}"
+            n += side[rel] if rel in side else _count_lines(f)
         out[p] = n
     return out
 
@@ -309,6 +393,7 @@ class Broker:
 
         self.topic = topic
         self._count_cache: dict = _IndexCache()
+        self._sidecar_cache: dict = {}  # producer-count sources, memoized
         # accepted-connection counter: with pooled consumers (see
         # _broker_exchange in the stream reader) this stays at one per
         # consumer process instead of one per planned fetch range
@@ -392,13 +477,20 @@ class Broker:
                 int(req.get("partitions", 0)),
                 _discover_partitions(self.topic),
             )
+            # producer-written counts answer ends as metadata; only
+            # unindexed segments fall through to _segment_stats (whose
+            # (count, byte-index) cache the fetch path shares — fetch
+            # still byte-indexes lazily on first use either way)
+            side = _producer_counts(self.topic, self._sidecar_cache)
             ends = {}
             for p in range(n):
                 c = 0
                 for f in _segment_files(self.topic, p):
-                    # shares the fetch path's (count, byte-index) cache:
-                    # the ends pass doubles as the indexing pass
-                    c += _segment_stats(f, self._count_cache)[0]
+                    rel = f"p={p}/{os.path.basename(f)}"
+                    if rel in side:
+                        c += side[rel]
+                    else:
+                        c += _segment_stats(f, self._count_cache)[0]
                 ends[str(p)] = c
             return {"ends": ends}
         return {"error": f"unknown op: {op!r}"}
@@ -497,6 +589,10 @@ class Follower:
         self._seq: dict[int, int] = {
             p: len(_segment_files(replica_dir, p)) for p in range(width)
         }
+        # replica-side offset index: each replicated segment's count is
+        # KNOWN from the fetch header — persist it so this replica's own
+        # consumers (and a restart's end_offsets above) never line-scan
+        self._counts: dict[str, int] = dict(_producer_counts(replica_dir))
         self.error: Exception | None = None
         self._stop = threading.Event()
         self._thread: "threading.Thread | None" = None
@@ -540,9 +636,17 @@ class Follower:
             with open(tmp, "wb") as fh:
                 fh.write(blob)
             os.replace(tmp, final)
+            self._counts[f"p={p}/{os.path.basename(final)}"] = int(
+                header.get("n", end - cur)
+            )
             self._seq[p] = seq + 1
             self.replicated[p] = end
             moved += end - cur
+        if moved:
+            ctmp = os.path.join(self.dir, "._replica-counts.json.tmp")
+            with open(ctmp, "w") as fh:
+                json.dump({"counts": self._counts}, fh)
+            os.replace(ctmp, os.path.join(self.dir, "_replica-counts.json"))
         return moved
 
     def lag(self) -> dict[int, int]:
@@ -851,6 +955,47 @@ def register_log_datasource(spark: SparkSession) -> str:
             return header, blob
         raise last_exc  # pragma: no cover — loop always returns or raises
 
+    def _closure_producer_counts(path: str, cache: dict) -> dict:
+        """Closure twin of module-level _producer_counts (the
+        closure-pickling rule: anything the nested classes reference must
+        ship BY VALUE — a module-level global would pickle by reference
+        to `proteus_spark`, unimportable from a foreign-cwd driver's
+        workers). Same sources, same (size, mtime) memoization."""
+        import json as _json
+
+        out: dict = {}
+        try:
+            names = os.listdir(path)
+        except OSError:
+            return out
+        for f in sorted(names):
+            if f in ("_base-counts.json", "_replica-counts.json") or (
+                f.startswith("_epoch-") and f.endswith(".committed")
+            ):
+                fp = os.path.join(path, f)
+                try:
+                    st = os.stat(fp)
+                    key = (fp, st.st_size, st.st_mtime_ns)
+                except OSError:
+                    continue
+                if key not in cache:
+                    counts: dict = {}
+                    try:
+                        with open(fp) as fh:
+                            data = _json.load(fh)
+                        if isinstance(data, dict):
+                            counts = {
+                                str(k): int(v)
+                                for k, v in (
+                                    data.get("counts") or {}
+                                ).items()
+                            }
+                    except (ValueError, OSError):
+                        pass  # legacy plain-text marker: no counts
+                    cache[key] = counts
+                out.update(cache[key])
+        return out
+
     class _LogRange(InputPartition):
         def __init__(self, path, p, start, end, file_counts, broker=None):
             self.path = path
@@ -947,6 +1092,14 @@ def register_log_datasource(spark: SparkSession) -> str:
             cache = getattr(self, "_count_cache", None)
             if cache is None:
                 cache = self._count_cache = {}
+            side_cache = getattr(self, "_sidecar_cache", None)
+            if side_cache is None:
+                side_cache = self._sidecar_cache = {}
+            # producer-written counts first (base-load sidecar + epoch
+            # markers + replica sidecar): offset discovery is then pure
+            # metadata; only unindexed segments fall back to the
+            # (size, mtime)-memoized line scan below
+            side = _closure_producer_counts(self.path, side_cache)
             self._file_counts = {}
             out = {}
             for p in self._parts():
@@ -964,16 +1117,21 @@ def register_log_datasource(spark: SparkSession) -> str:
                 except OSError:
                     files = []
                 for f in files:
-                    try:
-                        st = os.stat(f)
-                        key = (f, st.st_size, st.st_mtime_ns)
-                    except OSError:
-                        continue
-                    if key not in cache:
-                        with open(f, "rb") as fh:
-                            cache[key] = sum(1 for _ in fh)
-                    fcs.append((f, cache[key]))
-                    n += cache[key]
+                    rel = f"p={p}/{os.path.basename(f)}"
+                    if rel in side:
+                        cnt = side[rel]
+                    else:
+                        try:
+                            st = os.stat(f)
+                            key = (f, st.st_size, st.st_mtime_ns)
+                        except OSError:
+                            continue
+                        if key not in cache:
+                            with open(f, "rb") as fh:
+                                cache[key] = sum(1 for _ in fh)
+                        cnt = cache[key]
+                    fcs.append((f, cnt))
+                    n += cnt
                 self._file_counts[p] = fcs
                 out[p] = n
             return out
@@ -1160,6 +1318,7 @@ def register_log_datasource(spark: SparkSession) -> str:
     # — expose them so unit tests can drive the reader's planning/read
     # contract (truncation detection, pooling) without a live stream
     register_log_datasource.classes = {
+        "datasource": LogDataSource,
         "reader": LogStreamReader,
         "range": _LogRange,
         "exchange": _broker_exchange,
@@ -1259,6 +1418,7 @@ def append_epoch(
             .partitionBy("p")
             .text(staging)
         )
+        published: list[tuple[int, str]] = []
         for p in range(partitions):
             sdir = os.path.join(staging, f"p={p}")
             try:
@@ -1272,14 +1432,20 @@ def append_epoch(
             ddir = os.path.join(path, f"p={p}")
             os.makedirs(ddir, exist_ok=True)
             for j, f in enumerate(files):
-                os.replace(
-                    os.path.join(sdir, f),
-                    os.path.join(ddir, f"part-e{epoch:08d}-{j:04d}.txt"),
-                )
+                dest = os.path.join(ddir, f"part-e{epoch:08d}-{j:04d}.txt")
+                os.replace(os.path.join(sdir, f), dest)
+                published.append((p, dest))
+        # producer-side offset index: the marker carries this epoch's
+        # per-segment record counts (counted once here, page-warm), so
+        # consumer offset discovery never re-scans committed epochs
+        counts = {
+            f"p={p}/{os.path.basename(dest)}": _count_lines(dest)
+            for p, dest in published
+        }
         # atomic commit point: the epoch exists iff this marker does
         tmp_marker = os.path.join(staging, "_marker")
         with open(tmp_marker, "w") as fh:
-            fh.write(str(epoch))
+            json.dump({"epoch": epoch, "counts": counts}, fh)
         os.replace(tmp_marker, marker)
     finally:
         shutil.rmtree(staging, ignore_errors=True)
@@ -1472,6 +1638,12 @@ class ConsumerGroup:
         cache = getattr(self, "_count_cache", None)
         if cache is None:
             cache = self._count_cache = {}
+        side_cache = getattr(self, "_sidecar_cache", None)
+        if side_cache is None:
+            side_cache = self._sidecar_cache = {}
+        # producer-written counts skip whole consumed segments without
+        # even opening them; unindexed segments use the memoized scan
+        side = _producer_counts(self.topic, side_cache)
         out: list[tuple[str, str, int, int]] = []
         self._fetched: dict[int, int] = {}
         for p in self.assignment():
@@ -1479,16 +1651,21 @@ class ConsumerGroup:
             end = start
             off = 0
             for f in _segment_files(self.topic, p):
-                try:
-                    st = os.stat(f)
-                    key = (f, st.st_size, st.st_mtime_ns)
-                except OSError:
-                    continue
-                if key not in cache:
-                    with open(f, "rb") as fh:
-                        cache[key] = sum(1 for _ in fh)
-                if off + cache[key] <= start:
-                    off += cache[key]  # whole segment already consumed
+                rel = f"p={p}/{os.path.basename(f)}"
+                if rel in side:
+                    seg_n = side[rel]
+                else:
+                    try:
+                        st = os.stat(f)
+                        key = (f, st.st_size, st.st_mtime_ns)
+                    except OSError:
+                        continue
+                    if key not in cache:
+                        with open(f, "rb") as fh:
+                            cache[key] = sum(1 for _ in fh)
+                    seg_n = cache[key]
+                if off + seg_n <= start:
+                    off += seg_n  # whole segment already consumed
                     continue
                 if end - start >= max_records:
                     break

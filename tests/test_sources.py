@@ -1768,3 +1768,131 @@ def test_corpus_source_orc_roundtrip(spark, sf_dir, tmp_path):
     assert pruned.columns == ["doc_id", "text"]
     got = {r["doc_id"]: r["text"] for r in pruned.collect()}
     assert got == {r["doc_id"]: r["text"] for r in docs.collect()}
+
+
+def test_minilog_offset_discovery_is_index_served(spark, tmp_path, monkeypatch):
+    """r11: producer-written count index (the Kafka model — the broker
+    side knows its own end offsets). stage_topic writes
+    _base-counts.json, append_epoch's commit marker carries its epoch's
+    per-segment counts; with every segment indexed, offset discovery
+    must succeed WITHOUT opening a single segment — pinned by making the
+    line-scan fallback raise."""
+    from proteus_spark.sources import minilog
+
+    df = spark.createDataFrame(
+        [(str(i), f"v{i}") for i in range(40)], "key string, value string"
+    )
+    topic = str(tmp_path / "topic")
+    ends = minilog.stage_topic(df, topic, partitions=4)
+    assert sum(ends.values()) == 40
+
+    epoch_df = spark.createDataFrame(
+        [(str(i), f"e{i}") for i in range(10)], "key string, value string"
+    )
+    assert minilog.append_epoch(epoch_df, topic, epoch=1, partitions=4)
+
+    side = minilog._producer_counts(topic, {})
+    # every committed segment on disk is covered by the index
+    all_segs = {
+        f"p={p}/{f.rsplit('/', 1)[-1]}"
+        for p in range(4)
+        for f in minilog._segment_files(topic, p)
+    }
+    assert all_segs and all_segs == set(side), (all_segs, set(side))
+    # index values are the truth (independent recount before the patch)
+    truth = {
+        rel: minilog._count_lines(f"{topic}/{rel}") for rel in all_segs
+    }
+    assert side == truth
+
+    def boom(fp):  # any fallback line-scan means the index was bypassed
+        raise AssertionError(f"segment opened for counting: {fp}")
+
+    monkeypatch.setattr(minilog, "_count_lines", boom)
+    assert sum(minilog.end_offsets(topic, 4).values()) == 50
+
+
+def test_minilog_follower_persists_replica_count_index(spark, tmp_path):
+    """A Follower learns each replicated segment's count from the fetch
+    header it already received; it must persist that as
+    _replica-counts.json so the replica's own offset discovery (and its
+    restart's end_offsets) is index-served too."""
+    from proteus_spark.sources import minilog
+
+    df = spark.createDataFrame(
+        [(str(i), f"v{i}") for i in range(30)], "key string, value string"
+    )
+    topic = str(tmp_path / "leader")
+    minilog.stage_topic(df, topic, partitions=2)
+    replica = str(tmp_path / "replica")
+    with minilog.Broker(topic) as b:
+        f = minilog.Follower(b.host, b.port, replica, partitions=2)
+        moved = f.poll_once()
+        assert moved == 30
+    side = minilog._producer_counts(replica, {})
+    segs = {
+        f"p={p}/{fp.rsplit('/', 1)[-1]}"
+        for p in range(2)
+        for fp in minilog._segment_files(replica, p)
+    }
+    assert segs and segs == set(side)
+    assert sum(side.values()) == 30
+    assert sum(minilog.end_offsets(replica, 2).values()) == 30
+
+
+def test_log_datasource_pickles_without_module_reference(spark, tmp_path):
+    """The closure-pickling rule, pinned (r11 regression: a nested
+    reader method referenced a MODULE-level helper and every
+    proteus_log query died in the Python worker with
+    ModuleNotFoundError when the driver ran from a foreign cwd): the
+    registered DataSource class and its reader must cloudpickle and
+    UNPICKLE in an interpreter whose sys.path does NOT contain the
+    repo. The subprocess also exercises a reader method end-to-end so
+    a by-reference global in any method body fails the test, not just
+    one in the class graph."""
+    import subprocess
+    import sys
+    import textwrap
+
+    from pyspark.serializers import CloudPickleSerializer
+
+    from proteus_spark.sources import minilog
+
+    df = spark.createDataFrame(
+        [(str(i), f"v{i}") for i in range(12)], "key string, value string"
+    )
+    topic = str(tmp_path / "topic")
+    minilog.stage_topic(df, topic, partitions=2)
+
+    minilog.register_log_datasource(spark)
+    ds_cls = minilog.register_log_datasource.classes["datasource"]
+    blob = CloudPickleSerializer().dumps(ds_cls)
+    blob_path = tmp_path / "ds.pkl"
+    blob_path.write_bytes(blob)
+
+    script = textwrap.dedent(
+        f"""
+        import pickle, sys
+        sys.path = [p for p in sys.path if "repo" not in p]
+        for mod in list(sys.modules):
+            if mod.startswith("proteus_spark"):
+                del sys.modules[mod]
+        blob = open({str(blob_path)!r}, "rb").read()
+        ds_cls = pickle.loads(blob)
+        ds = ds_cls({{"path": {topic!r}, "partitions": "2"}})
+        r = ds.streamReader(None)
+        ends = r.latestOffset()
+        total = sum(int(v) for v in ends.values())
+        assert total == 12, ends
+        print("OK", total)
+        """
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", script],
+        capture_output=True,
+        text=True,
+        cwd="/tmp",
+        timeout=120,
+    )
+    assert out.returncode == 0, out.stderr
+    assert "OK 12" in out.stdout
