@@ -917,7 +917,25 @@ class _H2Client:
                 if flags & FLAG_END_STREAM:
                     return resp_headers, bytes(data), trailers
             elif ftype == F_GOAWAY:
-                raise RuntimeError("server sent GOAWAY")
+                # surface the RFC 9113 error code the server now sends
+                # on violations (r11) — peers distinguish a protocol
+                # violation from a network failure by exactly this
+                code = (
+                    int.from_bytes(payload[4:8], "big")
+                    if len(payload) >= 8
+                    else 0
+                )
+                names = {
+                    0x0: "NO_ERROR",
+                    ERR_PROTOCOL: "PROTOCOL_ERROR",
+                    ERR_FRAME_SIZE: "FRAME_SIZE_ERROR",
+                    ERR_COMPRESSION: "COMPRESSION_ERROR",
+                    ERR_CALM: "ENHANCE_YOUR_CALM",
+                }
+                raise RuntimeError(
+                    f"server sent GOAWAY "
+                    f"({names.get(code, hex(code))})"
+                )
 
     def close(self) -> None:
         try:
