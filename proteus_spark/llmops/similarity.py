@@ -280,6 +280,20 @@ def ivf_topk(
     broadcast join — both small by construction; the per-query sort is
     over #centroids rows, never corpus-sized)."""
     assigned = ivf_assign(vectors, centroids, id_col, vec_col)
+    probes = _ivf_probes(centroids, queries, nprobe, id_col, vec_col)
+    return _ivf_score_probes(assigned, probes, k)
+
+
+def _ivf_probes(
+    centroids: DataFrame,
+    queries: DataFrame,
+    nprobe: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(qid, qvec, qnorm, qbucket): each query's nprobe nearest centroid
+    ids — the probe plan both ivf_topk (in-memory assignment) and
+    ivf_topk_indexed (partitioned index table) share."""
     c = centroids.select(
         F.col(id_col).alias("cid"),
         F.col(vec_col).alias("cvec"),
@@ -298,11 +312,16 @@ def ivf_topk(
         ),
     )
     wq = W.partitionBy("qid").orderBy(F.desc("csim"), F.asc("cid"))
-    probes = (
+    return (
         qc.withColumn("_pr", F.row_number().over(wq))
         .filter(F.col("_pr") <= nprobe)
         .select("qid", "qvec", "qnorm", F.col("cid").alias("qbucket"))
     )
+
+
+def _ivf_score_probes(
+    assigned: DataFrame, probes: DataFrame, k: int
+) -> DataFrame:
     cand = assigned.select(
         F.col("vec_id").alias("nid"),
         F.col("embedding").alias("nvec"),
@@ -322,6 +341,48 @@ def ivf_topk(
         ),
     )
     return _two_phase_topk(scored, k)
+
+
+def ivf_index_write(assigned: DataFrame, path: str) -> None:
+    """Persist the IVF index (vec_id, embedding, bucket) AS A MAINTAINED
+    TABLE partitioned on bucket — the deployment shape of the assignment
+    frame ivf_assign computes and stream_ann_ingest appends to. Probes
+    then read ONLY their buckets' partitions (ivf_topk_indexed); at
+    100 TB the partition count is the #centroids, which SemDeDup/IVF
+    practice already scales with the corpus (constant partition size)."""
+    assigned.write.mode("overwrite").partitionBy("bucket").parquet(path)
+
+
+def ivf_topk_indexed(
+    index: DataFrame,
+    centroids: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    nprobe: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ivf_topk served from the PARTITIONED index table ivf_index_write
+    maintains (``index`` = spark.read.parquet(<path>), resolved once —
+    the cached file index is reused across query batches, the
+    lsh_match_against_bucketed contract): the query batch's probed
+    bucket set — at most |queries| x nprobe ids, a bounded pull —
+    becomes a STATIC partition filter on the index scan, so a probe
+    reads only its buckets' partitions instead of the whole index. Same
+    results as ivf_topk by construction (the filter keeps every bucket
+    the probe join would match; equality-tested). The 100 TB serving
+    shape for §2.5's index story on the vector side."""
+    # materialized once: it feeds both the bucket pull and the probe join
+    probes = _ivf_probes(
+        centroids, queries, nprobe, id_col, vec_col
+    ).localCheckpoint(eager=True)
+    bks = [r["qbucket"] for r in probes.select("qbucket").distinct().collect()]
+    pruned = (
+        index.where(F.col("bucket").isin(bks))
+        if bks
+        else index.where(F.lit(False))
+    )
+    return _ivf_score_probes(pruned, probes, k)
 
 
 # ---------------------------------------------------------------------------

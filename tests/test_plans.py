@@ -1031,3 +1031,49 @@ def test_semdedup_match_broadcasts_arriving_batch(spark, sf_dir):
         assert "InMemoryTableScan" in p, p
     finally:
         idx.unpersist()
+
+
+def test_ivf_indexed_topk_prunes_partitions_and_matches(spark, sf_dir, tmp_path):
+    """The bucketed-lake pattern applied to the VECTOR index (§2.5 at
+    100 TB): ivf_index_write persists the assignment frame partitioned
+    on bucket; ivf_topk_indexed turns the query batch's probed-bucket
+    set into a static partition filter on the index scan. Pins: the
+    index scan carries a PartitionFilters on bucket, the probe set is a
+    PROPER subset of the on-disk partitions, and results equal the
+    in-memory ivf_topk exactly."""
+    import os
+
+    from proteus_spark.llmops.similarity import (
+        ivf_assign,
+        ivf_index_write,
+        ivf_topk,
+        ivf_topk_indexed,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = emb.filter(F.col("vec_id") < 10)
+    idx_path = str(tmp_path / "ivf_index")
+    ivf_index_write(ivf_assign(emb, cents), idx_path)
+    index = spark.read.parquet(idx_path)
+
+    queries = emb.filter(F.col("vec_id") < 3)  # <=3 probed buckets of 10
+    out = ivf_topk_indexed(index, cents, queries, k=3, nprobe=1)
+    p = out._jdf.queryExecution().executedPlan().toString()
+    scans = [
+        ln for ln in p.splitlines()
+        if "FileScan" in ln and "ivf_index" in ln
+    ]
+    assert scans, p
+    assert any(
+        "PartitionFilters" in ln
+        and "bucket" in ln.split("PartitionFilters", 1)[1][:200]
+        for ln in scans
+    ), "\n".join(scans)
+    n_disk = len(
+        [d for d in os.listdir(idx_path) if d.startswith("bucket=")]
+    )
+    assert n_disk > 3  # the probe set is a proper subset
+
+    want = sorted(map(tuple, ivf_topk(emb, cents, queries, k=3).collect()))
+    got = sorted(map(tuple, out.collect()))
+    assert got == want and len(got) > 0
