@@ -715,12 +715,20 @@ class GrpcQueryServer(wire.ProtobufQueryServer):
                     # closing with unread client bytes pending would RST
                     # the connection and discard the GOAWAY in flight:
                     # half-close our side and briefly drain theirs so
-                    # the frame is deliverable (bounded — 1s ceiling on
-                    # a peer that keeps sending)
+                    # the frame is deliverable. The drain is bounded by
+                    # a TOTAL deadline, not just per-recv — a peer
+                    # dribbling one byte per 0.9s must not pin this
+                    # thread open-endedly
+                    import time as _time
+
                     conn.shutdown(socket.SHUT_WR)
-                    conn.settimeout(1.0)
-                    while conn.recv(65536):
-                        pass
+                    deadline = _time.monotonic() + 1.0
+                    while _time.monotonic() < deadline:
+                        conn.settimeout(
+                            max(0.05, deadline - _time.monotonic())
+                        )
+                        if not conn.recv(65536):
+                            break
                 except OSError:
                     pass
         finally:
