@@ -559,18 +559,27 @@ class _GrpcStream:
         trailers = [("grpc-status", str(status))]
         if message:
             trailers.append(("grpc-message", _percent_encode(message[:500])))
-        if not self.headers_sent:
-            # gRPC Trailers-Only response: one HEADERS frame carrying
-            # response headers + trailers, END_STREAM set
-            self.headers_sent = True
-            self.conn.send_headers(
-                self.stream_id,
-                [(":status", "200"), ("content-type", "application/grpc")]
-                + trailers,
-                end_stream=True,
-            )
-            return
-        self.conn.send_headers(self.stream_id, trailers, end_stream=True)
+        try:
+            if not self.headers_sent:
+                # gRPC Trailers-Only response: one HEADERS frame carrying
+                # response headers + trailers, END_STREAM set
+                self.headers_sent = True
+                self.conn.send_headers(
+                    self.stream_id,
+                    [(":status", "200"), ("content-type", "application/grpc")]
+                    + trailers,
+                    end_stream=True,
+                )
+                return
+            self.conn.send_headers(self.stream_id, trailers, end_stream=True)
+        finally:
+            # trailers terminate the stream: drop its flow-control and
+            # reset bookkeeping so a long-lived connection's per-stream
+            # state stays bounded by CONCURRENT streams, not by every
+            # stream id ever served
+            with self.conn.flow:
+                self.conn.stream_windows.pop(self.stream_id, None)
+                self.conn.reset_streams.discard(self.stream_id)
 
 
 def _percent_encode(msg: str) -> str:

@@ -946,3 +946,24 @@ def test_goaway_error_codes_by_violation_class(engine):
         goaways = [f for f in frames if f[0] == h2.F_GOAWAY]
         assert goaways
         assert int.from_bytes(goaways[-1][2][4:8], "big") == h2.ERR_COMPRESSION
+
+
+def test_stream_state_cleaned_at_trailers():
+    """Per-stream flow-control/reset bookkeeping must not accrete over a
+    long-lived connection: trailers terminate the stream, so after N
+    sequential streams the connection's per-stream maps are empty —
+    state is bounded by CONCURRENT streams, not streams ever served."""
+
+    class _FakeSock:
+        def sendall(self, b):
+            pass
+
+    conn = h2._H2Conn(_FakeSock())
+    for sid in range(1, 201, 2):
+        s = h2._GrpcStream(conn, sid)
+        s.send_response_headers()
+        conn.send_data(sid, b"x", end_stream=False)
+        conn.reset_streams.add(sid + 1000001)  # unrelated id stays
+        s.send_trailers(0)
+    assert conn.stream_windows == {}
+    assert all(x > 1000000 for x in conn.reset_streams)
