@@ -1672,6 +1672,57 @@ def stream_quality_gate(spark, sf_dir):
         shutil.rmtree(outdir, ignore_errors=True)
 
 
+def _stream_semdedup_oracle() -> str:
+    """DRAFT oracle for the round-12 `stream_semdedup_ingest` candidate
+    (NOT registered — the 175 cap binds until the round-12 audit; parity
+    is already pinned locally by
+    tests/test_streaming.py::test_stream_semdedup_oracle_parity so
+    registration is a reorder, not new work). Shape per ROTATION.md:
+    centroids = vec_id < 10 with the `stream_ann_ingest` assignment CTE
+    verbatim (same cosine, same lowest-cid tie-break, assignment is
+    per-vector independent so assign-all-then-split equals the engine's
+    separate lake/batch assignments), vectors normalized with the
+    IDENTICAL IEEE op order the llm_semdedup oracles replay, pairwise
+    round-6 dot vs tau = 0.3."""
+    from proteus_spark.queries.llm import _cos_sql, _dot_sql
+    from proteus_spark.llmops import similarity as S
+
+    cos_vc = _cos_sql("v.vec", "c.cvec")
+    pair = _dot_sql("a.uvec", "l.uvec")
+    return f"""
+    WITH c AS (SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+               WHERE vec_id < 10),
+    v AS (SELECT vec_id, embedding AS vec FROM embeddings),
+    assigned AS (
+      SELECT vec_id, vec, cid AS bucket FROM (
+        SELECT v.vec_id, v.vec, c.cid,
+               row_number() OVER (PARTITION BY v.vec_id
+                                  ORDER BY round({cos_vc}, 6) DESC, c.cid)
+                 AS rn
+        FROM v CROSS JOIN c)
+      WHERE rn = 1),
+    uv AS MATERIALIZED (
+      SELECT vec_id, bucket,
+             list_transform(vec, e -> CAST(e AS DOUBLE) / nrm) AS uvec
+      FROM (SELECT vec_id, bucket, vec,
+                   sqrt({_dot_sql('vec', 'vec')}) AS nrm
+            FROM assigned)),
+    lakeu AS (SELECT * FROM uv WHERE vec_id % 4 = 0),
+    arru  AS (SELECT * FROM uv WHERE vec_id % 4 <> 0),
+    hits AS (
+      SELECT a.vec_id, count(*) AS n, max(round({pair}, 6)) AS mx
+      FROM arru a JOIN lakeu l ON a.bucket = l.bucket
+      WHERE round({pair}, 6) >= {S.SEMDEDUP_TAU}
+      GROUP BY a.vec_id)
+    SELECT ar.vec_id, CAST(ar.bucket AS BIGINT) AS cid,
+           CAST(COALESCE(h.n, 0) AS BIGINT) AS n_lake_near,
+           h.mx AS max_sim,
+           CAST(CASE WHEN COALESCE(h.n, 0) > 0 THEN 1 ELSE 0 END AS BIGINT)
+             AS is_dup
+    FROM arru ar LEFT JOIN hits h ON h.vec_id = ar.vec_id
+    """
+
+
 @register(
     "stream_ann_ingest",
     # oracle = the batch IVF assignment (same centroid rule as llm_sim_ivf:

@@ -1952,3 +1952,33 @@ def test_semdedup_on_ingest_converges_to_batch(spark, sf_dir):
     finally:
         idx.unpersist()
         shutil.rmtree(outdir, ignore_errors=True)
+
+
+def test_stream_semdedup_oracle_parity(spark, sf_dir):
+    """The round-12 candidate's DRAFT oracle, pinned against the batch
+    gate NOW (the cap blocks registration until the r12 audit; this
+    makes registration a pure reorder): semdedup_match_against over the
+    frozen lake index must match the DuckDB oracle row-for-row — same
+    count/columns/values — at the registration split (centroids
+    vec_id < 10, lake vec_id % 4 = 0)."""
+    from pyspark.sql import functions as F
+
+    from proteus_spark.llmops.similarity import (
+        semdedup_lake_index,
+        semdedup_match_against,
+    )
+    from proteus_spark.queries.streaming import _stream_semdedup_oracle
+    from tests.oracle_utils import compare, duckdb_conn
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = emb.filter(F.col("vec_id") < 10)
+    lake = emb.filter(F.col("vec_id") % 4 == 0)
+    arriving = emb.filter(F.col("vec_id") % 4 != 0)
+    idx = semdedup_lake_index(lake, cents).cache()
+    idx.count()
+    try:
+        out = semdedup_match_against(arriving, idx, cents)
+        problems = compare(out, duckdb_conn(sf_dir), _stream_semdedup_oracle())
+        assert problems == [], problems
+    finally:
+        idx.unpersist()
