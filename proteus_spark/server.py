@@ -38,6 +38,11 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 from proteus_spark.engine import Engine
 
+# a request here is a small JSON object carrying SQL; an attacker-declared
+# Content-Length must not drive the read's allocation (the same intake
+# bound the wire/h2 transports enforce — 64 MB mirrors h2's request cap)
+MAX_REQUEST_BODY = 64 << 20
+
 
 class QueryServer:
     """Serve an ``Engine`` over HTTP; ``with QueryServer(engine) as url:``
@@ -72,6 +77,13 @@ class QueryServer:
 
             def _body(self) -> dict:
                 n = int(self.headers.get("Content-Length", "0"))
+                if n > MAX_REQUEST_BODY:
+                    # attacker-declared length must not drive the
+                    # allocation (the wire/h2 intake-bound rule applied
+                    # to the HTTP transport): reject loudly, read nothing
+                    raise ValueError(
+                        f"request body {n} exceeds limit {MAX_REQUEST_BODY}"
+                    )
                 raw = self.rfile.read(n) if n else b"{}"
                 return json.loads(raw or b"{}")
 

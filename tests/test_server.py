@@ -207,3 +207,30 @@ def test_http_query_stream_with_live_view_pushes_updates(spark, engine):
     finally:
         view.stop()
         cdc.cleanup(src)
+
+
+def test_http_forged_content_length_rejected_and_server_survives(engine):
+    """The HTTP transport's intake bound (the wire/h2 rule applied here,
+    r11): a forged multi-GB Content-Length must be rejected with 400
+    BEFORE any body read drives an allocation, and a fresh request must
+    serve normally."""
+    import socket
+
+    from proteus_spark import server as srv_mod
+
+    with QueryServer(engine) as url:
+        host, port = url.split("//", 1)[1].rstrip("/").split(":")
+        sk = socket.create_connection((host, int(port)), timeout=10)
+        sk.sendall(
+            b"POST /query HTTP/1.1\r\n"
+            b"Host: x\r\n"
+            b"Content-Type: application/json\r\n"
+            + f"Content-Length: {srv_mod.MAX_REQUEST_BODY + 1}\r\n".encode()
+            + b"\r\n"
+        )  # no body follows — the length alone must trigger the reject
+        sk.settimeout(10)
+        status = sk.recv(65536).split(b"\r\n", 1)[0]
+        sk.close()
+        assert b"400" in status, status
+        ok = _post(f"{url}/query", {"sql": "SELECT 1 AS one"})
+        assert ok["records"] == [{"one": "1"}]
