@@ -1896,3 +1896,46 @@ def test_log_datasource_pickles_without_module_reference(spark, tmp_path):
     )
     assert out.returncode == 0, out.stderr
     assert "OK 12" in out.stdout
+
+
+def test_minilog_index_matches_line_truth_across_lifecycle(spark, tmp_path):
+    """Property-style lifecycle check for the r11 producer-written count
+    index: across a staged bulk load + several epochs of varying sizes
+    (including an empty partition and a replayed epoch), the index-served
+    end_offsets must equal a from-scratch line recount at every step."""
+    from proteus_spark.sources import minilog
+
+    topic = str(tmp_path / "t")
+    sizes = [17, 5, 40]
+    df = spark.createDataFrame(
+        [(str(i), f"v{i}") for i in range(23)], "key string, value string"
+    )
+    minilog.stage_topic(df, topic, partitions=3)
+
+    def truth():
+        out = {}
+        for p in range(3):
+            out[p] = sum(
+                minilog._count_lines(f)
+                for f in minilog._segment_files(topic, p)
+            )
+        return out
+
+    assert minilog.end_offsets(topic, 3) == truth()
+    for ep, n in enumerate(sizes, start=1):
+        edf = spark.createDataFrame(
+            [(str(i % 7), f"e{ep}-{i}") for i in range(n)],
+            "key string, value string",
+        )
+        assert minilog.append_epoch(edf, topic, epoch=ep, partitions=3)
+        # replay of a committed epoch must be a no-op for offsets
+        assert not minilog.append_epoch(edf, topic, epoch=ep, partitions=3)
+        assert minilog.end_offsets(topic, 3) == truth()
+    # the index covers every committed segment (no fallback needed)
+    side = minilog._producer_counts(topic, {})
+    segs = {
+        f"p={p}/{f.rsplit('/', 1)[-1]}"
+        for p in range(3)
+        for f in minilog._segment_files(topic, p)
+    }
+    assert segs == set(side)
