@@ -476,6 +476,11 @@ class _H2Conn:
         self.flow = threading.Condition()
         self.closed = False
         self.reset_streams: set[int] = set()
+        # stream ids with a live handler (added at dispatch, dropped at
+        # trailers): per-stream state — windows, resets — is tracked ONLY
+        # for these, so RST/WINDOW_UPDATE floods over arbitrary ids
+        # cannot grow connection state (the r11 aggregate-bound rule)
+        self.dispatched: set[int] = set()
 
     def write(self, raw: bytes) -> None:
         with self.wlock:
@@ -524,11 +529,18 @@ class _H2Conn:
         with self.flow:
             if stream_id == 0:
                 self.conn_window += increment
-            else:
+            elif (
+                stream_id in self.dispatched
+                or stream_id in self.stream_windows
+            ):
                 self.stream_windows[stream_id] = (
                     self.stream_windows.get(stream_id, self.init_window)
                     + increment
                 )
+            # else: update for an idle/closed stream — legal to receive
+            # after close (RFC 9113 §5.1), but it must not CREATE state:
+            # a flood of updates over arbitrary ids would otherwise grow
+            # stream_windows without bound
             self.flow.notify_all()
 
 
@@ -580,6 +592,7 @@ class _GrpcStream:
             with self.conn.flow:
                 self.conn.stream_windows.pop(self.stream_id, None)
                 self.conn.reset_streams.discard(self.stream_id)
+                self.conn.dispatched.discard(self.stream_id)
 
 
 def _percent_encode(msg: str) -> str:
@@ -646,8 +659,22 @@ class GrpcQueryServer(wire.ProtobufQueryServer):
                 elif ftype == F_GOAWAY:
                     return
                 elif ftype == F_RST:
+                    # free the cancelled stream's assembly state — it
+                    # would otherwise count against the per-connection
+                    # aggregates forever (a client cancelling >cap
+                    # requests over a connection's lifetime must not
+                    # get torn down as hostile)
+                    req_headers.pop(sid, None)
+                    req_body.pop(sid, None)
+                    hdr_frag.pop(sid, None)
+                    hdr_end_stream.pop(sid, None)
                     with h2.flow:
-                        h2.reset_streams.add(sid)
+                        # record the reset ONLY for a live handler (it
+                        # reads this to stop writing; trailers clean it
+                        # up) — arbitrary-id RST floods must not grow
+                        # the set
+                        if sid in h2.dispatched:
+                            h2.reset_streams.add(sid)
                         h2.flow.notify_all()
                 elif ftype == F_HEADERS:
                     body = _strip_padding(payload, flags)
@@ -706,12 +733,19 @@ class GrpcQueryServer(wire.ProtobufQueryServer):
                 msg = str(exc)
                 if "MAX_FRAME" in msg:
                     code = ERR_FRAME_SIZE
-                elif "exceed" in msg:
-                    code = ERR_CALM
                 elif isinstance(exc, ValueError) and (
                     "hpack" in msg or "huffman" in msg
                 ):
+                    # checked BEFORE the intake-bound match: the hpack
+                    # table-size message also says "exceeds", and RFC
+                    # 9113 requires COMPRESSION_ERROR for HPACK faults
                     code = ERR_COMPRESSION
+                elif "exceeds limit" in msg or "exceed limit" in msg:
+                    # exactly the four intake-bound messages (header
+                    # block / request body / open streams / connection
+                    # buffer); "padding exceeds frame" deliberately
+                    # falls through to PROTOCOL_ERROR
+                    code = ERR_CALM
                 else:
                     code = ERR_PROTOCOL
                 try:
@@ -777,6 +811,8 @@ class GrpcQueryServer(wire.ProtobufQueryServer):
     def _dispatch(self, h2, sid, req_headers, req_body) -> None:
         headers = req_headers.pop(sid, [])
         body = bytes(req_body.pop(sid, b""))
+        with h2.flow:
+            h2.dispatched.add(sid)
         threading.Thread(
             target=self._run_method,
             args=(h2, sid, dict(headers), body),

@@ -1293,13 +1293,19 @@ def semdedup_lake_index(
     bucket — the same partition-pruned probe already demonstrated for
     the LSH gate (dedup.lsh_lake_write / lsh_match_against_bucketed)."""
     assigned = ivf_assign(emb.select("vec_id", "embedding"), centroids)
-    return assigned.select(
-        "bucket",
-        F.col("vec_id").alias("lake_id"),
-        F.transform(
-            F.col("embedding"),
-            lambda x: x.cast("double") / norm(F.col("embedding")),
-        ).alias("lvec"),
+    # hoist the norm to a column FIRST: embedded in the transform lambda
+    # it would re-evaluate the full array fold per ELEMENT — O(d^2) per
+    # vector (the semdedup_prune_assigned uvec lesson; bit-identical)
+    return (
+        assigned.withColumn("_n", norm(F.col("embedding")))
+        .select(
+            "bucket",
+            F.col("vec_id").alias("lake_id"),
+            F.transform(
+                F.col("embedding"),
+                lambda x: x.cast("double") / F.col("_n"),
+            ).alias("lvec"),
+        )
     )
 
 
@@ -1334,13 +1340,16 @@ def semdedup_match_against(
     test_semdedup_on_ingest_converges_to_batch; per-batch plan pinned
     by test_semdedup_match_broadcasts_arriving_batch."""
     assigned = ivf_assign(batch.select("vec_id", "embedding"), centroids)
-    bb = assigned.select(
-        "bucket",
-        "vec_id",
-        F.transform(
-            F.col("embedding"),
-            lambda x: x.cast("double") / norm(F.col("embedding")),
-        ).alias("uvec"),
+    bb = (
+        assigned.withColumn("_n", norm(F.col("embedding")))
+        .select(
+            "bucket",
+            "vec_id",
+            F.transform(
+                F.col("embedding"),
+                lambda x: x.cast("double") / F.col("_n"),
+            ).alias("uvec"),
+        )
     )
     hits = (
         F.broadcast(bb)

@@ -77,12 +77,16 @@ class QueryServer:
 
             def _body(self) -> dict:
                 n = int(self.headers.get("Content-Length", "0"))
-                if n > MAX_REQUEST_BODY:
+                if n < 0 or n > MAX_REQUEST_BODY:
                     # attacker-declared length must not drive the
                     # allocation (the wire/h2 intake-bound rule applied
-                    # to the HTTP transport): reject loudly, read nothing
+                    # to the HTTP transport): reject loudly, read
+                    # nothing. Negative is rejected too — it would make
+                    # rfile.read(-1) buffer the peer's bytes until EOF,
+                    # the exact unbounded read the cap exists to prevent
                     raise ValueError(
-                        f"request body {n} exceeds limit {MAX_REQUEST_BODY}"
+                        f"request body length {n} outside "
+                        f"[0, {MAX_REQUEST_BODY}]"
                     )
                 raw = self.rfile.read(n) if n else b"{}"
                 return json.loads(raw or b"{}")

@@ -194,10 +194,15 @@ def _producer_counts(path: str, cache: dict | None = None) -> dict[str, int]:
             fp = os.path.join(path, f)
             try:
                 st = os.stat(fp)
-                key = (fp, st.st_size, st.st_mtime_ns)
+                stat_key = (st.st_size, st.st_mtime_ns)
             except OSError:
                 continue
-            if key not in cache:
+            # keyed by PATH with the stat alongside: a rewritten source
+            # (the Follower rewrites _replica-counts.json every cycle)
+            # REPLACES its entry instead of accreting one per rewrite —
+            # the superseded-key eviction _IndexCache documents
+            cached = cache.get(fp)
+            if cached is None or cached[0] != stat_key:
                 counts: dict[str, int] = {}
                 try:
                     with open(fp) as fh:
@@ -209,8 +214,8 @@ def _producer_counts(path: str, cache: dict | None = None) -> dict[str, int]:
                         }
                 except (ValueError, OSError):
                     pass  # legacy plain-text marker: carries no counts
-                cache[key] = counts
-            out.update(cache[key])
+                cache[fp] = cached = (stat_key, counts)
+            out.update(cached[1])
     return out
 
 
@@ -975,10 +980,11 @@ def register_log_datasource(spark: SparkSession) -> str:
                 fp = os.path.join(path, f)
                 try:
                     st = os.stat(fp)
-                    key = (fp, st.st_size, st.st_mtime_ns)
+                    stat_key = (st.st_size, st.st_mtime_ns)
                 except OSError:
                     continue
-                if key not in cache:
+                cached = cache.get(fp)
+                if cached is None or cached[0] != stat_key:
                     counts: dict = {}
                     try:
                         with open(fp) as fh:
@@ -992,8 +998,8 @@ def register_log_datasource(spark: SparkSession) -> str:
                             }
                     except (ValueError, OSError):
                         pass  # legacy plain-text marker: no counts
-                    cache[key] = counts
-                out.update(cache[key])
+                    cache[fp] = cached = (stat_key, counts)
+                out.update(cached[1])
         return out
 
     class _LogRange(InputPartition):

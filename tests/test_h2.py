@@ -967,3 +967,47 @@ def test_stream_state_cleaned_at_trailers():
         s.send_trailers(0)
     assert conn.stream_windows == {}
     assert all(x > 1000000 for x in conn.reset_streams)
+
+
+def test_rst_flood_frees_state_and_legit_cancels_survive(engine):
+    """r11 review fixes: (a) RST frees a cancelled stream's assembly
+    state, so a client cancelling MORE than MAX_CONCURRENT_STREAMS
+    in-flight requests over one connection is NOT torn down as hostile;
+    (b) RST/WINDOW_UPDATE over arbitrary idle ids create no per-stream
+    state (unit-checked on the connection object)."""
+    with h2.GrpcQueryServer(engine) as srv:
+        sk = socket.create_connection((srv.host, srv.port), timeout=10)
+        sk.sendall(h2.PREFACE + h2.pack_frame(h2.F_SETTINGS, 0, 0, b""))
+        # open-then-cancel 2x the stream cap: HEADERS (no END_STREAM)
+        # leaves pending state; RST must free it each time
+        for i in range(2 * h2.MAX_CONCURRENT_STREAMS):
+            sid = 2 * i + 1
+            sk.sendall(
+                h2.pack_frame(h2.F_HEADERS, h2.FLAG_END_HEADERS, sid, b"\x82")
+                + h2.pack_frame(
+                    h2.F_RST, 0, sid, (8).to_bytes(4, "big")  # CANCEL
+                )
+            )
+        # the connection must still serve a real request afterwards
+        # (teardown would have closed the socket): send a GOAWAY to end
+        # cleanly, then check the server is healthy on a new connection
+        sk.sendall(h2.pack_frame(h2.F_GOAWAY, 0, 0, b"\0" * 8))
+        sk.settimeout(10)
+        while True:
+            try:
+                if not sk.recv(65536):
+                    break
+            except OSError:
+                break
+        sk.close()
+        out = h2.call_unary(srv.host, srv.port, "SELECT 1 AS one")
+        assert out["respRecord"][0]["attributes"] == {"one": "1"}
+
+    class _FakeSock:
+        def sendall(self, b):
+            pass
+
+    conn = h2._H2Conn(_FakeSock())
+    for sid in range(1, 2001, 2):  # WINDOW_UPDATE flood over idle ids
+        conn.window_update(sid, 1)
+    assert conn.stream_windows == {}

@@ -232,5 +232,17 @@ def test_http_forged_content_length_rejected_and_server_survives(engine):
         status = sk.recv(65536).split(b"\r\n", 1)[0]
         sk.close()
         assert b"400" in status, status
+        # negative length must be rejected too (rfile.read(-1) would
+        # buffer the peer's bytes until EOF — the same unbounded read)
+        sk2 = socket.create_connection((host, int(port)), timeout=10)
+        sk2.sendall(
+            b"POST /query HTTP/1.1\r\nHost: x\r\n"
+            b"Content-Type: application/json\r\n"
+            b"Content-Length: -1\r\n\r\n"
+        )
+        sk2.settimeout(10)
+        status2 = sk2.recv(65536).split(b"\r\n", 1)[0]
+        sk2.close()
+        assert b"400" in status2, status2
         ok = _post(f"{url}/query", {"sql": "SELECT 1 AS one"})
         assert ok["records"] == [{"one": "1"}]
