@@ -359,8 +359,6 @@ def ivf_topk_indexed(
     queries: DataFrame,
     k: int = 3,
     nprobe: int = 1,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
 ) -> DataFrame:
     """ivf_topk served from the PARTITIONED index table ivf_index_write
     maintains (``index`` = spark.read.parquet(<path>), resolved once —
@@ -371,11 +369,18 @@ def ivf_topk_indexed(
     reads only its buckets' partitions instead of the whole index. Same
     results as ivf_topk by construction (the filter keeps every bucket
     the probe join would match; equality-tested). The 100 TB serving
-    shape for §2.5's index story on the vector side."""
+    shape for §2.5's index story on the vector side.
+
+    The index table always carries the canonical (vec_id, embedding,
+    bucket) columns — ivf_index_write writes them — so this path takes
+    no column-name overrides (ADVICE r11: the former id_col/vec_col
+    params applied only to the centroid/query side while the scoring
+    join hardcoded the index names; a non-default call would fail or
+    silently misjoin, so the signature no longer implies support)."""
     # materialized once: it feeds both the bucket pull and the probe join
-    probes = _ivf_probes(
-        centroids, queries, nprobe, id_col, vec_col
-    ).localCheckpoint(eager=True)
+    probes = _ivf_probes(centroids, queries, nprobe).localCheckpoint(
+        eager=True
+    )
     bks = [r["qbucket"] for r in probes.select("qbucket").distinct().collect()]
     pruned = (
         index.where(F.col("bucket").isin(bks))
@@ -1339,6 +1344,64 @@ def semdedup_match_against(
     (per-vector independence, static lake) — pinned by
     test_semdedup_on_ingest_converges_to_batch; per-batch plan pinned
     by test_semdedup_match_broadcasts_arriving_batch."""
+    assigned, bb = _semdedup_batch_bands(batch, centroids)
+    return _semdedup_gate(assigned, bb, lake_index, tau)
+
+
+def semdedup_lake_write(lake_index: DataFrame, path: str) -> None:
+    """Persist the frozen semantic lake index AS A MAINTAINED TABLE
+    partitioned on its cluster id — the deployment shape the cached
+    DataFrame in semdedup_match_against stands in for, and the semantic
+    twin of dedup.lsh_lake_write / ivf_index_write: every lake vector
+    lands wholly inside its cluster's partition, so an arriving batch's
+    probe reads only the partitions its own assignments name. At 100 TB
+    the partition count is the #centroids, which SemDeDup practice
+    already scales with the corpus (constant partition size)."""
+    lake_index.write.mode("overwrite").partitionBy("bucket").parquet(path)
+
+
+def semdedup_match_against_bucketed(
+    batch: DataFrame,
+    lake: DataFrame,
+    centroids: DataFrame,
+    tau: float = SEMDEDUP_TAU,
+) -> DataFrame:
+    """semdedup_match_against with the lake side served from the
+    PARTITIONED table semdedup_lake_write maintains, instead of a cached
+    DataFrame. ``lake`` is ``spark.read.parquet(<semdedup_lake_write
+    path>)`` resolved ONCE before the stream starts (the frozen-lake
+    contract: the cached file index is reused across micro-batches).
+
+    Per batch: the assigned+normalized arriving rows are materialized
+    once (localCheckpoint — they feed both the bucket pull and the
+    probe join), their DISTINCT cluster-id set — at most
+    min(#centroids, |batch|) ints, a bounded per-batch scalar pull like
+    the engine's other per-round pulls — becomes a STATIC partition
+    filter on the lake scan (PartitionFilters: bucket INSET ...), and
+    the broadcast equi-join on bucket lets dynamic partition pruning
+    reinforce it. The per-batch lake term is scanned_bytes ~
+    |batch clusters| x (|lake| / #centroids) — constant in |lake| when
+    k scales with the corpus, the same flat-lake-axis claim
+    lsh_match_against_bucketed measures. Results are identical to
+    semdedup_match_against by construction (the filter keeps every
+    cluster the equi-join would match; equality + plan pinned by
+    test_semdedup_bucketed_gate_prunes_partitions_and_matches)."""
+    assigned, bb = _semdedup_batch_bands(batch, centroids)
+    bb = bb.localCheckpoint(eager=True)
+    bks = [r["bucket"] for r in bb.select("bucket").distinct().collect()]
+    pruned = (
+        lake.where(F.col("bucket").isin(bks)) if bks else lake.where(F.lit(False))
+    )
+    return _semdedup_gate(assigned, bb, pruned, tau)
+
+
+def _semdedup_batch_bands(
+    batch: DataFrame, centroids: DataFrame
+) -> tuple[DataFrame, DataFrame]:
+    """(assigned, bb): the arriving batch assigned to its nearest frozen
+    centroid (the identical rule the lake index was built with) and
+    L2-normalized for the pair stage — shared by the cached-lake and
+    partitioned-lake gate paths so they cannot drift."""
     assigned = ivf_assign(batch.select("vec_id", "embedding"), centroids)
     bb = (
         assigned.withColumn("_n", norm(F.col("embedding")))
@@ -1351,9 +1414,15 @@ def semdedup_match_against(
             ).alias("uvec"),
         )
     )
+    return assigned, bb
+
+
+def _semdedup_gate(
+    assigned: DataFrame, bb: DataFrame, lake_side: DataFrame, tau: float
+) -> DataFrame:
     hits = (
         F.broadcast(bb)
-        .join(lake_index, "bucket")
+        .join(lake_side, "bucket")
         .withColumn("sim", F.round(dot(F.col("uvec"), F.col("lvec")), 6))
         .filter(F.col("sim") >= tau)
         .groupBy("vec_id")

@@ -1673,11 +1673,11 @@ def stream_quality_gate(spark, sf_dir):
 
 
 def _stream_semdedup_oracle() -> str:
-    """DRAFT oracle for the round-12 `stream_semdedup_ingest` candidate
-    (NOT registered — the 175 cap binds until the round-12 audit; parity
-    is already pinned locally by
+    """Oracle for `stream_semdedup_ingest` (registered in round 12 after
+    the audit freed a slot — llm_multimodal_extract retired; drafted and
+    parity-pinned in round 11 by
     tests/test_streaming.py::test_stream_semdedup_oracle_parity so
-    registration is a reorder, not new work). Shape per ROTATION.md:
+    registration was a pure reorder). Shape per ROTATION.md:
     centroids = vec_id < 10 with the `stream_ann_ingest` assignment CTE
     verbatim (same cosine, same lowest-cid tie-break, assignment is
     per-vector independent so assign-all-then-split equals the engine's
@@ -1721,6 +1721,90 @@ def _stream_semdedup_oracle() -> str:
              AS is_dup
     FROM arru ar LEFT JOIN hits h ON h.vec_id = ar.vec_id
     """
+
+
+@register(
+    "stream_semdedup_ingest",
+    oracle=_stream_semdedup_oracle,
+    tags=("streaming", "llm", "similarity"),
+)
+def stream_semdedup_ingest(spark, sf_dir):
+    """Semantic (embedding) near-dup gating ON INGEST — the SEVENTH
+    ingest-gate family member (exact-hash, LSH near-dup, decontamination,
+    DSIR, ANN-assign, learned quality, and now SemDeDup): the lake's
+    vectors are assigned to the frozen centroids and L2-normalized ONCE
+    pre-stream (semdedup_lake_index — the frame the engine already
+    maintains for ANN serving), then arriving vectors — replayed as 4
+    micro-batches — are assigned with the IDENTICAL rule and gated
+    against their own cluster's lake members: (vec_id, cid, n_lake_near,
+    max_sim, is_dup) lands BEFORE the vector enters the lake/index.
+    Converged sink == batch gating of the arriving slice exactly
+    (per-vector independence, static lake — unit-pinned by
+    test_semdedup_on_ingest_converges_to_batch).
+
+    This query serves the lake from the PARTITIONED table
+    (semdedup_lake_write partitions on the cluster id;
+    semdedup_match_against_bucketed turns each batch's distinct
+    assigned-cluster set into a STATIC partition filter on the lake
+    scan) — the deployment shape where the lake cannot be a cached
+    DataFrame, so the CORRECTNESS row exercises the PartitionFilters
+    probe end-to-end (VERDICT r11 #5). Results are identical to the
+    cached path by construction (equality + plan pinned by
+    test_semdedup_bucketed_gate_prunes_partitions_and_matches).
+
+    Scale shape (100 TB lake): per batch the arriving side broadcasts
+    and the lake scan reads only |batch clusters| partitions — bytes ~
+    |batch| x (|lake|/k), constant in |lake| when k scales with the
+    corpus (SemDeDup practice); measured flat on the lake axis by
+    scripts/sweep_stream_semdedup.py."""
+    import shutil
+    import tempfile
+
+    from proteus_spark.llmops.similarity import (
+        semdedup_lake_index,
+        semdedup_lake_write,
+        semdedup_match_against_bucketed,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < 10).cache()
+    centroids.count()  # materialize the (broadcast-sized) centroid set once
+    lake = emb.filter(F.col("vec_id") % 4 == 0)
+    arriving = emb.filter(F.col("vec_id") % 4 != 0)
+
+    lakedir = tempfile.mkdtemp(prefix="proteus_semdedup_lake_")
+    outdir = tempfile.mkdtemp(prefix="proteus_semdedup_ingest_")
+    try:
+        semdedup_lake_write(semdedup_lake_index(lake, centroids), lakedir)
+        # resolved ONCE pre-stream: the cached file index is reused
+        # across micro-batches (the frozen-lake contract)
+        lake_idx = spark.read.parquet(lakedir)
+
+        src = cdc.stage_stream(spark, arriving, chunks=4)
+
+        def on_batch(batch, epoch):
+            semdedup_match_against_bucketed(
+                batch, lake_idx, centroids
+            ).write.mode("append").parquet(outdir)
+
+        query = (
+            src.subscribe(max_files_per_trigger=1)
+            .writeStream.outputMode("append")
+            .foreachBatch(on_batch)
+            .queryName("stream_semdedup_ingest")
+            .start()
+        )
+        try:
+            query.processAllAvailable()
+        finally:
+            query.stop()
+            cdc.cleanup(src)
+        out = spark.read.parquet(outdir)
+        return _spill(out)
+    finally:
+        centroids.unpersist()
+        shutil.rmtree(outdir, ignore_errors=True)
+        shutil.rmtree(lakedir, ignore_errors=True)
 
 
 @register(

@@ -123,6 +123,37 @@ def test_multimodal_resize_fake_image(spark):
     assert list(thumb[:4]) == sorted(thumb[:4])
 
 
+def test_multimodal_extract_values_and_stub_seam(spark):
+    """Value-level pin for extract_features, moved here WITH the round-12
+    retirement of the llm_multimodal_extract registry query (covered
+    composition — see queries/llm.py): exact 1:1 row shape, n_bytes =
+    payload byte length, magic = first 4 bytes decoded, and the
+    NotImplementedError stub seam for non-text modalities."""
+    assets = spark.createDataFrame(
+        [
+            (1, "hello world".encode(), "text"),
+            (2, "abc".encode(), "text"),
+        ],
+        "doc_id long, payload binary, modality string",
+    )
+    rows = {r["doc_id"]: r for r in M.extract_features(assets).collect()}
+    assert set(rows) == {1, 2}  # 1:1 — one output row per asset
+    assert (rows[1]["modality"], rows[1]["n_bytes"], rows[1]["magic"]) == (
+        "text", 11, "hell",
+    )
+    # shorter-than-4-byte payload: magic is the whole payload
+    assert (rows[2]["n_bytes"], rows[2]["magic"]) == (3, "abc")
+
+    import pytest as _pytest
+
+    stub = spark.createDataFrame(
+        [(3, b"\x89PNG1234", "image")],
+        "doc_id long, payload binary, modality string",
+    )
+    with _pytest.raises(Exception, match="NotImplementedError|stubbed"):
+        M.extract_features(stub).collect()
+
+
 def test_multimodal_resize_real_codec_stubbed(spark):
     assets = spark.createDataFrame(
         [(1, b"\x89PNG1234", "image")], "doc_id long, payload binary, modality string"

@@ -1033,6 +1033,76 @@ def test_semdedup_match_broadcasts_arriving_batch(spark, sf_dir):
         idx.unpersist()
 
 
+def test_semdedup_bucketed_gate_prunes_partitions_and_matches(
+    spark, sf_dir, tmp_path
+):
+    """VERDICT r11 #5 — the registered stream_semdedup_ingest serves the
+    lake from the PARTITIONED table (semdedup_lake_write partitions the
+    frozen index on its cluster id; semdedup_match_against_bucketed turns
+    the batch's distinct assigned-cluster set into a static partition
+    filter). Pins: the lake scan carries a PartitionFilter on bucket,
+    the batch's cluster set is a PROPER subset of the on-disk partitions
+    (the INSET filter skips real data), the arriving side broadcasts, no
+    cartesian — and the output is IDENTICAL to the cached-DataFrame
+    path (semdedup_match_against)."""
+    import os
+
+    from proteus_spark.llmops.similarity import (
+        ivf_assign,
+        semdedup_lake_index,
+        semdedup_lake_write,
+        semdedup_match_against,
+        semdedup_match_against_bucketed,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    cents = emb.filter(F.col("vec_id") < 10)
+    idx = semdedup_lake_index(emb.filter(F.col("vec_id") % 4 == 0), cents)
+    lake_path = str(tmp_path / "semdedup_lake")
+    semdedup_lake_write(idx, lake_path)
+
+    # small trickle (the realistic per-trigger gate shape): pruning wins
+    # when the batch lands in fewer clusters than the lake holds
+    batch = emb.filter(F.col("vec_id") % 4 != 0).limit(3)
+    lake = spark.read.parquet(lake_path)  # resolved once, per contract
+    out = semdedup_match_against_bucketed(batch, lake, cents)
+    p = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in p
+    # the lake scan is the one reading lvec (column pruning drops lake_id:
+    # the gate only counts cluster-mates, so the scan reads lvec + the
+    # bucket partition column — itself part of the 100 TB story)
+    lake_scans = [
+        ln for ln in p.splitlines() if "FileScan" in ln and "lvec" in ln
+    ]
+    assert lake_scans, p
+    assert any(
+        "PartitionFilters" in ln
+        and ("bucket" in ln.split("PartitionFilters", 1)[1][:200])
+        for ln in lake_scans
+    ), "\n".join(lake_scans)
+    batch_bks = {
+        r["bucket"]
+        for r in ivf_assign(batch.select("vec_id", "embedding"), cents)
+        .select("bucket")
+        .distinct()
+        .collect()
+    }
+    disk_bks = {d for d in os.listdir(lake_path) if d.startswith("bucket=")}
+    assert 0 < len(batch_bks) < len(disk_bks), (len(batch_bks), len(disk_bks))
+
+    cached = idx.cache()
+    cached.count()
+    try:
+        want = sorted(
+            map(tuple, semdedup_match_against(batch, cached, cents).collect())
+        )
+        got = sorted(map(tuple, out.collect()))
+        assert got == want and len(got) == 3
+    finally:
+        cached.unpersist()
+
+
 def test_ivf_indexed_topk_prunes_partitions_and_matches(spark, sf_dir, tmp_path):
     """The bucketed-lake pattern applied to the VECTOR index (§2.5 at
     100 TB): ivf_index_write persists the assignment frame partitioned
