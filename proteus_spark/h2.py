@@ -267,13 +267,22 @@ class _DynTable:
 
 
 class HpackDecoder:
-    def __init__(self, max_table_size: int = 4096):
+    def __init__(
+        self, max_table_size: int = 4096, max_header_list: int = 65536
+    ):
         self.table = _DynTable(max_table_size)
         # RFC 7541 §4.2: a dynamic-table-size update MUST be at or below
         # the limit we advertised via SETTINGS_HEADER_TABLE_SIZE; a larger
         # value is a decoding (= connection) error, not a grant — without
         # this a peer grows the decoder table without bound.
         self.settings_limit = max_table_size
+        # SETTINGS_MAX_HEADER_LIST_SIZE analogue (ADVICE r11): the WIRE
+        # block is capped upstream (MAX_HEADER_BLOCK), but indexed refs
+        # amplify 1-2 wire bytes into up-to-4KB table entries, so a 64KB
+        # block could otherwise DECODE to ~100s of MB. Enforce the bound
+        # on the decoded list (RFC 7541 uncompressed size: name + value
+        # + 32 per entry), aborting mid-decode before the memory exists.
+        self.max_header_list = max_header_list
 
     def _lookup(self, idx: int) -> tuple[str, str]:
         if idx == 0:
@@ -296,12 +305,24 @@ class HpackDecoder:
 
     def decode(self, block: bytes) -> list[tuple[str, str]]:
         headers: list[tuple[str, str]] = []
+        listed = 0  # RFC 7541 §4.1 uncompressed size of the decoded list
         pos = 0
+
+        def _emit(name: str, value: str) -> None:
+            nonlocal listed
+            listed += len(name.encode()) + len(value.encode()) + 32
+            if listed > self.max_header_list:
+                # phrased to classify as ENHANCE_YOUR_CALM (an intake
+                # bound), not COMPRESSION_ERROR: the HPACK stream itself
+                # is well-formed — the peer is amplifying, not corrupt
+                raise ValueError("decoded header list exceeds limit")
+            headers.append((name, value))
+
         while pos < len(block):
             b = block[pos]
             if b & 0x80:  # indexed field
                 idx, pos = hpack_decode_int(block, pos, 7)
-                headers.append(self._lookup(idx))
+                _emit(*self._lookup(idx))
             elif b & 0x40:  # literal with incremental indexing
                 idx, pos = hpack_decode_int(block, pos, 6)
                 name = self._lookup(idx)[0] if idx else None
@@ -309,7 +330,7 @@ class HpackDecoder:
                     name, pos = self._read_string(block, pos)
                 value, pos = self._read_string(block, pos)
                 self.table.add(name, value)
-                headers.append((name, value))
+                _emit(name, value)
             elif b & 0x20:  # dynamic table size update
                 size, pos = hpack_decode_int(block, pos, 5)
                 if size > self.settings_limit:
@@ -324,7 +345,7 @@ class HpackDecoder:
                 if name is None:
                     name, pos = self._read_string(block, pos)
                 value, pos = self._read_string(block, pos)
-                headers.append((name, value))
+                _emit(name, value)
         return headers
 
 
@@ -675,6 +696,11 @@ class GrpcQueryServer(wire.ProtobufQueryServer):
                         # the set
                         if sid in h2.dispatched:
                             h2.reset_streams.add(sid)
+                        else:
+                            # cancelled BEFORE dispatch: drop the window
+                            # _headers_done seeded — no handler/trailer
+                            # will ever clean it up
+                            h2.stream_windows.pop(sid, None)
                         h2.flow.notify_all()
                 elif ftype == F_HEADERS:
                     body = _strip_padding(payload, flags)
@@ -804,6 +830,15 @@ class GrpcQueryServer(wire.ProtobufQueryServer):
     ) -> None:
         req_headers[sid] = h2.dec.decode(bytes(hdr_frag.pop(sid)))
         req_body.setdefault(sid, bytearray())
+        # the stream is OPEN from END_HEADERS (RFC 9113 §5.1): seed its
+        # send window NOW so WINDOW_UPDATE credits arriving between
+        # END_HEADERS and dispatch are retained (ADVICE r11 — a client
+        # granting all credit up front would otherwise be permanently
+        # under-credited and stall send_data). Assembly state exists for
+        # sid, so this creates no arbitrary-id growth; pre-dispatch RST
+        # pops the entry, dispatch hands it to the trailer cleanup.
+        with h2.flow:
+            h2.stream_windows.setdefault(sid, h2.init_window)
         if hdr_end_stream.pop(sid, False):
             self._dispatch(h2, sid, req_headers, req_body)
 

@@ -378,46 +378,38 @@ def _import_all() -> None:
 # oracles; tests/test_oracle_gate.py::test_priority_window_all_oracled
 # enforces this structurally.
 PRIORITY: tuple[str, ...] = (
-    # ================== ROUND-11 WINDOW (ROTATION.md plan) ==============
-    # -- never driver-verified: the round-10 post-freeze
-    # stream_lsh_dedup_ingest (judge-verified green at sf0.01 in r10;
-    # first driver row owed) --------------------------------------------
-    "stream_lsh_dedup_ingest",
-    # -- 26 r7-only refreshes (the oldest external evidence; exact list
-    # from the recomputed r01-r10 ledger) -------------------------------
-    "agg_countmin_terms", "customer_value_deciles", "graph_pagerank_parts",
-    "llm_chunk_documents", "llm_dedup_cluster_stats", "llm_dedup_embedding",
-    "llm_dedup_exact_substring", "llm_dedup_incremental",
-    "llm_doc_repetition", "llm_embed_norms", "llm_lsh_recall_report",
-    "llm_pii_scrub", "llm_sim_pq", "llm_sim_radius", "llm_train_split",
-    "llm_weighted_sample", "tpch_q2", "tpch_q7", "tpch_q8", "tpch_q11",
-    "tpch_q13", "tpch_q15", "tpch_q16", "tpch_q17", "tpch_q20", "tpch_q22",
-    # -- 23 fill: streaming-view family FIRST (the r9 stop()-latch and
-    # r10 subscriber/intake changes touched streaming/views.py; their
-    # driver evidence is r8) --------------------------------------------
-    "stream_sum_view", "stream_sum_view_cdc", "stream_sum_view_minilog",
-    "stream_sum_view_broker", "stream_sum_view_deletes",
-    "stream_sum_view_timetravel", "stream_join_view",
-    "stream_join_view_deletes", "stream_view_dag_via_log",
-    "stream_compacted_bootstrap", "stream_cdf_export_roundtrip",
-    # -- the r8-only ingest-gate trio (VERDICT r10 #5: every ingest-gate
-    # variant should carry <=2-round evidence) --------------------------
-    "stream_decontaminate", "stream_dedup_ingest", "stream_ann_ingest",
-    # -- the round-11 addition (pre-verified green at sf0.001 + sf0.01
-    # with the driver-faithful gate before registration; the audit freed
-    # its slot — see ROTATION.md round-11 accounting) -------------------
-    "stream_quality_gate",
-    # -- changed-oracle re-verification: llm_quality_classifier's oracle
-    # was refactored this round into the shared _quality_train_ctes
-    # chain stream_quality_gate reuses (local gate re-passed; driver
-    # re-verifies per the changed-impl rule) + agg_hll_rollup, now the
-    # audit-load-bearing sole HLL instantiation (spec pin repointed and
-    # extended to the union path) ---------------------------------------
-    "llm_quality_classifier", "agg_hll_rollup",
-    # -- longest-idle r8-only LLM block fill ----------------------------
-    "llm_cluster_audit", "llm_corpus_mixture", "llm_dedup_containment",
-    "llm_dedup_editdistance", "llm_dedup_keep_longest",
-    "llm_dedup_minhash_lsh",
+    # ================== ROUND-12 WINDOW (ROTATION.md plan) ==============
+    # -- never driver-verified: the round-12 addition (registered after
+    # the audit retired llm_multimodal_extract; pre-verified green at
+    # sf0.001 + sf0.01 with the driver-faithful gate; serves the lake
+    # from the PARTITIONED table — VERDICT r11 #5) ----------------------
+    "stream_semdedup_ingest",
+    # -- 27 r8-only refreshes (the oldest external evidence; exact list
+    # from the recomputed r01-r11 ledger, matches ROTATION.md's plan and
+    # the judge's independent recomputation) ----------------------------
+    "events_transition_matrix", "llm_gopher_filter", "llm_inverted_index",
+    "llm_langid_confusion", "llm_multimodal_ppm", "llm_multimodal_video",
+    "llm_multimodal_wav", "llm_perplexity_score", "llm_sample_k_per_group",
+    "llm_text_normalize", "llm_tfidf_topterms", "llm_token_budget_sample",
+    "llm_token_zipf", "ref_mv_substitution", "salted_join_orders",
+    "stream_interval_join", "stream_lobsters_pipeline", "stream_scd2_asof",
+    "stream_scd2_history", "stream_session_window_native",
+    "stream_sessionize_stateful", "stream_static_enrich",
+    "stream_windowed_watermark", "tpch_q1", "tpch_q10",
+    "unpivot_lineitem_measures", "window_rank_family",
+    # -- 22 fill from the r9-only cohort, implementation-adjacent first:
+    # the similarity family (llmops/similarity.py was refactored this
+    # round — ivf_topk_indexed signature, the shared semdedup gate
+    # helpers) ----------------------------------------------------------
+    "llm_semdedup_prune", "llm_semdedup_hier", "llm_semdedup_capped",
+    "llm_sim_bruteforce", "llm_sim_mips_banded", "llm_sim_mips_recall",
+    "stream_ann_recluster", "llm_knn_classify", "llm_embed_class_margins",
+    # -- then longest-idle r9-only, alphabetical ------------------------
+    "agg_percentiles", "anti_join_not_exists", "asof_join_latest_order",
+    "dq_profile_orders", "events_ab_lift", "events_attribution",
+    "graph_pagerank_converged", "json_extract_props", "llm_bpe_train_rounds",
+    "llm_decontaminate", "llm_dedup_apply", "llm_dedup_components",
+    "llm_dedup_exact",
 )
 
 

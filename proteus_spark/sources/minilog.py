@@ -160,6 +160,14 @@ def _count_lines(fp: str) -> int:
 
 
 _sidecar_cache: dict = {}
+# The sidecar cache is bounded two ways (ADVICE r11 — it previously grew
+# without bound across topic lifetimes): per visit, keys under the visited
+# topic dir whose files vanished are dropped (marker cleanup on a LIVE
+# topic); globally, the cache is LRU-capped so a long-lived process
+# cycling many temp topics sheds dead topics' entries. 512 entries
+# comfortably cover every live topic's sources (one per committed epoch
+# plus two json sidecars) while bounding worst-case memory.
+_SIDECAR_CACHE_MAX = 512
 
 
 def _producer_counts(path: str, cache: dict | None = None) -> dict[str, int]:
@@ -187,6 +195,13 @@ def _producer_counts(path: str, cache: dict | None = None) -> dict[str, int]:
         names = os.listdir(path)
     except OSError:
         return out
+    # evict entries for THIS topic's vanished sources (superseded-key
+    # eviction, the _IndexCache pattern): a cleaned-up epoch marker must
+    # not pin its count map forever
+    live = {os.path.join(path, f) for f in names}
+    prefix = os.path.join(path, "")
+    for stale in [k for k in cache if k.startswith(prefix) and k not in live]:
+        del cache[stale]
     for f in sorted(names):
         if f in ("_base-counts.json", "_replica-counts.json") or (
             f.startswith("_epoch-") and f.endswith(".committed")
@@ -214,7 +229,13 @@ def _producer_counts(path: str, cache: dict | None = None) -> dict[str, int]:
                         }
                 except (ValueError, OSError):
                     pass  # legacy plain-text marker: carries no counts
-                cache[fp] = cached = (stat_key, counts)
+                cached = (stat_key, counts)
+            # (re)insert at the tail: dict order is the LRU order, so
+            # hot topics' entries survive the global cap below
+            cache.pop(fp, None)
+            cache[fp] = cached
+            while len(cache) > _SIDECAR_CACHE_MAX:
+                del cache[next(iter(cache))]
             out.update(cached[1])
     return out
 

@@ -915,6 +915,69 @@ def test_connection_buffer_cap_and_goaway(engine, monkeypatch):
         assert out["respRecord"][0]["attributes"] == {"one": "1"}
 
 
+def test_hpack_amplification_bounded_and_goaway_calm(engine):
+    """ADVICE r11 (medium): MAX_HEADER_BLOCK caps the WIRE block, but
+    indexed refs amplify 1-2 wire bytes into up-to-4KB dynamic-table
+    entries — a 64KB block could decode to ~100s of MB of parked header
+    lists. The decoder now enforces the RFC 7541 §4.1 uncompressed-size
+    bound mid-decode; over the wire the violation classifies as an
+    intake bound (GOAWAY ENHANCE_YOUR_CALM, not COMPRESSION_ERROR — the
+    HPACK stream is well-formed), and only that connection dies."""
+    # unit level: a ~4KB wire block whose indexed refs decode > 64KB
+    big_val = "a" * 3900
+    block = bytearray()
+    block += h2.hpack_encode_int(0, 6, 0x40)  # literal w/ indexing, new name
+    block += h2.hpack_encode_int(1, 7) + b"x"  # name "x", not huffman
+    block += h2.hpack_encode_int(len(big_val), 7) + big_val.encode()
+    block += bytes(h2.hpack_encode_int(62, 7, 0x80)) * 30  # 30 refs ~ 118 KB
+    dec = h2.HpackDecoder()
+    with pytest.raises(ValueError, match="decoded header list exceeds"):
+        dec.decode(bytes(block))
+    # a fresh decoder still accepts the same entry at sane ref counts
+    ok = h2.HpackDecoder().decode(bytes(block[: len(block) - 30]))
+    assert ok[0] == ("x", big_val)
+
+    # wire level: the amplifying connection gets GOAWAY ENHANCE_YOUR_CALM
+    with h2.GrpcQueryServer(engine) as srv:
+        sk = socket.create_connection((srv.host, srv.port), timeout=10)
+        sk.sendall(
+            h2.PREFACE
+            + h2.pack_frame(h2.F_SETTINGS, 0, 0, b"")
+            + h2.pack_frame(
+                h2.F_HEADERS, h2.FLAG_END_HEADERS, 1, bytes(block)
+            )
+        )
+        frames = _read_frames_until_eof(sk)
+        sk.close()
+        goaways = [f for f in frames if f[0] == h2.F_GOAWAY]
+        assert goaways
+        assert int.from_bytes(goaways[-1][2][4:8], "big") == h2.ERR_CALM
+        out = h2.call_unary(srv.host, srv.port, "SELECT 1 AS one")
+        assert out["respRecord"][0]["attributes"] == {"one": "1"}
+
+
+def test_pre_dispatch_window_update_credit_retained():
+    """ADVICE r11 (low): a stream is OPEN from END_HEADERS — WINDOW_UPDATE
+    credit granted between END_HEADERS and dispatch must be retained
+    (a client granting all credit up front would otherwise permanently
+    under-credit the stream and stall send_data). _headers_done seeds the
+    stream window; idle-id updates still create no state."""
+
+    class _FakeSock:
+        def sendall(self, b):
+            pass
+
+    conn = h2._H2Conn(_FakeSock())
+    srv = h2.GrpcQueryServer.__new__(h2.GrpcQueryServer)  # no engine needed
+    hdr_frag = {1: bytearray(b"\x82")}  # :method GET — minimal valid block
+    srv._headers_done(conn, 1, hdr_frag, {1: False}, {}, {})
+    assert conn.stream_windows.get(1) == conn.init_window
+    conn.window_update(1, 12345)  # pre-dispatch credit: retained
+    assert conn.stream_windows[1] == conn.init_window + 12345
+    conn.window_update(99, 12345)  # idle id: still creates no state
+    assert 99 not in conn.stream_windows
+
+
 def test_goaway_error_codes_by_violation_class(engine):
     """GOAWAY carries the class-appropriate RFC 9113 error code:
     oversized frame -> FRAME_SIZE_ERROR, garbage HPACK ->

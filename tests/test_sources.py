@@ -1939,3 +1939,46 @@ def test_minilog_index_matches_line_truth_across_lifecycle(spark, tmp_path):
         for f in minilog._segment_files(topic, p)
     }
     assert segs == set(side)
+
+
+def test_sidecar_cache_bounded_across_topic_lifetimes(tmp_path, monkeypatch):
+    """ADVICE r11: the producer-counts sidecar cache must not grow without
+    bound across topic lifetimes. Two bounds: (a) per visit, keys for a
+    topic's VANISHED sources are evicted (marker cleanup on a live
+    topic); (b) globally, the cache is LRU-capped, so cycling many temp
+    topics sheds dead topics' entries while hot topics' survive."""
+    import json as _json
+
+    from proteus_spark.sources import minilog
+
+    def mk_topic(name: str, counts: dict) -> str:
+        d = tmp_path / name
+        d.mkdir()
+        (d / "_base-counts.json").write_text(_json.dumps({"counts": counts}))
+        return str(d)
+
+    cache: dict = {}
+    hot = mk_topic("hot", {"p=0/part-00000": 3})
+    assert minilog._producer_counts(hot, cache) == {"p=0/part-00000": 3}
+    assert len(cache) == 1
+
+    # (a) vanished-source eviction on the next visit of the SAME topic
+    import os as _os
+
+    marker = _os.path.join(hot, "_epoch-00000001.committed")
+    with open(marker, "w") as fh:
+        _json.dump({"counts": {"p=0/part-e00000001-x": 2}}, fh)
+    side = minilog._producer_counts(hot, cache)
+    assert side["p=0/part-e00000001-x"] == 2 and len(cache) == 2
+    _os.remove(marker)
+    assert "p=0/part-e00000001-x" not in minilog._producer_counts(hot, cache)
+    assert len(cache) == 1  # the dead marker's entry is gone
+
+    # (b) global LRU cap across topic lifetimes, hot key survives
+    monkeypatch.setattr(minilog, "_SIDECAR_CACHE_MAX", 8)
+    for i in range(30):
+        minilog._producer_counts(mk_topic(f"t{i}", {"p=0/s": i}), cache)
+        minilog._producer_counts(hot, cache)  # keep the hot topic hot
+    assert len(cache) <= 8
+    hot_key = _os.path.join(hot, "_base-counts.json")
+    assert hot_key in cache  # LRU kept the hot entry, shed dead topics
