@@ -13,18 +13,35 @@ where the driver's round log keeps it without risking the tail window.
 Each query runs one untimed warm-up then 3 timed runs (best-of-3); a
 strictly-falling timed sequence extends to best-of-5, and a query still
 strictly falling at 5 is flagged in the JSON's "contended" list — its
-minimum is a known overestimate, not a plan cost. At the END of the run
-(once the host is at its quietest) a query is RE-measured (3 extra timed
-runs, minimum ships in "idle_remeasure") if it was contended this run
-(VERDICT r10 #6 — every contaminated line re-times itself), OR its
-best-of run came out >25% slower than the previous round's recorded
-value at the SAME sf (VERDICT r7 #3 — a host-drift round must prove or
-refute the environmental story inside the artifact itself, without
-repeat-contention luck or human narration). "queries_clean" /
-"value_clean" then carry min(best-of, idle re-measure) per query — the
-artifact's contention-corrected map, recorded ALONGSIDE the as-measured
-one (VERDICT r10 #6: a contaminated attempt documents its own clean
-numbers).
+minimum is a known overestimate, not a plan cost. At the END of an
+attempt (once the host is at its quietest) a query is RE-measured (3
+extra timed runs, minimum ships in "idle_remeasure") if it was
+contended this attempt (VERDICT r10 #6 — every contaminated line
+re-times itself), OR its best-of run came out >25% slower than the
+previous round's recorded value at the SAME sf (VERDICT r7 #3 — a
+host-drift round must prove or refute the environmental story inside
+the artifact itself). "queries_clean" / "value_clean" carry
+min(best-of, idle re-measure) per query.
+
+HEADLINE CONVENTION (VERDICT r11 #3): the recorded headline must be a
+FULLY-IDLE attempt — one where no contention flag and no idle
+re-measure fired — not a contaminated attempt post-corrected. The
+measurement series therefore retries the whole query loop (bounded at
+_MAX_ATTEMPTS) until an attempt comes back clean; the compact summary
+ships THAT attempt's numbers (for it, queries == queries_clean by
+construction), with "attempts_run" / "headline_attempt" recording the
+series and every attempt's detail on stderr for the contention
+narrative. If no attempt is fully idle on a drifting host, the one
+with the lowest corrected total ships, self-labelled
+("headline_source": "min_clean_of_contended").
+
+PARITY SURVIVABILITY (VERDICT r11 #4): the freshness-parity block used
+to ride only the bulky stderr detail line, which the driver's tail
+capture can cut mid-JSON. The compact stdout summary now carries a
+"parity" sub-object (notification p50/p99, staleness p99, observed
+stale fraction vs ceiling, in-band verdicts) and the same compact line
+prints to stderr AFTER the bulky detail, so the headline parity fields
+survive any tail window.
 """
 
 from __future__ import annotations
@@ -51,6 +68,12 @@ HEADLINE = [
 ]
 
 
+# Bounded fully-idle retry (VERDICT r11 #3): 3 attempts x ~21 queries is
+# well inside the driver's budget, and the round-11 series showed an idle
+# window recurs within a couple of attempts even on an oscillating host.
+_MAX_ATTEMPTS = 3
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -70,6 +93,76 @@ def main() -> None:
         if "bench" in spec.tags and n not in names:
             names.append(n)
 
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    try:
+        sf_val = float(sf)
+    except ValueError:
+        sf_val = sf
+
+    prev = _previous_round_bench()
+    attempts: list[dict] = []
+    for i in range(_MAX_ATTEMPTS):
+        print(f"# --- attempt {i + 1}/{_MAX_ATTEMPTS} ---", file=sys.stderr)
+        a = _measure_attempt(spark, fns, names, sf_dir, prev, sf_val)
+        attempts.append(a)
+        if not a["contended"] and not a["idle_remeasure"]:
+            break  # fully idle — the headline convention is satisfied
+
+    chosen = next(
+        (a for a in attempts if not a["contended"] and not a["idle_remeasure"]),
+        None,
+    )
+    if chosen is not None:
+        headline_source = "fully_idle_attempt"
+    else:
+        chosen = min(attempts, key=lambda a: a["value_clean"])
+        headline_source = "min_clean_of_contended"
+
+    parity = _parity_metrics(spark, sf_dir)
+    parity_compact = _parity_compact(parity)
+
+    # Bulky detail to stderr: every attempt's run arrays and clean maps
+    # (the contention narrative) and the full parity block.
+    print(
+        json.dumps({"attempts": attempts, "parity": parity}), file=sys.stderr
+    )
+    # Compact parity line LAST on stderr (VERDICT r11 #4): short enough
+    # that a tail window which decapitates the bulky line above still
+    # carries the headline freshness fields in parseable form.
+    print("# parity " + json.dumps(parity_compact), file=sys.stderr)
+    # COMPACT summary is the FINAL stdout line — the only stdout line —
+    # sized to survive the driver's tail capture (VERDICT r6 #2).
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": chosen["value"],
+                "unit": "sec",
+                "queries": chosen["queries"],
+                # for a fully-idle attempt these EQUAL the as-measured
+                # map; they differ only when no attempt came back clean
+                "queries_clean": chosen["queries_clean"],
+                "value_clean": chosen["value_clean"],
+                "contended": chosen["contended"],
+                "idle_remeasure": chosen["idle_remeasure"],
+                "attempts_run": len(attempts),
+                "headline_attempt": attempts.index(chosen) + 1,
+                "headline_source": headline_source,
+                "parity": parity_compact,
+                "sf": sf_val,
+            }
+        )
+    )
+
+
+def _measure_attempt(
+    spark, fns, names: list[str], sf_dir: str, prev: dict, sf_val
+) -> dict:
+    """One full measurement attempt over ``names``: per-query best-of with
+    the contention guard, then the end-of-attempt idle re-measure of every
+    contended or slower-than-prev line. Returns the attempt's as-measured
+    and corrected maps; an attempt with empty "contended" AND empty
+    "idle_remeasure" is FULLY IDLE (no trigger fired anywhere)."""
     timings: dict[str, float] = {}
     all_runs: dict[str, list[float]] = {}
     contended: list[str] = []
@@ -116,15 +209,7 @@ def main() -> None:
             file=sys.stderr,
         )
 
-    parity = _parity_metrics(spark, sf_dir)
-
-    sf = sf_dir.rstrip("/").split("sf")[-1]
-    try:
-        sf_val = float(sf)
-    except ValueError:
-        sf_val = sf
-
-    # End-of-run idle re-measure, when the host is at its quietest.
+    # End-of-attempt idle re-measure, when the host is at its quietest.
     # Two triggers (union):
     #  - repeat-contended (VERDICT r6 #8): contended this run AND flagged
     #    contended in the previous round's recorded bench;
@@ -136,7 +221,6 @@ def main() -> None:
     # repeat-contended set happened to be empty — the artifact could not
     # prove the +21% was environmental. The slow-vs-prev trigger makes a
     # drift round re-time its own movers.
-    prev = _previous_round_bench()
     prev_contended = set(prev.get("contended") or [])
     prev_q = prev.get("queries") or {}
     same_sf = prev.get("sf") == sf_val
@@ -173,41 +257,64 @@ def main() -> None:
             f"(runs: {[round(r, 3) for r in runs]})",
             file=sys.stderr,
         )
-    # Bulky detail to stderr: per-query run arrays (min vs spread separates
-    # real plan regressions from host contention) and the parity block.
-    print(json.dumps({"runs": all_runs, "parity": parity}), file=sys.stderr)
-    # COMPACT summary is the FINAL stdout line — the only stdout line —
-    # sized to survive the driver's tail capture (VERDICT r6 #2).
     # The CLEAN per-query map (VERDICT r10 #6): per query, the best of
-    # the timed runs and any end-of-run idle re-measure — the artifact's
-    # contention-corrected view, recorded ALONGSIDE the as-measured map
-    # so a contaminated attempt still documents its own clean numbers.
+    # the timed runs and any end-of-attempt idle re-measure — the
+    # contention-corrected view, alongside the as-measured one.
     queries_clean = {
         n: round(min(timings[n], idle_remeasure.get(n, timings[n])), 4)
         for n in timings
     }
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_runtime",
-                "value": round(sum(timings.values()), 4),
-                "unit": "sec",
-                "queries": timings,
-                # as-measured minus contention: min(best-of, idle
-                # re-measure) per query, and its total
-                "queries_clean": queries_clean,
-                "value_clean": round(sum(queries_clean.values()), 4),
-                # queries whose 5 runs were STILL strictly falling at
-                # cutoff: their min is an overestimate (host contention
-                # easing mid-measurement), not a plan cost
-                "contended": contended,
-                # end-of-run quiet re-measure of every contended or
-                # slower-than-prev line
-                "idle_remeasure": idle_remeasure,
-                "sf": sf_val,
-            }
-        )
-    )
+    return {
+        "value": round(sum(timings.values()), 4),
+        "queries": timings,
+        "runs": all_runs,
+        # queries whose 5 runs were STILL strictly falling at cutoff:
+        # their min is an overestimate (host contention easing
+        # mid-measurement), not a plan cost
+        "contended": contended,
+        "idle_remeasure": idle_remeasure,
+        "queries_clean": queries_clean,
+        "value_clean": round(sum(queries_clean.values()), 4),
+    }
+
+
+def _parity_compact(parity: dict) -> dict:
+    """The headline freshness fields only (VERDICT r11 #4) — small enough
+    to ride the stdout summary and survive any tail capture: notification
+    p50/p99 vs the expected band, staleness p99 in versions, and the
+    observed stale fraction vs its continuous-sampling ceiling."""
+    if "error" in parity:
+        return {"error": str(parity["error"])[:120]}
+    lat = parity.get("notification_latency_ms") or {}
+    stal = (parity.get("staleness") or {}).get("staleness_versions") or {}
+    rw = parity.get("read_window") or {}
+    band = parity.get("expected_p50_band_ms") or [None, None]
+    p50 = lat.get("p50")
+    frac = rw.get("observed_stale_fraction")
+    ceil = rw.get("stale_ceiling_continuous_sampling")
+    return {
+        "notify_p50_ms": p50,
+        "notify_p99_ms": lat.get("p99"),
+        "p50_band_ms": band,
+        # one-sided: the band's failure direction is SLOW (view falling
+        # behind). Below-band p50 just means a faster host / smaller SF
+        # than the sf0.1 calibration — report it as in-band, the raw
+        # number is right alongside.
+        "p50_in_band": (
+            bool(p50 <= band[1])
+            if isinstance(p50, (int, float))
+            and isinstance(band[1], (int, float))
+            else None
+        ),
+        "staleness_p99_versions": stal.get("p99"),
+        "observed_stale_fraction": frac,
+        "stale_ceiling": ceil,
+        "stale_in_band": (
+            bool(frac <= ceil)
+            if isinstance(frac, (int, float)) and isinstance(ceil, (int, float))
+            else None
+        ),
+    }
 
 
 def _timed_run(spark, fn, sf_dir: str) -> float:

@@ -510,3 +510,33 @@ def test_video_demux_rejects_truncated_frame(spark):
         with _pytest.raises(Exception) as exc:
             M.video_frame_features(df).collect()
         assert "truncated" in str(exc.value) or "ValueError" in str(exc.value)
+
+
+def test_bench_parity_compact_fields():
+    """VERDICT r11 #4: the compact parity summary must carry the headline
+    freshness fields (notification p50/p99, staleness p99, stale fraction
+    vs ceiling) with in-band verdicts — and degrade to a short error note,
+    never raise, when the parity block itself errored."""
+    import bench
+
+    full = {
+        "notification_latency_ms": {"p50": 2100.0, "p99": 3000.0},
+        "staleness": {"staleness_versions": {"p99": 1.0}},
+        "read_window": {
+            "observed_stale_fraction": 0.12,
+            "stale_ceiling_continuous_sampling": 0.2,
+        },
+        "expected_p50_band_ms": [1700, 2700],
+    }
+    c = bench._parity_compact(full)
+    assert c["notify_p50_ms"] == 2100.0 and c["notify_p99_ms"] == 3000.0
+    assert c["p50_in_band"] is True and c["stale_in_band"] is True
+    assert c["staleness_p99_versions"] == 1.0
+    # slow direction fails the band; FASTER-than-band is in-band (the
+    # band calibrates sf0.1 — a smaller SF legitimately runs faster)
+    fast = dict(full, notification_latency_ms={"p50": 900.0, "p99": 1200.0})
+    assert bench._parity_compact(fast)["p50_in_band"] is True
+    slow = dict(full, notification_latency_ms={"p50": 9000.0, "p99": 9900.0})
+    assert bench._parity_compact(slow)["p50_in_band"] is False
+    err = bench._parity_compact({"error": "x" * 500})
+    assert set(err) == {"error"} and len(err["error"]) <= 120
