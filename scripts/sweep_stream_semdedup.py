@@ -48,6 +48,14 @@ def main() -> int:
     ap.add_argument("--reps", type=int, default=2)
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
     ap.add_argument("--cores", type=int, default=32)
+    ap.add_argument(
+        "--bucketed",
+        action="store_true",
+        help="serve the lake from the PARTITIONED table "
+        "(semdedup_lake_write + semdedup_match_against_bucketed — the "
+        "registered stream_semdedup_ingest path) instead of a cached "
+        "DataFrame; cells additionally record the lake bytes on disk",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -55,7 +63,9 @@ def main() -> int:
 
     from proteus_spark.llmops.similarity import (
         semdedup_lake_index,
+        semdedup_lake_write,
         semdedup_match_against,
+        semdedup_match_against_bucketed,
     )
     from proteus_spark.registry import load
     from proteus_spark.sources import cdc
@@ -88,11 +98,38 @@ def main() -> int:
             .repartition(args.cores)  # r5 lesson: never one giant file
         )
 
+    lake_root = tempfile.mkdtemp(prefix="stream_semdedup_lake_")
+
+    def _dir_bytes(path: str) -> int:
+        total = 0
+        for dp, _dn, fns in os.walk(path):
+            for f in fns:
+                try:
+                    total += os.path.getsize(os.path.join(dp, f))
+                except OSError:
+                    pass
+        return total
+
     def freeze_lake(mult):
-        idx = semdedup_lake_index(replicate(lake, mult), cents).cache()
+        """Returns (lake_side, lake_bytes): a cached DataFrame (default)
+        or a partitioned-table scan resolved once (--bucketed, the
+        registered serving path)."""
+        idx = semdedup_lake_index(replicate(lake, mult), cents)
+        if args.bucketed:
+            path = os.path.join(lake_root, f"lake{mult}")
+            semdedup_lake_write(idx, path)
+            served = spark.read.parquet(path)
+            nbytes = _dir_bytes(path)
+            print(
+                f"# lake {mult}x written partitioned: "
+                f"{served.count()} index rows, {nbytes / 1e6:.1f} MB",
+                file=sys.stderr,
+            )
+            return served, nbytes
+        idx = idx.cache()
         n = idx.count()
         print(f"# lake {mult}x frozen: {n} index rows", file=sys.stderr)
-        return idx
+        return idx, None
 
     root = tempfile.mkdtemp(prefix="stream_semdedup_sweep_")
     paths = {}
@@ -102,15 +139,18 @@ def main() -> int:
         paths[mult] = path
         print(f"# built {mult}x ({n_arr * mult} arriving)", file=sys.stderr)
 
-    def run_cell(tag, lake_idx, arr_path, mult, lake_mult, rep_i):
+    def run_cell(tag, lake_idx, arr_path, mult, lake_mult, rep_i, lake_bytes):
         arriving = spark.read.parquet(arr_path)
         src = cdc.stage_stream(spark, arriving, chunks=4)
         outdir = tempfile.mkdtemp(prefix="stream_semdedup_sink_")
+        gate = (
+            semdedup_match_against_bucketed
+            if args.bucketed
+            else semdedup_match_against
+        )
 
         def on_batch(batch, epoch):
-            semdedup_match_against(batch, lake_idx, cents).write.mode(
-                "append"
-            ).parquet(outdir)
+            gate(batch, lake_idx, cents).write.mode("append").parquet(outdir)
 
         t0 = time.monotonic()
         query = (
@@ -143,25 +183,31 @@ def main() -> int:
                     "sec": round(dt, 1),
                     "gated_rows": n_out,
                     "flagged_dups": n_dup,
+                    "served": "bucketed" if args.bucketed else "cached",
+                    "lake_bytes": lake_bytes,
                 }
             ),
             flush=True,
         )
 
-    idx1 = freeze_lake(1)
+    idx1, bytes1 = freeze_lake(1)
     for rep_i in range(args.reps):
         for mult in args.mults:
-            run_cell("arriving", idx1, paths[mult], mult, 1, rep_i)
+            run_cell("arriving", idx1, paths[mult], mult, 1, rep_i, bytes1)
     for lm in args.lake_mults:
-        idxn = freeze_lake(lm)
+        idxn, bytesn = freeze_lake(lm)
         for rep_i in range(args.reps):
             run_cell(
-                "lake", idxn, paths[args.mults[0]], args.mults[0], lm, rep_i
+                "lake", idxn, paths[args.mults[0]], args.mults[0], lm,
+                rep_i, bytesn,
             )
-        idxn.unpersist()
-    idx1.unpersist()
+        if not args.bucketed:
+            idxn.unpersist()
+    if not args.bucketed:
+        idx1.unpersist()
     cents.unpersist()
     shutil.rmtree(root, ignore_errors=True)
+    shutil.rmtree(lake_root, ignore_errors=True)
     spark.stop()
     return 0
 
