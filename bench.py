@@ -24,15 +24,16 @@ the artifact itself). "queries_clean" / "value_clean" carry
 min(best-of, idle re-measure) per query.
 
 HEADLINE CONVENTION (VERDICT r11 #3): the recorded headline must be a
-FULLY-IDLE attempt — one where no contention flag and no idle
-re-measure fired — not a contaminated attempt post-corrected. The
-measurement series therefore retries the whole query loop (bounded at
+FULLY-IDLE attempt — no contention flags, and every idle re-measure
+CONFIRMING its as-measured value (see _attempt_is_idle: a quiet re-run
+that merely confirms a slower-than-prev number is a real plan cost,
+not dirt) — not a contaminated attempt post-corrected. The measurement
+series therefore retries the whole query loop (bounded at
 _MAX_ATTEMPTS) until an attempt comes back clean; the compact summary
-ships THAT attempt's numbers (for it, queries == queries_clean by
-construction), with "attempts_run" / "headline_attempt" recording the
-series and every attempt's detail on stderr for the contention
-narrative. If no attempt is fully idle on a drifting host, the one
-with the lowest corrected total ships, self-labelled
+ships THAT attempt's numbers, with "attempts_run" / "headline_attempt"
+recording the series and every attempt's detail on stderr for the
+contention narrative. If no attempt is fully idle on a drifting host,
+the one with the lowest corrected total ships, self-labelled
 ("headline_source": "min_clean_of_contended").
 
 PARITY SURVIVABILITY (VERDICT r11 #4): the freshness-parity block used
@@ -105,16 +106,18 @@ def main() -> None:
         print(f"# --- attempt {i + 1}/{_MAX_ATTEMPTS} ---", file=sys.stderr)
         a = _measure_attempt(spark, fns, names, sf_dir, prev, sf_val)
         attempts.append(a)
-        if not a["contended"] and not a["idle_remeasure"]:
+        if _attempt_is_idle(a):
             break  # fully idle — the headline convention is satisfied
 
-    chosen = next(
-        (a for a in attempts if not a["contended"] and not a["idle_remeasure"]),
-        None,
-    )
+    chosen = next((a for a in attempts if _attempt_is_idle(a)), None)
     if chosen is not None:
         headline_source = "fully_idle_attempt"
     else:
+        # No attempt came back clean: ship the honest corrected total
+        # (min value_clean). "value" is the CHOSEN attempt's as-measured
+        # companion — another attempt may show a lower as-measured total,
+        # but mixing fields across attempts would make the summary
+        # incoherent; every attempt's full detail is on stderr.
         chosen = min(attempts, key=lambda a: a["value_clean"])
         headline_source = "min_clean_of_contended"
 
@@ -152,6 +155,25 @@ def main() -> None:
                 "sf": sf_val,
             }
         )
+    )
+
+
+def _attempt_is_idle(a: dict) -> bool:
+    """FULLY IDLE means no evidence of CONTAMINATION — not merely "no
+    trigger fired". The slow-vs-prev trigger also fires on a genuine plan
+    regression, whose quiet re-measure comes back just as slow; treating
+    that as dirt would make the retry permanently unsatisfiable and label
+    every subsequent round 'min_clean_of_contended' on an idle host
+    (review r12 #2 — the exact misattribution VERDICT r7 #3 exists to
+    prevent). So: no contention flags, and every idle re-measure CONFIRMS
+    its as-measured value (didn't beat it by >10% — contention inflates
+    the original; a confirming re-run means the number is a real plan
+    cost, properly shipped as a slower headline)."""
+    if a["contended"]:
+        return False
+    return all(
+        idle >= 0.9 * a["queries"][n]
+        for n, idle in a["idle_remeasure"].items()
     )
 
 
@@ -250,7 +272,15 @@ def _measure_attempt(
                 if name in prev_contended
                 else "contended"
             )
-        if same_sf and name in prev_q and timings[name] > 1.25 * prev_q[name]:
+        # same numeric/positive guard as the trigger above — a contended
+        # query can reach here with prev_q[name] == 0 or non-numeric (a
+        # tail-recovered record), which the raw comparison would crash on
+        if (
+            same_sf
+            and isinstance(prev_q.get(name), (int, float))
+            and prev_q[name] > 0
+            and timings[name] > 1.25 * prev_q[name]
+        ):
             why.append(f"+{(timings[name] / prev_q[name] - 1) * 100:.0f}% vs prev")
         print(
             f"# idle_remeasure {name} [{', '.join(why)}]: {min(runs):.3f}s "

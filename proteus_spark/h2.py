@@ -767,10 +767,18 @@ class GrpcQueryServer(wire.ProtobufQueryServer):
                     # 9113 requires COMPRESSION_ERROR for HPACK faults
                     code = ERR_COMPRESSION
                 elif "exceeds limit" in msg or "exceed limit" in msg:
-                    # exactly the four intake-bound messages (header
-                    # block / request body / open streams / connection
-                    # buffer); "padding exceeds frame" deliberately
-                    # falls through to PROTOCOL_ERROR
+                    # exactly the five intake-bound messages (header
+                    # block / decoded header list / request body / open
+                    # streams / connection buffer); "padding exceeds
+                    # frame" deliberately falls through to
+                    # PROTOCOL_ERROR. NOTE the decoded-header-list bound
+                    # raises from inside HPACK decode but is NOT a
+                    # compression fault (the stream is well-formed, the
+                    # peer is amplifying) — the hpack/huffman arm above
+                    # matching on message text keeps it out of
+                    # COMPRESSION_ERROR, which
+                    # test_hpack_amplification_bounded_and_goaway_calm
+                    # pins.
                     code = ERR_CALM
                 else:
                     code = ERR_PROTOCOL

@@ -61,6 +61,7 @@ from __future__ import annotations
 
 import json
 import os
+import threading
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -164,10 +165,24 @@ _sidecar_cache: dict = {}
 # without bound across topic lifetimes): per visit, keys under the visited
 # topic dir whose files vanished are dropped (marker cleanup on a LIVE
 # topic); globally, the cache is LRU-capped so a long-lived process
-# cycling many temp topics sheds dead topics' entries. 512 entries
-# comfortably cover every live topic's sources (one per committed epoch
-# plus two json sidecars) while bounding worst-case memory.
+# cycling many temp topics sheds dead topics' entries. The effective cap
+# per visit is max(_SIDECAR_CACHE_MAX, 2x the visited topic's live source
+# count): a single long-lived topic accretes one epoch marker per commit,
+# and a fixed cap below its marker count would evict the visit's own
+# earliest entries every call — silently reverting offset discovery from
+# stat-only reads to re-parsing hundreds of marker JSONs per trigger
+# (review r12 #4). Dead topics' entries still shed as soon as any
+# smaller-topic visit runs under the base cap.
 _SIDECAR_CACHE_MAX = 512
+# One lock for EVERY cache the function touches (module-level or a
+# Broker/Follower instance's): the eviction sweep and the LRU pop
+# ITERATE the dict, and broker handler threads call this concurrently
+# per connection — unguarded, an insert during the sweep raises
+# RuntimeError('dictionary changed size during iteration') and fails the
+# consumer's offset discovery (review r12 #1, reproduced under 4
+# threads). A single global lock is correct and cheap: the guarded
+# sections are pure dict ops; marker JSON parsing stays outside it.
+_sidecar_lock = threading.RLock()
 
 
 def _producer_counts(path: str, cache: dict | None = None) -> dict[str, int]:
@@ -200,8 +215,13 @@ def _producer_counts(path: str, cache: dict | None = None) -> dict[str, int]:
     # not pin its count map forever
     live = {os.path.join(path, f) for f in names}
     prefix = os.path.join(path, "")
-    for stale in [k for k in cache if k.startswith(prefix) and k not in live]:
-        del cache[stale]
+    with _sidecar_lock:
+        for stale in [
+            k for k in cache if k.startswith(prefix) and k not in live
+        ]:
+            del cache[stale]
+    # the cap never undercuts the topic being visited (see note above)
+    cap = max(_SIDECAR_CACHE_MAX, 2 * len(names))
     for f in sorted(names):
         if f in ("_base-counts.json", "_replica-counts.json") or (
             f.startswith("_epoch-") and f.endswith(".committed")
@@ -216,7 +236,8 @@ def _producer_counts(path: str, cache: dict | None = None) -> dict[str, int]:
             # (the Follower rewrites _replica-counts.json every cycle)
             # REPLACES its entry instead of accreting one per rewrite —
             # the superseded-key eviction _IndexCache documents
-            cached = cache.get(fp)
+            with _sidecar_lock:
+                cached = cache.get(fp)
             if cached is None or cached[0] != stat_key:
                 counts: dict[str, int] = {}
                 try:
@@ -232,10 +253,11 @@ def _producer_counts(path: str, cache: dict | None = None) -> dict[str, int]:
                 cached = (stat_key, counts)
             # (re)insert at the tail: dict order is the LRU order, so
             # hot topics' entries survive the global cap below
-            cache.pop(fp, None)
-            cache[fp] = cached
-            while len(cache) > _SIDECAR_CACHE_MAX:
-                del cache[next(iter(cache))]
+            with _sidecar_lock:
+                cache.pop(fp, None)
+                cache[fp] = cached
+                while len(cache) > cap:
+                    del cache[next(iter(cache))]
             out.update(cached[1])
     return out
 

@@ -540,3 +540,24 @@ def test_bench_parity_compact_fields():
     assert bench._parity_compact(slow)["p50_in_band"] is False
     err = bench._parity_compact({"error": "x" * 500})
     assert set(err) == {"error"} and len(err["error"]) <= 120
+
+
+def test_bench_attempt_idleness_classification():
+    """Review r12 #2: a genuine plan regression must NOT make the
+    fully-idle retry unsatisfiable — an idle re-measure that CONFIRMS its
+    as-measured value (a real plan cost) leaves the attempt idle, while
+    one that beats it by >10% (contention inflated the original) marks
+    the attempt dirty; any contention flag is dirty regardless."""
+    import bench
+
+    base = {"queries": {"q1": 2.0, "q2": 1.0}, "contended": []}
+    # no triggers at all
+    assert bench._attempt_is_idle({**base, "idle_remeasure": {}})
+    # slow-vs-prev fired but the quiet re-run CONFIRMS the number
+    assert bench._attempt_is_idle({**base, "idle_remeasure": {"q1": 1.95}})
+    # quiet re-run BEAT the original by >10% -> the original was inflated
+    assert not bench._attempt_is_idle({**base, "idle_remeasure": {"q1": 1.5}})
+    # contention flag is dirty regardless of re-measure outcomes
+    assert not bench._attempt_is_idle(
+        {**base, "contended": ["q2"], "idle_remeasure": {"q2": 0.99}}
+    )

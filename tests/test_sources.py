@@ -1982,3 +1982,68 @@ def test_sidecar_cache_bounded_across_topic_lifetimes(tmp_path, monkeypatch):
     assert len(cache) <= 8
     hot_key = _os.path.join(hot, "_base-counts.json")
     assert hot_key in cache  # LRU kept the hot entry, shed dead topics
+
+
+def test_sidecar_cache_thread_safe_and_no_self_thrash(tmp_path, monkeypatch):
+    """Review r12 #1/#4 regressions: (a) concurrent _producer_counts
+    calls over one shared cache (the Broker's handler threads) must not
+    race the eviction sweep / LRU pop (unguarded, an insert during the
+    sweep raises RuntimeError 'dictionary changed size during
+    iteration'); (b) a single topic with MORE sources than the base cap
+    must keep ALL its entries cached after a visit — a fixed cap would
+    evict the visit's own earliest markers every call, re-parsing them
+    per trigger forever."""
+    import json as _json
+    import os
+    import threading as _th
+
+    from proteus_spark.sources import minilog
+
+    def mk_topic(name: str, n_markers: int) -> str:
+        d = tmp_path / name
+        d.mkdir()
+        (d / "_base-counts.json").write_text(
+            _json.dumps({"counts": {"p=0/part-0": 1}})
+        )
+        for i in range(n_markers):
+            (d / f"_epoch-{i:08d}.committed").write_text(
+                _json.dumps({"counts": {f"p=0/part-e{i:08d}-x": 1}})
+            )
+        return str(d)
+
+    # (b) no self-thrash: 20 markers >> base cap 8; after one visit every
+    # source is still cached (the per-visit cap floors at 2x live sources)
+    monkeypatch.setattr(minilog, "_SIDECAR_CACHE_MAX", 8)
+    cache: dict = {}
+    big = mk_topic("big", 20)
+    side = minilog._producer_counts(big, cache)
+    assert len(side) == 21
+    assert len(cache) == 21  # nothing self-evicted
+
+    # (a) thread safety: 4 threads hammer DIFFERENT topics through ONE
+    # shared cache while markers keep appearing; any iteration race
+    # raises RuntimeError and fails the thread
+    topics = [mk_topic(f"c{i}", 6) for i in range(4)]
+    errors: list[BaseException] = []
+
+    def hammer(t: str) -> None:
+        try:
+            for j in range(60):
+                if j % 10 == 0:  # keep mutating the topic mid-visits
+                    with open(
+                        os.path.join(t, f"_epoch-{900 + j:08d}.committed"),
+                        "w",
+                    ) as fh:
+                        _json.dump(
+                            {"counts": {f"p=0/part-e{900 + j:08d}-x": 1}}, fh
+                        )
+                minilog._producer_counts(t, cache)
+        except BaseException as exc:  # noqa: BLE001 — recorded for assert
+            errors.append(exc)
+
+    threads = [_th.Thread(target=hammer, args=(t,)) for t in topics]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=60)
+    assert errors == [], errors
