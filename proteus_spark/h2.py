@@ -431,8 +431,10 @@ MAX_REQUEST_BODY = 64 << 20
 # connection teardown as any other violation (ENHANCE_YOUR_CALM).
 MAX_CONCURRENT_STREAMS = 128
 MAX_CONNECTION_BUFFER = 128 << 20
+SETTINGS_MAX_CONCURRENT_STREAMS = 0x3
 SETTINGS_INITIAL_WINDOW_SIZE = 0x4
 SETTINGS_MAX_FRAME_SIZE = 0x5
+SETTINGS_MAX_HEADER_LIST_SIZE = 0x6
 # RFC 9113 §7 error codes used in GOAWAY
 ERR_PROTOCOL, ERR_FRAME_SIZE = 0x1, 0x6
 ERR_COMPRESSION, ERR_CALM = 0x9, 0xB
@@ -648,7 +650,23 @@ class GrpcQueryServer(wire.ProtobufQueryServer):
             if read_exact(rf, len(PREFACE)) != PREFACE:
                 conn.close()
                 return
-            h2.write(pack_frame(F_SETTINGS, 0, 0, b""))
+            # advertise the intake bounds we enforce (RFC 9113 §6.5.2) so
+            # CONFORMING peers never trip them: MAX_CONCURRENT_STREAMS and
+            # MAX_HEADER_LIST_SIZE mirror the enforcement constants — a
+            # peer exceeding an advertised limit is hostile by definition,
+            # which is exactly the GOAWAY story the enforcement tells
+            h2.write(
+                pack_frame(
+                    F_SETTINGS, 0, 0,
+                    struct.pack(
+                        ">HIHI",
+                        SETTINGS_MAX_CONCURRENT_STREAMS,
+                        MAX_CONCURRENT_STREAMS,
+                        SETTINGS_MAX_HEADER_LIST_SIZE,
+                        65536,
+                    ),
+                )
+            )
             # per-stream request assembly
             req_headers: dict[int, list[tuple[str, str]]] = {}
             req_body: dict[int, bytearray] = {}

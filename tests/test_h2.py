@@ -228,6 +228,31 @@ def test_frame_pack_golden():
 # ---------------------------------------------------------------------------
 
 
+def test_server_advertises_enforced_intake_settings(engine):
+    """RFC 9113 §6.5.2: the server's initial SETTINGS advertises the
+    intake bounds it enforces (MAX_CONCURRENT_STREAMS mirrors the
+    enforcement constant; MAX_HEADER_LIST_SIZE the decoded-list cap), so
+    conforming peers never trip them and a peer that does is hostile by
+    definition."""
+    with h2.GrpcQueryServer(engine) as srv:
+        sk = socket.create_connection((srv.host, srv.port), timeout=10)
+        sk.sendall(h2.PREFACE + h2.pack_frame(h2.F_SETTINGS, 0, 0, b""))
+        hdr = sk.recv(9)
+        length = int.from_bytes(hdr[:3], "big")
+        assert hdr[3] == h2.F_SETTINGS and not hdr[4] & h2.FLAG_ACK
+        payload = b""
+        while len(payload) < length:
+            payload += sk.recv(length - len(payload))
+        sk.close()
+        got = {
+            int.from_bytes(payload[o : o + 2], "big"):
+                int.from_bytes(payload[o + 2 : o + 6], "big")
+            for o in range(0, len(payload), 6)
+        }
+        assert got[h2.SETTINGS_MAX_CONCURRENT_STREAMS] == h2.MAX_CONCURRENT_STREAMS
+        assert got[h2.SETTINGS_MAX_HEADER_LIST_SIZE] == 65536
+
+
 def test_grpc_unary_end_to_end(engine):
     sql = (
         "SELECT o_orderkey AS id, o_totalprice FROM orders "
