@@ -102,10 +102,18 @@ def main() -> None:
 
     prev = _previous_round_bench()
     attempts: list[dict] = []
+    parity: dict = {}
     for i in range(_MAX_ATTEMPTS):
         print(f"# --- attempt {i + 1}/{_MAX_ATTEMPTS} ---", file=sys.stderr)
         a = _measure_attempt(spark, fns, names, sf_dir, prev, sf_val)
         attempts.append(a)
+        if i == 0:
+            # parity is measured at the SAME point every round — after
+            # exactly one query series — so its p50 compares against the
+            # historical band regardless of how many retry attempts this
+            # run needs (measured: after three series the same host read
+            # 2829 ms vs 2370 after one — JVM heap/GC state, not view lag)
+            parity = _parity_metrics(spark, sf_dir)
         if _attempt_is_idle(a):
             break  # fully idle — the headline convention is satisfied
 
@@ -121,7 +129,6 @@ def main() -> None:
         chosen = min(attempts, key=lambda a: a["value_clean"])
         headline_source = "min_clean_of_contended"
 
-    parity = _parity_metrics(spark, sf_dir)
     parity_compact = _parity_compact(parity)
 
     # Bulky detail to stderr: every attempt's run arrays and clean maps
