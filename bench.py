@@ -165,6 +165,22 @@ def main() -> None:
     )
 
 
+def _still_falling(runs: list[float]) -> bool:
+    """True when the run sequence is strictly falling AND the total
+    decline is MATERIAL (>5% first-to-last). The contention guard exists
+    to catch host load easing mid-measurement — drops of 2-5x — where the
+    minimum is still far above the true plan cost. A monotone 1-3% glide
+    is JIT / page-cache warming on a perfectly idle host (observed: four
+    sub-0.7s queries flagged on a quiet host with idle re-measures EQUAL
+    to their as-measured values); without the materiality bound those
+    false flags would deny every attempt fully-idle status now that
+    idleness gates the headline convention. A <5% residual descent means
+    the recorded minimum is within 5% of the true cost — immaterial."""
+    if not all(b < a for a, b in zip(runs, runs[1:])):
+        return False
+    return runs[-1] < 0.95 * runs[0]
+
+
 def _attempt_is_idle(a: dict) -> bool:
     """FULLY IDLE means no evidence of CONTAMINATION — not merely "no
     trigger fired". The slow-vs-prev trigger also fires on a genuine plan
@@ -225,11 +241,9 @@ def _measure_attempt(
         timed_run()  # untimed warm-up (codegen/JIT/page cache)
         for _ in range(3):
             runs.append(timed_run())
-        while len(runs) < 5 and all(
-            b < a for a, b in zip(runs, runs[1:])
-        ):
+        while len(runs) < 5 and _still_falling(runs):
             runs.append(timed_run())
-        if all(b < a for a, b in zip(runs, runs[1:])):
+        if _still_falling(runs):
             contended.append(name)
         timings[name] = round(min(runs), 4)
         all_runs[name] = [round(r, 4) for r in runs]

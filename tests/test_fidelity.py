@@ -561,3 +561,15 @@ def test_bench_attempt_idleness_classification():
     assert not bench._attempt_is_idle(
         {**base, "contended": ["q2"], "idle_remeasure": {"q2": 0.99}}
     )
+
+
+def test_bench_still_falling_materiality():
+    """The contention detector fires on material descents (host load
+    easing: the min is still far above the plan cost), not on monotone
+    1-3% JIT/page-cache warming glides on an idle host."""
+    import bench
+
+    assert bench._still_falling([1.0, 0.7, 0.5])  # halving: contention
+    assert not bench._still_falling([0.200, 0.198, 0.196])  # 2% glide
+    assert not bench._still_falling([1.0, 0.5, 0.6])  # not monotone
+    assert bench._still_falling([1.0, 0.97, 0.90])  # 10% total: material
