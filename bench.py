@@ -73,6 +73,17 @@ HEADLINE = [
 # well inside the driver's budget, and the round-11 series showed an idle
 # window recurs within a couple of attempts even on an oscillating host.
 _MAX_ATTEMPTS = 3
+# Total wall-clock budget: the retry loop must never push the whole run
+# past what the driver (or a supervising timeout) allows — a killed bench
+# records NOTHING, strictly worse than a contended-labelled attempt. A
+# new attempt only launches if the elapsed time plus the slowest attempt
+# so far still fits. Override via SPARK_GRAFT_BENCH_BUDGET (seconds).
+_BENCH_BUDGET_S = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET", "450"))
+# The driver stores/parses the LAST ~2000 chars of combined output; a
+# stdout summary longer than that window decapitates and parses null
+# (the round-6 artifact's exact failure). Cap with margin and degrade
+# gracefully (see main) instead of ever exceeding it.
+_MAX_SUMMARY_CHARS = 1900
 
 
 def main() -> None:
@@ -103,7 +114,18 @@ def main() -> None:
     prev = _previous_round_bench()
     attempts: list[dict] = []
     parity: dict = {}
+    t_bench0 = time.perf_counter()
     for i in range(_MAX_ATTEMPTS):
+        if i > 0:
+            elapsed = time.perf_counter() - t_bench0
+            est = max(a["attempt_sec"] for a in attempts)
+            if elapsed + est > _BENCH_BUDGET_S:
+                print(
+                    f"# budget: {elapsed:.0f}s elapsed + ~{est:.0f}s/attempt "
+                    f"> {_BENCH_BUDGET_S:.0f}s — no further attempts",
+                    file=sys.stderr,
+                )
+                break
         print(f"# --- attempt {i + 1}/{_MAX_ATTEMPTS} ---", file=sys.stderr)
         a = _measure_attempt(spark, fns, names, sf_dir, prev, sf_val)
         attempts.append(a)
@@ -142,27 +164,41 @@ def main() -> None:
     print("# parity " + json.dumps(parity_compact), file=sys.stderr)
     # COMPACT summary is the FINAL stdout line — the only stdout line —
     # sized to survive the driver's tail capture (VERDICT r6 #2).
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_runtime",
-                "value": chosen["value"],
-                "unit": "sec",
-                "queries": chosen["queries"],
-                # for a fully-idle attempt these EQUAL the as-measured
-                # map; they differ only when no attempt came back clean
-                "queries_clean": chosen["queries_clean"],
-                "value_clean": chosen["value_clean"],
-                "contended": chosen["contended"],
-                "idle_remeasure": chosen["idle_remeasure"],
-                "attempts_run": len(attempts),
-                "headline_attempt": attempts.index(chosen) + 1,
-                "headline_source": headline_source,
-                "parity": parity_compact,
-                "sf": sf_val,
-            }
+    summary = {
+        "metric": "headline_queries_total_runtime",
+        "value": chosen["value"],
+        "unit": "sec",
+        "queries": chosen["queries"],
+        # for a fully-idle attempt these EQUAL the as-measured
+        # map; they differ only when no attempt came back clean
+        "queries_clean": chosen["queries_clean"],
+        "value_clean": chosen["value_clean"],
+        "contended": chosen["contended"],
+        "idle_remeasure": chosen["idle_remeasure"],
+        "attempts_run": len(attempts),
+        "headline_attempt": attempts.index(chosen) + 1,
+        "headline_source": headline_source,
+        "parity": parity_compact,
+        "sf": sf_val,
+    }
+    line = json.dumps(summary)
+    # The driver parses the last ~2000 chars of combined output: a line
+    # longer than the window decapitates and parses NULL (the round-6
+    # failure). Worst case here is a fully-contended attempt (3 per-query
+    # maps). Degrade deterministically instead of ever exceeding the cap;
+    # the untrimmed summary is already on stderr inside the detail blob.
+    if len(line) > _MAX_SUMMARY_CHARS:
+        summary["idle_remeasure"] = sorted(summary["idle_remeasure"])
+        summary["idle_remeasure_note"] = "values in stderr detail (tail cap)"
+        line = json.dumps(summary)
+    if len(line) > _MAX_SUMMARY_CHARS:
+        del summary["queries_clean"]
+        summary["queries_clean_note"] = (
+            "omitted (tail cap): min(queries, idle re-measures), "
+            "full map in stderr detail"
         )
-    )
+        line = json.dumps(summary)
+    print(line)
 
 
 def _still_falling(runs: list[float]) -> bool:
@@ -208,6 +244,7 @@ def _measure_attempt(
     contended or slower-than-prev line. Returns the attempt's as-measured
     and corrected maps; an attempt with empty "contended" AND empty
     "idle_remeasure" is FULLY IDLE (no trigger fired anywhere)."""
+    t_a0 = time.perf_counter()
     timings: dict[str, float] = {}
     all_runs: dict[str, list[float]] = {}
     contended: list[str] = []
@@ -319,13 +356,14 @@ def _measure_attempt(
         "value": round(sum(timings.values()), 4),
         "queries": timings,
         "runs": all_runs,
-        # queries whose 5 runs were STILL strictly falling at cutoff:
+        # queries whose 5 runs were STILL materially falling at cutoff:
         # their min is an overestimate (host contention easing
         # mid-measurement), not a plan cost
         "contended": contended,
         "idle_remeasure": idle_remeasure,
         "queries_clean": queries_clean,
         "value_clean": round(sum(queries_clean.values()), 4),
+        "attempt_sec": round(time.perf_counter() - t_a0, 1),
     }
 
 
