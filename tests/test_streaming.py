@@ -31,12 +31,19 @@ def test_sum_view_subscriptions_and_versions(spark, sf_dir):
         # between reading version() and len(seen) would skew the equality.
         # StreamingQuery.stop() can return while a final foreachBatch is
         # still mid-flight on a loaded host (the round-8 flake) — the view
-        # now guards every batch with _batch_lock and its stop() joins it;
-        # barrier on the same lock here, then assert the STRICT invariant
-        # with no polling (restored from the r8 deflake, VERDICT r8 #6)
+        # guards every batch with _batch_lock, so LATCH _stopped under it
+        # exactly like view.stop() does (r12: a bare lock barrier joined a
+        # mid-flight callback but not one still QUEUED before lock
+        # acquisition — that one committed between the v and n reads and
+        # broke the equality once in ~3 full-suite runs on a loaded host).
+        # Data batches are all joined by await_catch_up, so the latch can
+        # only drop post-catch-up IDLE batches; v/n are then frozen and the
+        # STRICT invariant asserts with no polling (VERDICT r8 #6).
+        # view.stop() itself isn't usable yet — it tears down the snapshot
+        # this test still reads.
         view._query.stop()
         with view._batch_lock:
-            pass
+            view._stopped = True
         v, n = view.version(), len(seen)
         # 3 staged files, maxFilesPerTrigger=1 -> >= 3 micro-batches
         assert v >= 2
