@@ -1440,24 +1440,35 @@ def stream_lsh_dedup_ingest(spark, sf_dir):
     match (the oracle) because banding is per-document independent and
     the lake side is static — streaming introduces no approximation.
 
+    This query serves the lake from the PARTITIONED band table
+    (dedup.lsh_lake_write partitions on bk = pmod(hash(band, bv),
+    LSH_LAKE_BUCKETS); lsh_match_against_bucketed turns each batch's
+    distinct bk set into a STATIC partition filter on the lake scan) —
+    the deployment shape where a 100 TB lake's band table cannot be a
+    cached DataFrame, so the CORRECTNESS row exercises the
+    PartitionFilters probe end-to-end, matching the semantic gate
+    (stream_semdedup_ingest). Results are identical to the cached
+    lsh_match_against path by construction (bk is a pure function of
+    the join keys; equality + pruning plan-pinned by
+    test_bucketed_lake_probe_prunes_partitions).
+
     Scale shape (100 TB lake): the arriving batch's band table
-    (LSH_BANDS rows/doc) BROADCASTS, so the lake band table never
-    reshuffles per batch; in a deployment the lake side is a maintained
-    table partitioned on the band-bucket key — IMPLEMENTED and measured
-    as dedup.lsh_lake_write + lsh_match_against_bucketed (per-batch
-    probe statically prunes to the batch's matched partitions; sweep
-    shows flat lake-axis cost at lake 1x/10x/100x — see
-    scripts/sweep_stream_lsh.py --bucketed and
-    test_bucketed_lake_probe_prunes_partitions). Plan pinned by
-    test_stream_lsh_match_broadcasts_arriving_batch. Candidate counts
-    only — the exact-Jaccard verify runs async downstream exactly as in
-    llm_dedup_minhash_lsh (same candidates, same verify path)."""
+    (LSH_BANDS rows/doc) BROADCASTS and the lake scan reads only the
+    batch's matched bk partitions — bytes ~ |batch band keys| x
+    (|lake| / LSH_LAKE_BUCKETS), constant in |lake| when the bucket
+    count is sized with the lake; sweep shows flat lake-axis cost at
+    lake 1x/10x/100x (scripts/sweep_stream_lsh.py --bucketed). Plan
+    pinned by test_stream_lsh_match_broadcasts_arriving_batch.
+    Candidate counts only — the exact-Jaccard verify runs async
+    downstream exactly as in llm_dedup_minhash_lsh (same candidates,
+    same verify path)."""
     import shutil
     import tempfile
 
     from proteus_spark.llmops.dedup import (
         lsh_band_table,
-        lsh_match_against,
+        lsh_lake_write,
+        lsh_match_against_bucketed,
         minhash_signatures,
         shingles,
     )
@@ -1465,39 +1476,44 @@ def stream_lsh_dedup_ingest(spark, sf_dir):
     docs = load(spark, sf_dir, "documents")
     lake = docs.filter(F.col("doc_id") % 4 == 0)
     arriving = docs.filter(F.col("doc_id") % 4 != 0)
-    lake_bands = (
-        lsh_band_table(minhash_signatures(shingles(lake, distinct=False)))
-        .withColumnRenamed("doc_id", "lake_id")
-        .cache()
-    )
-    lake_bands.count()  # freeze/materialize the lake side once, pre-stream
 
-    src = cdc.stage_stream(spark, arriving, chunks=4)
+    lakedir = tempfile.mkdtemp(prefix="proteus_stream_lsh_lake_")
     outdir = tempfile.mkdtemp(prefix="proteus_stream_lsh_ingest_")
-
-    def on_batch(batch, epoch):
-        lsh_match_against(batch, lake_bands).write.mode("append").parquet(
-            outdir
+    try:
+        lsh_lake_write(
+            lsh_band_table(
+                minhash_signatures(shingles(lake, distinct=False))
+            ).withColumnRenamed("doc_id", "lake_id"),
+            lakedir,
         )
+        # resolved ONCE pre-stream: the cached file index is reused
+        # across micro-batches (the frozen-lake contract)
+        lake_bands = spark.read.parquet(lakedir)
 
-    query = (
-        src.subscribe(max_files_per_trigger=1)
-        .writeStream.outputMode("append")
-        .foreachBatch(on_batch)
-        .queryName("stream_lsh_dedup_ingest")
-        .start()
-    )
-    try:
-        query.processAllAvailable()
-    finally:
-        query.stop()
-        cdc.cleanup(src)
-    try:
+        src = cdc.stage_stream(spark, arriving, chunks=4)
+
+        def on_batch(batch, epoch):
+            lsh_match_against_bucketed(batch, lake_bands).write.mode(
+                "append"
+            ).parquet(outdir)
+
+        query = (
+            src.subscribe(max_files_per_trigger=1)
+            .writeStream.outputMode("append")
+            .foreachBatch(on_batch)
+            .queryName("stream_lsh_dedup_ingest")
+            .start()
+        )
+        try:
+            query.processAllAvailable()
+        finally:
+            query.stop()
+            cdc.cleanup(src)
         out = spark.read.parquet(outdir)
         return _spill(out)
     finally:
-        lake_bands.unpersist()
         shutil.rmtree(outdir, ignore_errors=True)
+        shutil.rmtree(lakedir, ignore_errors=True)
 
 
 def _stream_dsir_oracle() -> str:
