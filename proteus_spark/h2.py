@@ -266,9 +266,17 @@ class _DynTable:
             self.size -= len(n.encode()) + len(v.encode()) + 32
 
 
+# SETTINGS_MAX_HEADER_LIST_SIZE value: the SINGLE source for both the
+# advertised limit (the server's initial SETTINGS frame) and the enforced
+# decoded-list bound (HpackDecoder default) — one constant so the two
+# cannot drift and the server advertise one limit while enforcing another
+# (ADVICE r12).
+MAX_HEADER_LIST = 65536
+
+
 class HpackDecoder:
     def __init__(
-        self, max_table_size: int = 4096, max_header_list: int = 65536
+        self, max_table_size: int = 4096, max_header_list: int = MAX_HEADER_LIST
     ):
         self.table = _DynTable(max_table_size)
         # RFC 7541 §4.2: a dynamic-table-size update MUST be at or below
@@ -663,7 +671,7 @@ class GrpcQueryServer(wire.ProtobufQueryServer):
                         SETTINGS_MAX_CONCURRENT_STREAMS,
                         MAX_CONCURRENT_STREAMS,
                         SETTINGS_MAX_HEADER_LIST_SIZE,
-                        65536,
+                        MAX_HEADER_LIST,
                     ),
                 )
             )

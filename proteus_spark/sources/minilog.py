@@ -160,19 +160,21 @@ def _count_lines(fp: str) -> int:
         return sum(1 for _ in fh)
 
 
+# {topic_dir: {source_path: ((size, mtime_ns), counts)}} — NESTED by
+# topic (ADVICE r12): a flat LRU's per-visit cap floor only protected the
+# topic currently visiting, so with a shared cache an interleaved
+# small-topic visit could trim to the base cap and evict a live LARGE
+# topic's entries — reintroducing, across topics, the same re-parse
+# thrash the per-visit floor fixed within one (review r12 #4). Keying by
+# topic makes both bounds structural: a visit REPLACES its topic's
+# subdict with exactly the live sources (vanished-marker eviction for
+# free), and the global bound evicts least-recently-VISITED topics whole,
+# never the visiting topic, with the cap floored at 2x the LARGEST cached
+# topic so two live topics of any size can interleave without thrashing.
 _sidecar_cache: dict = {}
-# The sidecar cache is bounded two ways (ADVICE r11 — it previously grew
-# without bound across topic lifetimes): per visit, keys under the visited
-# topic dir whose files vanished are dropped (marker cleanup on a LIVE
-# topic); globally, the cache is LRU-capped so a long-lived process
-# cycling many temp topics sheds dead topics' entries. The effective cap
-# per visit is max(_SIDECAR_CACHE_MAX, 2x the visited topic's live source
-# count): a single long-lived topic accretes one epoch marker per commit,
-# and a fixed cap below its marker count would evict the visit's own
-# earliest entries every call — silently reverting offset discovery from
-# stat-only reads to re-parsing hundreds of marker JSONs per trigger
-# (review r12 #4). Dead topics' entries still shed as soon as any
-# smaller-topic visit runs under the base cap.
+# Base cap on TOTAL cached source entries across topics: a long-lived
+# process cycling many temp topics sheds dead topics' subdicts
+# oldest-visit-first once the total exceeds it.
 _SIDECAR_CACHE_MAX = 512
 # One lock for EVERY cache the function touches (module-level or a
 # Broker/Follower instance's): the eviction sweep and the LRU pop
@@ -210,18 +212,10 @@ def _producer_counts(path: str, cache: dict | None = None) -> dict[str, int]:
         names = os.listdir(path)
     except OSError:
         return out
-    # evict entries for THIS topic's vanished sources (superseded-key
-    # eviction, the _IndexCache pattern): a cleaned-up epoch marker must
-    # not pin its count map forever
-    live = {os.path.join(path, f) for f in names}
-    prefix = os.path.join(path, "")
+    topic = os.path.join(path, "")
     with _sidecar_lock:
-        for stale in [
-            k for k in cache if k.startswith(prefix) and k not in live
-        ]:
-            del cache[stale]
-    # the cap never undercuts the topic being visited (see note above)
-    cap = max(_SIDECAR_CACHE_MAX, 2 * len(names))
+        prev = dict(cache.get(topic) or {})
+    fresh: dict = {}
     for f in sorted(names):
         if f in ("_base-counts.json", "_replica-counts.json") or (
             f.startswith("_epoch-") and f.endswith(".committed")
@@ -236,8 +230,7 @@ def _producer_counts(path: str, cache: dict | None = None) -> dict[str, int]:
             # (the Follower rewrites _replica-counts.json every cycle)
             # REPLACES its entry instead of accreting one per rewrite —
             # the superseded-key eviction _IndexCache documents
-            with _sidecar_lock:
-                cached = cache.get(fp)
+            cached = prev.get(fp)
             if cached is None or cached[0] != stat_key:
                 counts: dict[str, int] = {}
                 try:
@@ -251,14 +244,27 @@ def _producer_counts(path: str, cache: dict | None = None) -> dict[str, int]:
                 except (ValueError, OSError):
                     pass  # legacy plain-text marker: carries no counts
                 cached = (stat_key, counts)
-            # (re)insert at the tail: dict order is the LRU order, so
-            # hot topics' entries survive the global cap below
-            with _sidecar_lock:
-                cache.pop(fp, None)
-                cache[fp] = cached
-                while len(cache) > cap:
-                    del cache[next(iter(cache))]
+            fresh[fp] = cached
             out.update(cached[1])
+    with _sidecar_lock:
+        # replace the topic's subdict wholesale: vanished sources (marker
+        # cleanup on a live topic) drop with it, and popping/re-inserting
+        # the topic key records visit recency — dict order IS the
+        # topic-LRU order for the global bound below
+        cache.pop(topic, None)
+        cache[topic] = fresh
+        # global bound on total entries, floored at 2x the largest cached
+        # topic (see the cache note above); the visiting topic is never
+        # evicted, and each pop may lower the floor, so recompute per
+        # iteration — the loop strictly shrinks the dict and terminates
+        while len(cache) > 1:
+            cap = max(
+                _SIDECAR_CACHE_MAX,
+                2 * max(len(v) for v in cache.values()),
+            )
+            if sum(len(v) for v in cache.values()) <= cap:
+                break
+            del cache[next(k for k in cache if k != topic)]
     return out
 
 

@@ -563,6 +563,48 @@ def test_bench_attempt_idleness_classification():
     )
 
 
+def test_bench_summary_degrade_never_exceeds_cap():
+    """ADVICE r12: the stdout summary must land under the driver's
+    tail-capture cap no matter how large the per-query maps grow — the
+    degrade chain ends in O(1)-sized fields, so even a pathological
+    HEADLINE set cannot decapitate the line into a parse-null."""
+    import json
+
+    import bench
+
+    def mk(n_queries):
+        qmap = {f"llm_query_with_a_long_name_{i:04d}": 1.234 for i in range(n_queries)}
+        return {
+            "metric": "headline_queries_total_runtime",
+            "value": 12.3,
+            "unit": "sec",
+            "queries": dict(qmap),
+            "queries_clean": dict(qmap),
+            "value_clean": 12.3,
+            "contended": sorted(qmap),
+            "idle_remeasure": dict(qmap),
+            "attempts_run": 3,
+            "headline_attempt": 1,
+            "headline_source": "min_clean_of_contended",
+            "parity": {"notify_p50_ms": 2100.0, "p50_in_band": True},
+            "sf": 0.1,
+        }
+
+    # small summary passes through untouched
+    small = mk(3)
+    line = bench._degrade_summary(dict(small))
+    assert json.loads(line)["queries"] == small["queries"]
+    # every scale up to absurd stays parseable AND under the cap, and the
+    # headline scalars always survive
+    for n in (21, 60, 200, 1000):
+        line = bench._degrade_summary(mk(n))
+        assert len(line) <= bench._MAX_SUMMARY_CHARS, n
+        parsed = json.loads(line)
+        assert parsed["value"] == 12.3 and parsed["value_clean"] == 12.3
+        assert parsed["parity"]["notify_p50_ms"] == 2100.0
+        assert parsed["headline_source"] == "min_clean_of_contended"
+
+
 def test_bench_still_falling_materiality():
     """The contention detector fires on material descents (host load
     easing: the min is still far above the plan cost), not on monotone

@@ -250,7 +250,10 @@ def test_server_advertises_enforced_intake_settings(engine):
             for o in range(0, len(payload), 6)
         }
         assert got[h2.SETTINGS_MAX_CONCURRENT_STREAMS] == h2.MAX_CONCURRENT_STREAMS
-        assert got[h2.SETTINGS_MAX_HEADER_LIST_SIZE] == 65536
+        # the advertised value, the HpackDecoder default, and this pin all
+        # read the ONE module constant (ADVICE r12: no silent drift)
+        assert got[h2.SETTINGS_MAX_HEADER_LIST_SIZE] == h2.MAX_HEADER_LIST
+        assert h2.HpackDecoder().max_header_list == h2.MAX_HEADER_LIST
 
 
 def test_grpc_unary_end_to_end(engine):

@@ -1957,31 +1957,35 @@ def test_sidecar_cache_bounded_across_topic_lifetimes(tmp_path, monkeypatch):
         (d / "_base-counts.json").write_text(_json.dumps({"counts": counts}))
         return str(d)
 
-    cache: dict = {}
-    hot = mk_topic("hot", {"p=0/part-00000": 3})
-    assert minilog._producer_counts(hot, cache) == {"p=0/part-00000": 3}
-    assert len(cache) == 1
-
-    # (a) vanished-source eviction on the next visit of the SAME topic
     import os as _os
 
+    def n_entries(c: dict) -> int:
+        return sum(len(v) for v in c.values())
+
+    cache: dict = {}
+    hot = mk_topic("hot", {"p=0/part-00000": 3})
+    hot_topic = _os.path.join(hot, "")
+    assert minilog._producer_counts(hot, cache) == {"p=0/part-00000": 3}
+    assert n_entries(cache) == 1
+
+    # (a) vanished-source eviction on the next visit of the SAME topic
     marker = _os.path.join(hot, "_epoch-00000001.committed")
     with open(marker, "w") as fh:
         _json.dump({"counts": {"p=0/part-e00000001-x": 2}}, fh)
     side = minilog._producer_counts(hot, cache)
-    assert side["p=0/part-e00000001-x"] == 2 and len(cache) == 2
+    assert side["p=0/part-e00000001-x"] == 2 and n_entries(cache) == 2
     _os.remove(marker)
     assert "p=0/part-e00000001-x" not in minilog._producer_counts(hot, cache)
-    assert len(cache) == 1  # the dead marker's entry is gone
+    assert n_entries(cache) == 1  # the dead marker's entry is gone
 
-    # (b) global LRU cap across topic lifetimes, hot key survives
+    # (b) global LRU cap across topic lifetimes, hot topic survives
     monkeypatch.setattr(minilog, "_SIDECAR_CACHE_MAX", 8)
     for i in range(30):
         minilog._producer_counts(mk_topic(f"t{i}", {"p=0/s": i}), cache)
         minilog._producer_counts(hot, cache)  # keep the hot topic hot
-    assert len(cache) <= 8
-    hot_key = _os.path.join(hot, "_base-counts.json")
-    assert hot_key in cache  # LRU kept the hot entry, shed dead topics
+    assert n_entries(cache) <= 8
+    assert hot_topic in cache  # topic-LRU kept the hot topic, shed dead
+    assert _os.path.join(hot, "_base-counts.json") in cache[hot_topic]
 
 
 def test_sidecar_cache_thread_safe_and_no_self_thrash(tmp_path, monkeypatch):
@@ -2012,13 +2016,27 @@ def test_sidecar_cache_thread_safe_and_no_self_thrash(tmp_path, monkeypatch):
         return str(d)
 
     # (b) no self-thrash: 20 markers >> base cap 8; after one visit every
-    # source is still cached (the per-visit cap floors at 2x live sources)
+    # source is still cached (the cap floors at 2x the largest topic)
     monkeypatch.setattr(minilog, "_SIDECAR_CACHE_MAX", 8)
     cache: dict = {}
     big = mk_topic("big", 20)
+    big_topic = os.path.join(big, "")
     side = minilog._producer_counts(big, cache)
     assert len(side) == 21
-    assert len(cache) == 21  # nothing self-evicted
+    assert len(cache[big_topic]) == 21  # nothing self-evicted
+
+    # (b') no CROSS-topic thrash (ADVICE r12): interleaved visits of a
+    # SMALL topic through the same shared cache must not trim the live
+    # big topic's entries back under the base cap — the regression would
+    # silently re-parse all 21 marker JSONs on every big-topic trigger
+    small = mk_topic("small", 2)
+    for _ in range(3):
+        minilog._producer_counts(small, cache)
+        assert len(cache[big_topic]) == 21, "small visit evicted big topic"
+        big_entries_before = dict(cache[big_topic])
+        minilog._producer_counts(big, cache)
+        # identical objects => served from cache, not re-parsed
+        assert cache[big_topic] == big_entries_before
 
     # (a) thread safety: 4 threads hammer DIFFERENT topics through ONE
     # shared cache while markers keep appearing; any iteration race
