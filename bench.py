@@ -114,6 +114,7 @@ def main() -> None:
     prev = _previous_round_bench()
     attempts: list[dict] = []
     parity: dict = {}
+    probe_waited = 0.0
     t_bench0 = time.perf_counter()
     for i in range(_MAX_ATTEMPTS):
         if i > 0:
@@ -126,6 +127,25 @@ def main() -> None:
                     file=sys.stderr,
                 )
                 break
+        # pre-series idle probe (VERDICT r12 #4): don't spend an attempt
+        # discovering a noisy window — wait (bounded by the probe phase's
+        # OWN budget share, counted across the whole run) for a quiet one
+        floors = _probe_floors(prev, sf_val, names)
+        while floors and not _probe_is_idle(spark, fns, sf_dir, floors):
+            if probe_waited > _PROBE_PHASE_FRACTION * _BENCH_BUDGET_S or (
+                attempts
+                and time.perf_counter() - t_bench0
+                + max(a["attempt_sec"] for a in attempts)
+                + _PROBE_WAIT_S
+                > _BENCH_BUDGET_S
+            ):
+                print(
+                    "# probe: phase budget spent — measuring anyway",
+                    file=sys.stderr,
+                )
+                break
+            time.sleep(_PROBE_WAIT_S)
+            probe_waited += _PROBE_WAIT_S
         print(f"# --- attempt {i + 1}/{_MAX_ATTEMPTS} ---", file=sys.stderr)
         a = _measure_attempt(spark, fns, names, sf_dir, prev, sf_val)
         attempts.append(a)
@@ -250,6 +270,53 @@ def _attempt_is_idle(a: dict) -> bool:
         idle >= 0.9 * a["queries"][n]
         for n, idle in a["idle_remeasure"].items()
     )
+
+
+# Pre-series idle probe (VERDICT r12 #4): before spending a full ~2-min
+# attempt discovering contention, re-time the previous round's 3 FASTEST
+# recorded lines (sub-200ms queries are the most sensitive canaries —
+# fixed overhead dominates them, so host noise shows multiplicatively).
+# If any probe exceeds its recorded floor by >_PROBE_TOL, the window is
+# noisy: wait and re-probe instead of burning an attempt. The probe phase
+# is budget-capped — measuring contended still beats recording nothing.
+_PROBE_TOL = 1.5
+_PROBE_WAIT_S = 8.0
+_PROBE_PHASE_FRACTION = 0.2  # of _BENCH_BUDGET_S, across the whole run
+
+
+def _probe_floors(prev: dict, sf_val, names: list[str]) -> dict[str, float]:
+    """The 3 fastest previous-round recorded values at the SAME sf —
+    {} when no comparable record exists (probe then can't judge and is
+    skipped entirely)."""
+    if prev.get("sf") != sf_val:
+        return {}
+    qc = prev.get("queries_clean") or {}
+    q = prev.get("queries") or {}
+    floors: dict[str, float] = {}
+    for n in names:
+        vals = [
+            v
+            for v in (qc.get(n), q.get(n))
+            if isinstance(v, (int, float)) and v > 0
+        ]
+        if vals:
+            floors[n] = min(vals)
+    return dict(sorted(floors.items(), key=lambda kv: kv[1])[:3])
+
+
+def _probe_is_idle(spark, fns, sf_dir: str, floors: dict[str, float]) -> bool:
+    """One probe pass: warm-up + best-of-2 per canary vs its floor."""
+    for name, floor in floors.items():
+        _timed_run(spark, fns[name], sf_dir)  # warm-up
+        got = min(_timed_run(spark, fns[name], sf_dir) for _ in range(2))
+        if got > _PROBE_TOL * floor:
+            print(
+                f"# probe: {name} {got:.3f}s > {_PROBE_TOL}x floor "
+                f"{floor:.3f}s — window noisy",
+                file=sys.stderr,
+            )
+            return False
+    return True
 
 
 def _measure_attempt(

@@ -605,6 +605,28 @@ def test_bench_summary_degrade_never_exceeds_cap():
         assert parsed["headline_source"] == "min_clean_of_contended"
 
 
+def test_bench_probe_floor_selection():
+    """VERDICT r12 #4: the pre-series idle probe compares the 3 FASTEST
+    previous-round lines (the most contention-sensitive canaries) against
+    their recorded floors — and judges nothing when the record is from a
+    different sf (cross-sf floors are meaningless)."""
+    import bench
+
+    prev = {
+        "sf": 0.1,
+        "queries": {"a": 0.5, "b": 0.1, "c": 0.3, "d": 0.2, "e": 0.9},
+        "queries_clean": {"a": 0.4, "b": 0.12, "c": 0.3, "d": 0.2, "e": 0.9},
+    }
+    names = ["a", "b", "c", "d", "e"]
+    floors = bench._probe_floors(prev, 0.1, names)
+    # 3 fastest by min(queries, queries_clean): b=0.1, d=0.2, c=0.3
+    assert floors == {"b": 0.1, "d": 0.2, "c": 0.3}
+    # sf mismatch -> no floors -> probe skipped
+    assert bench._probe_floors(prev, 0.01, names) == {}
+    # names not in the record are ignored
+    assert bench._probe_floors(prev, 0.1, ["zz"]) == {}
+
+
 def test_bench_still_falling_materiality():
     """The contention detector fires on material descents (host load
     easing: the min is still far above the plan cost), not on monotone
