@@ -131,7 +131,29 @@ def main() -> None:
         # discovering a noisy window — wait (bounded by the probe phase's
         # OWN budget share, counted across the whole run) for a quiet one
         floors = _probe_floors(prev, sf_val, names)
-        while floors and not _probe_is_idle(spark, fns, sf_dir, floors):
+        last_obs: dict[str, float] = {}
+        while floors:
+            obs = _probe_once(spark, fns, sf_dir, floors)
+            noisy, plan_cost = _probe_verdict(floors, obs, last_obs)
+            last_obs = obs
+            for n in plan_cost:
+                print(
+                    f"# probe: {n} {obs[n]:.3f}s > {_PROBE_TOL}x floor "
+                    f"{floors[n]:.3f}s but REPRODUCED — plan cost, canary "
+                    "dropped (idle re-measure will adjudicate)",
+                    file=sys.stderr,
+                )
+                floors.pop(n)
+            if not noisy:
+                break
+            print(
+                "# probe: noisy window — "
+                + ", ".join(
+                    f"{n} {obs[n]:.3f}s vs floor {floors[n]:.3f}s"
+                    for n in sorted(noisy)
+                ),
+                file=sys.stderr,
+            )
             if probe_waited > _PROBE_PHASE_FRACTION * _BENCH_BUDGET_S or (
                 attempts
                 and time.perf_counter() - t_bench0
@@ -231,8 +253,12 @@ def _degrade_summary(summary: dict) -> str:
         summary["queries_note"] = "omitted (tail cap): map in stderr detail"
         line = json.dumps(summary)
     if len(line) > _MAX_SUMMARY_CHARS:
-        summary["contended"] = len(summary["contended"])
-        summary["idle_remeasure"] = len(summary["idle_remeasure"])
+        # keep the counts under NEW keys and drop the lists: a later run's
+        # _previous_round_bench does set(prev["contended"]) — leaving an
+        # int under the list's key would crash NEXT round's bench before
+        # attempt 1 (review r13 #2)
+        summary["contended_n"] = len(summary.pop("contended"))
+        summary["idle_remeasure_n"] = len(summary.pop("idle_remeasure"))
         line = json.dumps(summary)
     return line
 
@@ -290,8 +316,10 @@ def _probe_floors(prev: dict, sf_val, names: list[str]) -> dict[str, float]:
     skipped entirely)."""
     if prev.get("sf") != sf_val:
         return {}
-    qc = prev.get("queries_clean") or {}
-    q = prev.get("queries") or {}
+    qc = prev.get("queries_clean")
+    qc = qc if isinstance(qc, dict) else {}
+    q = prev.get("queries")
+    q = q if isinstance(q, dict) else {}
     floors: dict[str, float] = {}
     for n in names:
         vals = [
@@ -304,19 +332,39 @@ def _probe_floors(prev: dict, sf_val, names: list[str]) -> dict[str, float]:
     return dict(sorted(floors.items(), key=lambda kv: kv[1])[:3])
 
 
-def _probe_is_idle(spark, fns, sf_dir: str, floors: dict[str, float]) -> bool:
-    """One probe pass: warm-up + best-of-2 per canary vs its floor."""
-    for name, floor in floors.items():
+def _probe_once(
+    spark, fns, sf_dir: str, floors: dict[str, float]
+) -> dict[str, float]:
+    """One probe pass: warm-up + best-of-2 per canary."""
+    obs: dict[str, float] = {}
+    for name in floors:
         _timed_run(spark, fns[name], sf_dir)  # warm-up
-        got = min(_timed_run(spark, fns[name], sf_dir) for _ in range(2))
-        if got > _PROBE_TOL * floor:
-            print(
-                f"# probe: {name} {got:.3f}s > {_PROBE_TOL}x floor "
-                f"{floor:.3f}s — window noisy",
-                file=sys.stderr,
-            )
-            return False
-    return True
+        obs[name] = min(_timed_run(spark, fns[name], sf_dir) for _ in range(2))
+    return obs
+
+
+def _probe_verdict(
+    floors: dict[str, float],
+    obs: dict[str, float],
+    last_obs: dict[str, float],
+) -> tuple[set, set]:
+    """Classify this probe pass: (noisy, plan_cost). A canary above
+    _PROBE_TOL x floor whose value REPRODUCES the previous pass within
+    10% is a genuine plan cost, not host noise (review r13 #3 — noise
+    swings between passes; a real regression is stable): it must stop
+    blocking the series, and the attempt's own slow-vs-prev idle
+    re-measure will adjudicate it properly."""
+    over = {
+        n
+        for n, floor in floors.items()
+        if obs.get(n, 0.0) > _PROBE_TOL * floor
+    }
+    stable = {
+        n
+        for n in over
+        if n in last_obs and abs(obs[n] - last_obs[n]) <= 0.1 * last_obs[n]
+    }
+    return over - stable, stable
 
 
 def _measure_attempt(
@@ -384,8 +432,12 @@ def _measure_attempt(
     # repeat-contended set happened to be empty — the artifact could not
     # prove the +21% was environmental. The slow-vs-prev trigger makes a
     # drift round re-time its own movers.
-    prev_contended = set(prev.get("contended") or [])
-    prev_q = prev.get("queries") or {}
+    # type-guarded: a degraded or hand-edited record must never crash the
+    # NEXT round's bench (a killed bench records nothing)
+    _pc = prev.get("contended")
+    prev_contended = set(_pc) if isinstance(_pc, (list, tuple)) else set()
+    _pq = prev.get("queries")
+    prev_q = _pq if isinstance(_pq, dict) else {}
     same_sf = prev.get("sf") == sf_val
     # VERDICT r10 #6 (bench honesty): EVERY contended line is re-measured
     # at end-of-run — not just repeat-contended ones — so the artifact

@@ -417,12 +417,13 @@ def lsh_lake_write(
     for. Each (band, bv) bucket lands wholly inside one partition, so an
     arriving batch's probe only has to read the partitions its own band
     values hash to (see lsh_match_against_bucketed)."""
-    (
-        lake_bands.withColumn("bk", _lake_bucket_col(n_buckets))
-        .write.mode("overwrite")
-        .partitionBy("bk")
-        .parquet(path)
-    )
+    from proteus_spark.llmops.lake import write_schema_sidecar
+
+    bands_bk = lake_bands.withColumn("bk", _lake_bucket_col(n_buckets))
+    bands_bk.write.mode("overwrite").partitionBy("bk").parquet(path)
+    # schema sidecar: a zero-row lake (nothing indexable yet) must read
+    # back as an empty frame, not an inference failure (review r13 #4)
+    write_schema_sidecar(bands_bk, path)
 
 
 def lsh_match_against_bucketed(

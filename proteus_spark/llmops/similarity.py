@@ -350,7 +350,12 @@ def ivf_index_write(assigned: DataFrame, path: str) -> None:
     then read ONLY their buckets' partitions (ivf_topk_indexed); at
     100 TB the partition count is the #centroids, which SemDeDup/IVF
     practice already scales with the corpus (constant partition size)."""
+    from proteus_spark.llmops.lake import write_schema_sidecar
+
     assigned.write.mode("overwrite").partitionBy("bucket").parquet(path)
+    # schema sidecar: an empty index must read back as an empty frame,
+    # not an inference failure (review r13 #4; see llmops/lake.py)
+    write_schema_sidecar(assigned, path)
 
 
 def ivf_topk_indexed(
@@ -1357,7 +1362,12 @@ def semdedup_lake_write(lake_index: DataFrame, path: str) -> None:
     probe reads only the partitions its own assignments name. At 100 TB
     the partition count is the #centroids, which SemDeDup practice
     already scales with the corpus (constant partition size)."""
+    from proteus_spark.llmops.lake import write_schema_sidecar
+
     lake_index.write.mode("overwrite").partitionBy("bucket").parquet(path)
+    # schema sidecar: an empty lake must read back as an empty frame,
+    # not an inference failure (review r13 #4; see llmops/lake.py)
+    write_schema_sidecar(lake_index, path)
 
 
 def semdedup_match_against_bucketed(

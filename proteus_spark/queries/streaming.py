@@ -1487,8 +1487,12 @@ def stream_lsh_dedup_ingest(spark, sf_dir):
             lakedir,
         )
         # resolved ONCE pre-stream: the cached file index is reused
-        # across micro-batches (the frozen-lake contract)
-        lake_bands = spark.read.parquet(lakedir)
+        # across micro-batches (the frozen-lake contract); lake_read
+        # replays the writer's schema sidecar so a zero-row lake gates
+        # everything as non-duplicate instead of failing inference
+        from proteus_spark.llmops.lake import lake_read
+
+        lake_bands = lake_read(spark, lakedir)
 
         src = cdc.stage_stream(spark, arriving, chunks=4)
 
@@ -1793,8 +1797,11 @@ def stream_semdedup_ingest(spark, sf_dir):
     try:
         semdedup_lake_write(semdedup_lake_index(lake, centroids), lakedir)
         # resolved ONCE pre-stream: the cached file index is reused
-        # across micro-batches (the frozen-lake contract)
-        lake_idx = spark.read.parquet(lakedir)
+        # across micro-batches (the frozen-lake contract); lake_read
+        # replays the writer's schema sidecar (empty-lake safety)
+        from proteus_spark.llmops.lake import lake_read
+
+        lake_idx = lake_read(spark, lakedir)
 
         src = cdc.stage_stream(spark, arriving, chunks=4)
 

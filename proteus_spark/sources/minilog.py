@@ -1014,7 +1014,12 @@ def register_log_datasource(spark: SparkSession) -> str:
         closure-pickling rule: anything the nested classes reference must
         ship BY VALUE — a module-level global would pickle by reference
         to `proteus_spark`, unimportable from a foreign-cwd driver's
-        workers). Same sources, same (size, mtime) memoization."""
+        workers). Same sources, same (size, mtime) memoization; single
+        topic per cache (the reader instance owns one topic), so the
+        bound is simpler than the module function's per-topic nesting:
+        each visit REBUILDS the cache dict from exactly the live sources
+        — vanished markers' entries drop with the swap, so the cache
+        never outgrows the topic's live source count (review r13 #5)."""
         import json as _json
 
         out: dict = {}
@@ -1022,6 +1027,7 @@ def register_log_datasource(spark: SparkSession) -> str:
             names = os.listdir(path)
         except OSError:
             return out
+        fresh: dict = {}
         for f in sorted(names):
             if f in ("_base-counts.json", "_replica-counts.json") or (
                 f.startswith("_epoch-") and f.endswith(".committed")
@@ -1047,8 +1053,11 @@ def register_log_datasource(spark: SparkSession) -> str:
                             }
                     except (ValueError, OSError):
                         pass  # legacy plain-text marker: no counts
-                    cache[fp] = cached = (stat_key, counts)
+                    cached = (stat_key, counts)
+                fresh[fp] = cached
                 out.update(cached[1])
+        cache.clear()
+        cache.update(fresh)
         return out
 
     class _LogRange(InputPartition):

@@ -725,14 +725,18 @@ class SumView:
         # derives touched buckets from its own write; replayed epochs are
         # skipped — exactly-once for the additive CDC merge)
         delta = delta.withColumn("_bucket", self._state.bucket_col())
-        v_before = self._state.version
-        if self._state.commit_delta(delta, epoch=epoch) == v_before:
-            # replayed epoch: state didn't move, so downstream must not
-            # either — re-running derived views is wasted work and
-            # re-notifying subscribers breaks the one-callback-per-version
-            # contract (n_callbacks == version + 1) that QuerySubscribe
-            # consumers and the freshness tests rely on
-            return
+        # NOTE: a replayed epoch (commit_delta returns an unchanged
+        # version) still falls through to derived recompute + subscriber
+        # dispatch DELIBERATELY — downstream delivery is AT-LEAST-ONCE.
+        # A crash between the state's manifest persist and a subscriber's
+        # own commit point (e.g. minilog.append_epoch's atomic marker)
+        # leaves the export incomplete; on restart foreachBatch re-delivers
+        # the epoch, the state commit is skipped (exactly-once), and the
+        # re-dispatched subscriber completes its idempotent publication —
+        # the marker-keyed replay guard in append_epoch depends on being
+        # re-invoked (review r13 #1). Replays only occur across restarts,
+        # so in-process callback counting (one per version) is unaffected.
+        self._state.commit_delta(delta, epoch=epoch)
 
         # downstream QPUs: recompute derived views over the committed state
         # (None until the first non-empty batch commits a schema — an
@@ -990,9 +994,10 @@ class JoinView:
         # resolves per-column last-writer-wins + deletes on read; one
         # Spark job per batch (touched buckets come from the commit's
         # own write); replayed epochs are skipped
-        v_before = self._state.version
-        if self._state.commit_delta(delta, epoch=epoch) == v_before:
-            return  # replayed epoch: don't re-notify (see SumView._merge_locked)
+        # replayed epochs skip the state commit but still re-notify:
+        # downstream delivery is at-least-once so idempotent exporters can
+        # complete a crash-interrupted publication (see SumView._merge_locked)
+        self._state.commit_delta(delta, epoch=epoch)
         for cb in list(self._subscribers):
             try:
                 cb(delta.drop("_bucket"), epoch)

@@ -159,6 +159,68 @@ def test_lsh_match_includes_unshingleable_docs(spark):
     assert out[2] == (0, 0) and out[3] == (0, 0) and out[4] == (0, 0)
 
 
+def test_empty_lakes_read_back_and_gate_everything_through(spark, tmp_path):
+    """Review r13 #4: a ZERO-ROW maintained lake (fresh deployment, or a
+    slice where nothing was indexable) writes no part files — the
+    partitioned-lake readers must replay the writer's schema sidecar and
+    gate every arriving doc as a non-duplicate, not fail parquet schema
+    inference where the cached-DataFrame path would have returned 0s."""
+    from proteus_spark.llmops.dedup import (
+        lsh_band_table,
+        lsh_lake_write,
+        lsh_match_against_bucketed,
+        minhash_signatures,
+        shingles,
+    )
+    from proteus_spark.llmops.lake import lake_read
+
+    empty_lake = spark.createDataFrame([], "doc_id bigint, text string")
+    lakedir = str(tmp_path / "lsh_lake")
+    lsh_lake_write(
+        lsh_band_table(
+            minhash_signatures(shingles(empty_lake, distinct=False))
+        ).withColumnRenamed("doc_id", "lake_id"),
+        lakedir,
+    )
+    lake_bands = lake_read(spark, lakedir)
+    assert lake_bands.count() == 0
+    assert {"lake_id", "band", "bv", "bk"} <= set(lake_bands.columns)
+    batch = spark.createDataFrame(
+        [(1, "a b c d e f g h"), (2, "xy")], "doc_id bigint, text string"
+    )
+    out = {
+        r["doc_id"]: (r["n_lake_candidates"], r["is_dup"])
+        for r in lsh_match_against_bucketed(batch, lake_bands).collect()
+    }
+    assert out == {1: (0, 0), 2: (0, 0)}
+
+    # the semantic twin: empty embedding lake
+    from pyspark.sql import functions as F
+
+    from proteus_spark.llmops.similarity import (
+        semdedup_lake_index,
+        semdedup_lake_write,
+        semdedup_match_against_bucketed,
+    )
+
+    emb_schema = "vec_id bigint, embedding array<float>"
+    centroids = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])], emb_schema
+    )
+    empty_emb = spark.createDataFrame([], emb_schema)
+    semdir = str(tmp_path / "sem_lake")
+    semdedup_lake_write(semdedup_lake_index(empty_emb, centroids), semdir)
+    lake_idx = lake_read(spark, semdir)
+    assert lake_idx.count() == 0
+    arriving = spark.createDataFrame([(7, [1.0, 0.0])], emb_schema)
+    rows = semdedup_match_against_bucketed(
+        arriving, lake_idx, centroids
+    ).collect()
+    assert len(rows) == 1
+    r = rows[0].asDict()
+    assert r["vec_id"] == 7 and r["n_lake_near"] == 0 and r["is_dup"] == 0
+
+
 def test_minhash_band_table_matches_pure_python_reference(spark):
     """Independent pin of the MinHash/LSH chain against a pure-Python
     reference built straight from the spec (hashlib.md5, positional hex

@@ -603,6 +603,10 @@ def test_bench_summary_degrade_never_exceeds_cap():
         assert parsed["value"] == 12.3 and parsed["value_clean"] == 12.3
         assert parsed["parity"]["notify_p50_ms"] == 2100.0
         assert parsed["headline_source"] == "min_clean_of_contended"
+        # review r13 #2: the last degrade step must never leave an int
+        # under a key the next round iterates — counts move to _n keys
+        assert isinstance(parsed.get("contended", []), list)
+        assert isinstance(parsed.get("idle_remeasure", {}), (dict, list))
 
 
 def test_bench_probe_floor_selection():
@@ -625,6 +629,37 @@ def test_bench_probe_floor_selection():
     assert bench._probe_floors(prev, 0.01, names) == {}
     # names not in the record are ignored
     assert bench._probe_floors(prev, 0.1, ["zz"]) == {}
+    # degraded records (lists collapsed to counts) must not crash or
+    # mislead the probe (review r13 #2)
+    assert bench._probe_floors({"sf": 0.1, "queries": 21}, 0.1, names) == {}
+
+
+def test_bench_probe_verdict_noise_vs_plan_cost():
+    """Review r13 #3: a canary above tolerance whose value REPRODUCES the
+    previous pass within 10% is a plan regression (stable), not host
+    noise (which swings) — it must stop blocking the series instead of
+    burning the probe budget in sleeps."""
+    import bench
+
+    floors = {"b": 0.1, "d": 0.2}
+    # first pass: b is 2x its floor, no history -> noisy (could be noise)
+    noisy, plan = bench._probe_verdict(floors, {"b": 0.2, "d": 0.2}, {})
+    assert noisy == {"b"} and plan == set()
+    # second pass reproduces within 10% -> plan cost, stops blocking
+    noisy, plan = bench._probe_verdict(
+        floors, {"b": 0.205, "d": 0.2}, {"b": 0.2, "d": 0.2}
+    )
+    assert noisy == set() and plan == {"b"}
+    # second pass swings (true noise) -> still noisy
+    noisy, plan = bench._probe_verdict(
+        floors, {"b": 0.5, "d": 0.2}, {"b": 0.2, "d": 0.2}
+    )
+    assert noisy == {"b"} and plan == set()
+    # quiet pass -> neither
+    noisy, plan = bench._probe_verdict(
+        floors, {"b": 0.11, "d": 0.2}, {"b": 0.5, "d": 0.2}
+    )
+    assert noisy == set() and plan == set()
 
 
 def test_bench_still_falling_materiality():

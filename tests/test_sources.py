@@ -2035,8 +2035,13 @@ def test_sidecar_cache_thread_safe_and_no_self_thrash(tmp_path, monkeypatch):
         assert len(cache[big_topic]) == 21, "small visit evicted big topic"
         big_entries_before = dict(cache[big_topic])
         minilog._producer_counts(big, cache)
-        # identical objects => served from cache, not re-parsed
-        assert cache[big_topic] == big_entries_before
+        # IDENTITY, not equality: a re-parse produces ==-equal fresh
+        # tuples — only `is` proves the entries were served from cache
+        assert all(
+            cache[big_topic][k] is big_entries_before[k]
+            for k in big_entries_before
+        )
+        assert set(cache[big_topic]) == set(big_entries_before)
 
     # (a) thread safety: 4 threads hammer DIFFERENT topics through ONE
     # shared cache while markers keep appearing; any iteration race

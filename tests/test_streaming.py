@@ -858,11 +858,11 @@ def test_join_view_restart_resumes_and_converges(spark, sf_dir, tmp_path):
 def test_lsm_epoch_replay_is_idempotent(spark):
     """foreachBatch re-delivers the in-flight epoch after a restart; the
     additive CDC merge would double-count it. The commit's epoch guard
-    must skip a replayed epoch (no version bump, no state change) — and
-    the view must not RE-NOTIFY subscribers for the skipped commit
-    either (VERDICT r12 #1: a replay-dispatched callback without a
-    version bump breaks the one-callback-per-version contract
-    n_callbacks == version + 1) — then accept the next epoch."""
+    must skip a replayed epoch (no version bump, no state change) — but
+    subscribers MUST still be re-notified: downstream delivery is
+    at-least-once so an idempotent exporter (minilog.append_epoch's
+    marker-keyed replay guard) can complete a crash-interrupted
+    publication (review r13 #1). Then the next epoch applies."""
     view = SumView(
         spark, stream=None, group_by="k", agg_attr="new_value",
         name="t_lsm_replay", mode="cdc", n_buckets=2,
@@ -877,20 +877,19 @@ def test_lsm_epoch_replay_is_idempotent(spark):
         v_after_first = view._state.version
         assert epochs == [0]
         view._on_cdc_batch(b, 0)  # replay of epoch 0
-        assert view._state.version == v_after_first
-        assert epochs == [0]  # replay did NOT re-notify
+        assert view._state.version == v_after_first  # state: exactly-once
+        assert epochs == [0, 0]  # subscribers: at-least-once re-dispatch
         snap = {r["k"]: r["new_value_sum"] for r in view.snapshot().collect()}
         assert snap == {1: 1.0}, snap
         view._on_cdc_batch(b, 1)  # genuinely new epoch applies
         snap = {r["k"]: r["new_value_sum"] for r in view.snapshot().collect()}
         assert snap == {1: 2.0}, snap
-        assert epochs == [0, 1]
-        # one-callback-per-version, read atomically via freeze()
+        assert epochs == [0, 0, 1]
+        # freeze(): latch + version read in one critical section; further
+        # batches are dropped, snapshot stays readable
         v = view.freeze()
-        assert len(epochs) == v + 1
-        # frozen: further batches are dropped, snapshot stays readable
         view._on_cdc_batch(b, 2)
-        assert view._state.version == v and epochs == [0, 1]
+        assert view._state.version == v and epochs == [0, 0, 1]
         assert view.snapshot() is not None
     finally:
         view.stop()
