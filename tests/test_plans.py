@@ -939,7 +939,12 @@ def test_bucketed_lake_probe_prunes_partitions(spark, sf_dir, tmp_path):
     # small trickle (the realistic per-trigger gate shape): pruning wins
     # when the batch's band keys hash to fewer than n_buckets partitions
     batch = docs.filter("doc_id % 4 != 0").limit(10)
-    lake = spark.read.parquet(lake_path)  # resolved once, per contract
+    # resolved once, per contract — via lake_read (the schema-sidecar
+    # reader the REGISTERED query uses), so this plan pin covers the
+    # shipping path's explicit-schema scan
+    from proteus_spark.llmops.lake import lake_read
+
+    lake = lake_read(spark, lake_path)
     out = lsh_match_against_bucketed(batch, lake, n_buckets=256)
     p = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in p
@@ -1064,7 +1069,11 @@ def test_semdedup_bucketed_gate_prunes_partitions_and_matches(
     # small trickle (the realistic per-trigger gate shape): pruning wins
     # when the batch lands in fewer clusters than the lake holds
     batch = emb.filter(F.col("vec_id") % 4 != 0).limit(3)
-    lake = spark.read.parquet(lake_path)  # resolved once, per contract
+    # resolved once, per contract — via the schema-sidecar reader the
+    # registered query uses (plan pin covers the shipping path)
+    from proteus_spark.llmops.lake import lake_read
+
+    lake = lake_read(spark, lake_path)
     out = semdedup_match_against_bucketed(batch, lake, cents)
     p = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in p
@@ -1124,7 +1133,9 @@ def test_ivf_indexed_topk_prunes_partitions_and_matches(spark, sf_dir, tmp_path)
     cents = emb.filter(F.col("vec_id") < 10)
     idx_path = str(tmp_path / "ivf_index")
     ivf_index_write(ivf_assign(emb, cents), idx_path)
-    index = spark.read.parquet(idx_path)
+    from proteus_spark.llmops.lake import lake_read
+
+    index = lake_read(spark, idx_path)
 
     queries = emb.filter(F.col("vec_id") < 3)  # <=3 probed buckets of 10
     out = ivf_topk_indexed(index, cents, queries, k=3, nprobe=1)
