@@ -895,6 +895,78 @@ def test_lsm_epoch_replay_is_idempotent(spark):
         view.stop()
 
 
+def test_view_replay_completes_crash_interrupted_export(spark, tmp_path):
+    """Review r13 #1 integration pin — the contract the subscriber
+    replay-skip would have silently broken: state commits are
+    EXACTLY-ONCE per epoch, subscriber dispatch is AT-LEAST-ONCE, and
+    minilog.append_epoch's marker-keyed guard turns the re-dispatch into
+    exactly-once PUBLICATION. Crash between the view's state commit and
+    the exporter's marker write, restart, replay the epoch: state must
+    not double-count AND the exported feed must complete in full."""
+    import os
+
+    from proteus_spark.sources import minilog
+
+    root = str(tmp_path / "view_state")
+    topic = str(tmp_path / "export_topic")
+
+    def mk_view():
+        v = SumView(
+            spark, stream=None, group_by="k", agg_attr="new_value",
+            name="t_export_replay", mode="cdc", n_buckets=2, root=root,
+        )
+        v.subscribe(minilog.cdf_exporter(topic, partitions=2, key_col="k"))
+        return v
+
+    b0 = spark.createDataFrame(
+        [(1, None, 1.0), (2, None, 2.0)],
+        "k bigint, old_value double, new_value double",
+    )
+    view = mk_view()
+    view._on_cdc_batch(b0, 0)
+    v_committed = view._state.version
+    assert sum(minilog.end_offsets(topic, 2).values()) == 2
+
+    # simulate the crash AFTER the state commit but BEFORE the export's
+    # atomic marker landed: remove the marker and one partition's segment
+    # (the exact partial-publication layout append_epoch recovers from)
+    os.remove(os.path.join(topic, "_epoch-00000000.committed"))
+    removed = 0
+    for p in range(2):
+        d = os.path.join(topic, f"p={p}")
+        if not os.path.isdir(d):
+            continue
+        for f in os.listdir(d):
+            if f.startswith("part-e00000000") and removed == 0:
+                os.remove(os.path.join(d, f))
+                removed += 1
+    # uncommitted epoch is invisible downstream (read-committed)
+    assert sum(minilog.end_offsets(topic, 2).values()) == 0
+
+    # restart: a fresh view on the same root recovers the epoch
+    # high-water mark; foreachBatch re-delivers epoch 0
+    view2 = mk_view()
+    assert view2._state.version == v_committed
+    assert view2._state.last_epoch == 0
+    view2._on_cdc_batch(b0, 0)  # the replay
+    # state: exactly-once (no double-count, no version bump)
+    assert view2._state.version == v_committed
+    snap = {r["k"]: r["new_value_sum"] for r in view2.snapshot().collect()}
+    assert snap == {1: 1.0, 2: 2.0}, snap
+    # export: the re-dispatched subscriber REPUBLISHED epoch 0 in full
+    assert sum(minilog.end_offsets(topic, 2).values()) == 2
+    # and a further replay of the now-complete epoch is a no-op for both
+    view2._on_cdc_batch(b0, 0)
+    assert view2._state.version == v_committed
+    assert sum(minilog.end_offsets(topic, 2).values()) == 2
+    # next epoch applies to both state and feed
+    view2._on_cdc_batch(b0, 1)
+    snap = {r["k"]: r["new_value_sum"] for r in view2.snapshot().collect()}
+    assert snap == {1: 2.0, 2: 4.0}, snap
+    assert sum(minilog.end_offsets(topic, 2).values()) == 4
+    view2.stop(cleanup=True)
+
+
 def test_lsm_epoch_guard_survives_recovery(spark, tmp_path):
     """The exactly-once guard must hold ACROSS restarts: a recovered state
     remembers the last committed epoch (it rides the manifest) and still
