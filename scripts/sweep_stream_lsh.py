@@ -302,8 +302,12 @@ def main() -> int:
             lambda: lsh_match_against(trickle, lbn), "probe_cached", lm,
             lake_rows, nb,
         )
-        lake_df = spark.read.parquet(lake_path)  # resolved ONCE (frozen
-        # lake contract) — the file index caches with the DataFrame
+        # resolved ONCE (frozen lake contract) — the file index caches
+        # with the DataFrame; via lake_read, the schema-sidecar reader
+        # the registered query ships with (r13)
+        from proteus_spark.llmops.lake import lake_read
+
+        lake_df = lake_read(spark, lake_path)
         time_probe(
             lambda _nb=nb, _l=lake_df: lsh_match_against_bucketed(
                 trickle, _l, n_buckets=_nb
