@@ -943,6 +943,11 @@ def test_view_replay_completes_crash_interrupted_export(spark, tmp_path):
     # uncommitted epoch is invisible downstream (read-committed)
     assert sum(minilog.end_offsets(topic, 2).values()) == 0
 
+    # release the pre-crash instance's persisted snapshot from the shared
+    # session (test hygiene; the on-disk state must survive — a real
+    # crash wouldn't clean up either, so cleanup=False)
+    view.stop(cleanup=False)
+
     # restart: a fresh view on the same root recovers the epoch
     # high-water mark; foreachBatch re-delivers epoch 0
     view2 = mk_view()
