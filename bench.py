@@ -115,6 +115,10 @@ def main() -> None:
     attempts: list[dict] = []
     parity: dict = {}
     probe_waited = 0.0
+    # cross-attempt probe memory (ADVICE r13): reproduced plan costs stay
+    # adjudicated; last observations seed the next pass's stability check
+    plan_cost_canaries: set[str] = set()
+    last_obs: dict[str, float] = {}
     t_bench0 = time.perf_counter()
     for i in range(_MAX_ATTEMPTS):
         if i > 0:
@@ -129,13 +133,22 @@ def main() -> None:
                 break
         # pre-series idle probe (VERDICT r12 #4): don't spend an attempt
         # discovering a noisy window — wait (bounded by the probe phase's
-        # OWN budget share, counted across the whole run) for a quiet one
+        # OWN budget share, counted across the whole run) for a quiet one.
+        # last_obs and the adjudicated set live OUTSIDE the attempt loop
+        # (ADVICE r13): a canary already adjudicated as a stable plan cost
+        # must not re-block later attempts' probes with a fresh
+        # 8s-sleep-plus-extra-pass re-trial per attempt.
         floors = _probe_floors(prev, sf_val, names)
-        last_obs: dict[str, float] = {}
+        for n in plan_cost_canaries:
+            floors.pop(n, None)
         while floors:
+            t_p0 = time.perf_counter()
             obs = _probe_once(spark, fns, sf_dir, floors)
+            # probe passes spend wall-clock too — count them against the
+            # probe phase budget alongside the sleeps (ADVICE r13)
+            probe_waited += time.perf_counter() - t_p0
             noisy, plan_cost = _probe_verdict(floors, obs, last_obs)
-            last_obs = obs
+            last_obs.update(obs)
             for n in plan_cost:
                 print(
                     f"# probe: {n} {obs[n]:.3f}s > {_PROBE_TOL}x floor "
@@ -144,6 +157,7 @@ def main() -> None:
                     file=sys.stderr,
                 )
                 floors.pop(n)
+                plan_cost_canaries.add(n)
             if not noisy:
                 break
             print(

@@ -391,7 +391,12 @@ def stream_cdf_export_roundtrip(spark, sf_dir):
         spark, src.subscribe(), group_by="user_id", agg_attr="value",
         name="stream_cdf_export", mode="append",
     )
-    view.subscribe(minilog.cdf_exporter(topic, partitions=4, key_col="user_id"))
+    # durable: exporter IO errors fail the batch so a restart replays
+    # the epoch and completes the export (ADVICE r13)
+    view.subscribe(
+        minilog.cdf_exporter(topic, partitions=4, key_col="user_id"),
+        durable=True,
+    )
     view.start()
     try:
         view.await_catch_up()
@@ -460,7 +465,10 @@ def stream_compacted_bootstrap(spark, sf_dir):
         spark, src.subscribe(), group_by="user_id", agg_attr="value",
         name="stream_compacted_bootstrap_src", mode="append",
     )
-    view.subscribe(minilog.cdf_exporter(hist, partitions=4, key_col="user_id"))
+    view.subscribe(
+        minilog.cdf_exporter(hist, partitions=4, key_col="user_id"),
+        durable=True,
+    )
     view.start()
     try:
         view.await_catch_up()
@@ -1966,7 +1974,8 @@ def stream_view_dag_via_log(spark, sf_dir):
         agg_attr="vote", name="dag_sum_upstream", mode="append",
     )
     up.subscribe(
-        minilog.cdf_exporter(topic, partitions=n_parts, key_col="l_orderkey")
+        minilog.cdf_exporter(topic, partitions=n_parts, key_col="l_orderkey"),
+        durable=True,
     )
 
     minilog.register_log_datasource(spark)

@@ -39,7 +39,12 @@ class JDBCStateMirror:
     Use with update-mode views whose subscriber deltas carry NEW TOTALS
     per changed key (SumView mode='append', JoinView snapshots): the MERGE
     overwrites matched keys — writeState parity. Pass it to
-    ``view.subscribe(mirror.on_delta)``.
+    ``view.subscribe(mirror.on_delta, durable=True)`` — the mirror is a
+    durability-bearing sink: a swallowed transient JDBC error after the
+    state commit would checkpoint the epoch with the mirror missing those
+    keys until they next change (ADVICE r13); durable=True instead fails
+    the micro-batch so a restart replays it and the MERGE (idempotent —
+    it overwrites matched keys) completes.
     """
 
     def __init__(

@@ -546,6 +546,31 @@ class _BucketedState:
         )
 
 
+def _dispatch_subscribers(
+    subscribers: list[tuple[Callable[[DataFrame, int], None], bool]],
+    delta: DataFrame,
+    epoch: int,
+) -> None:
+    """Per-micro-batch subscriber fan-out, shared by SumView and JoinView.
+
+    A DURABLE subscriber's exception propagates — the micro-batch fails,
+    the streaming query stops, and a restart replays the epoch: the state
+    commit is then skipped (exactly-once) while dispatch re-runs
+    (at-least-once), so an idempotent exporter completes the publication
+    it lost. Swallowing such an exception instead would let Spark
+    checkpoint the epoch with the export incomplete — permanently missing
+    from the feed (ADVICE r13). Best-effort observers keep the swallow:
+    their failures must not kill the view."""
+    for cb, durable in list(subscribers):
+        if durable:
+            cb(delta, epoch)
+        else:
+            try:
+                cb(delta, epoch)
+            except Exception:  # observer errors must not kill the view
+                pass
+
+
 class SumView:
     """Streaming GROUP-BY-SUM materialized view (SumQPU parity, SURVEY §2.4).
 
@@ -615,7 +640,10 @@ class SumView:
         self._snap_cache = None
         self._snap_version = -1
         self._derived_version: dict[str, int] = {}
-        self._subscribers: list[Callable[[DataFrame, int], None]] = []
+        # (callback, durable) pairs — see subscribe() for the contract
+        self._subscribers: list[
+            tuple[Callable[[DataFrame, int], None], bool]
+        ] = []
         self._query = None
 
     # -- lifecycle ---------------------------------------------------------
@@ -726,8 +754,8 @@ class SumView:
         # skipped — exactly-once for the additive CDC merge)
         delta = delta.withColumn("_bucket", self._state.bucket_col())
         # NOTE: a replayed epoch (commit_delta returns an unchanged
-        # version) still falls through to derived recompute + subscriber
-        # dispatch DELIBERATELY — downstream delivery is AT-LEAST-ONCE.
+        # version) still falls through to subscriber dispatch
+        # DELIBERATELY — downstream delivery is AT-LEAST-ONCE.
         # A crash between the state's manifest persist and a subscriber's
         # own commit point (e.g. minilog.append_epoch's atomic marker)
         # leaves the export incomplete; on restart foreachBatch re-delivers
@@ -736,31 +764,34 @@ class SumView:
         # the marker-keyed replay guard in append_epoch depends on being
         # re-invoked (review r13 #1). Replays only occur across restarts,
         # so in-process callback counting (one per version) is unaffected.
-        self._state.commit_delta(delta, epoch=epoch)
+        # Derived views, by contrast, recompute FROM the committed state —
+        # a replay that did not advance the version has nothing new to
+        # derive, so the recompute (and its version bump + retention
+        # delete) is skipped: re-running it only burned Spark jobs and
+        # drifted _derived_version ahead of the state version (ADVICE r13).
+        prev_v = self._state.version
+        new_v = self._state.commit_delta(delta, epoch=epoch)
 
-        # downstream QPUs: recompute derived views over the committed state
-        # (None until the first non-empty batch commits a schema — an
-        # empty first micro-batch must not crash the streaming query)
-        state = self.snapshot()
-        for name, fn in self.derived.items() if state is not None else ():
-            out = fn(state)
-            dv = self._derived_version.get(name, -1) + 1
-            out.write.mode("overwrite").parquet(
-                os.path.join(self._root, f"{name}_v{dv}")
-            )
-            self._derived_version[name] = dv
-            old = dv - self._retain
-            if old >= 0:
-                shutil.rmtree(
-                    os.path.join(self._root, f"{name}_v{old}"),
-                    ignore_errors=True,
+        if new_v != prev_v:
+            # downstream QPUs: recompute derived views over the committed
+            # state (None until the first non-empty batch commits a schema
+            # — an empty first micro-batch must not crash the query)
+            state = self.snapshot()
+            for name, fn in self.derived.items() if state is not None else ():
+                out = fn(state)
+                dv = self._derived_version.get(name, -1) + 1
+                out.write.mode("overwrite").parquet(
+                    os.path.join(self._root, f"{name}_v{dv}")
                 )
+                self._derived_version[name] = dv
+                old = dv - self._retain
+                if old >= 0:
+                    shutil.rmtree(
+                        os.path.join(self._root, f"{name}_v{old}"),
+                        ignore_errors=True,
+                    )
 
-        for cb in list(self._subscribers):
-            try:
-                cb(delta.drop("_bucket"), epoch)
-            except Exception:  # subscriber errors must not kill the view
-                pass
+        _dispatch_subscribers(self._subscribers, delta.drop("_bucket"), epoch)
 
     # -- query surface -------------------------------------------------------
     def snapshot(self) -> DataFrame | None:
@@ -791,19 +822,31 @@ class SumView:
             return None
         return self.spark.read.parquet(os.path.join(self._root, f"{name}_v{dv}"))
 
-    def subscribe(self, cb: Callable[[DataFrame, int], None]) -> None:
-        """QuerySubscribe parity: cb(delta_df, epoch) per micro-batch."""
-        self._subscribers.append(cb)
+    def subscribe(
+        self, cb: Callable[[DataFrame, int], None], durable: bool = False
+    ) -> None:
+        """QuerySubscribe parity: cb(delta_df, epoch) per micro-batch.
+
+        ``durable=True`` marks a durability-bearing subscriber (a CDF
+        exporter, a state mirror): its exceptions PROPAGATE out of
+        foreachBatch so the micro-batch fails and a restart replays the
+        epoch — the at-least-once re-dispatch then completes the
+        publication. Swallow-and-continue (the default) is reserved for
+        best-effort observers, where losing one callback is acceptable
+        but killing the view is not (ADVICE r13: a transient exporter
+        IO error after the state commit would otherwise checkpoint the
+        epoch and permanently lose it from the exported feed)."""
+        self._subscribers.append((cb, durable))
 
     def unsubscribe(self, cb: Callable[[DataFrame, int], None]) -> None:
         """Remove a subscriber registered with ``subscribe``. Idempotent —
         a long-lived view must not accrete dead callbacks (each one costs
         a delta.collect() per micro-batch), so every transient consumer
         (server NDJSON streams, bounded watchers) unregisters on exit."""
-        try:
-            self._subscribers.remove(cb)
-        except ValueError:
-            pass
+        for i, (fn, _durable) in enumerate(self._subscribers):
+            if fn == cb:
+                del self._subscribers[i]
+                break
 
     def version(self) -> int:
         """Freshness-in-versions handle (metrics.go:103-214)."""
@@ -888,7 +931,10 @@ class JoinView:
         )
         if root is not None:
             self._state.recover()
-        self._subscribers: list[Callable[[DataFrame, int], None]] = []
+        # (callback, durable) pairs — see SumView.subscribe for the contract
+        self._subscribers: list[
+            tuple[Callable[[DataFrame, int], None], bool]
+        ] = []
         self._snap_lock = threading.Lock()
         self._batch_lock = threading.Lock()
         self._stopped = False
@@ -998,11 +1044,7 @@ class JoinView:
         # downstream delivery is at-least-once so idempotent exporters can
         # complete a crash-interrupted publication (see SumView._merge_locked)
         self._state.commit_delta(delta, epoch=epoch)
-        for cb in list(self._subscribers):
-            try:
-                cb(delta.drop("_bucket"), epoch)
-            except Exception:  # subscriber errors must not kill the view
-                pass
+        _dispatch_subscribers(self._subscribers, delta.drop("_bucket"), epoch)
 
     # -- query surface -----------------------------------------------------
     def snapshot(self) -> DataFrame | None:
@@ -1018,15 +1060,19 @@ class JoinView:
                     old.unpersist()
             return self._snap_cache
 
-    def subscribe(self, cb: Callable[[DataFrame, int], None]) -> None:
-        self._subscribers.append(cb)
+    def subscribe(
+        self, cb: Callable[[DataFrame, int], None], durable: bool = False
+    ) -> None:
+        """Per-micro-batch delta callback; ``durable=True`` for
+        durability-bearing subscribers — see SumView.subscribe."""
+        self._subscribers.append((cb, durable))
 
     def unsubscribe(self, cb: Callable[[DataFrame, int], None]) -> None:
         """Remove a subscriber (idempotent); see SumView.unsubscribe."""
-        try:
-            self._subscribers.remove(cb)
-        except ValueError:
-            pass
+        for i, (fn, _durable) in enumerate(self._subscribers):
+            if fn == cb:
+                del self._subscribers[i]
+                break
 
     def version(self) -> int:
         return self._state.version

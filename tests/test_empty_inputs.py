@@ -455,3 +455,37 @@ def test_srp_banding_matches_pure_python_reference(spark, sf_dir):
         for row in srp_banded(df, "vec_id", "vid").collect()
     }
     assert got == want
+
+
+def test_schema_sidecar_write_is_atomic_and_corrupt_sidecar_falls_back(
+    spark, tmp_path
+):
+    """ADVICE r13: the sidecar commits via tmp-file + os.replace (the
+    minilog marker pattern) — no .tmp residue, never a truncated file —
+    and a sidecar that fails to parse (crash under the pre-atomic layout,
+    manual damage) must fall back to inference for a non-empty lake
+    instead of crashing the reader."""
+    import os
+
+    from proteus_spark.llmops.lake import (
+        _SCHEMA_SIDECAR,
+        lake_read,
+        write_schema_sidecar,
+    )
+
+    lakedir = str(tmp_path / "lake")
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "doc_id bigint, text string")
+    df.write.mode("overwrite").parquet(lakedir)
+    write_schema_sidecar(df, lakedir)
+    # atomic: the final name exists, the temp name does not
+    assert os.path.exists(os.path.join(lakedir, _SCHEMA_SIDECAR))
+    assert not os.path.exists(os.path.join(lakedir, _SCHEMA_SIDECAR + ".tmp"))
+    assert lake_read(spark, lakedir).count() == 2
+
+    # truncated sidecar (the mid-write crash a reader could race into
+    # under the old non-atomic write): reader falls back to inference
+    with open(os.path.join(lakedir, _SCHEMA_SIDECAR), "w") as fh:
+        fh.write('{"type": "struct", "fiel')
+    out = lake_read(spark, lakedir)
+    assert out.count() == 2
+    assert set(out.columns) == {"doc_id", "text"}

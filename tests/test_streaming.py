@@ -2073,3 +2073,84 @@ def test_stream_semdedup_oracle_parity(spark, sf_dir):
         assert problems == [], problems
     finally:
         idx.unpersist()
+
+
+def test_durable_subscriber_failure_fails_batch_then_replay_completes(spark):
+    """ADVICE r13 (medium): a durability-bearing subscriber's exception
+    must PROPAGATE out of foreachBatch — swallowing it after the state
+    commit lets Spark checkpoint the epoch with the export incomplete,
+    permanently losing it from the feed. Durable=True fails the batch;
+    the restart replay skips the state commit (exactly-once) and
+    re-dispatches the subscriber (at-least-once), completing the
+    publication. Best-effort observers keep the swallow."""
+    view = SumView(
+        spark, stream=None, group_by="k", agg_attr="new_value",
+        name="t_durable_sub", mode="cdc", n_buckets=2,
+    )
+    calls: list[int] = []
+    fail_once = {"armed": True}
+
+    def exporter(delta, epoch):
+        if fail_once["armed"]:
+            fail_once["armed"] = False
+            raise IOError("transient export failure")
+        calls.append(epoch)
+
+    observer_calls: list[int] = []
+
+    def bad_observer(delta, epoch):
+        observer_calls.append(epoch)
+        raise ValueError("observer bug")
+
+    view.subscribe(exporter, durable=True)
+    view.subscribe(bad_observer)  # best-effort: swallowed
+    try:
+        b = spark.createDataFrame(
+            [(1, None, 1.0)], "k bigint, old_value double, new_value double"
+        )
+        with pytest.raises(IOError):
+            view._on_cdc_batch(b, 0)
+        # state committed BEFORE the durable failure (exactly-once holds)
+        v_committed = view._state.version
+        assert calls == []  # export did not complete
+        # the replay: state commit skipped, durable subscriber re-dispatched
+        view._on_cdc_batch(b, 0)
+        assert view._state.version == v_committed
+        assert calls == [0]  # publication completed on replay
+        snap = {r["k"]: r["new_value_sum"] for r in view.snapshot().collect()}
+        assert snap == {1: 1.0}, snap  # no double-count
+        # the best-effort observer raised on BOTH dispatches; neither killed
+        # the batch beyond the durable failure itself
+        assert observer_calls == [0]
+    finally:
+        view.stop()
+
+
+def test_replayed_epoch_skips_derived_recompute_but_still_dispatches(spark):
+    """ADVICE r13 (low): derived views recompute FROM committed state — a
+    replayed epoch that did not advance the version has nothing new to
+    derive, so the recompute (version bump + retention delete) is
+    skipped, while subscriber dispatch still re-runs (at-least-once)."""
+    view = SumView(
+        spark, stream=None, group_by="k", agg_attr="new_value",
+        name="t_replay_derived", mode="cdc", n_buckets=2,
+    )
+    view.derived["probe"] = lambda snap: snap.limit(1)
+    epochs: list[int] = []
+    view.subscribe(lambda delta, epoch: epochs.append(epoch))
+    try:
+        b = spark.createDataFrame(
+            [(1, None, 1.0)], "k bigint, old_value double, new_value double"
+        )
+        view._on_cdc_batch(b, 0)
+        dv_after_first = view._derived_version["probe"]
+        assert epochs == [0]
+        view._on_cdc_batch(b, 0)  # replay: no state change
+        assert view._derived_version["probe"] == dv_after_first
+        assert epochs == [0, 0]  # dispatch still at-least-once
+        view._on_cdc_batch(b, 1)  # new epoch derives again
+        assert view._derived_version["probe"] == dv_after_first + 1
+        assert epochs == [0, 0, 1]
+        assert view.snapshot_derived("probe").count() == 1
+    finally:
+        view.stop()
