@@ -354,15 +354,17 @@ def _import_all() -> None:
 # Verification-priority order. External harnesses that budget their checks
 # walk queries() in dict order (first ~50), so the window rotates per round.
 # Every registered query has accumulated at least one hash-green driver row
-# (rounds 4-12 were all 50/50 green; the ledger recount at round-13 start
-# found the oldest evidence to be the 25 r9-only queries below, exactly as
-# ROTATION.md's precomputed plan expected). The ROUND-13 window fronts the
-# changed-implementation stream_lsh_dedup_ingest, the 25 r9-only cohort,
-# and 24 of the 50 r10-only fill (implementation-adjacent first); the
-# remaining 26 r10-only front the round-14 window. Queries rotated OUT
-# remain covered by the local DuckDB oracle gate
-# (tests/test_oracle_gate.py runs ALL oracled queries on every pytest) —
-# see ROTATION.md for the manifest.
+# (rounds 4-13 were all 50/50 green; the ledger recount at round-14 start —
+# now mechanized as scripts/recount_ledger.py, VERDICT r13 #3 — found the
+# oldest evidence to be the 26 r10-only queries below, exactly as
+# ROTATION.md's precomputed plan expected). The ROUND-14 window fronts the
+# changed-implementation streaming-view family (subscriber dispatch gained
+# durable-vs-best-effort semantics and replayed epochs now skip derived
+# recompute — ADVICE r13; three queries switched their cdf_exporter
+# registration to durable=True), then the 26 r10-only cohort, then 9 more
+# longest-idle r11-only fill. Queries rotated OUT remain covered by the
+# local DuckDB oracle gate (tests/test_oracle_gate.py runs ALL oracled
+# queries on every pytest) — see ROTATION.md for the manifest.
 #
 # HARD RULE (CORRECTNESS_r03 evidence): the driver records a RED
 # `err: "no_oracle"` row for any window entry without an oracle — it does
@@ -370,39 +372,46 @@ def _import_all() -> None:
 # oracles; tests/test_oracle_gate.py::test_priority_window_all_oracled
 # enforces this structurally.
 PRIORITY: tuple[str, ...] = (
-    # ================== ROUND-13 WINDOW (ROTATION.md plan) ==============
-    # -- changed-implementation re-verification: stream_lsh_dedup_ingest
-    # switched at round-13 start from the cached band-table lake to the
-    # PARTITIONED table (lsh_lake_write / lsh_match_against_bucketed), so
-    # its driver row now hashes the PartitionFilters serving path — the
-    # text-gate twin of round-12's semantic gate (VERDICT r12 missing #2)
-    "stream_lsh_dedup_ingest",
-    # -- 25 r9-only refreshes (the oldest external evidence; recounted
-    # from the CORRECTNESS_r01..r12 artifacts at round-13 start — matches
-    # ROTATION.md's precomputed plan and the judge's list exactly) -------
-    "llm_dedup_excise", "llm_dedup_ngram_capped", "llm_dedup_ngram_jaccard",
-    "llm_dedup_simhash_pairs", "llm_multimodal_png", "llm_pack_sequences",
-    "pivot_event_counts", "ref_index_zorder", "ref_join_merge",
-    "ref_lobsters_topk", "ref_mock_datasource", "ref_sum_view",
-    "ref_topology_lobsters", "ref_topology_ycsb", "scalar_functions",
-    "setops_except", "setops_intersect", "tpch_q18", "tpch_q19",
-    "tpch_q21", "tpch_q3", "tpch_q5", "tpch_q6", "tpch_q9",
-    "window_topk_per_group",
-    # -- 24 fill from the 50-member r10-only cohort, implementation-
-    # adjacent first: the DSIR ingest pair (streaming/views.py's
-    # subscriber-dispatch path changed this round; stream_dsir_ingest is
-    # the cohort's one foreachBatch query and llm_dsir_select shares its
-    # scoring CTEs), then the ANN serving pair, then the core ref_*
-    # operator family, tpch, and the longest-idle llm batch queries -----
-    "stream_dsir_ingest", "llm_dsir_select",
-    "llm_sim_ivf_kmeans", "llm_sim_ivf_nprobe2",
-    "ref_cache_topk", "ref_conjunction", "ref_index_point",
-    "ref_index_range", "ref_isnotnull", "ref_isnull", "ref_point_eq",
-    "ref_projection", "ref_range_filter", "ref_router_union",
-    "ref_topk_orders", "ref_ts_projection", "ref_vectorclock_join",
-    "tpch_q12", "tpch_q14", "tpch_q4",
-    "llm_bpe_encode_holdout", "llm_fingerprint", "llm_multimodal_frames",
-    "llm_quality_score",
+    # ================== ROUND-14 WINDOW (ROTATION.md plan) ==============
+    # -- changed-implementation re-verification, fronted per the standing
+    # rule. These three switched their CDF-export subscription to
+    # durable=True (exporter errors now fail the micro-batch instead of
+    # being swallowed — ADVICE r13 medium), so their driver rows hash the
+    # new dispatch path end-to-end:
+    "stream_cdf_export_roundtrip", "stream_compacted_bootstrap",
+    "stream_view_dag_via_log",
+    # -- the rest of the r11-only streaming-view family (SumView/JoinView
+    # _merge_locked/_on_batch dispatch + replay-derived-skip changed this
+    # round; these drive those exact code paths under the oracle):
+    "stream_sum_view", "stream_sum_view_broker", "stream_sum_view_cdc",
+    "stream_sum_view_deletes", "stream_sum_view_minilog",
+    "stream_sum_view_timetravel", "stream_join_view",
+    "stream_join_view_deletes",
+    # -- r11-only ingest gates (foreachBatch + maintained-lake readers;
+    # llmops/lake.py's sidecar commit turned atomic this round):
+    "stream_ann_ingest", "stream_decontaminate", "stream_dedup_ingest",
+    "stream_quality_gate",
+    # -- 26 r10-only refreshes (the oldest external evidence; recounted
+    # from the CORRECTNESS_r01..r13 artifacts at round-14 start with
+    # scripts/recount_ledger.py — matches ROTATION.md's precomputed plan
+    # and VERDICT r13's list exactly) ------------------------------------
+    "agg_bloom_probe", "agg_full", "agg_grouping_sets",
+    "agg_histogram_sketch", "basket_part_pairs", "cube_flag_status",
+    "dq_skew_report", "dq_validate_orders", "events_anomaly_zscore",
+    "events_cohort_retention", "events_ewma_daily", "events_funnel",
+    "events_gap_fill_hourly", "events_rollup_multigrain",
+    "events_sessionization", "events_sliding_2h", "events_tumbling_hourly",
+    "groupby_having", "llm_bm25_search", "llm_corpus_stats", "llm_lang_id",
+    "llm_token_stats", "range_join_events", "scd2_temporal_join",
+    "semi_join_exists", "window_lag_delta",
+    # -- 9 more r11-only fill: llm_dedup_minhash_lsh first (the slowest
+    # bench line — VERDICT r13 #5 invites profiling its band-table build
+    # vs verify-join split this round, so any tweak gets re-verified in
+    # the same window), then longest-idle alphabetical ------------------
+    "llm_dedup_minhash_lsh",
+    "agg_countmin_terms", "agg_hll_rollup", "customer_value_deciles",
+    "graph_pagerank_parts", "llm_chunk_documents", "llm_cluster_audit",
+    "llm_corpus_mixture", "llm_dedup_cluster_stats",
 )
 
 
