@@ -115,10 +115,13 @@ def main() -> None:
     attempts: list[dict] = []
     parity: dict = {}
     probe_waited = 0.0
-    # cross-attempt probe memory (ADVICE r13): reproduced plan costs stay
-    # adjudicated; last observations seed the next pass's stability check
+    # cross-attempt probe memory (ADVICE r13): a canary adjudicated as a
+    # reproduced plan cost stays dropped for every later attempt's probe.
+    # last_obs, by contrast, resets PER ATTEMPT (review r14 #3): carrying
+    # it across the ~2-minute measurement gap would let a later attempt's
+    # FIRST pass "confirm" a noisy reading against a stale quiet one —
+    # adjudication must always take two same-attempt passes 8s apart.
     plan_cost_canaries: set[str] = set()
-    last_obs: dict[str, float] = {}
     t_bench0 = time.perf_counter()
     for i in range(_MAX_ATTEMPTS):
         if i > 0:
@@ -134,13 +137,14 @@ def main() -> None:
         # pre-series idle probe (VERDICT r12 #4): don't spend an attempt
         # discovering a noisy window — wait (bounded by the probe phase's
         # OWN budget share, counted across the whole run) for a quiet one.
-        # last_obs and the adjudicated set live OUTSIDE the attempt loop
-        # (ADVICE r13): a canary already adjudicated as a stable plan cost
-        # must not re-block later attempts' probes with a fresh
+        # the adjudicated set lives OUTSIDE the attempt loop (ADVICE r13):
+        # a canary already adjudicated as a stable plan cost must not
+        # re-block later attempts' probes with a fresh
         # 8s-sleep-plus-extra-pass re-trial per attempt.
         floors = _probe_floors(prev, sf_val, names)
         for n in plan_cost_canaries:
             floors.pop(n, None)
+        last_obs: dict[str, float] = {}
         while floors:
             t_p0 = time.perf_counter()
             obs = _probe_once(spark, fns, sf_dir, floors)

@@ -560,15 +560,24 @@ def _dispatch_subscribers(
     it lost. Swallowing such an exception instead would let Spark
     checkpoint the epoch with the export incomplete — permanently missing
     from the feed (ADVICE r13). Best-effort observers keep the swallow:
-    their failures must not kill the view."""
+    their failures must not kill the view.
+
+    EVERY subscriber is dispatched before a durable failure re-raises
+    (review r14 #2): aborting the loop mid-way would starve the
+    subscribers registered after the failing one — in-process observers
+    have no replay to catch them up, so the one-callback-per-version
+    counting they rely on would silently break."""
+    durable_err: Exception | None = None
     for cb, durable in list(subscribers):
-        if durable:
+        try:
             cb(delta, epoch)
-        else:
-            try:
-                cb(delta, epoch)
-            except Exception:  # observer errors must not kill the view
-                pass
+        except Exception as exc:
+            if durable and durable_err is None:
+                durable_err = exc
+            # observer errors must not kill the view; a durable error
+            # still lets the rest of the fan-out run first
+    if durable_err is not None:
+        raise durable_err
 
 
 class SumView:
@@ -765,31 +774,38 @@ class SumView:
         # re-invoked (review r13 #1). Replays only occur across restarts,
         # so in-process callback counting (one per version) is unaffected.
         # Derived views, by contrast, recompute FROM the committed state —
-        # a replay that did not advance the version has nothing new to
-        # derive, so the recompute (and its version bump + retention
-        # delete) is skipped: re-running it only burned Spark jobs and
-        # drifted _derived_version ahead of the state version (ADVICE r13).
+        # an IN-PROCESS replay that did not advance the version has
+        # nothing new to derive, so the recompute (and its version bump +
+        # retention delete) is skipped: re-running it only burned Spark
+        # jobs and drifted _derived_version ahead of the state version
+        # (ADVICE r14). EXCEPT when this instance has not produced the
+        # derived view at all (_derived_version is in-memory and resets on
+        # restart): a post-restart replayed epoch must still recompute, or
+        # a crash between the state commit and the derived write would
+        # leave the derived view permanently unavailable (review r14 #1 —
+        # the crash-repair duty the pre-r14 always-recompute carried).
         prev_v = self._state.version
         new_v = self._state.commit_delta(delta, epoch=epoch)
 
-        if new_v != prev_v:
-            # downstream QPUs: recompute derived views over the committed
-            # state (None until the first non-empty batch commits a schema
-            # — an empty first micro-batch must not crash the query)
-            state = self.snapshot()
-            for name, fn in self.derived.items() if state is not None else ():
-                out = fn(state)
-                dv = self._derived_version.get(name, -1) + 1
-                out.write.mode("overwrite").parquet(
-                    os.path.join(self._root, f"{name}_v{dv}")
+        # downstream QPUs: recompute derived views over the committed
+        # state (None until the first non-empty batch commits a schema
+        # — an empty first micro-batch must not crash the query)
+        state = self.snapshot()
+        for name, fn in self.derived.items() if state is not None else ():
+            if new_v == prev_v and name in self._derived_version:
+                continue  # in-process replay, derived already current
+            out = fn(state)
+            dv = self._derived_version.get(name, -1) + 1
+            out.write.mode("overwrite").parquet(
+                os.path.join(self._root, f"{name}_v{dv}")
+            )
+            self._derived_version[name] = dv
+            old = dv - self._retain
+            if old >= 0:
+                shutil.rmtree(
+                    os.path.join(self._root, f"{name}_v{old}"),
+                    ignore_errors=True,
                 )
-                self._derived_version[name] = dv
-                old = dv - self._retain
-                if old >= 0:
-                    shutil.rmtree(
-                        os.path.join(self._root, f"{name}_v{old}"),
-                        ignore_errors=True,
-                    )
 
         _dispatch_subscribers(self._subscribers, delta.drop("_bucket"), epoch)
 

@@ -635,7 +635,10 @@ def test_jdbc_state_mirror_live_derby(spark, sf_dir, tmp_path):
         val_cols=["value_sum"],
         driver="org.apache.derby.jdbc.EmbeddedDriver",
     )
-    view.subscribe(mirror.on_delta)
+    # durable: the mirror is a durability-bearing sink — this drives the
+    # documented registration (jdbc_sink.py) through the durable dispatch
+    # path with a real JDBC round-trip (review r14 #4)
+    view.subscribe(mirror.on_delta, durable=True)
     view.start()
     try:
         view.await_catch_up()
@@ -2113,15 +2116,19 @@ def test_durable_subscriber_failure_fails_batch_then_replay_completes(spark):
         # state committed BEFORE the durable failure (exactly-once holds)
         v_committed = view._state.version
         assert calls == []  # export did not complete
+        # the durable failure re-raises only AFTER the full fan-out: the
+        # observer registered after the exporter still saw the epoch
+        # (review r14 #2 — in-process observers have no replay)
+        assert observer_calls == [0]
         # the replay: state commit skipped, durable subscriber re-dispatched
         view._on_cdc_batch(b, 0)
         assert view._state.version == v_committed
         assert calls == [0]  # publication completed on replay
         snap = {r["k"]: r["new_value_sum"] for r in view.snapshot().collect()}
         assert snap == {1: 1.0}, snap  # no double-count
-        # the best-effort observer raised on BOTH dispatches; neither killed
-        # the batch beyond the durable failure itself
-        assert observer_calls == [0]
+        # the best-effort observer raised on BOTH dispatches (swallowed);
+        # neither killed the batch beyond the durable failure itself
+        assert observer_calls == [0, 0]
     finally:
         view.stop()
 
@@ -2154,3 +2161,46 @@ def test_replayed_epoch_skips_derived_recompute_but_still_dispatches(spark):
         assert view.snapshot_derived("probe").count() == 1
     finally:
         view.stop()
+
+
+def test_post_restart_replay_recomputes_derived_views(spark, tmp_path):
+    """Review r14 #1: the in-process replay skip must NOT remove the
+    crash-repair duty — _derived_version is in-memory and resets on
+    restart, so a post-restart replayed epoch (version unchanged) still
+    recomputes derived views; otherwise a crash between the state commit
+    and the derived write leaves them permanently unavailable."""
+    import shutil as _sh
+
+    root = str(tmp_path / "derived_state")
+
+    def mk():
+        v = SumView(
+            spark, stream=None, group_by="k", agg_attr="new_value",
+            name="t_derived_repair", mode="cdc", n_buckets=2, root=root,
+        )
+        v.derived["probe"] = lambda snap: snap.limit(1)
+        return v
+
+    b = spark.createDataFrame(
+        [(1, None, 1.0)], "k bigint, old_value double, new_value double"
+    )
+    view = mk()
+    view._on_cdc_batch(b, 0)
+    v_committed = view._state.version
+    assert view.snapshot_derived("probe").count() == 1
+    # crash AFTER the state commit but BEFORE/DURING the derived write:
+    # the derived parquet never landed
+    _sh.rmtree(f"{root}/probe_v0", ignore_errors=True)
+    view.stop(cleanup=False)
+
+    view2 = mk()
+    assert view2._state.version == v_committed
+    assert view2.snapshot_derived("probe") is None  # lost by the crash
+    view2._on_cdc_batch(b, 0)  # post-restart replay
+    assert view2._state.version == v_committed  # state: exactly-once
+    assert view2.snapshot_derived("probe").count() == 1  # derived repaired
+    # a SECOND in-process replay now skips the recompute (no drift)
+    dv = view2._derived_version["probe"]
+    view2._on_cdc_batch(b, 0)
+    assert view2._derived_version["probe"] == dv
+    view2.stop()
