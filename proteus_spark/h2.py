@@ -910,12 +910,14 @@ class GrpcQueryServer(wire.ProtobufQueryServer):
                 parsed = wire.decode_request_stream_record(req or b"")
                 qreq = parsed.get("queryRequest")
                 q = (qreq or {}).get("query", {})
-                view = self.views.get(
-                    (qreq or {}).get("metadata", {}).get("view")
-                )
+                meta = (qreq or {}).get("metadata", {})
+                view = self.views.get(meta.get("view"))
                 if "query_sql" in q:
                     self._query_stream(
-                        stream, q["query_sql"]["queryStr"], view=view
+                        stream,
+                        q["query_sql"]["queryStr"],
+                        view=view,
+                        updates_timeout=wire._updates_timeout(meta),
                     )
                 elif "query_ast" in q:
                     self._query_ast_stream(stream, q["query_ast"])
@@ -1106,11 +1108,19 @@ def call_subscribe(host: str, port: int, sql: str) -> list[dict]:
 
 
 def call_query_sql(
-    host: str, port: int, sql: str, view: str | None = None
+    host: str,
+    port: int,
+    sql: str,
+    view: str | None = None,
+    updates_timeout: float | None = None,
 ) -> list[dict]:
     qreq: dict = {"query": {"query_sql": {"queryStr": sql}}}
     if view is not None:
         qreq["metadata"] = {"view": view}
+    if updates_timeout is not None:
+        qreq.setdefault("metadata", {})["updates_timeout"] = str(
+            updates_timeout
+        )
     req = wire.encode_request_stream_record({"queryRequest": qreq})
     frames = _grpc_call(host, port, "Query", req)
     return [wire.decode_response_stream_record(f) for f in frames]

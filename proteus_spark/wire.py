@@ -757,6 +757,21 @@ class _TrackedConn:
         self._sock.sendall(data)
 
 
+def _updates_timeout(meta: dict) -> float:
+    """Per-request quiet-close window for view subscriptions, carried in
+    QueryRequest.metadata (parity with the NDJSON server's request-level
+    ``updates_timeout``). Clamped to [0, 300] — the intake-bounds rule: a
+    client must not pin a server stream thread indefinitely. Malformed
+    values fall back to the 5s default."""
+    raw = meta.get("updates_timeout")
+    if raw is None:
+        return 5.0
+    try:
+        return min(max(float(raw), 0.0), 300.0)
+    except (TypeError, ValueError):
+        return 5.0
+
+
 class ProtobufQueryServer:
     """Serve an ``Engine`` with protobuf-encoded messages in gRPC frames
     over TCP — the serialization-parity sibling of server.QueryServer.
@@ -860,12 +875,14 @@ class ProtobufQueryServer:
                         "queryRequest"
                     )
                     q = (req or {}).get("query", {})
-                    view = self.views.get(
-                        (req or {}).get("metadata", {}).get("view")
-                    )
+                    meta = (req or {}).get("metadata", {})
+                    view = self.views.get(meta.get("view"))
                     if "query_sql" in q:
                         self._query_stream(
-                            conn, q["query_sql"]["queryStr"], view=view
+                            conn,
+                            q["query_sql"]["queryStr"],
+                            view=view,
+                            updates_timeout=_updates_timeout(meta),
                         )
                     elif "query_ast" in q:
                         self._query_ast_stream(conn, q["query_ast"])
@@ -942,8 +959,12 @@ class ProtobufQueryServer:
         }
         conn.sendall(frame(encode_query_resp(resp)))
 
-    def _query_stream(self, conn, sql: str, view=None) -> None:
-        stream = self.engine.query_stream(sql, view=view, typed=True)
+    def _query_stream(
+        self, conn, sql: str, view=None, updates_timeout: float = 5.0
+    ) -> None:
+        stream = self.engine.query_stream(
+            sql, view=view, typed=True, updates_timeout=updates_timeout
+        )
         first = True
         # snapshot-phase records buffer into bulk writes (one syscall /
         # flow-control round per ~64 KB instead of per record — measured
@@ -1089,14 +1110,26 @@ def call_unary(host: str, port: int, sql: str) -> dict:
 
 
 def call_stream(
-    host: str, port: int, sql: str, view: str | None = None
+    host: str,
+    port: int,
+    sql: str,
+    view: str | None = None,
+    updates_timeout: float | None = None,
+    stop_after_updates: int | None = None,
 ) -> list[dict]:
     """Client helper: the bidi ``Query`` over the wire — sends the
     reference's RequestStreamRecord envelope; returns the decoded
     ResponseStreamRecords. Without ``view`` the stream closes at
     END_OF_STREAM; with a view name in the request metadata it keeps
     reading UPDATEDELTA frames until the server ends the stream (quiet
-    timeout server-side)."""
+    timeout server-side; ``updates_timeout`` overrides the 5s default
+    via request metadata — a subscriber on a loaded host widens it so
+    a slow micro-batch is not mistaken for quiet).
+    ``stop_after_updates=N`` closes the stream CLIENT-side after the
+    Nth UPDATEDELTA instead of waiting out the server's quiet window —
+    a bounded consumer can then pair a wide quiet window with an
+    immediate return (the server handles the disconnect as any
+    client-went-away)."""
     import json
     import socket
 
@@ -1105,6 +1138,10 @@ def call_stream(
     }
     if view is not None:
         req["queryRequest"]["metadata"] = {"view": view}
+    if updates_timeout is not None:
+        req["queryRequest"].setdefault("metadata", {})[
+            "updates_timeout"
+        ] = str(updates_timeout)
     out = []
     with socket.create_connection((host, port), timeout=60) as sk:
         rf = sk.makefile("rb")
@@ -1115,6 +1152,7 @@ def call_stream(
                 f"grpc status {status.get('status')}: {status.get('error')}"
             )
         saw_eos = False
+        n_updates = 0
         while True:
             body = read_frame(rf)
             if body is None:
@@ -1133,6 +1171,13 @@ def call_stream(
                 saw_eos = True
                 if view is None:
                     break
+            elif rec["type"] == "UPDATEDELTA":
+                n_updates += 1
+                if (
+                    stop_after_updates is not None
+                    and n_updates >= stop_after_updates
+                ):
+                    break  # bounded consumer: close client-side
     return out
 
 

@@ -509,11 +509,16 @@ def test_grpc_query_with_live_view_pushes_updatedelta(spark, engine):
         with h2.GrpcQueryServer(engine, views={"live": view}) as srv:
 
             def consume():
+                # widened quiet window: the 5s default can close the
+                # stream before a loaded host lands the appended file's
+                # micro-batch (see the wire twin; the h2 client reads to
+                # trailers, so it pays the quiet tail — keep it modest)
                 recs.extend(
                     h2.call_query_sql(
                         srv.host, srv.port,
                         "SELECT * FROM vh2 ORDER BY user_id",
                         view="live",
+                        updates_timeout=30,
                     )
                 )
                 done.set()

@@ -147,13 +147,17 @@ def test_http_query_stream_with_live_view_pushes_updates(spark, engine):
         with QueryServer(engine, views={"live": view}) as url:
 
             def consume():
+                # wide quiet window (a loaded host can take >8s to land
+                # the appended file's micro-batch after END_OF_STREAM) +
+                # client-side break after the one expected delta, so the
+                # test never waits out the quiet tail
                 req = urllib.request.Request(
                     url + "/query_stream",
                     data=_json.dumps(
                         {
                             "sql": "SELECT * FROM vhttp ORDER BY user_id",
                             "view": "live",
-                            "updates_timeout": 8.0,
+                            "updates_timeout": 60.0,
                         }
                     ).encode(),
                     method="POST",
@@ -163,6 +167,8 @@ def test_http_query_stream_with_live_view_pushes_updates(spark, engine):
                         lines.append(_json.loads(raw))
                         if lines[-1]["type"] == "END_OF_STREAM":
                             got_eos.set()
+                        elif lines[-1]["type"] == "UPDATEDELTA":
+                            break  # bounded consumer: close client-side
 
             t = threading.Thread(target=consume, daemon=True)
             t.start()

@@ -290,12 +290,20 @@ def test_protobuf_query_with_live_view_pushes_updatedelta(spark, engine):
         with wire.ProtobufQueryServer(engine, views={"live": view}) as srv:
 
             def consume():
+                # wide quiet window + client-side stop after the one
+                # expected delta: on a loaded host the gap between
+                # END_OF_STREAM and the appended file's micro-batch can
+                # exceed the 5s default quiet close, ending the stream
+                # with no UPDATEDELTA (observed once under a synthetic
+                # query-sweep load, round 14)
                 recs.extend(
                     wire.call_stream(
                         srv.host,
                         srv.port,
                         "SELECT * FROM vwire ORDER BY user_id",
                         view="live",
+                        updates_timeout=60,
+                        stop_after_updates=1,
                     )
                 )
                 done.set()
@@ -646,3 +654,26 @@ def test_clients_raise_when_server_closes_after_ack_before_frames():
     finally:
         stop.set()
         srv.close()
+
+
+def test_updates_timeout_metadata_parse_and_clamp():
+    """The per-request quiet-close window rides QueryRequest.metadata as
+    a string (parity with the NDJSON server's request-level knob) and is
+    intake-bounded: [0, 300], malformed -> the 5s default."""
+    assert wire._updates_timeout({}) == 5.0
+    assert wire._updates_timeout({"updates_timeout": "45"}) == 45.0
+    assert wire._updates_timeout({"updates_timeout": "0"}) == 0.0
+    assert wire._updates_timeout({"updates_timeout": "1e9"}) == 300.0
+    assert wire._updates_timeout({"updates_timeout": "-3"}) == 0.0
+    assert wire._updates_timeout({"updates_timeout": "bogus"}) == 5.0
+    # the client helper threads it through the metadata map verbatim
+    req = {"queryRequest": {"query": {"query_sql": {"queryStr": "x"}}},
+           }
+    enc = wire.encode_request_stream_record(
+        {"queryRequest": {"query": {"query_sql": {"queryStr": "SELECT 1"}},
+                          "metadata": {"view": "live",
+                                       "updates_timeout": "60"}}}
+    )
+    dec = wire.decode_request_stream_record(enc)["queryRequest"]
+    assert dec["metadata"]["updates_timeout"] == "60"
+    assert wire._updates_timeout(dec["metadata"]) == 60.0
