@@ -513,8 +513,8 @@ def test_protobuf_midstream_failure_closes_connection_not_status_line(engine):
         def __getattr__(self, name):
             return getattr(self._inner, name)
 
-        def query_stream(self, sql, view=None, typed=False):
-            it = self._inner.query_stream(sql, view=view, typed=typed)
+        def query_stream(self, sql, view=None, typed=False, **kw):
+            it = self._inner.query_stream(sql, view=view, typed=typed, **kw)
 
             def gen():
                 yield next(it)  # the ack + first record reach the wire
@@ -593,8 +593,8 @@ def test_client_helpers_raise_on_eof_before_end_of_stream(engine):
         def __getattr__(self, name):
             return getattr(self._inner, name)
 
-        def query_stream(self, sql, view=None, typed=False):
-            it = self._inner.query_stream(sql, view=view, typed=typed)
+        def query_stream(self, sql, view=None, typed=False, **kw):
+            it = self._inner.query_stream(sql, view=view, typed=typed, **kw)
 
             def gen():
                 yield next(it)  # ack + first record reach the wire
