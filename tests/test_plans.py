@@ -112,6 +112,24 @@ def test_minhash_no_cartesian(q):
     assert "CartesianProduct" not in p  # candidates come from equi-joins
 
 
+def test_minhash_verify_restricts_corpus_exactly_once(q):
+    """r14 perf pin: minhash_lsh_dedup prunes the corpus to candidate
+    docs ONCE (the shingle_ids semi-join); jaccard_pairs must not
+    re-restrict via a second semi-join (pre_restricted=True skips the
+    rebuild — measured 15-20% of the pipeline). A future refactor that
+    silently reintroduces the doubled restriction fails here."""
+    import re
+
+    p = q("llm_dedup_minhash_lsh")
+    # the formatted tree renders a reused subtree once per referencing
+    # branch — count DISTINCT node ids, not line occurrences
+    nodes = set(re.findall(r"Join LeftSemi \((\d+)\)", p))
+    assert len(nodes) == 1, (
+        f"expected exactly one LeftSemi node (the candidate-doc prune), "
+        f"plan has {sorted(nodes)}"
+    )
+
+
 def test_index_lookup_prunes(q):
     p = q("ref_index_range")
     # the index's configured value bounds [0,50) reach the base scan, and
