@@ -2204,3 +2204,47 @@ def test_post_restart_replay_recomputes_derived_views(spark, tmp_path):
     view2._on_cdc_batch(b, 0)
     assert view2._derived_version["probe"] == dv
     view2.stop()
+
+
+def test_join_view_durable_subscriber_replay_semantics(spark):
+    """The durable dispatch contract holds for JoinView too (shared
+    _dispatch_subscribers): a durable failure propagates AFTER the full
+    fan-out; the replay skips the state commit and re-dispatches."""
+    from proteus_spark.streaming.views import JoinView
+
+    view = JoinView(
+        spark,
+        left=spark.createDataFrame([], "k bigint, price double"),
+        right=spark.createDataFrame([], "k bigint, votes double"),
+        key="k",
+        name="t_join_durable",
+        defaults={"price": 0.0, "votes": 0.0},
+    )
+    delivered: list[int] = []
+    fail_once = {"armed": True}
+
+    def exporter(delta, epoch):
+        if fail_once["armed"]:
+            fail_once["armed"] = False
+            raise IOError("transient export failure")
+        delivered.append(epoch)
+
+    observed: list[int] = []
+    view.subscribe(exporter, durable=True)
+    view.subscribe(lambda d, e: observed.append(e))
+    try:
+        b = spark.createDataFrame(
+            [(1, 10.0, None, None)],
+            "k bigint, price double, votes double, _op string",
+        )
+        with pytest.raises(IOError):
+            view._on_batch(b, 0)
+        v = view._state.version
+        assert delivered == [] and observed == [0]  # fan-out completed
+        view._on_batch(b, 0)  # replay
+        assert view._state.version == v  # state exactly-once
+        assert delivered == [0] and observed == [0, 0]
+        got = {r["k"]: r["price"] for r in view.snapshot().collect()}
+        assert got == {1: 10.0}
+    finally:
+        view.stop()
