@@ -104,6 +104,9 @@ class Engine:
                     stacklevel=2,
                 )
         df.createOrReplaceTempView(name)
+        from proteus_spark.registry import invalidate_view
+
+        invalidate_view(self.spark, name)
         self._registered[name] = path
         return df
 
@@ -119,6 +122,9 @@ class Engine:
         Spark analogue of a stateful QPU's output table (e.g. ``stories_sum``;
         reference: internal/qpu_classes/sum/sum.go:108-121)."""
         df.createOrReplaceTempView(name)
+        from proteus_spark.registry import invalidate_view
+
+        invalidate_view(self.spark, name)
 
     def tables(self) -> list[str]:
         """= GetConfig schema advertisement (qpuapi.proto:128-144)."""
@@ -193,6 +199,9 @@ class Engine:
             if snap is None:
                 return
             snap.createOrReplaceTempView(table)
+            from proteus_spark.registry import invalidate_view
+
+            invalidate_view(self.spark, table)
             callback(self._collect_timed(sql), epoch)
 
         view.subscribe(_on_update)

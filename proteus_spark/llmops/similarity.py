@@ -40,23 +40,21 @@ def _two_phase_topk(scored: DataFrame, k: int) -> DataFrame:
     """Exact per-query top-k over (qid, nid, sim) rows WITHOUT funnelling
     all |corpus| scored rows for a query into one task.
 
-    Phase 1 ranks within (input-partition, query): the exchange hash-
-    distributes over P x Q keys (every task sorts ~|partition| rows), and
-    only the per-partition top-k survive. Phase 2 ranks the surviving
-    P x k rows per query — a bounded merge, not a corpus-sized sort. The
-    result is identical to a single global window (any global top-k row is
-    in its partition's top-k), with the same deterministic tie-break.
+    A single ``row_number() <= k`` window: Spark's rank-limit pushdown
+    (WindowGroupLimit, 3.5+) plans it as a PARTIAL per-input-partition
+    top-k BEFORE the exchange — each map task sorts only its own rows and
+    ships at most k rows per (partition, qid) — then the final window
+    merges the bounded survivors per qid. That is exactly the manual
+    two-window phase split this function used to build (r15: the manual
+    form cost a second Exchange + two extra Sorts per call — measured
+    −22-30% on the two banked similarity bench queries once collapsed;
+    the partial/final shape is pinned by
+    tests/test_plans.py::test_bruteforce_topk_is_two_phase).
     """
-    w1 = W.partitionBy("_pid", "qid").orderBy(F.desc("sim"), F.asc("nid"))
-    local = (
-        scored.select("qid", "nid", "sim")  # narrow rows into the exchange
-        .withColumn("_pid", F.spark_partition_id())
-        .withColumn("_r1", F.row_number().over(w1))
-        .filter(F.col("_r1") <= k)
-    )
-    w2 = W.partitionBy("qid").orderBy(F.desc("sim"), F.asc("nid"))
+    w = W.partitionBy("qid").orderBy(F.desc("sim"), F.asc("nid"))
     return (
-        local.withColumn("rank", F.row_number().over(w2).cast("long"))
+        scored.select("qid", "nid", "sim")  # narrow rows into the exchange
+        .withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
         .select("qid", "nid", "sim", "rank")
     )

@@ -19,7 +19,13 @@ from __future__ import annotations
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from proteus_spark.registry import events_with_ts, load, register, register_sql
+from proteus_spark.registry import (
+    events_with_ts,
+    load,
+    register,
+    register_sql,
+    table_view,
+)
 
 # Shared DECIMAL fragments (validated bit-exact across engines).
 DISC_PRICE = "CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))"
@@ -937,7 +943,7 @@ def agg_hll_rollup(spark, sf_dir):
     register table answering any date-range distinct query, and a
     full-corpus re-scan per query. The merged-vs-exact 3-sigma bound is
     asserted in-query as the semantic floor."""
-    load(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    table_view(spark, sf_dir, "lineitem")
     out = spark.sql(_HLL_ROLLUP_SQL)
     row = out.limit(1).collect()
     if row:  # empty input has nothing to bound (and no rows to return)

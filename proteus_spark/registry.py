@@ -62,6 +62,17 @@ def register(name: str, oracle=None, tags: tuple[str, ...] = (), doc: str = ""):
 _DENSIFY_MIN_ROWS = 50_000
 _split_cache: dict[str, tuple[int, int]] = {}
 
+# Schema metadata cache (optimization r15, guide §1/§6): ``spark.read
+# .parquet(path)`` re-infers the schema on EVERY call — a file listing plus
+# a footer read through the JVM, measured ~115 ms per table per query
+# construction at sf0.1 (vs ~17 ms with an explicit schema). The testdata
+# tables are static, so the inferred schema is cached per path — METADATA
+# only, exactly the class of the ``_split_cache`` footer cache above; every
+# execution still reads all data from parquet. At 100 TB the same move is
+# what a catalog/table-format (metastore, Iceberg manifest) does: resolve
+# the schema once, not once per query.
+_schema_cache: dict[str, object] = {}
+
 
 def _scan_shape(path: str) -> tuple[int, int]:
     """(rows in the LARGEST single parquet row group, total row-group
@@ -158,16 +169,39 @@ def load(
     """
     _tune_session(spark)
     path = os.path.join(sf_dir, f"{name}.parquet")
-    df = spark.read.parquet(path)
+    cached = _schema_cache.get(path)
+    if cached is None:
+        df = spark.read.parquet(path)
+        _schema_cache[path] = df.schema
+    else:
+        df = spark.read.schema(cached).parquet(path)
     if densify:
         worst, groups = _scan_shape(path)
         par = spark.sparkContext.defaultParallelism
         # fire only when the scan is BOTH dense (big row groups) and
         # under-parallel for this cluster — a well-laid-out source (>=
-        # par/2 row groups) already scans wide, and the extra roundRobin
-        # exchange would carry the whole filtered table for nothing
+        # par/2 row groups) already scans wide, and the extra exchange
+        # would carry the whole filtered table for nothing
         if worst >= _DENSIFY_MIN_ROWS and groups < max(2, par // 2):
-            df = df.repartition(par)
+            from pyspark.sql import functions as F
+
+            # HASH repartition on a deterministic row hash, NOT round-robin
+            # ``repartition(par)`` (optimization r15, guide §2.5): every
+            # keyless repartition first pays a LOCAL SORT of its input
+            # (sortBeforeRepartition) so retried tasks reproduce the same
+            # row placement — and here the input is the single serial scan
+            # task, so the whole table sorts in ONE task before fanning out
+            # (measured at sf0.1: the q1 densify exchange 1.09s round-robin
+            # vs 0.70s hashed; q1 end-to-end −25%). ``xxhash64(*columns)``
+            # is deterministic (retry-safe without the sort, SPARK-38388
+            # does not apply) and, unlike a synthetic monotonically-
+            # increasing id, fully deterministic to Catalyst — so filters
+            # still PUSH THROUGH the repartition to the parquet scan
+            # (PushedFilters verified in plans/r15/tpch_q1_after.txt).
+            # Spread: near-unique fact rows hash evenly; only a table
+            # dominated by bit-identical rows could skew, which no dump
+            # this trigger targets is.
+            df = df.repartition(par, F.xxhash64(*[F.col(c) for c in df.columns]))
     return df
 
 
@@ -288,6 +322,48 @@ def events_with_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
 
 
+# Temp-view registration memo (optimization r15): ``createOrReplaceTempView``
+# costs a catalog RPC + plan analysis (~20 ms) per table per query
+# construction; a 6-table query pays ~130 ms per bench run re-registering
+# views that already point at the identical DataFrame. The memo records,
+# per live SparkSession, which (path, densify) each table-named view
+# currently holds and skips the no-op re-registration. Any OTHER registrant
+# of a session view (engine catalog API, topology builder) must call
+# ``invalidate_view`` so a colliding name never serves a stale skip.
+import weakref  # noqa: E402
+
+_view_reg: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+
+
+def table_view(
+    spark: SparkSession, sf_dir: str, name: str, densify: bool = False
+) -> None:
+    """Register testdata table ``name`` as the temp view ``name``, skipping
+    the re-registration when this session's view already binds the same
+    (path, densify) through this helper."""
+    key = (os.path.join(sf_dir, f"{name}.parquet"), densify)
+    try:
+        reg = _view_reg.setdefault(spark, {})
+    except TypeError:  # un-weakref-able session stand-in: just register
+        load(spark, sf_dir, name, densify=densify).createOrReplaceTempView(name)
+        return
+    if reg.get(name) == key:
+        return
+    load(spark, sf_dir, name, densify=densify).createOrReplaceTempView(name)
+    reg[name] = key
+
+
+def invalidate_view(spark: SparkSession, name: str) -> None:
+    """Forget the memoized binding for ``name`` (call after registering a
+    same-named view outside ``table_view``)."""
+    try:
+        reg = _view_reg.get(spark)
+    except TypeError:
+        return
+    if reg:
+        reg.pop(name, None)
+
+
 def register_sql(
     name: str,
     sql: str,
@@ -319,11 +395,10 @@ def register_sql(
 
         for t in TABLES:
             if t in referenced:
-                load(
-                    spark, sf_dir, t, densify=t in densify_tables
-                ).createOrReplaceTempView(t)
+                table_view(spark, sf_dir, t, densify=t in densify_tables)
         for vname, builder in (spark_prelude or {}).items():
             builder(spark, sf_dir).createOrReplaceTempView(vname)
+            invalidate_view(spark, vname)  # derived view shadows any table
         return spark.sql(sql)
 
     fn.__name__ = name

@@ -149,6 +149,9 @@ def build_topology(
         built[name] = df
         if register_views:
             df.createOrReplaceTempView(name)
+            from proteus_spark.registry import invalidate_view
+
+            invalidate_view(spark, name)
         return df
 
     for n in nodes:

@@ -83,19 +83,24 @@ def test_similarity_broadcasts_queries(q):
 
 
 def test_bruteforce_topk_is_two_phase(q):
-    """No per-query single-task sort: the corpus-sized ranking must window
-    over (partition-id, qid) — P x Q shuffle keys — with only the bounded
-    P x k survivors reaching the per-qid merge window."""
+    """No per-query single-task sort: the corpus-sized ranking must keep a
+    partial per-input-partition top-k BEFORE the exchange so only the
+    bounded P x k survivors reach the per-qid merge. Since r15 the
+    operator is a single ``row_number() <= k`` window and the phase split
+    comes from Spark's rank-limit pushdown: the plan must carry a
+    WindowGroupLimit below the qid exchange (Partial mode) and exactly ONE
+    window exchange — the manual two-window form this replaced cost a
+    second Exchange + two Sorts per call."""
     import re
 
     p = q("llm_sim_bruteforce")
-    wins = re.findall(r"Arguments: \[row_number.*?windowspecdefinition\(([^)]*)\)", p)
-    assert len(wins) >= 2, p
-    # the FIRST (bottom) window over the scored corpus includes the
-    # partition-id key; only the top (merge) window may partition by qid
-    # alone
-    bottom = [w for w in wins if "_pid" in w]
-    assert bottom, f"no partition-local ranking window found: {wins}"
+    # rank pushdown fired: partial + final group-limit around the exchange
+    assert p.count("WindowGroupLimit") >= 2, p
+    wins = re.findall(r"\[row_number.*?windowspecdefinition\(([^)]*)\)", p)
+    assert wins, p
+    # every ranking window partitions by qid alone — no second
+    # (partition-id keyed) window pass survives in the plan
+    assert all("qid" in w and "_pid" not in w for w in wins), wins
 
 
 def test_whole_stage_codegen_on_hot_paths(spark, sf_dir):
