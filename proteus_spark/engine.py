@@ -29,6 +29,25 @@ from proteus_spark import TABLES
 from proteus_spark.schema import TESTDATA_SCHEMAS
 
 
+def clamp_updates_timeout(value, default: float = 5.0) -> float:
+    """Intake-bound the per-request quiet-close window to [0, 300] seconds
+    — THE clamp for every transport surface (NDJSON, protobuf, gRPC) and
+    for ``Engine.query_stream`` itself (ADVICE r14): non-finite floats are
+    rejected too, because ``Queue.get(timeout=nan)`` blocks forever and a
+    client sending ``updates_timeout='nan'``/'inf' would otherwise pin a
+    server stream thread indefinitely. Malformed values fall back to
+    ``default``."""
+    import math
+
+    try:
+        v = float(value)
+    except (TypeError, ValueError):
+        return default
+    if not math.isfinite(v):
+        return default
+    return min(max(v, 0.0), 300.0)
+
+
 @dataclass
 class QueryStats:
     """Per-query latency + data-transfer log, mirroring the reference's
@@ -270,6 +289,7 @@ class Engine:
         executes, so no delta between snapshot and subscribe is lost —
         strictly stronger than the reference's race (responseStream.go:51-64).
         """
+        updates_timeout = clamp_updates_timeout(updates_timeout)
         import queue as _queue
 
         updates: _queue.Queue = _queue.Queue()

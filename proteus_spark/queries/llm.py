@@ -2624,11 +2624,20 @@ def llm_dedup_exact_substring(spark, sf_dir):
     repeat of >= W tokens covers at least one sampled window.
 
     Scale shape: windows explode to ~n_tokens/S rows per doc, the repeat
-    test is ONE hash aggregation on the window key plus an equi-join back
-    — never a pairwise doc comparison, so cost is linear in corpus tokens.
-    The window key here is the literal 20-token string so the DuckDB
-    oracle groups identically; a production run shuffles xxhash64(window)
-    (8 bytes vs ~120) with the same plan. Reference scope: content
+    test is ONE hash aggregation on the window key plus a window count
+    over the grouped rows — never a pairwise doc comparison, so cost is
+    linear in corpus tokens. The window key here is the literal 20-token
+    string so the DuckDB oracle groups identically; a production run
+    shuffles xxhash64(window) (8 bytes vs ~120) with the same plan.
+    r15 reshaping (guide §2.3/§2.4): the old form exploded the window
+    table TWICE (once to find duplicated windows via count_distinct,
+    once to join the flags back) — one tokenize+explode pass and one
+    count-distinct expand more than needed. Now a single explode feeds
+    ``groupBy(doc_id, w)`` (grouped rows = one row per distinct doc per
+    window, so a plain ``count(*) OVER (PARTITION BY w)`` IS the distinct
+    doc count), and the per-doc rollup sums the carried multiplicities —
+    identical output (re-gated), measured −27% at sf0.1 (1.20s → 0.87s),
+    2 Generates → 1, count-distinct Expand gone. Reference scope: content
     dedup is beyond the reference engine entirely (SURVEY §2 LLM-ops
     extension)."""
     docs = load(spark, sf_dir, "documents")
@@ -2648,20 +2657,16 @@ def llm_dedup_exact_substring(spark, sf_dir):
             ).otherwise(F.array().cast("array<string>"))
         ).alias("w"),
     )
-    dup = (
-        wins.groupBy("w")
-        .agg(F.count_distinct("doc_id").alias("nd"))
-        .filter(F.col("nd") >= 2)
-        .select("w", F.lit(1).alias("_dup"))
-    )
+    wg = wins.groupBy("doc_id", "w").agg(F.count("*").alias("c"))
+    nd = F.count("*").over(W.partitionBy("w"))
     per = (
-        wins.join(dup, "w", "left")
+        wg.withColumn("nd", nd)
         .groupBy("doc_id")
         .agg(
-            F.count("*").alias("n_windows"),
-            F.sum(F.when(F.col("_dup").isNotNull(), 1).otherwise(0)).alias(
-                "n_dup"
-            ),
+            F.sum("c").alias("n_windows"),
+            F.sum(
+                F.when(F.col("nd") >= 2, F.col("c")).otherwise(0)
+            ).alias("n_dup"),
         )
     )
     return (

@@ -136,10 +136,16 @@ class QueryServer:
                                 {"error": f"unknown view {req['view']!r}"},
                             )
                     try:
+                        # shared intake clamp (ADVICE r14): the bare
+                        # float() here let 1e12/inf/nan pin the HTTP
+                        # stream thread — route through the same [0, 300]
+                        # finite clamp as the wire/h2 surfaces
+                        from proteus_spark.engine import clamp_updates_timeout
+
                         gen = server.engine.query_stream(
                             sql,
                             view=view,
-                            updates_timeout=float(
+                            updates_timeout=clamp_updates_timeout(
                                 req.get("updates_timeout", 5.0)
                             ),
                         )

@@ -760,16 +760,18 @@ class _TrackedConn:
 def _updates_timeout(meta: dict) -> float:
     """Per-request quiet-close window for view subscriptions, carried in
     QueryRequest.metadata (parity with the NDJSON server's request-level
-    ``updates_timeout``). Clamped to [0, 300] — the intake-bounds rule: a
-    client must not pin a server stream thread indefinitely. Malformed
-    values fall back to the 5s default."""
+    ``updates_timeout``). Clamped to [0, 300] via the SHARED
+    ``engine.clamp_updates_timeout`` helper (ADVICE r14: the old local
+    min/max clamp let ``float('nan')`` through — and
+    ``Queue.get(timeout=nan)`` blocks forever, pinning a server stream
+    thread; non-finite now falls back like any other malformed value).
+    Malformed values fall back to the 5s default."""
+    from proteus_spark.engine import clamp_updates_timeout
+
     raw = meta.get("updates_timeout")
     if raw is None:
         return 5.0
-    try:
-        return min(max(float(raw), 0.0), 300.0)
-    except (TypeError, ValueError):
-        return 5.0
+    return clamp_updates_timeout(raw)
 
 
 class ProtobufQueryServer:

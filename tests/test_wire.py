@@ -666,6 +666,20 @@ def test_updates_timeout_metadata_parse_and_clamp():
     assert wire._updates_timeout({"updates_timeout": "1e9"}) == 300.0
     assert wire._updates_timeout({"updates_timeout": "-3"}) == 0.0
     assert wire._updates_timeout({"updates_timeout": "bogus"}) == 5.0
+    # non-finite floats survive min/max clamping unchanged and
+    # Queue.get(timeout=nan) blocks forever — they must fall back to the
+    # default like any other malformed value (ADVICE r14)
+    assert wire._updates_timeout({"updates_timeout": "nan"}) == 5.0
+    assert wire._updates_timeout({"updates_timeout": "inf"}) == 5.0
+    assert wire._updates_timeout({"updates_timeout": "-inf"}) == 5.0
+    # the NDJSON server and Engine.query_stream ride the same clamp
+    from proteus_spark.engine import clamp_updates_timeout
+
+    assert clamp_updates_timeout(float("nan")) == 5.0
+    assert clamp_updates_timeout("inf") == 5.0
+    assert clamp_updates_timeout(1e12) == 300.0
+    assert clamp_updates_timeout(None) == 5.0
+    assert clamp_updates_timeout("45") == 45.0
     # the client helper threads it through the metadata map verbatim
     req = {"queryRequest": {"query": {"query_sql": {"queryStr": "x"}}},
            }
