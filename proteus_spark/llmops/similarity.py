@@ -480,6 +480,13 @@ def pq_train(emb: DataFrame, m: int = PQ_M, k: int = PQ_K,
     sv = _subvectors(emb, "vec_id", F.col("embedding"), m, sub).localCheckpoint(
         eager=True
     )
+    # every checkpointed frame is released before return: the blocks live
+    # in executor storage memory and nothing outside this function ever
+    # references them again (the model is the collected list) — waiting on
+    # two GC cycles (Python ref drop, then JVM ContextCleaner) to free
+    # them lets a long single-session run (the 175-query gate) accrete
+    # checkpoint blocks it no longer needs
+    _ckpts = [sv]
     w = W.partitionBy("m").orderBy("_h", "vec_id")
     cents = (
         sv.withColumn(
@@ -520,7 +527,16 @@ def pq_train(emb: DataFrame, m: int = PQ_M, k: int = PQ_K,
                 ).alias("cvec")
             )
         ).localCheckpoint(eager=True)
+        _ckpts.append(cents)
     rows = cents.collect()  # m*k tiny vectors: the broadcastable model
+    for df in _ckpts:
+        try:
+            # DataFrame.unpersist() only talks to the CacheManager and is a
+            # no-op for localCheckpoint frames — the blocks belong to the
+            # LogicalRDD's underlying RDD, so release THAT
+            df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+        except Exception:
+            pass  # release is hygiene, never a failure path
     books = [[] for _ in range(m)]
     for r in rows:
         books[r["m"]].append((r["code"], list(r["cvec"])))

@@ -185,23 +185,25 @@ def load(
         if worst >= _DENSIFY_MIN_ROWS and groups < max(2, par // 2):
             from pyspark.sql import functions as F
 
-            # HASH repartition on a deterministic row hash, NOT round-robin
+            # HASH repartition on a deterministic key, NOT round-robin
             # ``repartition(par)`` (optimization r15, guide §2.5): every
             # keyless repartition first pays a LOCAL SORT of its input
             # (sortBeforeRepartition) so retried tasks reproduce the same
             # row placement — and here the input is the single serial scan
             # task, so the whole table sorts in ONE task before fanning out
-            # (measured at sf0.1: the q1 densify exchange 1.09s round-robin
-            # vs 0.70s hashed; q1 end-to-end −25%). ``xxhash64(*columns)``
-            # is deterministic (retry-safe without the sort, SPARK-38388
-            # does not apply) and, unlike a synthetic monotonically-
-            # increasing id, fully deterministic to Catalyst — so filters
-            # still PUSH THROUGH the repartition to the parquet scan
-            # (PushedFilters verified in plans/r15/tpch_q1_after.txt).
-            # Spread: near-unique fact rows hash evenly; only a table
-            # dominated by bit-identical rows could skew, which no dump
-            # this trigger targets is.
-            df = df.repartition(par, F.xxhash64(*[F.col(c) for c in df.columns]))
+            # (measured at sf0.1: q1 1.16s round-robin vs 0.66s hashed).
+            # The key is ``xxhash64(<leading column>)`` — the dumps this
+            # trigger targets lead with their record key by convention
+            # (doc_id / vec_id / event_id / l_orderkey ...), so the hash
+            # spreads evenly; deterministic, so retries are safe without
+            # the sort (SPARK-38388 does not apply) and — unlike a
+            # synthetic monotonically_increasing_id key, which Catalyst
+            # treats as nondeterministic — filters still PUSH THROUGH the
+            # repartition to the parquet scan, and column pruning keeps
+            # the scan narrow (hashing ALL columns was measured to widen
+            # q1's ReadSchema from 7 to 11 columns and cost ~25%).
+            # PushedFilters verified in plans/r15/tpch_q1_after.txt.
+            df = df.repartition(par, F.xxhash64(F.col(df.columns[0])))
     return df
 
 

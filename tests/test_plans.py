@@ -1181,3 +1181,26 @@ def test_ivf_indexed_topk_prunes_partitions_and_matches(spark, sf_dir, tmp_path)
     want = sorted(map(tuple, ivf_topk(emb, cents, queries, k=3).collect()))
     got = sorted(map(tuple, out.collect()))
     assert got == want and len(got) > 0
+
+
+def test_pq_train_releases_checkpoint_blocks(spark, sf_dir):
+    """Optimization r15 #8 — pq_train's eager localCheckpoints (the
+    subvector frame + each Lloyd's round's centroids) must be unpersisted
+    before return: nothing references them after the model collect, and
+    leaving release to GC let a long single-session run (the 175-query
+    gate, 1g plain-session heap) accrete checkpoint blocks until a later
+    query OOMed. Pin: the context's persistent-RDD count returns to its
+    pre-call baseline."""
+    from pyspark.sql import functions as F
+
+    from proteus_spark.llmops.similarity import pq_train
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    before = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    books = pq_train(emb.filter(F.col("vec_id") < 64))
+    after = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    assert len(books) > 0 and all(len(b) > 0 for b in books)
+    assert after == before, (
+        f"pq_train leaked {after - before} persisted RDD(s): checkpoint "
+        "blocks must be released before return"
+    )
