@@ -646,8 +646,14 @@ def dup_components(pairs: DataFrame, max_iters: int = 25) -> DataFrame:
       plan doubles per iteration and Catalyst analysis time explodes;
     - convergence probe: labels only ever decrease, so the label-sum is a
       strictly decreasing monotone — one scalar ``agg(sum)`` per round
-      (never a full-result collect).
+      (never a full-result collect). The checkpoint is LAZY and is
+      materialized by that same sum job (optimization r15) — previously
+      every round paid a separate eager-checkpoint job first — and the
+      superseded round's blocks are released deterministically (the
+      pq_train release discipline).
     """
+    from proteus_spark.plans.ckpt import release as _release
+
     fwd = pairs.select(F.col("ida").alias("a"), F.col("idb").alias("b"))
     rev = pairs.select(F.col("idb").alias("a"), F.col("ida").alias("b"))
     edges = fwd.union(rev).distinct().localCheckpoint(eager=False)
@@ -658,6 +664,7 @@ def dup_components(pairs: DataFrame, max_iters: int = 25) -> DataFrame:
         .select("v", F.col("v").alias("label"))
     )
     prev_sum = None
+    prev = None  # superseded label generation, dead once labels is live
     for _ in range(max_iters):
         msgs = edges.join(labels, edges["a"] == labels["v"]).select(
             F.col("b").alias("v"), F.col("label")
@@ -666,9 +673,11 @@ def dup_components(pairs: DataFrame, max_iters: int = 25) -> DataFrame:
             msgs.union(labels)
             .groupBy("v")
             .agg(F.min("label").alias("label"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
-        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
+        cur_sum = labels.agg(F.sum("label")).collect()[0][0]  # materializes
+        _release(prev)
+        prev = labels
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum

@@ -20,6 +20,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
+from proteus_spark.plans.ckpt import release as release_checkpoint
+
 
 def dot(a, b) -> Column:
     """Σ a_i * b_i in double, sequential fold (matches DuckDB list_reduce)."""
@@ -424,9 +426,13 @@ def _pq_d2(svec, cvec) -> Column:
     )
 
 
-def _subvectors(df: DataFrame, id_col: str, vec_col, m: int, sub: int) -> DataFrame:
+def _subvectors(
+    df: DataFrame, id_col: str, vec_col, m: int, sub: "int | Column"
+) -> DataFrame:
     """(id, m, svec): the m per-subspace slices of each (normalized)
-    vector — one codegen projection + explode, no shuffle."""
+    vector — one codegen projection + explode, no shuffle. ``sub`` may be
+    a Column (e.g. ``size(vec)/m``) so training need not probe the vector
+    width with a separate scan job first (r15)."""
     return df.select(
         F.col(id_col),
         F.explode(
@@ -459,16 +465,6 @@ def pq_train(emb: DataFrame, m: int = PQ_M, k: int = PQ_K,
     tiny vectors, collected once and broadcast — at deployment scale you
     train on a sample; the model size is unchanged."""
     emb = emb.select("vec_id", _unit(F.col("embedding")).alias("embedding"))
-    head = emb.select("embedding").first()
-    if head is None:
-        # an empty TRAINING corpus is a pipeline bug upstream — surface it
-        # as a clear error, not a cryptic NoneType subscript
-        raise ValueError("pq_train: cannot train codebooks on an empty corpus")
-    dim = len(head[0])
-    sub = dim // m
-    # cap codes to corpus size (tiny fixtures): k clusters need >= k points,
-    # and k ~ n/8 keeps each code cell populated enough to mean something
-    k = max(4, min(k, emb.count() // 8))
     # the subvector frame is referenced 1 + rounds times (hash-ranked init
     # window, then every Lloyd's round's assignment join); left lazy, each
     # reference re-derived the scan -> normalize -> m-way slice chain from
@@ -476,10 +472,22 @@ def pq_train(emb: DataFrame, m: int = PQ_M, k: int = PQ_K,
     # at sf0.01 once materialized — identical codebooks). Training runs on
     # a sample at deployment scale, so the checkpointed frame stays small;
     # pq_encode keeps its single-pass lazy form (full corpus, one
-    # reference — nothing to reuse).
+    # reference — nothing to reuse). ONE job does all the scalar probing
+    # (r15): the slice width is the in-plan expression size(vec)/m (no
+    # first() scan), and the count that materializes the lazy checkpoint
+    # also sizes the corpus for the k cap (no separate count() scan).
+    sub = F.floor(F.size(F.col("embedding")) / F.lit(m)).cast("int")
     sv = _subvectors(emb, "vec_id", F.col("embedding"), m, sub).localCheckpoint(
-        eager=True
+        eager=False
     )
+    nm = sv.count()  # materializes sv AND counts: n vectors x m subspaces
+    if not nm:
+        # an empty TRAINING corpus is a pipeline bug upstream — surface it
+        # as a clear error, not a cryptic NoneType subscript
+        raise ValueError("pq_train: cannot train codebooks on an empty corpus")
+    # cap codes to corpus size (tiny fixtures): k clusters need >= k points,
+    # and k ~ n/8 keeps each code cell populated enough to mean something
+    k = max(4, min(k, (nm // m) // 8))
     # every checkpointed frame is released before return: the blocks live
     # in executor storage memory and nothing outside this function ever
     # references them again (the model is the collected list) — waiting on
@@ -530,13 +538,7 @@ def pq_train(emb: DataFrame, m: int = PQ_M, k: int = PQ_K,
         _ckpts.append(cents)
     rows = cents.collect()  # m*k tiny vectors: the broadcastable model
     for df in _ckpts:
-        try:
-            # DataFrame.unpersist() only talks to the CacheManager and is a
-            # no-op for localCheckpoint frames — the blocks belong to the
-            # LogicalRDD's underlying RDD, so release THAT
-            df._jdf.queryExecution().analyzed().rdd().unpersist(False)
-        except Exception:
-            pass  # release is hygiene, never a failure path
+        release_checkpoint(df)
     books = [[] for _ in range(m)]
     for r in rows:
         books[r["m"]].append((r["code"], list(r["cvec"])))
@@ -564,8 +566,9 @@ def pq_encode(emb: DataFrame, books) -> DataFrame:
     oracle-replayable."""
     spark = emb.sparkSession
     m = len(books)
-    dim = len(emb.select("embedding").first()[0])
-    sub = dim // m
+    # the model itself fixes the slicing: every code vector is one
+    # subvector wide — no scan probe needed for the width (r15)
+    sub = len(books[0][0][1])
     cb = F.broadcast(_codebook_df(spark, books))
     emb = emb.select("vec_id", _unit(F.col("embedding")).alias("embedding"))
     sv = _subvectors(emb, "vec_id", F.col("embedding"), m, sub)
@@ -603,8 +606,7 @@ def pq_topk(
     ever rides a shuffle except the final candidates'."""
     spark = emb.sparkSession
     m = len(books)
-    dim = len(emb.select("embedding").first()[0])
-    sub = dim // m
+    sub = len(books[0][0][1])  # model-derived width, no scan probe (r15)
     cb = _codebook_df(spark, books)
 
     qs = queries.select(
@@ -985,7 +987,12 @@ def kmeans_train(
             id_col=id_col,
             vec_col=vec_col,
         )
+        prev = cents
         cents = _bucket_means(assigned, vec_col).localCheckpoint(eager=True)
+        # the eager checkpoint above materialized the new round, so the
+        # superseded round's blocks are dead — release now, don't wait on
+        # GC (r15, the pq_train discipline; round 0's seed is lazy, no-op)
+        release_checkpoint(prev)
     return cents
 
 

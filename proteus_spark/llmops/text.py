@@ -17,6 +17,7 @@ from proteus_spark.functions.texthash import (
     md5_seeded_sql,
 )
 from proteus_spark.llmops.dedup import shingles, tokens_col
+from proteus_spark.plans.ckpt import release as release_checkpoint
 
 # BPE-ish tokenizer regex: alpha runs, digit runs, or any single non-space
 # symbol — a deterministic stand-in for a subword vocabulary.
@@ -915,13 +916,19 @@ def bpe_train_encode(
     convergence check); the corpus itself never round-trips.
     ``localCheckpoint`` after each merge truncates lineage so the plan
     does not nest ``rounds`` fold expressions deep (the PageRank /
-    dup_components fixpoint pattern)."""
+    dup_components fixpoint pattern). Each round costs exactly ONE job
+    (optimization r15): the merge checkpoint is LAZY and is materialized
+    by the next round's pair-count aggregation itself — previously every
+    round paid a second, separate eager-checkpoint job — and the
+    superseded generation's blocks are released deterministically once
+    its child is materialized (the pq_train release discipline)."""
     spark = docs.sparkSession
     toks = docs.select(
         "doc_id",
         F.regexp_extract_all("text", F.lit(BPE_REGEX), F.lit(0)).alias("t"),
     ).withColumn("n_raw", F.size("t"))
     rules: list[tuple[int, str, str, int]] = []
+    prev = None  # superseded checkpoint generation, dead once toks is live
     for r in range(rounds):
         best = (
             bpe_adjacent_pairs(toks)
@@ -931,11 +938,15 @@ def bpe_train_encode(
             .limit(1)
             .collect()
         )
+        # the collect above materialized toks' lazy checkpoint, so the
+        # generation toks was derived from is now dead
+        release_checkpoint(prev)
+        prev = toks if r else None  # round 0's toks is the raw projection
         if not best:
             break  # no doc has two adjacent tokens left
         a, b, n = best[0]["a"], best[0]["b"], best[0]["n"]
         rules.append((r + 1, a, b, n))
-        toks = bpe_merge_pass(toks, a, b).localCheckpoint(eager=True)
+        toks = bpe_merge_pass(toks, a, b).localCheckpoint(eager=False)
     rules_df = spark.createDataFrame(
         rules, "rk long, a string, b string, n long"
     )

@@ -18,6 +18,7 @@ from proteus_spark.llmops import dedup as D
 from proteus_spark.llmops import multimodal as M
 from proteus_spark.llmops import similarity as S
 from proteus_spark.llmops import text as TXT
+from proteus_spark.plans.ckpt import release as release_checkpoint
 from proteus_spark.registry import load, register
 
 # ---------------------------------------------------------------------------
@@ -1782,12 +1783,25 @@ def llm_sim_pq(spark, sf_dir):
     emb = load(spark, sf_dir, "embeddings")
     queries = emb.filter((F.col("vec_id") >= 10) & (F.col("vec_id") < 20))
     books = S.pq_train(emb)
-    approx = S.pq_topk(emb, queries, books, k=3, rerank=16)
-    exact = S.brute_force_topk(emb, queries, k=3)
-    hits = approx.join(
-        exact.select("qid", "nid"), ["qid", "nid"], "left_semi"
-    ).count()
+    # both result frames are q*k rows (tiny) but sit on expensive chains
+    # (full ADC scan / full brute-force scan); materialize each ONCE
+    # (optimization r15, guide §5) — previously the recall assertion
+    # computed both AND the returned frame recomputed the whole PQ chain
+    # on collect (measured 1.5s of the query's 7.0s at sf0.01). The
+    # brute-force baseline's checkpoint is released after its two scalar
+    # uses; the approx frame is the RETURNED result, so its (30-row)
+    # checkpoint must outlive this function.
+    approx = S.pq_topk(emb, queries, books, k=3, rerank=16).localCheckpoint(
+        eager=True
+    )
+    exact = (
+        S.brute_force_topk(emb, queries, k=3)
+        .select("qid", "nid")
+        .localCheckpoint(eager=True)
+    )
+    hits = approx.join(exact, ["qid", "nid"], "left_semi").count()
     total = exact.count()
+    release_checkpoint(exact)
     assert total > 0 and hits / total >= 0.50, f"PQ recall {hits}/{total}"
     return approx
 

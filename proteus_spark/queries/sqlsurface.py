@@ -19,11 +19,13 @@ from __future__ import annotations
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from proteus_spark.plans.ckpt import release as release_checkpoint
 from proteus_spark.registry import (
     events_with_ts,
     load,
     register,
     register_sql,
+    table_rows,
     table_view,
 )
 
@@ -1433,6 +1435,9 @@ def customer_value_deciles(spark, sf_dir):
 PR_D = 0.85  # damping
 PR_ITERS = 3  # fixed iteration count => deterministic, SQL-expressible
 PR_TOP = 20
+# ~100 MB of (src, dst, outdeg) rows per cached edge partition (guide
+# §2.2): the scale-adaptive divisor for the iteration cache's layout
+_PR_EDGE_ROWS_PER_PART = 4_000_000
 
 
 def _pagerank_oracle_sql(iters: int) -> str:
@@ -1547,7 +1552,25 @@ def _pagerank_graph(spark, sf_dir):
     # equi-join reuses that partitioning: the per-round exchange moves
     # ONLY the node-sized rank vector, never the edges (VERDICT r6 #6)
     deg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
-    par = spark.sparkContext.defaultParallelism
+    # the edge cache's partition count derives from DATA SIZE, not core
+    # count (optimization r15, guide §2.2/§2.5): every iteration reads all
+    # cached partitions, so near-empty partitions charge ~3 stages of
+    # per-task overhead x rounds for no work — measured at sf0.01 (231k
+    # edges), per-round cost 0.80s at defaultParallelism(32) vs 0.33s at
+    # the derived count. Edge cardinality is estimated from the lineitem
+    # FOOTER row count (zero jobs): within-order pairing emits
+    # E[b(b-1)]/E[b] ~ 4 edges per lineitem row for basket-shaped dumps
+    # (measured 3.85x at sf0.01) — sizing only, never results. At ~24 B/
+    # row, _PR_EDGE_ROWS_PER_PART=4M keeps partitions ~100 MB (the guide's
+    # 100 MB - 1 GB band), so the same rule scales to a 100 TB lineitem
+    # (~2.4T est. edges -> ~600k partitions) instead of pinning either
+    # the local or the cluster shape.
+    est_edges = 4 * table_rows(sf_dir, "lineitem")
+    par = (
+        max(2, -(-est_edges // _PR_EDGE_ROWS_PER_PART))
+        if est_edges
+        else spark.sparkContext.defaultParallelism
+    )
     edges_w = edges.join(deg, "src").repartition(par, "src").persist()
     edges_w.count()  # materialize once, before iteration timing starts
     nodes = edges_w.select(F.col("src").alias("part")).distinct().cache()
@@ -1621,10 +1644,14 @@ def graph_pagerank_converged(spark, sf_dir):
     a rounded contraction can land in a PERIOD-2 cycle instead of an exact
     fixpoint — measured at sf0.01, two parts oscillate by exactly one 1e-9
     grid step forever. The probe therefore tests r_N == r_{N-2} (catches
-    both the exact fixpoint and the 2-cycle), one scalar count per round —
-    never a full-result collect — with localCheckpoint(eager) truncating
-    lineage each round (the dup_components pattern; without it the plan
-    doubles per iteration). On period-2 convergence at N, the loop runs
+    both the exact fixpoint and the 2-cycle) — never a full-result
+    collect. Each round costs exactly ONE job (optimization r15): a lazy
+    localCheckpoint truncates lineage and is materialized by the same
+    checksum aggregate that yields the round's fixpoint fingerprint; a
+    fingerprint match (necessary condition) is confirmed with an exact
+    join-count before the loop may stop, and round N-2's dead checkpoint
+    blocks are released deterministically each rotation (the pq_train
+    release discipline). On period-2 convergence at N, the loop runs
     (PR_CONV_UNROLL - N) % 2 extra iterations so the answer equals the
     oracle's static PR_CONV_UNROLL-round unroll regardless of which cycle
     state N landed on.
@@ -1635,20 +1662,32 @@ def graph_pagerank_converged(spark, sf_dir):
     rank vectors. Rounds needed tracks the graph's spectral gap, not its
     size."""
     edges_w, nodes = _pagerank_graph(spark, sf_dir)
-    rank = nodes.select("part", F.lit(1.0).alias("pr")).localCheckpoint(
-        eager=True
-    )
-    prev2 = None  # rank from two iterations ago
+
+    def _mat(df):
+        """Materialize one round in ONE job (optimization r15): the lazy
+        localCheckpoint is computed — and its blocks persisted — by the
+        checksum aggregate itself, so the per-round fixpoint fingerprint
+        rides the materialization job instead of costing a second count
+        job per probed round (the old shape: eager-checkpoint job + join
+        probe job). The checksum (order-insensitive long sum of per-row
+        xxhash64) is only a NECESSARY condition for r_N == r_{N-2}; a
+        match is confirmed with the exact join probe below before the
+        loop may stop, so a hash collision can never truncate iteration
+        early — it only costs one extra count job."""
+        ck = df.localCheckpoint(eager=False)
+        # sum in DECIMAL(38,0): a long sum of 64-bit hashes overflows
+        # under ANSI mode (the driver's plain session default)
+        chk = ck.agg(
+            F.sum(F.xxhash64("part", "pr").cast("decimal(38,0)"))
+        ).collect()[0][0]
+        return ck, chk
+
+    rank, chk_r = _mat(nodes.select("part", F.lit(1.0).alias("pr")))
+    prev2, chk_p2 = None, None  # rank + checksum from two iterations ago
     n_done = PR_CONV_UNROLL
-    # probes before the contraction has plausibly settled are pure cost
-    # (one count job each); starting late is always CORRECT — a fixpoint/
-    # 2-cycle entered earlier still satisfies r_N == r_{N-2} at the first
-    # probe, just detected a round later (measured fixpoints: 15 at
-    # sf0.001, ~28 at sf0.01; probing from 12 saves ~11 jobs, ~4s)
-    probe_from = 12
     for it in range(1, PR_CONV_UNROLL + 1):
-        new = _pagerank_step(edges_w, nodes, rank).localCheckpoint(eager=True)
-        if prev2 is not None and it >= probe_from:
+        new, chk_n = _mat(_pagerank_step(edges_w, nodes, rank))
+        if prev2 is not None and chk_n == chk_p2:
             changed = (
                 new.alias("n")
                 .join(prev2.alias("o"), "part")
@@ -1657,9 +1696,13 @@ def graph_pagerank_converged(spark, sf_dir):
             )
             if changed == 0:
                 n_done = it
-                prev2, rank = rank, new
+                release_checkpoint(prev2)
+                release_checkpoint(rank)  # new is materialized; r_{N-1} dead
+                rank = new
                 break
-        prev2, rank = rank, new
+        # rotate; round N-2's frame is dead once round N is materialized
+        release_checkpoint(prev2)
+        prev2, chk_p2, rank, chk_r = rank, chk_r, new, chk_n
     else:
         raise AssertionError(
             f"PageRank did not reach a period-<=2 fixpoint within "
@@ -1669,9 +1712,11 @@ def graph_pagerank_converged(spark, sf_dir):
     # parity alignment with the static unroll: if the cycle has period 2
     # and the oracle's round count differs from ours mod 2, one more step
     # lands on the oracle's cycle state (a no-op at an exact fixpoint)
+    loop_frame = rank
     if (PR_CONV_UNROLL - n_done) % 2:
         rank = _pagerank_step(edges_w, nodes, rank)
     rank = _pagerank_cleanup(edges_w, nodes, rank)
+    release_checkpoint(loop_frame)  # cleanup checkpointed the result
     return (
         rank.orderBy(F.desc("pr"), F.asc("part"))
         .limit(PR_TOP)

@@ -113,6 +113,35 @@ def _unsplittable_rows(path: str) -> int:
     return _scan_shape(path)[0]
 
 
+_rows_cache: dict[str, int] = {}
+
+
+def table_rows(sf_dir: str, name: str) -> int:
+    """Total row count of one testdata table from parquet FOOTERS only —
+    a few KB of driver-side IO, cached per path (the same metadata-only
+    class as ``_scan_shape``/``_schema_cache``: no data is read, no
+    results are derived from it). For scale-adaptive partition sizing of
+    derived frames (optimization r15); returns 0 when the footer is
+    unreadable so callers fall back to a parallelism default."""
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    if path not in _rows_cache:
+        n = 0
+        try:
+            import pyarrow.parquet as pq
+
+            files = (
+                [os.path.join(path, f) for f in os.listdir(path) if f.endswith(".parquet")]
+                if os.path.isdir(path)
+                else [path]
+            )
+            for f in files:
+                n += pq.ParquetFile(f).metadata.num_rows
+        except Exception:
+            n = 0
+        _rows_cache[path] = n
+    return _rows_cache[path]
+
+
 def _tune_session(spark: SparkSession) -> None:
     """Apply the engine's runtime-settable tuning to WHATEVER session the
     caller hands us (an external harness passes its own plain session —
