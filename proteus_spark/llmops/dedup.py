@@ -646,11 +646,14 @@ def dup_components(pairs: DataFrame, max_iters: int = 25) -> DataFrame:
       plan doubles per iteration and Catalyst analysis time explodes;
     - convergence probe: labels only ever decrease, so the label-sum is a
       strictly decreasing monotone — one scalar ``agg(sum)`` per round
-      (never a full-result collect). The checkpoint is LAZY and is
-      materialized by that same sum job (optimization r15) — previously
-      every round paid a separate eager-checkpoint job first — and the
-      superseded round's blocks are released deterministically (the
-      pq_train release discipline).
+      (never a full-result collect). The superseded round's blocks are
+      released deterministically once the new round is materialized (the
+      pq_train release discipline, optimization r15). The checkpoint stays
+      EAGER: a single-session A/B of lazy-materialize-via-the-sum-job vs
+      eager measured lazy as a slight LOSS here (best-of-3 1.169 vs
+      1.122/1.086 with release) — components' rounds are so small that
+      the saved job round-trip does not pay for anything, unlike
+      bpe_train_encode's document-scale rounds where lazy measured −9%.
     """
     from proteus_spark.plans.ckpt import release as _release
 
@@ -673,9 +676,9 @@ def dup_components(pairs: DataFrame, max_iters: int = 25) -> DataFrame:
             msgs.union(labels)
             .groupBy("v")
             .agg(F.min("label").alias("label"))
-            .localCheckpoint(eager=False)
+            .localCheckpoint(eager=True)
         )
-        cur_sum = labels.agg(F.sum("label")).collect()[0][0]  # materializes
+        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
         _release(prev)
         prev = labels
         if cur_sum == prev_sum:
