@@ -632,8 +632,12 @@ def pack_sequences(docs: DataFrame, budget: int = PACK_BUDGET) -> DataFrame:
     for pid in sorted(sums):
         prefix[pid] = acc
         acc += sums[pid]
-    pmap = F.create_map(
-        *[F.lit(x) for pid in sorted(prefix) for x in (pid, prefix[pid])]
+    # one parsed expression, not 2*|buckets| F.lit py4j round-trips (r15)
+    pmap = F.expr(
+        "map(" + ", ".join(
+            f"{int(pid)}, CAST({int(prefix[pid])} AS BIGINT)"
+            for pid in sorted(prefix)
+        ) + ")"
     )
     w = (
         Window.partitionBy("_pid")
