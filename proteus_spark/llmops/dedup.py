@@ -694,6 +694,9 @@ def dup_components(pairs: DataFrame, max_iters: int = 25) -> DataFrame:
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
+    # the final labels generation is eagerly materialized and truncated,
+    # so the edge checkpoint's blocks are dead — release before return
+    _release(edges)
     return labels.select(F.col("v").alias("doc_id"), F.col("label").alias("component"))
 
 

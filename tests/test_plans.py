@@ -1204,3 +1204,161 @@ def test_pq_train_releases_checkpoint_blocks(spark, sf_dir):
         f"pq_train leaked {after - before} persisted RDD(s): checkpoint "
         "blocks must be released before return"
     )
+
+
+def test_parsed_expression_builders_match_column_op_forms(spark, sf_dir):
+    """Optimization r15 #14 — srp_bands / simhash_signatures /
+    minhash_signatures build their loop-generated expressions as single
+    parsed F.expr strings (the old per-term Column-operator chains cost
+    hundreds of py4j driver round-trips per plan construction). The
+    refactor claims the parsed trees are VALUE-identical to the Column-op
+    forms; this pin rebuilds the old constructions verbatim and compares
+    frames, so a drift in either form fails loudly."""
+    from pyspark.sql import functions as F
+
+    from proteus_spark.llmops.dedup import (
+        SIMHASH_BITS,
+        _bit_sql,
+        hex_slice_to_long_spark_sql,
+        md5_seeded_sql,
+        MINHASH_K,
+        MINHASH_PRIME,
+        minhash_signatures,
+        shingles,
+        simhash_signatures,
+        tokens_col,
+    )
+    from proteus_spark.llmops.similarity import srp_banded
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(40)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(40)
+
+    # --- srp_banded vs the old per-bit Column chain ---
+    bits, bands = 32, 4
+    r = bits // bands
+    old_bandvals = []
+    for j in range(bands):
+        val = F.lit(0)
+        for m in range(r):
+            bit = (F.get(F.col("embedding"), j * r + m) >= 0).cast("int")
+            val = val + bit * F.lit(1 << m)
+        old_bandvals.append((j, val))
+    old_srp = emb.select(
+        F.col("vec_id").alias("vid"),
+        F.explode(
+            F.array(*[
+                F.struct(F.lit(j).alias("band"), bv.alias("bval"))
+                for j, bv in old_bandvals
+            ])
+        ).alias("bb"),
+    ).select("vid", F.col("bb.band").alias("band"), F.col("bb.bval").alias("bval"))
+    new_srp = srp_banded(emb, "vec_id", "vid", bits=bits, bands=bands)
+    assert sorted(map(tuple, new_srp.collect())) == sorted(
+        map(tuple, old_srp.collect())
+    )
+
+    # --- simhash_signatures vs the old per-bit when/otherwise sum ---
+    tok = docs.select("doc_id", F.explode(tokens_col()).alias("w")).distinct()
+    h = tok.select(
+        "doc_id", F.expr(md5_seeded_sql("w", "sim")).alias("xh")
+    ).select("doc_id", F.expr(hex_slice_to_long_spark_sql("xh", 1)).alias("h"))
+    old_sums = h.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.expr(f"CASE WHEN {_bit_sql('h', b)} = 1 THEN 1 ELSE -1 END")
+            ).alias(f"s{b}")
+            for b in range(SIMHASH_BITS)
+        ]
+    )
+    old_sim = old_sums.select(
+        "doc_id",
+        sum(
+            [
+                F.when(F.col(f"s{b}") > 0, F.lit(2 ** b)).otherwise(F.lit(0))
+                for b in range(SIMHASH_BITS)
+            ]
+        ).cast("long").alias("simhash"),
+    )
+    new_sim = simhash_signatures(docs).select("doc_id", "simhash")
+    assert sorted(map(tuple, new_sim.collect())) == sorted(
+        map(tuple, old_sim.collect())
+    )
+
+    # --- minhash_signatures vs the old Column-arithmetic lanes ---
+    sh = shingles(docs, distinct=False, fanout=None)
+    hx = sh.select("doc_id", F.expr(md5_seeded_sql("s", 0)).alias("x"))
+    hl = hx.select(
+        "doc_id",
+        F.expr(hex_slice_to_long_spark_sql("x", 1)).alias("y0"),
+        F.expr(hex_slice_to_long_spark_sql("x", 13)).alias("y1"),
+    )
+    old_hh = hl.select(
+        "doc_id",
+        *[
+            (
+                (F.col("y0") + F.lit(i) * F.col("y1")) % F.lit(MINHASH_PRIME)
+            ).alias(f"h{i}")
+            for i in range(MINHASH_K)
+        ],
+    )
+    old_ms = old_hh.groupBy("doc_id").agg(
+        *[F.min(f"h{i}").alias(f"m{i}") for i in range(MINHASH_K)]
+    )
+    new_ms = minhash_signatures(sh)
+    assert sorted(map(tuple, new_ms.collect())) == sorted(
+        map(tuple, old_ms.collect())
+    )
+
+
+def test_iterative_ops_release_superseded_checkpoints(spark, sf_dir):
+    """Optimization r15 #9/#10 — dup_components and bpe_train_encode
+    release each superseded round's localCheckpoint blocks as soon as the
+    replacement is materialized; only the FINAL generation (the returned
+    frame's backing blocks) may remain pinned. Pin: persistent-RDD count
+    grows by at most a small constant, never by the round count."""
+    from pyspark.sql import functions as F
+
+    from proteus_spark.llmops.dedup import dup_components, jaccard_pairs, shingles
+    from proteus_spark.llmops.text import bpe_train_encode
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    sc = spark.sparkContext._jsc.sc()
+    before = sc.getPersistentRDDs().size()
+    comp = dup_components(jaccard_pairs(shingles(docs), 0.8))
+    n = comp.count()
+    after = sc.getPersistentRDDs().size()
+    # only the final labels generation stays alive (the returned frame's
+    # backing blocks); the edge checkpoint and every superseded round
+    # must be gone
+    assert n > 0 and after - before <= 1, (
+        f"dup_components left {after - before} persisted RDD(s)"
+    )
+
+    before = sc.getPersistentRDDs().size()
+    rules, enc = bpe_train_encode(docs.limit(30), rounds=4)
+    rows = rules.count()
+    after = sc.getPersistentRDDs().size()
+    # the final LAZY generation plus its parent (which the final one's
+    # not-yet-materialized plan still depends on) legitimately outlive the
+    # call; every earlier round must be gone
+    assert rows > 0 and after - before <= 2, (
+        f"bpe_train_encode left {after - before} persisted RDD(s)"
+    )
+
+
+def test_table_rows_reads_parquet_footers(sf_dir):
+    """Optimization r15 #11 — registry.table_rows (the scale-adaptive
+    partition-sizing probe) must agree with the actual table cardinality
+    and degrade to 0 on unreadable paths (callers then fall back to a
+    parallelism default)."""
+    import duckdb
+
+    from proteus_spark.registry import table_rows
+
+    got = table_rows(sf_dir, "region")
+    want = duckdb.sql(
+        f"SELECT count(*) FROM '{sf_dir}/region.parquet'"
+    ).fetchone()[0]
+    assert got == want and got > 0
+    assert table_rows(sf_dir, "no_such_table") == 0
