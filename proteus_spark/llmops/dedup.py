@@ -678,25 +678,36 @@ def dup_components(pairs: DataFrame, max_iters: int = 25) -> DataFrame:
     )
     prev_sum = None
     prev = None  # superseded label generation, dead once labels is live
-    for _ in range(max_iters):
-        msgs = edges.join(labels, edges["a"] == labels["v"]).select(
-            F.col("b").alias("v"), F.col("label")
-        )
-        labels = (
-            msgs.union(labels)
-            .groupBy("v")
-            .agg(F.min("label").alias("label"))
-            .localCheckpoint(eager=True)
-        )
-        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
-        _release(prev)
-        prev = labels
-        if cur_sum == prev_sum:
-            break
-        prev_sum = cur_sum
-    # the final labels generation is eagerly materialized and truncated,
-    # so the edge checkpoint's blocks are dead — release before return
-    _release(edges)
+    # try/finally (ADVICE r15): a mid-loop exception must not strand the
+    # edge checkpoint, the superseded generation, or the in-flight one;
+    # only the SUCCESSFULLY returned labels generation stays pinned.
+    ok = False
+    try:
+        for _ in range(max_iters):
+            msgs = edges.join(labels, edges["a"] == labels["v"]).select(
+                F.col("b").alias("v"), F.col("label")
+            )
+            labels = (
+                msgs.union(labels)
+                .groupBy("v")
+                .agg(F.min("label").alias("label"))
+                .localCheckpoint(eager=True)
+            )
+            cur_sum = labels.agg(F.sum("label")).collect()[0][0]
+            _release(prev)
+            prev = labels
+            if cur_sum == prev_sum:
+                break
+            prev_sum = cur_sum
+        ok = True
+    finally:
+        if not ok:  # exception path: nothing is returned, free everything
+            if prev is not labels:
+                _release(prev)
+            _release(labels)
+        # the final labels generation is eagerly materialized and
+        # truncated, so the edge checkpoint's blocks are dead either way
+        _release(edges)
     return labels.select(F.col("v").alias("doc_id"), F.col("label").alias("component"))
 
 

@@ -933,24 +933,35 @@ def bpe_train_encode(
     ).withColumn("n_raw", F.size("t"))
     rules: list[tuple[int, str, str, int]] = []
     prev = None  # superseded checkpoint generation, dead once toks is live
-    for r in range(rounds):
-        best = (
-            bpe_adjacent_pairs(toks)
-            .groupBy("a", "b")
-            .agg(F.count("*").cast("long").alias("n"))
-            .orderBy(F.desc("n"), F.asc("a"), F.asc("b"))
-            .limit(1)
-            .collect()
-        )
-        # the collect above materialized toks' lazy checkpoint, so the
-        # generation toks was derived from is now dead
-        release_checkpoint(prev)
-        prev = toks if r else None  # round 0's toks is the raw projection
-        if not best:
-            break  # no doc has two adjacent tokens left
-        a, b, n = best[0]["a"], best[0]["b"], best[0]["n"]
-        rules.append((r + 1, a, b, n))
-        toks = bpe_merge_pass(toks, a, b).localCheckpoint(eager=False)
+    # try/finally (ADVICE r15): a mid-loop exception must not strand the
+    # superseded or in-flight generations; only the successfully returned
+    # toks stays pinned.
+    ok = False
+    try:
+        for r in range(rounds):
+            best = (
+                bpe_adjacent_pairs(toks)
+                .groupBy("a", "b")
+                .agg(F.count("*").cast("long").alias("n"))
+                .orderBy(F.desc("n"), F.asc("a"), F.asc("b"))
+                .limit(1)
+                .collect()
+            )
+            # the collect above materialized toks' lazy checkpoint, so the
+            # generation toks was derived from is now dead
+            release_checkpoint(prev)
+            prev = toks if r else None  # round 0's toks is the raw projection
+            if not best:
+                break  # no doc has two adjacent tokens left
+            a, b, n = best[0]["a"], best[0]["b"], best[0]["n"]
+            rules.append((r + 1, a, b, n))
+            toks = bpe_merge_pass(toks, a, b).localCheckpoint(eager=False)
+        ok = True
+    finally:
+        if not ok:  # exception path: nothing is returned, free everything
+            if prev is not toks:
+                release_checkpoint(prev)
+            release_checkpoint(toks)
     rules_df = spark.createDataFrame(
         rules, "rk long, a string, b string, n long"
     )

@@ -1685,30 +1685,44 @@ def graph_pagerank_converged(spark, sf_dir):
     rank, chk_r = _mat(nodes.select("part", F.lit(1.0).alias("pr")))
     prev2, chk_p2 = None, None  # rank + checksum from two iterations ago
     n_done = PR_CONV_UNROLL
-    for it in range(1, PR_CONV_UNROLL + 1):
-        new, chk_n = _mat(_pagerank_step(edges_w, nodes, rank))
-        if prev2 is not None and chk_n == chk_p2:
-            changed = (
-                new.alias("n")
-                .join(prev2.alias("o"), "part")
-                .filter(F.col("n.pr") != F.col("o.pr"))
-                .count()
+    # try/except (ADVICE r15): the non-convergence AssertionError and any
+    # mid-loop failure must not exit with rank/prev2 checkpoints and the
+    # edge/node caches still pinned — a long-lived session would accrete
+    # them exactly like the pre-r15 success paths did.
+    try:
+        for it in range(1, PR_CONV_UNROLL + 1):
+            new, chk_n = _mat(_pagerank_step(edges_w, nodes, rank))
+            if prev2 is not None and chk_n == chk_p2:
+                changed = (
+                    new.alias("n")
+                    .join(prev2.alias("o"), "part")
+                    .filter(F.col("n.pr") != F.col("o.pr"))
+                    .count()
+                )
+                if changed == 0:
+                    n_done = it
+                    release_checkpoint(prev2)
+                    release_checkpoint(rank)  # new materialized; r_{N-1} dead
+                    rank = new
+                    break
+            # rotate; round N-2's frame is dead once round N is materialized
+            release_checkpoint(prev2)
+            prev2, chk_p2, rank, chk_r = rank, chk_r, new, chk_n
+        else:
+            raise AssertionError(
+                f"PageRank did not reach a period-<=2 fixpoint within "
+                f"{PR_CONV_UNROLL} rounds — raise PR_CONV_UNROLL (oracle "
+                f"unrolls the same bound)"
             )
-            if changed == 0:
-                n_done = it
-                release_checkpoint(prev2)
-                release_checkpoint(rank)  # new is materialized; r_{N-1} dead
-                rank = new
-                break
-        # rotate; round N-2's frame is dead once round N is materialized
-        release_checkpoint(prev2)
-        prev2, chk_p2, rank, chk_r = rank, chk_r, new, chk_n
-    else:
-        raise AssertionError(
-            f"PageRank did not reach a period-<=2 fixpoint within "
-            f"{PR_CONV_UNROLL} rounds — raise PR_CONV_UNROLL (oracle "
-            f"unrolls the same bound)"
-        )
+    except BaseException:
+        for df in (prev2, rank, locals().get("new")):
+            release_checkpoint(df)
+        for df in (edges_w, nodes):
+            try:
+                df.unpersist()
+            except Exception:
+                pass  # session teardown mid-release is fine
+        raise
     # parity alignment with the static unroll: if the cycle has period 2
     # and the oracle's round count differs from ours mod 2, one more step
     # lands on the oracle's cycle state (a no-op at an exact fixpoint)

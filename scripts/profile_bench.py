@@ -57,7 +57,11 @@ def main() -> int:
     ap.add_argument("--runs", type=int, default=3)
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
     ap.add_argument("--cores", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    ap.add_argument("--plans-dir", default="plans/r16",
+                    help="repo-relative dir for the plan captures")
     args = ap.parse_args()
+    if args.runs < 1:
+        ap.error("--runs must be >= 1")
 
     from proteus_spark import registry
     from proteus_spark.session import build_session
@@ -70,7 +74,13 @@ def main() -> int:
 
     fns = registry.all_queries()
     names = args.only or [n for n in BENCH_NAMES if n in fns]
-    plans_dir = Path(REPO) / "plans" / "r15"
+    unknown = [n for n in names if n not in fns]
+    if unknown:
+        ap.error(
+            f"unknown queries: {unknown} — valid names come from "
+            "registry.all_queries()"
+        )
+    plans_dir = Path(REPO) / args.plans_dir
     plans_dir.mkdir(parents=True, exist_ok=True)
 
     for name in names:

@@ -1196,12 +1196,20 @@ def test_pq_train_releases_checkpoint_blocks(spark, sf_dir):
     from proteus_spark.llmops.similarity import pq_train
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    before = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+
+    def persisted_ids() -> set[int]:
+        # ID SET, not count: an async ContextCleaner sweep of an UNRELATED
+        # earlier frame between the two reads must not flake the pin
+        # (observed once in a filtered-selection run, r16)
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        return {int(k) for k in jmap.keySet().toArray()}
+
+    before = persisted_ids()
     books = pq_train(emb.filter(F.col("vec_id") < 64))
-    after = spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    leaked = persisted_ids() - before
     assert len(books) > 0 and all(len(b) > 0 for b in books)
-    assert after == before, (
-        f"pq_train leaked {after - before} persisted RDD(s): checkpoint "
+    assert not leaked, (
+        f"pq_train leaked persisted RDD(s) {sorted(leaked)}: checkpoint "
         "blocks must be released before return"
     )
 
@@ -1362,3 +1370,105 @@ def test_table_rows_reads_parquet_footers(sf_dir):
     ).fetchone()[0]
     assert got == want and got > 0
     assert table_rows(sf_dir, "no_such_table") == 0
+
+
+def test_topk_bounded_without_window_group_limit(spark):
+    """r16 hardening (VERDICT r15 item 7): `_two_phase_topk`'s
+    bounded-per-partition guarantee must hold on sessions where Spark's
+    rank-limit pushdown is disabled (windowGroupLimitThreshold = -1) or
+    absent — the single-window form would then funnel every scored row of
+    a query into one task. The operator must fall back to the manual
+    two-phase split (a spark_partition_id-keyed local top-k BEFORE the
+    qid window) with value-identical results."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from proteus_spark.llmops.similarity import _two_phase_topk
+
+    scored = spark.range(400).select(
+        (F.col("id") % 4).alias("qid"),
+        F.col("id").alias("nid"),
+        F.round(F.pmod(F.xxhash64("id"), F.lit(1000)) / 1000.0, 6).alias(
+            "sim"
+        ),
+    )
+    want = sorted(map(tuple, _two_phase_topk(scored, 3).collect()))
+
+    key = "spark.sql.optimizer.windowGroupLimitThreshold"
+    old = spark.conf.get(key)
+    try:
+        spark.conf.set(key, "-1")
+        fb = _two_phase_topk(scored, 3)
+        plan = fb._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        # the engine-enforced phase split: a partition-local window keyed
+        # by (_pid, qid) runs before the per-qid merge window
+        wins = re.findall(
+            r"\[row_number.*?windowspecdefinition\(([^)]*)\)", plan
+        )
+        assert any("_pid" in w for w in wins), plan
+        assert sorted(map(tuple, fb.collect())) == want
+    finally:
+        spark.conf.set(key, old)
+
+
+def test_densify_hash_key_gated_on_leading_column_cardinality(spark, tmp_path):
+    """r16 hardening (VERDICT r15 item 8 / ADVICE r15): densify hashes the
+    fan-out on xxhash64(<leading column>) ONLY when the parquet footer
+    statistics show enough distinct values to spread the hash (>= 100x the
+    partition count); a constant/low-cardinality leading column falls back
+    to round-robin, which can never collapse the fan-out into a handful of
+    partitions."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from proteus_spark import registry
+
+    n = registry._DENSIFY_MIN_ROWS + 1
+
+    def load_plan(d):
+        df = registry.load(spark, str(d.parent), d.name[: -len(".parquet")],
+                           densify=True)
+        return df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+
+    # shape A: leading column is a dense unique key -> hash repartition
+    d_a = tmp_path / "keyed.parquet"; d_a.mkdir()
+    pq.write_table(
+        pa.table({"k": list(range(n)), "v": [1.0] * n}),
+        str(d_a / "a.parquet"), row_group_size=n,
+    )
+    p_a = load_plan(d_a)
+    assert "xxhash64" in p_a, p_a
+    assert "roundrobin" not in p_a.lower(), p_a
+
+    # shape B: leading column is a constant flag -> round-robin fallback
+    d_b = tmp_path / "flag.parquet"; d_b.mkdir()
+    pq.write_table(
+        pa.table({"flag": [7] * n, "v": [1.0] * n}),
+        str(d_b / "b.parquet"), row_group_size=n,
+    )
+    p_b = load_plan(d_b)
+    assert "xxhash64" not in p_b, p_b
+    assert "RoundRobinPartitioning" in p_b, p_b
+
+
+def test_table_view_memo_reregisters_after_foreign_drop(spark, sf_dir):
+    """r16 (ADVICE r15 medium): a temp view dropped OUTSIDE the
+    invalidate_view contract must be re-registered on the next table_view
+    call — the memo confirms catalog existence before trusting a hit."""
+    from proteus_spark.registry import table_view
+
+    table_view(spark, sf_dir, "region")
+    assert spark.catalog.tableExists("region")
+    spark.catalog.dropTempView("region")  # foreign drop, no invalidate
+    table_view(spark, sf_dir, "region")
+    assert spark.catalog.tableExists("region")
+    assert spark.table("region").count() > 0
