@@ -83,6 +83,11 @@ class CDCSource:
     path: str
     name: str
     _tmp: list[str] = field(default_factory=list)
+    # schema recorded by the stager (metadata-only, optimization r16):
+    # subscribe() otherwise pays a fresh listing + footer schema inference
+    # per call — a real CDC source publishes its schema with the feed
+    # (registry/schema registry), exactly this field.
+    schema: object | None = None
 
     def snapshot(self, with_ts: bool = False) -> DataFrame:
         """STATE records: the full current state (GetSnapshot parity —
@@ -100,7 +105,9 @@ class CDCSource:
         ``with_ts`` stamps each record with its file's ingestion time —
         the per-record Vectorclock the reference ships on every
         LogOperation (qpu.proto:8-16)."""
-        schema = self.spark.read.parquet(self.path).schema
+        schema = self.schema
+        if schema is None:
+            schema = self.spark.read.parquet(self.path).schema
         df = (
             self.spark.readStream.schema(schema)
             .option("maxFilesPerTrigger", max_files_per_trigger)
@@ -143,7 +150,12 @@ def stage_stream(
         )
     tmpdir = tempfile.mkdtemp(prefix=prefix)
     df.repartition(chunks).write.mode("overwrite").parquet(tmpdir)
-    src = CDCSource(spark=spark, path=tmpdir, name=os.path.basename(tmpdir))
+    src = CDCSource(
+        spark=spark,
+        path=tmpdir,
+        name=os.path.basename(tmpdir),
+        schema=df.schema,
+    )
     src._tmp.append(tmpdir)
     return src
 
@@ -174,7 +186,12 @@ def stage_files(
                 shutil.move(os.path.join(cdir, f), dst)
                 os.utime(dst, (now + i, now + i))
     shutil.rmtree(scratch, ignore_errors=True)
-    src = CDCSource(spark=spark, path=tmpdir, name=os.path.basename(tmpdir))
+    src = CDCSource(
+        spark=spark,
+        path=tmpdir,
+        name=os.path.basename(tmpdir),
+        schema=frames[0].schema if frames else None,
+    )
     src._tmp.append(tmpdir)
     return src
 

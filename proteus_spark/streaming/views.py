@@ -215,6 +215,17 @@ class _BucketedState:
 
     # -- reads -------------------------------------------------------------
     def _read_raw(self, paths: list[str]) -> DataFrame:
+        # explicit schema once it is known (always, after the first commit
+        # or a recover): chain reads otherwise re-infer the schema from
+        # footers across EVERY chained bucket dir on EVERY read — pure
+        # driver-side listing/IO that grows with chain length (guide §1/§6,
+        # the registry._schema_cache move applied to the LSM). The stored
+        # schema is exactly the on-disk file schema: commit_delta captures
+        # it from the written frame minus the _bucket partition column,
+        # and bucket dirs are passed as leaf paths so no partition column
+        # is re-discovered.
+        if self.schema is not None:
+            return self.spark.read.schema(self.schema).parquet(*paths)
         return self.spark.read.parquet(*paths)
 
     def read(
@@ -789,8 +800,12 @@ class SumView:
 
         # downstream QPUs: recompute derived views over the committed
         # state (None until the first non-empty batch commits a schema
-        # — an empty first micro-batch must not crash the query)
-        state = self.snapshot()
+        # — an empty first micro-batch must not crash the query).
+        # Snapshot resolution is only paid when a derived view will
+        # consume it (optimization r16, guide §1): with no derived views
+        # the per-batch read.parquet resolution + persist/unpersist churn
+        # served nobody — readers memoize their own snapshot per version.
+        state = self.snapshot() if self.derived else None
         for name, fn in self.derived.items() if state is not None else ():
             if new_v == prev_v and name in self._derived_version:
                 continue  # in-process replay, derived already current

@@ -2248,3 +2248,88 @@ def test_join_view_durable_subscriber_replay_semantics(spark):
         assert got == {1: 10.0}
     finally:
         view.stop()
+
+
+def test_merge_skips_snapshot_resolution_without_derived(spark, monkeypatch):
+    """Optimization r16 (guide §1): a view with NO derived views must not
+    resolve a snapshot per micro-batch — the per-batch read.parquet
+    resolution + persist churn served nobody (readers memoize their own
+    snapshot per version). The first reader pays exactly one collapse."""
+    from proteus_spark.streaming.views import _BucketedState
+
+    calls = {"read": 0}
+    orig = _BucketedState.read
+
+    def counting_read(self, *a, **kw):
+        calls["read"] += 1
+        return orig(self, *a, **kw)
+
+    monkeypatch.setattr(_BucketedState, "read", counting_read)
+    view = SumView(
+        spark, stream=None, group_by="k", agg_attr="new_value",
+        name="t_skip_snap", mode="cdc", n_buckets=2,
+    )
+    try:
+        b = spark.createDataFrame(
+            [(1, None, 1.0)], "k bigint, old_value double, new_value double"
+        )
+        view._on_cdc_batch(b, 0)
+        view._on_cdc_batch(b, 1)
+        assert calls["read"] == 0  # no derived views, no reader: no collapse
+        assert view.snapshot().count() == 1
+        assert calls["read"] == 1  # first reader resolves exactly once
+        assert view.snapshot().count() == 1  # memoized per version
+        assert calls["read"] == 1
+    finally:
+        view.stop()
+
+
+def test_stage_stream_records_schema_and_subscribe_reuses_it(spark, monkeypatch):
+    """Optimization r16: the stager records the feed schema (the schema-
+    registry shape of a real CDC source) and subscribe() must use it
+    instead of paying a fresh listing + footer inference per call."""
+    import pyspark.sql.readwriter as rw
+
+    ev = spark.createDataFrame([(1, 2.0), (2, 3.0)], "user_id bigint, value double")
+    src = cdc.stage_stream(spark, ev, chunks=2)
+    try:
+        assert src.schema == ev.schema
+        called = {"n": 0}
+        orig = rw.DataFrameReader.parquet
+
+        def counting(self, *p, **kw):
+            called["n"] += 1
+            return orig(self, *p, **kw)
+
+        monkeypatch.setattr(rw.DataFrameReader, "parquet", counting)
+        stream = src.subscribe()
+        assert called["n"] == 0  # no batch-side re-inference
+        assert [f.name for f in stream.schema.fields] == ["user_id", "value"]
+        # the fallback still infers when the stager did not record one
+        src.schema = None
+        stream2 = src.subscribe()
+        assert called["n"] == 1
+        assert [f.name for f in stream2.schema.fields] == ["user_id", "value"]
+    finally:
+        cdc.cleanup(src)
+
+
+def test_view_buckets_tracks_input_rows(monkeypatch):
+    """Optimization r16 (guide §2.2/§6): LSM bucket count derives from the
+    input table's footer row count — floor 4, ~1 bucket per 250k rows,
+    cap 256 — and falls back to the constructor default (32) when no
+    footer is readable. A constant bucket count is either a small-files
+    problem (tiny state) or an unsplittable-bucket problem (huge state)."""
+    import proteus_spark.queries.streaming as QS
+
+    rows = {"t": 0}
+    monkeypatch.setattr(QS, "table_rows", lambda sf, name: rows[name])
+    assert QS._view_buckets("x", "t") == 32  # unknown -> default
+    rows["t"] = 10_000
+    assert QS._view_buckets("x", "t") == 4  # floor
+    rows["t"] = 1_000_000
+    assert QS._view_buckets("x", "t") == 4
+    rows["t"] = 10_000_000
+    assert QS._view_buckets("x", "t") == 40  # ~1 per 250k
+    rows["t"] = 10_000_000_000
+    assert QS._view_buckets("x", "t") == 256  # cap
