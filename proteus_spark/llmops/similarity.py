@@ -471,6 +471,20 @@ def _pq_d2(svec, cvec) -> Column:
     )
 
 
+def _pq_d2_pre(ss, svec, cvec, cc) -> Column:
+    """``_pq_d2`` with the two self-products supplied as PRE-PROJECTED
+    columns (optimization r16, guide §1.2 per-task work): in an
+    assignment/encode join each subvector meets k codes, so folding
+    dot(s,s) inside the pair expression recomputes the identical value k
+    times per row (and dot(c,c) once per pair instead of once per code).
+    Projecting ss before the join and cc onto the k codebook rows leaves
+    ONE array fold per pair instead of three. The arithmetic tree on the
+    pair — (ss - 2·dot(s,c)) + cc, left-to-right double — is unchanged,
+    so the rounded-6 value is bit-identical to ``_pq_d2`` and the SQL
+    oracle replays it unchanged."""
+    return F.round(ss - 2 * dot(svec, cvec) + cc, 6)
+
+
 def _subvectors(
     df: DataFrame, id_col: str, vec_col, m: int, sub: "int | Column"
 ) -> DataFrame:
@@ -522,8 +536,14 @@ def pq_train(emb: DataFrame, m: int = PQ_M, k: int = PQ_K,
     # first() scan), and the count that materializes the lazy checkpoint
     # also sizes the corpus for the k cap (no separate count() scan).
     sub = F.floor(F.size(F.col("embedding")) / F.lit(m)).cast("int")
-    sv = _subvectors(emb, "vec_id", F.col("embedding"), m, sub).localCheckpoint(
-        eager=False
+    # ``ss`` (the subvector's self-product) rides the checkpointed frame:
+    # it is constant across the k codes each row meets in every round's
+    # assignment join, so it is folded ONCE per subvector here instead of
+    # k times per round there (see _pq_d2_pre)
+    sv = (
+        _subvectors(emb, "vec_id", F.col("embedding"), m, sub)
+        .withColumn("ss", dot(F.col("svec"), F.col("svec")))
+        .localCheckpoint(eager=False)
     )
     nm = sv.count()  # materializes sv AND counts: n vectors x m subspaces
     if not nm:
@@ -546,6 +566,8 @@ def pq_train(emb: DataFrame, m: int = PQ_M, k: int = PQ_K,
     # path everything is dead once the model rows are collected.
     try:
         w = W.partitionBy("m").orderBy("_h", "vec_id")
+        # init codes carry cc = their own ss (the identical fold, already
+        # on the checkpointed frame) — see _pq_d2_pre
         cents = (
             sv.withColumn(
                 "_h",
@@ -559,12 +581,17 @@ def pq_train(emb: DataFrame, m: int = PQ_M, k: int = PQ_K,
             .withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") <= k)
             .select("m", (F.col("_rn") - 1).alias("code"),
-                    F.col("svec").alias("cvec"))
+                    F.col("svec").alias("cvec"), F.col("ss").alias("cc"))
         )
         for _ in range(rounds):
             assigned = (
                 sv.join(F.broadcast(cents), "m")
-                .withColumn("_d2", _pq_d2(F.col("svec"), F.col("cvec")))
+                .withColumn(
+                    "_d2",
+                    _pq_d2_pre(
+                        F.col("ss"), F.col("svec"), F.col("cvec"), F.col("cc")
+                    ),
+                )
                 .groupBy("vec_id", "m")
                 .agg(
                     F.first("svec").alias("svec"),  # identical within the group
@@ -573,6 +600,14 @@ def pq_train(emb: DataFrame, m: int = PQ_M, k: int = PQ_K,
                     ).alias("code"),
                 )
             )
+            # LAZY round checkpoint (optimization r16, the bpe_train_encode
+            # one-job-per-round shape, guide §1): the next round's broadcast
+            # build — or the final collect — materializes it, so each
+            # Lloyd's round costs ONE job instead of a dedicated eager-
+            # checkpoint job plus the broadcast. Lineage still truncates at
+            # materialization, and every generation is released in the
+            # finally below (cents are m·k tiny rows — no per-round release
+            # pressure). Codebooks are bit-identical: same plan, same data.
             cents = (
                 assigned.select("m", "code", F.posexplode("svec").alias("pos", "x"))
                 .groupBy("m", "code", "pos")
@@ -584,7 +619,8 @@ def pq_train(emb: DataFrame, m: int = PQ_M, k: int = PQ_K,
                         lambda s: s["cm"],
                     ).alias("cvec")
                 )
-            ).localCheckpoint(eager=True)
+                .withColumn("cc", dot(F.col("cvec"), F.col("cvec")))
+            ).localCheckpoint(eager=False)
             _ckpts.append(cents)
         rows = cents.collect()  # m*k tiny vectors: the broadcastable model
     finally:
@@ -620,14 +656,24 @@ def pq_encode(emb: DataFrame, books) -> DataFrame:
     # the model itself fixes the slicing: every code vector is one
     # subvector wide — no scan probe needed for the width (r15)
     sub = len(books[0][0][1])
-    cb = F.broadcast(_codebook_df(spark, books))
+    # self-products pre-projected once per subvector / per code instead of
+    # folded per (subvector x code) pair — see _pq_d2_pre (bit-identical)
+    cb = F.broadcast(
+        _codebook_df(spark, books).withColumn(
+            "cc", dot(F.col("cvec"), F.col("cvec"))
+        )
+    )
     emb = emb.select("vec_id", _unit(F.col("embedding")).alias("embedding"))
-    sv = _subvectors(emb, "vec_id", F.col("embedding"), m, sub)
+    sv = _subvectors(emb, "vec_id", F.col("embedding"), m, sub).withColumn(
+        "ss", dot(F.col("svec"), F.col("svec"))
+    )
     return (
         sv.join(cb, "m")
         .select(
             "vec_id", "m", "code",
-            _pq_d2(F.col("svec"), F.col("cvec")).alias("_d2"),
+            _pq_d2_pre(
+                F.col("ss"), F.col("svec"), F.col("cvec"), F.col("cc")
+            ).alias("_d2"),
         )
         .groupBy("vec_id", "m")
         .agg(
@@ -1153,14 +1199,24 @@ def kmeans_train_hierarchical(
         emb, k=kc, rounds=rounds, seed=f"{seed}|coarse",
         id_col=id_col, vec_col=vec_col,
     )
-    assigned = ivf_assign(
-        emb.select(id_col, vec_col),
-        coarse.select(
-            F.col("cid").alias(id_col), F.col("cvec").alias(vec_col)
-        ),
-        id_col=id_col,
-        vec_col=vec_col,
-    ).withColumnRenamed("bucket", "_cb")
+    assigned = (
+        ivf_assign(
+            emb.select(id_col, vec_col),
+            coarse.select(
+                F.col("cid").alias(id_col), F.col("cvec").alias(vec_col)
+            ),
+            id_col=id_col,
+            vec_col=vec_col,
+        )
+        .withColumnRenamed("bucket", "_cb")
+        # cached: referenced by the fine init window, every fine round's
+        # _within_assign, AND the final index assignment (2 + rounds
+        # references) — uncached, each re-derived the full corpus x
+        # coarse-centroid assignment from parquet (optimization r16,
+        # guide §5, the pq_train materialize-the-reused-frame move).
+        # LRU-evictable; correct either way.
+        .cache()
+    )
     # one LIMIT-1 probe for the vector width: k x dim decides whether the
     # fine-centroid set is broadcastable (see HIER_BROADCAST_MAX_CELLS)
     dim_row = emb.select(F.size(F.col(vec_col)).alias("d")).first()
@@ -1342,6 +1398,11 @@ def semdedup_prune_assigned(
         )
         .select("bucket", "vec_id", "uvec", "csim")
         .withColumn("rk", F.row_number().over(wr))
+        # deliberately NOT cached (optimization r16, measured): the pair
+        # self-join's two branches are the identical subplan up to the
+        # rank window's exchange, so ReuseExchange already computes the
+        # chain once — a cache added nothing (same-session A/B 4.13 vs
+        # 4.14 s best-of-3 at sf0.01) and would only add storage pressure.
     )
     a_side = ranked if cap is None else ranked.filter(F.col("rk") <= cap)
     a = a_side.select(

@@ -50,6 +50,23 @@ def _view_buckets(sf_dir: str, *tables: str) -> int:
     return max(4, min(256, -(-rows // _VIEW_BUCKET_ROWS)))
 
 
+# Per-trigger sink appends (guide §6, output sizing): a micro-batch's
+# emission is a tiny delta, but the emitted frame usually carries the full
+# shuffle-partition fan-out (one task per state/shuffle partition), so a
+# bare append creates up to that many near-empty parquet files PER TRIGGER
+# — the small-files problem at the sink plus ~30 ms/file creation cost on
+# this FS (measured in the LSM commit triage). coalesce is narrow (no
+# extra shuffle; never increases partition count) and bounds the
+# per-trigger file count; a deployment sizes sink files by BYTES
+# (maxRecordsPerFile / a REBALANCE hint) — this constant is the local
+# equivalent for delta-scale batches.
+_SINK_FILES_PER_TRIGGER = 4
+
+
+def _sink_append(df, outdir: str) -> None:
+    df.coalesce(_SINK_FILES_PER_TRIGGER).write.mode("append").parquet(outdir)
+
+
 @register(
     "stream_sum_view",
     oracle="""
@@ -320,7 +337,7 @@ def stream_sum_view_broker(spark, sf_dir):
         view = SumView(
             spark, deltas, group_by="user_id", agg_attr="new_value",
             name="stream_sum_view_broker", mode="cdc",
-        n_buckets=_view_buckets(sf_dir, "events"),
+            n_buckets=_view_buckets(sf_dir, "events"),
         ).start()
         try:
             view.await_catch_up()
@@ -529,7 +546,7 @@ def stream_compacted_bootstrap(spark, sf_dir):
             ckpt = os.path.join(state_dir, f"_ckpt_{m.member_id}")
 
             def _sink(batch, _epoch, _dest=state_dir):
-                batch.write.mode("append").parquet(_dest)
+                _sink_append(batch, _dest)
 
             q = (
                 feed.writeStream.foreachBatch(_sink)
@@ -682,9 +699,7 @@ def stream_sessionize_stateful(spark, sf_dir):
     outdir = tempfile.mkdtemp(prefix="proteus_sessionize_out_")
 
     def capture(batch, epoch):
-        batch.withColumn("_epoch", F.lit(epoch)).write.mode("append").parquet(
-            outdir
-        )
+        _sink_append(batch.withColumn("_epoch", F.lit(epoch)), outdir)
 
     query = (
         out.writeStream.outputMode("update")
@@ -822,9 +837,7 @@ def stream_windowed_watermark(spark, sf_dir):
     outdir = tempfile.mkdtemp(prefix="proteus_watermark_out_")
 
     def capture(batch, epoch):
-        batch.withColumn("_epoch", F.lit(epoch)).write.mode("append").parquet(
-            outdir
-        )
+        _sink_append(batch.withColumn("_epoch", F.lit(epoch)), outdir)
 
     query = (
         out.writeStream.outputMode("update")
@@ -951,7 +964,7 @@ def stream_interval_join(spark, sf_dir):
     outdir = tempfile.mkdtemp(prefix="proteus_ijoin_out_")
 
     def capture(batch, epoch):
-        batch.write.mode("append").parquet(outdir)
+        _sink_append(batch, outdir)
 
     query = (
         joined.writeStream.outputMode("append")
@@ -999,7 +1012,7 @@ def stream_dedup_ingest(spark, sf_dir):
     outdir = tempfile.mkdtemp(prefix="proteus_dedup_out_")
 
     def capture(batch, epoch):
-        batch.write.mode("append").parquet(outdir)
+        _sink_append(batch, outdir)
 
     query = (
         out.writeStream.outputMode("append")
@@ -1156,7 +1169,7 @@ def stream_session_window_native(spark, sf_dir):
     outdir = tempfile.mkdtemp(prefix="proteus_session_native_out_")
 
     def capture(batch, epoch):
-        batch.write.mode("append").parquet(outdir)
+        _sink_append(batch, outdir)
 
     query = (
         sess.writeStream.outputMode("append")
@@ -1419,7 +1432,7 @@ def stream_decontaminate(spark, sf_dir):
             .groupBy("doc_id")
             .agg(F.count("*").cast("long").alias("n_hits"))
         )
-        hits.write.mode("append").parquet(outdir)
+        _sink_append(hits, outdir)
 
     query = (
         src.subscribe(max_files_per_trigger=1)
@@ -1619,12 +1632,15 @@ def stream_dsir_ingest(spark, sf_dir):
 
     def on_batch(batch, epoch):
         scored = dsir_score_against(batch, model)
-        scored.select(
-            "doc_id",
-            "llr_micros",
-            "n_bigrams",
-            (F.col("llr_micros") > 0).cast("long").alias("kept"),
-        ).write.mode("append").parquet(outdir)
+        _sink_append(
+            scored.select(
+                "doc_id",
+                "llr_micros",
+                "n_bigrams",
+                (F.col("llr_micros") > 0).cast("long").alias("kept"),
+            ),
+            outdir,
+        )
 
     query = (
         src.subscribe(max_files_per_trigger=1)
@@ -1719,7 +1735,7 @@ def stream_quality_gate(spark, sf_dir):
     outdir = tempfile.mkdtemp(prefix="proteus_stream_qgate_")
 
     def on_batch(batch, epoch):
-        quality_score_against(batch, w).write.mode("append").parquet(outdir)
+        _sink_append(quality_score_against(batch, w), outdir)
 
     query = (
         src.subscribe(max_files_per_trigger=1)
@@ -1854,9 +1870,10 @@ def stream_semdedup_ingest(spark, sf_dir):
         src = cdc.stage_stream(spark, arriving, chunks=4)
 
         def on_batch(batch, epoch):
-            semdedup_match_against_bucketed(
-                batch, lake_idx, centroids
-            ).write.mode("append").parquet(outdir)
+            _sink_append(
+                semdedup_match_against_bucketed(batch, lake_idx, centroids),
+                outdir,
+            )
 
         query = (
             src.subscribe(max_files_per_trigger=1)
@@ -2189,9 +2206,7 @@ def stream_ann_recluster(spark, sf_dir):
         src = cdc.stage_stream(spark, wave_df, chunks=2)
 
         def on_batch(batch, epoch):
-            ivf_assign(batch, cent_as_vec).write.mode("append").parquet(
-                outdir
-            )
+            _sink_append(ivf_assign(batch, cent_as_vec), outdir)
 
         q = (
             src.subscribe(max_files_per_trigger=1)
