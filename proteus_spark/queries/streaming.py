@@ -698,8 +698,15 @@ def stream_sessionize_stateful(spark, sf_dir):
     # max_by reduction that scales with key cardinality across executors
     outdir = tempfile.mkdtemp(prefix="proteus_sessionize_out_")
 
+    # NO _sink_append here: coalesce is narrow, so it would FUSE the
+    # Python stateful operator's state partitions into 4 tasks — each
+    # task then runs 8 applyInPandasWithState worker rounds SEQUENTIALLY
+    # (measured: gate line 5.4 -> 10.0 s). JVM-stateful sinks coalesce
+    # fine; Python-stateful ones keep their parallelism.
     def capture(batch, epoch):
-        _sink_append(batch.withColumn("_epoch", F.lit(epoch)), outdir)
+        batch.withColumn("_epoch", F.lit(epoch)).write.mode("append").parquet(
+            outdir
+        )
 
     query = (
         out.writeStream.outputMode("update")
@@ -1011,8 +1018,10 @@ def stream_dedup_ingest(spark, sf_dir):
     out = dedup_stream(src.subscribe())
     outdir = tempfile.mkdtemp(prefix="proteus_dedup_out_")
 
+    # bare append: coalescing would fuse the Python stateful operator's
+    # partitions into serial worker rounds (see stream_sessionize_stateful)
     def capture(batch, epoch):
-        _sink_append(batch, outdir)
+        batch.write.mode("append").parquet(outdir)
 
     query = (
         out.writeStream.outputMode("append")
