@@ -773,6 +773,20 @@ class SumView:
         # derives touched buckets from its own write; replayed epochs are
         # skipped — exactly-once for the additive CDC merge)
         delta = delta.withColumn("_bucket", self._state.bucket_col())
+        # With subscribers registered, the delta plan would otherwise
+        # EXECUTE TWICE per batch — once for the state commit's write and
+        # once when the dispatch fan-out's consumers act on it (for an
+        # update-mode aggregation that is the whole agg + state-store pass
+        # again; measured ~2x the batch cost on the CDF-export views,
+        # optimization r16 / guide §1). One eager localCheckpoint makes
+        # the commit write and every subscriber read the same materialized
+        # blocks; released deterministically after the fan-out (consumers
+        # act synchronously inside their callback — the subscribe()
+        # contract). Views without subscribers keep the single-job shape.
+        _ckpt = None
+        if self._subscribers:
+            delta = delta.localCheckpoint(eager=True)
+            _ckpt = delta
         # NOTE: a replayed epoch (commit_delta returns an unchanged
         # version) still falls through to subscriber dispatch
         # DELIBERATELY — downstream delivery is AT-LEAST-ONCE.
@@ -795,34 +809,42 @@ class SumView:
         # a crash between the state commit and the derived write would
         # leave the derived view permanently unavailable (review r14 #1 —
         # the crash-repair duty the pre-r14 always-recompute carried).
-        prev_v = self._state.version
-        new_v = self._state.commit_delta(delta, epoch=epoch)
+        try:
+            prev_v = self._state.version
+            new_v = self._state.commit_delta(delta, epoch=epoch)
 
-        # downstream QPUs: recompute derived views over the committed
-        # state (None until the first non-empty batch commits a schema
-        # — an empty first micro-batch must not crash the query).
-        # Snapshot resolution is only paid when a derived view will
-        # consume it (optimization r16, guide §1): with no derived views
-        # the per-batch read.parquet resolution + persist/unpersist churn
-        # served nobody — readers memoize their own snapshot per version.
-        state = self.snapshot() if self.derived else None
-        for name, fn in self.derived.items() if state is not None else ():
-            if new_v == prev_v and name in self._derived_version:
-                continue  # in-process replay, derived already current
-            out = fn(state)
-            dv = self._derived_version.get(name, -1) + 1
-            out.write.mode("overwrite").parquet(
-                os.path.join(self._root, f"{name}_v{dv}")
-            )
-            self._derived_version[name] = dv
-            old = dv - self._retain
-            if old >= 0:
-                shutil.rmtree(
-                    os.path.join(self._root, f"{name}_v{old}"),
-                    ignore_errors=True,
+            # downstream QPUs: recompute derived views over the committed
+            # state (None until the first non-empty batch commits a schema
+            # — an empty first micro-batch must not crash the query).
+            # Snapshot resolution is only paid when a derived view will
+            # consume it (optimization r16, guide §1): with no derived views
+            # the per-batch read.parquet resolution + persist/unpersist churn
+            # served nobody — readers memoize their own snapshot per version.
+            state = self.snapshot() if self.derived else None
+            for name, fn in self.derived.items() if state is not None else ():
+                if new_v == prev_v and name in self._derived_version:
+                    continue  # in-process replay, derived already current
+                out = fn(state)
+                dv = self._derived_version.get(name, -1) + 1
+                out.write.mode("overwrite").parquet(
+                    os.path.join(self._root, f"{name}_v{dv}")
                 )
+                self._derived_version[name] = dv
+                old = dv - self._retain
+                if old >= 0:
+                    shutil.rmtree(
+                        os.path.join(self._root, f"{name}_v{old}"),
+                        ignore_errors=True,
+                    )
 
-        _dispatch_subscribers(self._subscribers, delta.drop("_bucket"), epoch)
+            _dispatch_subscribers(
+                self._subscribers, delta.drop("_bucket"), epoch
+            )
+        finally:
+            if _ckpt is not None:
+                from proteus_spark.plans.ckpt import release
+
+                release(_ckpt)
 
     # -- query surface -------------------------------------------------------
     def snapshot(self) -> DataFrame | None:
@@ -1066,6 +1088,13 @@ class JoinView:
             .agg(*aggs)
             .withColumn("_bucket", self._state.bucket_col())
         )
+        # one execution per batch even with subscribers registered — see
+        # SumView._merge_locked (the commit write and the dispatch fan-out
+        # otherwise each run the batch-collapse plan)
+        _ckpt = None
+        if self._subscribers:
+            delta = delta.localCheckpoint(eager=True)
+            _ckpt = delta
         # LSM append: delta rows only (tombstones persist as rows with
         # _op=DELETE until their bucket compacts); the coalesce merge
         # resolves per-column last-writer-wins + deletes on read; one
@@ -1074,8 +1103,16 @@ class JoinView:
         # replayed epochs skip the state commit but still re-notify:
         # downstream delivery is at-least-once so idempotent exporters can
         # complete a crash-interrupted publication (see SumView._merge_locked)
-        self._state.commit_delta(delta, epoch=epoch)
-        _dispatch_subscribers(self._subscribers, delta.drop("_bucket"), epoch)
+        try:
+            self._state.commit_delta(delta, epoch=epoch)
+            _dispatch_subscribers(
+                self._subscribers, delta.drop("_bucket"), epoch
+            )
+        finally:
+            if _ckpt is not None:
+                from proteus_spark.plans.ckpt import release
+
+                release(_ckpt)
 
     # -- query surface -----------------------------------------------------
     def snapshot(self) -> DataFrame | None:

@@ -2333,3 +2333,53 @@ def test_view_buckets_tracks_input_rows(monkeypatch):
     assert QS._view_buckets("x", "t") == 40  # ~1 per 250k
     rows["t"] = 10_000_000_000
     assert QS._view_buckets("x", "t") == 256  # cap
+
+
+def test_subscriber_dispatch_executes_delta_once_and_releases(spark):
+    """Optimization r16 (guide §1): with subscribers registered, the
+    per-batch delta is checkpointed ONCE — the state commit's write and
+    every subscriber callback consume the same materialized blocks instead
+    of each re-executing the micro-batch plan — and the checkpoint is
+    released after the fan-out (no per-batch block accretion)."""
+    from proteus_spark.streaming.views import _BucketedState
+
+    def persisted_ids() -> set[int]:
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        return {int(k) for k in jmap.keySet().toArray()}
+
+    jobs = {"n": 0}
+    orig = _BucketedState.commit_delta
+
+    def counting_commit(self, delta, epoch=None):
+        # the delta handed to the commit must already be materialized
+        # (checkpointed) when subscribers exist: its plan is a LogicalRDD
+        # over the checkpoint blocks, not the live batch plan
+        assert "LogicalRDD" in delta._jdf.queryExecution().analyzed().toString()
+        jobs["n"] += 1
+        return orig(self, delta, epoch=epoch)
+
+    seen: list[int] = []
+    view = SumView(
+        spark, stream=None, group_by="k", agg_attr="new_value",
+        name="t_dispatch_once", mode="cdc", n_buckets=2,
+    )
+    view.subscribe(lambda delta, epoch: seen.append(delta.count()))
+    before = persisted_ids()
+    import unittest.mock as mock
+
+    with mock.patch.object(_BucketedState, "commit_delta", counting_commit):
+        try:
+            b = spark.createDataFrame(
+                [(1, None, 1.0), (2, None, 2.0)],
+                "k bigint, old_value double, new_value double",
+            )
+            view._on_cdc_batch(b, 0)
+            view._on_cdc_batch(b, 1)
+            assert seen == [2, 2]
+            assert jobs["n"] == 2
+            leaked = persisted_ids() - before
+            assert not leaked, (
+                f"dispatch checkpoint leaked persisted RDD(s) {sorted(leaked)}"
+            )
+        finally:
+            view.stop()
