@@ -111,9 +111,13 @@ SID_HEX = 15  # 60-bit shingle id — BIGINT-safe, ~(S^2)/2^61 collision pairs
 
 
 def shingle_ids(
-    docs: DataFrame, n: int = SHINGLE_N, fanout: int | None = FANOUT_AUTO
+    docs: DataFrame,
+    n: int = SHINGLE_N,
+    fanout: int | None = FANOUT_AUTO,
+    distinct: bool = True,
 ) -> DataFrame:
-    """Distinct hashed shingles per doc: (doc_id, s BIGINT).
+    """Hashed shingles per doc: (doc_id, s BIGINT), per-doc distinct by
+    default.
 
     The join/count currency for Jaccard verification at scale: a 60-bit id
     instead of the raw n-gram string makes the shingle self-join shuffle
@@ -121,13 +125,19 @@ def shingle_ids(
     2.3× on the full LSH pipeline at a 50k-doc corpus). Collisions merge
     two shingles corpus-wide with probability ~S²/2^61 — immaterial next
     to the minhash banding error, and reproduced exactly by the DuckDB
-    oracle (same md5-derived id)."""
+    oracle (same md5-derived id).
+
+    ``distinct=False`` skips the (doc_id, s) dedup shuffle — the WIDEST
+    exchange a consumer can pay — for callers that dedup later on a
+    smaller set (e.g. decontaminate dedups only the matched shingles
+    after its selective broadcast join, guide §2.3)."""
     raw = shingles(docs, n=n, distinct=False, fanout=fanout)
     sid = F.expr(
         f"CAST(conv(substr({md5_seeded_sql('s', 'sid')}, 1, {SID_HEX}), 16, 10)"
         " AS BIGINT)"
     )
-    return raw.select("doc_id", sid.alias("s")).distinct()
+    out = raw.select("doc_id", sid.alias("s"))
+    return out.distinct() if distinct else out
 
 
 def exact_dedup(docs: DataFrame, text_col: str = "text") -> DataFrame:
@@ -733,7 +743,19 @@ def decontaminate(
     the shingle id; cost is linear in |train shingles| + |matches|, never
     a cross product. ``dedup_apply``-style removal is then an anti-join of
     ``train`` against this frame."""
-    sh_t = shingle_ids(train, n=n)
+    # NON-distinct train shingles into the join (optimization r16, guide
+    # §2.3/§5): the per-doc distinct rides the fanout's doc_id
+    # partitioning (no extra exchange — plan-verified, plans/r16/
+    # llm_decontaminate_*), but it builds a per-task dedup HASH TABLE
+    # over every train shingle before the selective eval join drops
+    # almost all of them — per-task state proportional to the corpus
+    # slice, a spill risk at 100 TB. Joining first keeps per-task state
+    # O(|eval set|) (the broadcast), and the dedup the distinct-hit count
+    # needs runs on the MATCHES only (groupBy(doc_id, s), then the
+    # per-doc count — algebraically identical to distinct-then-count;
+    # value-identity checked at sf0.1, locally time-neutral 0.75 vs
+    # 0.77 s best-of-3 alternating).
+    sh_t = shingle_ids(train, n=n, distinct=False)
     # the eval set is a benchmark corpus — small at ANY training-corpus
     # scale, so broadcast explicitly instead of trusting the size
     # estimator (a missed broadcast here would shuffle every train
@@ -741,6 +763,8 @@ def decontaminate(
     sh_e = F.broadcast(shingle_ids(eval_docs, n=n).select("s").distinct())
     return (
         sh_t.join(sh_e, "s")
+        .groupBy("doc_id", "s")
+        .agg(F.lit(1).alias("_one"))
         .groupBy("doc_id")
         .agg(F.count("*").cast("long").alias("n_hits"))
     )

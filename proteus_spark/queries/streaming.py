@@ -1435,9 +1435,16 @@ def stream_decontaminate(spark, sf_dir):
     outdir = tempfile.mkdtemp(prefix="proteus_stream_decon_")
 
     def on_batch(batch, epoch):
+        # join-first, dedup matches after — the batch decontaminate's
+        # reordered shape (r16, guide §2.3/§5): the per-doc distinct's
+        # dedup hash table over the batch's whole shingle set is replaced
+        # by the selective broadcast join dropping non-matches first;
+        # only matches are deduped
         hits = (
-            shingle_ids(batch, n=DECON_N)
+            shingle_ids(batch, n=DECON_N, distinct=False)
             .join(F.broadcast(sh_e), "s")
+            .groupBy("doc_id", "s")
+            .agg(F.lit(1).alias("_one"))
             .groupBy("doc_id")
             .agg(F.count("*").cast("long").alias("n_hits"))
         )
