@@ -137,17 +137,29 @@ def stage_stream(
     if order_col is not None:
         from pyspark.sql.window import Window
 
+        from proteus_spark.plans.ckpt import release
+
+        # checkpoint the ntile'd frame ONCE (optimization r16, guide §1):
+        # stage_files writes each chunk as its own filtered job, and
+        # without the checkpoint every one of those jobs re-ran the
+        # global-sort window over the full input — ``chunks`` full sorts
+        # to stage one table. Released as soon as the files are on disk.
         chunked = df.withColumn(
             "_chunk", F.ntile(chunks).over(Window.orderBy(order_col))
-        )
-        return stage_files(
-            spark,
-            [
-                chunked.filter(F.col("_chunk") == i).drop("_chunk").coalesce(1)
-                for i in range(1, chunks + 1)
-            ],
-            prefix=prefix,
-        )
+        ).localCheckpoint(eager=False)
+        try:
+            return stage_files(
+                spark,
+                [
+                    chunked.filter(F.col("_chunk") == i)
+                    .drop("_chunk")
+                    .coalesce(1)
+                    for i in range(1, chunks + 1)
+                ],
+                prefix=prefix,
+            )
+        finally:
+            release(chunked)
     tmpdir = tempfile.mkdtemp(prefix=prefix)
     df.repartition(chunks).write.mode("overwrite").parquet(tmpdir)
     src = CDCSource(
