@@ -135,6 +135,22 @@ def test_minhash_verify_restricts_corpus_exactly_once(q):
     )
 
 
+def test_minhash_candidates_checkpointed_out_of_verify_plan(q):
+    """r16 perf pin: minhash_lsh_dedup materializes the candidate pair
+    set via eager localCheckpoint, so the banding pipeline (the posexplode
+    band table + signature subtree) must NOT be re-embedded in the
+    verification plan — the checkpoint truncates it to a Scan ExistingRDD
+    and AQE sees the candidate set's real size (measured: exchanges 45→16,
+    exec 1.00→0.56s at sf0.1). A refactor back to .cache() re-embeds the
+    subtree 4× and fails both asserts."""
+    p = q("llm_dedup_minhash_lsh")
+    assert "Scan ExistingRDD" in p, "candidate set no longer checkpoint-backed"
+    assert "posexplode" not in p, (
+        "banding pipeline re-embedded in the verification plan "
+        "(candidate set no longer truncated by localCheckpoint)"
+    )
+
+
 def test_index_lookup_prunes(q):
     p = q("ref_index_range")
     # the index's configured value bounds [0,50) reach the base scan, and
