@@ -771,8 +771,19 @@ def decontaminate(
     # the eval set is a benchmark corpus — small at ANY training-corpus
     # scale, so broadcast explicitly instead of trusting the size
     # estimator (a missed broadcast here would shuffle every train
-    # shingle at 100 TB)
-    sh_e = F.broadcast(shingle_ids(eval_docs, n=n).select("s").distinct())
+    # shingle at 100 TB). fanout=None: the explode-stage fanout
+    # repartition exists to spread a md5-heavy FULL-CORPUS pass across
+    # the cluster; the eval side is tiny by definition, so the extra
+    # exchange (+ its AQE round) is pure overhead — measured best-of-7
+    # same-session at sf0.1, order-swapped confirm: 0.825→0.564s best
+    # (0.943→0.732 med). distinct=False for the same reason the train
+    # side does it: the only dedup that matters is the final .distinct()
+    # on s (r16, guide §2.4).
+    sh_e = F.broadcast(
+        shingle_ids(eval_docs, n=n, fanout=None, distinct=False)
+        .select("s")
+        .distinct()
+    )
     return (
         sh_t.join(sh_e, "s")
         .groupBy("doc_id", "s")

@@ -2671,7 +2671,18 @@ def llm_dedup_exact_substring(spark, sf_dir):
             ).otherwise(F.array().cast("array<string>"))
         ).alias("w"),
     )
-    wg = wins.groupBy("doc_id", "w").agg(F.count("*").alias("c"))
+    # r16 (guide §2.4): hash-partition the exploded windows by w ONCE —
+    # hashpartitioning(w) satisfies the (doc_id, w) groupBy's clustering
+    # (subset rule) AND the w-window's, so the groupBy→window sequence
+    # shares one exchange instead of shuffling the window table twice
+    # ((doc_id,w) then (w)). Exchanges 3→2; measured best-of-7
+    # same-session at sf0.1: 0.734→0.702s (med 0.791→0.717s); identical
+    # rows (value-compared), oracle-green both SFs.
+    wg = (
+        wins.repartition("w")
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").alias("c"))
+    )
     nd = F.count("*").over(W.partitionBy("w"))
     per = (
         wg.withColumn("nd", nd)
