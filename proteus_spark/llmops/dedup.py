@@ -311,19 +311,37 @@ def lsh_band_table(
 
 
 def lsh_candidates(
-    sig: DataFrame, bands: int = LSH_BANDS, rows: int = LSH_ROWS
+    sig: DataFrame,
+    bands: int = LSH_BANDS,
+    rows: int = LSH_ROWS,
+    materialize: bool = False,
 ) -> DataFrame:
     """LSH banding: docs sharing any band bucket become (ida, idb)
-    candidates. Equi-join on (band, band_value) — never all-pairs."""
-    # cache the exploded band table: the self-join references it on BOTH
-    # sides, and without the cache each side re-evaluates the entire
-    # signature pipeline (shingle explode + md5) — measured 2× the
-    # signature cost. The table is bands rows per DOC (not per shingle):
-    # tiny at any corpus scale.
-    exploded = lsh_band_table(sig, bands, rows).cache()
+    candidates. Equi-join on (band, band_value) — never all-pairs.
+
+    The exploded band table is referenced on BOTH sides of the
+    self-join, so it must be shared or each side re-evaluates the entire
+    signature pipeline (shingle explode + md5) — measured 2× the
+    signature cost. The table is bands rows per DOC (not per shingle).
+
+    ``materialize=False`` (default): share it via ``.cache()`` and return
+    the candidate pairs LAZY — for callers that fold this plan into a
+    larger lazy pipeline. ``materialize=True`` (r16, guide §3.3/§5):
+    eager-localCheckpoint the band table, run the self-join into an
+    eager-checkpointed candidate frame, then RELEASE the band blocks
+    immediately — the returned frame is truncated (Scan ExistingRDD), the
+    signature subtree never re-embeds in consumers' analyzed plans, and
+    the band blocks live for exactly one job instead of until the next
+    clearCache/GC (same peak footprint as the cache, shorter hold).
+    Measured on minhash_lsh_dedup best-of-7 same-session at sf0.1:
+    1.196→1.111s best, 1.609→1.314 med."""
+    if materialize:
+        exploded = lsh_band_table(sig, bands, rows).localCheckpoint(eager=True)
+    else:
+        exploded = lsh_band_table(sig, bands, rows).cache()
     a = exploded.alias("a")
     b = exploded.alias("b")
-    return (
+    cand = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -333,6 +351,12 @@ def lsh_candidates(
         .select(F.col("a.doc_id").alias("ida"), F.col("b.doc_id").alias("idb"))
         .distinct()
     )
+    if materialize:
+        from proteus_spark.plans import ckpt
+
+        cand = cand.localCheckpoint(eager=True)
+        ckpt.release(exploded)
+    return cand
 
 
 def minhash_lsh_dedup(docs: DataFrame, min_jaccard: float = 0.8) -> DataFrame:
@@ -353,20 +377,23 @@ def minhash_lsh_dedup(docs: DataFrame, min_jaccard: float = 0.8) -> DataFrame:
     corpus scan — |candidates| docs, not |corpus|).
     """
     # candidates feed two branches of the verification (doc restriction +
-    # pair filter). Eager localCheckpoint — not .cache() — of the small
-    # pair set: the minhash subtree runs once either way, but the
-    # checkpoint also TRUNCATES it out of the downstream plan (the cache
-    # form re-embeds the whole banding pipeline in the analyzed tree 4×,
-    # ~0.6s of Catalyst analysis per construction at sf0.1) and gives AQE
-    # the candidate set's REAL size, so the corpus semi-join below plans
-    # as a broadcast instead of a full-corpus sort-merge (guide §3.3/§7.3;
-    # measured best-of-7 same-session 1.511→1.343s, med 1.708→1.445s at
-    # sf0.1). The blocks ride the returned frame (never releasable here —
-    # the verification joins reference them); the ContextCleaner frees
-    # them when the caller drops the result, exactly as for .cache().
+    # pair filter). materialize=True eager-localCheckpoints — not
+    # .cache()s — the small pair set: the minhash subtree runs once
+    # either way, but the checkpoint also TRUNCATES it out of the
+    # downstream plan (the cache form re-embeds the whole banding
+    # pipeline in the analyzed tree 4×, ~0.6s of Catalyst analysis per
+    # construction at sf0.1) and gives AQE the candidate set's REAL
+    # size, so the corpus semi-join below plans as a broadcast instead
+    # of a full-corpus sort-merge (guide §3.3/§7.3; measured best-of-7
+    # same-session 1.511→1.343s, med 1.708→1.445s at sf0.1, and the
+    # band-table checkpoint+release inside lsh_candidates a further
+    # 1.196→1.111s best). The cand blocks ride the returned frame (never
+    # releasable here — the verification joins reference them); the
+    # ContextCleaner frees them when the caller drops the result,
+    # exactly as for .cache().
     cand = lsh_candidates(
-        minhash_signatures(shingles(docs, distinct=False))
-    ).localCheckpoint(eager=True)
+        minhash_signatures(shingles(docs, distinct=False)), materialize=True
+    )
     cand_docs = (
         cand.select(F.col("ida").alias("doc_id"))
         .union(cand.select(F.col("idb").alias("doc_id")))

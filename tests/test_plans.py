@@ -1230,6 +1230,41 @@ def test_pq_train_releases_checkpoint_blocks(spark, sf_dir):
     )
 
 
+def test_lsh_candidates_materialize_releases_band_blocks(spark, sf_dir):
+    """Optimization r16 — lsh_candidates(materialize=True) eager-
+    checkpoints the exploded band table for the self-join and must
+    release its blocks before returning: only the candidate-pair
+    checkpoint may survive (it backs the returned frame). Pin: exactly
+    one new persistent RDD after the call, and the returned frame is
+    checkpoint-backed (its consumers' plans must not re-embed the
+    signature pipeline)."""
+    from proteus_spark.llmops.dedup import (
+        lsh_candidates,
+        minhash_signatures,
+        shingles,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    def persisted_ids() -> set[int]:
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        return {int(k) for k in jmap.keySet().toArray()}
+
+    before = persisted_ids()
+    cand = lsh_candidates(
+        minhash_signatures(shingles(docs, distinct=False)), materialize=True
+    )
+    new = persisted_ids() - before
+    assert len(new) == 1, (
+        f"expected exactly the candidate checkpoint to survive, got "
+        f"{sorted(new)} — the band-table blocks must be released"
+    )
+    assert (
+        cand._jdf.queryExecution().analyzed().getClass().getSimpleName()
+        == "LogicalRDD"
+    ), "materialize=True must return a checkpoint-backed frame"
+
+
 def test_parsed_expression_builders_match_column_op_forms(spark, sf_dir):
     """Optimization r15 #14 — srp_bands / simhash_signatures /
     minhash_signatures build their loop-generated expressions as single
